@@ -1,0 +1,246 @@
+"""Deduplication operators for large-scale document corpora.
+
+Exact dedup is a hash-groupBy (one shuffle on the content hash — at 100 TB,
+group on a 128-bit digest rather than the full text so shuffle rows are
+tiny). Near-dup families (MinHash-LSH, SimHash, n-gram Jaccard) live here
+too; they follow the shingle → signature → band-bucket → within-bucket
+verify pattern so candidate generation never goes quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate collapse: keep the lowest id per identical text.
+
+    Groups on the text itself at test scale; the ``groupBy`` key at 100 TB
+    should be ``F.md5`` / ``F.sha2`` of the text (same result, small shuffle
+    rows) — collision risk of a 128-bit digest is negligible.
+    """
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    ).select(id_col, "n_copies")
+
+
+def exact_dedup_by_digest(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scale variant: shuffle 16-byte digests, not documents."""
+    return (
+        df.withColumn("_digest", F.md5(F.col(text_col)))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingle set per document (lower-cased, whitespace-split).
+
+    Built entirely from JVM-side higher-order array functions — no UDF.
+    Adds an array<string> column ``shingles``.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # indices 0..len-n inclusive; each shingle = n consecutive tokens
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.withColumn(
+        "shingles",
+        F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(F.array(F.concat_ws(" ", toks))),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
+
+    Candidate generation: explode shingles → pairs of docs sharing a
+    shingle (grouped count = |A∩B|), then Jaccard via inclusion–exclusion
+    |A∩B| / (|A|+|B|−|A∩B|). Only docs sharing ≥1 shingle ever pair up —
+    no cross join. At 100 TB, very frequent shingles should be dropped
+    (stop-shingles) to bound the per-shingle fan-out; here the corpus is
+    synthetic and small enough.
+    """
+    sh = shingles(df, text_col=text_col, n=n).select(
+        F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("sh_cnt")
+    )
+    exploded = sh.select("id", "sh_cnt", F.explode("shingles").alias("sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh_cnt").alias("cnt_a"),
+            F.col("b.sh_cnt").alias("cnt_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("inter").cast("double")
+        / (F.col("cnt_a") + F.col("cnt_b") - F.col("inter")).cast("double"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---- MinHash + LSH ----------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingles", num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per doc: num_hashes permutations approximated by
+    (a·x + b) mod p over xxhash64 shingle hashes. Pure column expressions —
+    the per-hash min is an array aggregate, no UDF, no shuffle beyond the
+    source layout."""
+    # deterministic hash-family parameters
+    import random
+
+    rnd = random.Random(42)
+    params = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+    x = F.transform(F.col(shingle_col), lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(x, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
+            )
+            for (a, b) in params
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures,
+    verified by estimated Jaccard (signature agreement rate).
+
+    bands=16 × rows=4 over 64 hashes ⇒ s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5.
+    Shuffle cost: one explode to (band_id, band_hash) keys + a self-join on
+    identical band buckets — never quadratic in corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, text_col=text_col, n=n)
+    sig = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
+
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", *[
+                    F.col("signature")[i * rows_per_band + j].cast("string")
+                    for j in range(rows_per_band)
+                ])
+            ).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    banded = sig.select("id", "signature", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)).cast(
+            "double"
+        )
+        / F.lit(float(num_hashes)),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from unigram token hashes.
+
+    Per-bit weighted majority over xxhash64(token) — expressed with
+    aggregate/transform array functions, JVM-side end to end.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, using 4-block
+    pigeonhole LSH: any pair within distance 3 agrees exactly on ≥1 of 4
+    16-bit blocks → join per block bucket, then verify true distance."""
+    sh = simhash(df, text_col=text_col, id_col=id_col)
+    blocks = [
+        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit((1 << 16) - 1)).alias(f"b{i}")
+        for i in range(4)
+    ]
+    blocked = sh.select("id", "simhash", *blocks)
+    pairs = None
+    for i in range(4):
+        a = blocked.alias("a")
+        b = blocked.alias("b")
+        p = a.join(
+            b, (F.col(f"a.b{i}") == F.col(f"b.b{i}")) & (F.col("a.id") < F.col("b.id"))
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

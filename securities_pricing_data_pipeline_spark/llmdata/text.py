@@ -1,0 +1,81 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All built from JVM-side string/array functions —
+no Python in the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+
+# tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic (public-knowledge function-word lists)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "de": ("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "du", "une", "est"),
+}
+
+
+def _tokens(text_col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count per document."""
+    return df.select(
+        F.col(id_col), F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("int").alias("n_tokens")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword quality signals per document."""
+    toks = _tokens(text_col)
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("int").alias("n_chars"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("int").alias("n_tokens"),
+        n_punct.cast("int").alias("n_punct"),
+        n_stop.cast("int").alias("n_stopwords"),
+    )
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic content fingerprint: md5 of the normalized text.
+    (md5 chosen over xxhash64 for cross-engine verifiability; at 100 TB the
+    16-byte digest is also the dedup shuffle key — see llmdata.dedup.)"""
+    return df.select(
+        F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint")
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID.
+
+    CJK detection by Unicode block ratio; otherwise argmax of per-language
+    stopword hit-rate over the profiles above. Entirely built-ins: one
+    array intersection per language.
+    """
+    toks = F.array_distinct(_tokens(text_col))
+    cjk_chars = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in LANG_PROFILES.items()
+        ]
+    )
+    best = F.array_max(scores)  # struct compare: hits first, then lang
+    pred = F.when(cjk_chars * 2 > F.length(F.col(text_col)), F.lit("zh")).otherwise(
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+    return df.select(F.col(id_col), pred.alias("pred_lang"))

@@ -1,0 +1,96 @@
+"""Derive OHLCV daily bars from the driver's `lineitem` table.
+
+The reference's unit of data is a daily OHLCV bar per symbol
+(``dags/lib/eod_data_downloader.py:52-59``). The driver's testdata is
+TPC-H-ish, so this adapter maps lineitem → bars deterministically:
+
+  symbol      'P' + l_partkey            (~2k symbols at sf0.01 — same order
+                                          of magnitude as the reference's
+                                          6,227 active symbols/day)
+  trade_date  date(l_shipdate)
+  open/close  extendedprice of the first/last line that day, ordered by the
+              unique line sequence (l_orderkey·10 + l_linenumber)
+  high/low    max/min extendedprice
+  volume      Σ quantity (integral)
+
+Every aggregate here is order-independent (min/max/min_by/max_by on a
+unique ordering key, integer sum) → bit-exact against the DuckDB oracle.
+Prices are snapped to DECIMAL(18,4) once at bar level; all downstream
+serving math follows helpers.py's parity discipline.
+
+Scale note: this is a single hash-aggregate over (symbol, date) — at 100 TB
+it shuffles once on the group key; partial aggregation (map-side combine)
+does the heavy lifting since ~24 lines collapse per bar. No window, no skew
+(part keys are uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from securities_pricing_data_pipeline_spark.queries.helpers import load
+
+PRICE4 = T.DecimalType(18, 4)
+
+# shared CTE prefix for every oracle that builds on bars
+BARS_SQL = """
+WITH bars AS (
+  SELECT
+    'P' || CAST(l_partkey AS VARCHAR)                                          AS symbol,
+    CAST(l_shipdate AS DATE)                                                   AS trade_date,
+    CAST(arg_min(l_extendedprice, l_orderkey * 10 + l_linenumber) AS DECIMAL(18,4)) AS open,
+    CAST(max(l_extendedprice) AS DECIMAL(18,4))                                AS high,
+    CAST(min(l_extendedprice) AS DECIMAL(18,4))                                AS low,
+    CAST(arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber) AS DECIMAL(18,4)) AS close,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)                            AS volume
+  FROM lineitem
+  GROUP BY 1, 2
+)
+"""
+
+
+def bars_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    seq = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return (
+        li.groupBy(
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("symbol"),
+            F.col("l_shipdate").cast("date").alias("trade_date"),
+        ).agg(
+            F.min_by("l_extendedprice", seq).cast(PRICE4).alias("open"),
+            F.max("l_extendedprice").cast(PRICE4).alias("high"),
+            F.min("l_extendedprice").cast(PRICE4).alias("low"),
+            F.max_by("l_extendedprice", seq).cast(PRICE4).alias("close"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("volume"),
+        )
+    )
+
+
+def q_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/A-style derivation exposed as a query (prices as double for a
+    cross-engine-stable output schema)."""
+    b = bars_df(spark, sf_dir)
+    return b.select(
+        "symbol",
+        "trade_date",
+        F.col("open").cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("close").cast("double").alias("close"),
+        "volume",
+    )
+
+
+QUERIES = {"bars_ohlcv": q_bars}
+
+ORACLES = {
+    "bars_ohlcv": BARS_SQL
+    + """
+SELECT symbol, trade_date,
+       CAST(open AS DOUBLE) AS open, CAST(high AS DOUBLE) AS high,
+       CAST(low AS DOUBLE) AS low, CAST(close AS DOUBLE) AS close, volume
+FROM bars
+"""
+}

@@ -1,0 +1,295 @@
+"""Serving-layer analytics Q1–Q9 (SURVEY.md §2.6) over derived bars.
+
+These re-express the reference's Power BI measures
+(``dashboard/securities_market_report1.jpg`` / ``report2.jpg``) as Spark
+DataFrame queries with DuckDB oracles. All follow helpers.py's parity
+discipline: decimal-exact sums, per-row double math, final double casts.
+
+Scale notes (100 TB posture):
+  * Q2/Q5/Q7 windows partition by symbol — shuffle keyed on symbol, ~10⁴
+    distinct keys, no global ordering anywhere in the heavy path.
+  * Q3 and the flagship rank use a global window ONLY after a per-symbol
+    aggregation has reduced the data to one row per symbol (~10⁴ rows —
+    driver-safe); never a global window over raw rows.
+  * Q4 joins orders→customer on the dimension side; the dim is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_df
+from securities_pricing_data_pipeline_spark.queries.helpers import dec, load
+
+def _tv():
+    return F.col("close") * F.col("volume")  # traded value, exact decimal
+
+
+def _returns(b: DataFrame) -> DataFrame:
+    """Per-symbol daily return in double (per-row deterministic)."""
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    prev = F.lag(F.col("close").cast("double")).over(w)
+    return b.withColumn("ret", F.col("close").cast("double") / prev - 1)
+
+
+RET_SQL = """
+, rets AS (
+  SELECT symbol, trade_date,
+         CAST(close AS DOUBLE) / lag(CAST(close AS DOUBLE))
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM bars
+)
+"""
+
+
+def q1_market_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars_df(spark, sf_dir)
+    return b.agg(
+        F.sum(_tv()).cast("double").alias("total_traded_value"),
+        F.sum("volume").cast("long").alias("total_volume"),
+        F.countDistinct("symbol").alias("n_symbols"),
+        F.count("*").alias("n_bars"),
+    )
+
+
+def q2_rolling_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars_df(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-29, 0)
+    return b.select(
+        "symbol",
+        "trade_date",
+        (F.sum("volume").over(w).cast("double") / F.count("*").over(w)).alias("avg_volume_30d"),
+        (F.sum(_tv()).over(w).cast("double") / F.count("*").over(w)).alias("avg_traded_value_30d"),
+    )
+
+
+def _symbol_liquidity(b: DataFrame) -> DataFrame:
+    return b.groupBy("symbol").agg(
+        (F.sum(_tv()).cast("double") / F.count("*")).alias("avg_traded_value")
+    )
+
+
+def q3_liquidity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars_df(spark, sf_dir)
+    liq = _symbol_liquidity(b)
+    # global window AFTER reduction to one row per symbol
+    w = Window.orderBy(F.desc("avg_traded_value"))
+    return liq.select(
+        "symbol",
+        "avg_traded_value",
+        F.dense_rank().over(w).cast("int").alias("liquidity_rank"),
+    )
+
+
+def q4_segment_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    seg = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(dec(F.col("o_totalprice"), 4)).alias("seg_dec"))
+    )
+    total = Window.partitionBy()
+    return seg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("seg_dec").cast("double").alias("total_value"),
+        (F.col("seg_dec").cast("double") / F.sum("seg_dec").over(total).cast("double") * 100).alias(
+            "pct_of_total"
+        ),
+    )
+
+
+def q5_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _returns(bars_df(spark, sf_dir)).filter(F.col("ret").isNotNull())
+    return b.groupBy("trade_date").agg(
+        (F.sum(dec(F.col("ret"), 10)).cast("double") / F.count("ret")).alias("avg_return"),
+        F.count("ret").alias("n_symbols"),
+    )
+
+
+def q6_top_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars_df(spark, sf_dir)
+    return (
+        b.orderBy(F.desc("volume"), "symbol", "trade_date")
+        .limit(20)
+        .select("symbol", "trade_date", "volume", F.col("close").cast("double").alias("close"))
+    )
+
+
+def q7_volatility_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _returns(bars_df(spark, sf_dir)).filter(F.col("ret").isNotNull())
+    agg = b.groupBy("symbol").agg(
+        F.count("ret").alias("n_days"),
+        F.sum(dec(F.col("ret"), 10)).cast("double").alias("s1"),
+        F.sum(dec(F.col("ret") * F.col("ret"), 9)).cast("double").alias("s2"),
+    )
+    n = F.col("n_days")
+    var = F.greatest((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1), F.lit(0.0))
+    return (
+        agg.filter(n >= 10)
+        .select("symbol", "n_days", F.sqrt(var).alias("volatility"))
+        .orderBy(F.desc("volatility"), "symbol")
+        .limit(10)
+    )
+
+
+def q8_ohlc_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars_df(spark, sf_dir).filter(F.col("symbol") == "P7")
+    return b.select(
+        "symbol",
+        "trade_date",
+        F.col("open").cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("close").cast("double").alias("close"),
+        "volume",
+    )
+
+
+def q9_price_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars_df(spark, sf_dir)
+    return b.agg(
+        (F.sum(F.col("close")).cast("double") / F.count("*")).alias("avg_close"),
+        (F.sum(F.col("open")).cast("double") / F.count("*")).alias("avg_open"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2+Q3+Q6: top-20 by 30-day rolling avg traded value, with rank."""
+    b = bars_df(spark, sf_dir)
+    w30 = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-29, 0)
+    wlast = Window.partitionBy("symbol").orderBy(F.desc("trade_date"))
+    rolled = b.select(
+        "symbol",
+        "trade_date",
+        (F.sum(_tv()).over(w30).cast("double") / F.count("*").over(w30)).alias("avg_traded_value_30d"),
+        F.row_number().over(wlast).alias("rn"),
+    )
+    latest = rolled.filter(F.col("rn") == 1).drop("rn")
+    wrank = Window.orderBy(F.desc("avg_traded_value_30d"))
+    return (
+        latest.select(
+            "symbol",
+            F.col("trade_date").alias("as_of_date"),
+            "avg_traded_value_30d",
+            F.dense_rank().over(wrank).cast("int").alias("liquidity_rank"),
+        )
+        .orderBy(F.desc("avg_traded_value_30d"), "symbol")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "q1_market_totals": q1_market_totals,
+    "q2_rolling_liquidity": q2_rolling_liquidity,
+    "q3_liquidity_rank": q3_liquidity_rank,
+    "q4_segment_contribution": q4_segment_contribution,
+    "q5_daily_returns": q5_daily_returns,
+    "q6_top_volume": q6_top_volume,
+    "q7_volatility_topk": q7_volatility_topk,
+    "q8_ohlc_series": q8_ohlc_series,
+    "q9_price_averages": q9_price_averages,
+    "flagship_liquidity_top20": flagship,
+}
+
+ORACLES = {
+    "q1_market_totals": BARS_SQL
+    + """
+SELECT CAST(SUM(close * volume) AS DOUBLE) AS total_traded_value,
+       CAST(SUM(volume) AS BIGINT)         AS total_volume,
+       COUNT(DISTINCT symbol)              AS n_symbols,
+       COUNT(*)                            AS n_bars
+FROM bars
+""",
+    "q2_rolling_liquidity": BARS_SQL
+    + """
+SELECT symbol, trade_date,
+       CAST(SUM(volume) OVER w AS DOUBLE) / COUNT(*) OVER w        AS avg_volume_30d,
+       CAST(SUM(close * volume) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_traded_value_30d
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY trade_date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+""",
+    "q3_liquidity_rank": BARS_SQL
+    + """
+, liq AS (
+  SELECT symbol, CAST(SUM(close * volume) AS DOUBLE) / COUNT(*) AS avg_traded_value
+  FROM bars GROUP BY symbol
+)
+SELECT symbol, avg_traded_value,
+       CAST(DENSE_RANK() OVER (ORDER BY avg_traded_value DESC) AS INT) AS liquidity_rank
+FROM liq
+""",
+    "q4_segment_contribution": """
+WITH seg AS (
+  SELECT c_mktsegment AS segment,
+         SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS seg_dec
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT segment,
+       CAST(seg_dec AS DOUBLE) AS total_value,
+       CAST(seg_dec AS DOUBLE) / CAST(SUM(seg_dec) OVER () AS DOUBLE) * 100 AS pct_of_total
+FROM seg
+""",
+    "q5_daily_returns": BARS_SQL
+    + RET_SQL
+    + """
+SELECT trade_date,
+       CAST(SUM(CAST(ret AS DECIMAL(38,10))) AS DOUBLE) / COUNT(ret) AS avg_return,
+       COUNT(ret) AS n_symbols
+FROM rets WHERE ret IS NOT NULL
+GROUP BY trade_date
+""",
+    "q6_top_volume": BARS_SQL
+    + """
+SELECT symbol, trade_date, volume, CAST(close AS DOUBLE) AS close
+FROM bars
+ORDER BY volume DESC, symbol, trade_date
+LIMIT 20
+""",
+    "q7_volatility_topk": BARS_SQL
+    + RET_SQL
+    + """
+, agg AS (
+  SELECT symbol, COUNT(ret) AS n_days,
+         CAST(SUM(CAST(ret AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(ret * ret AS DECIMAL(38,9))) AS DOUBLE) AS s2
+  FROM rets WHERE ret IS NOT NULL
+  GROUP BY symbol
+)
+SELECT symbol, n_days,
+       sqrt(greatest((s2 - s1 * s1 / n_days) / (n_days - 1), 0.0)) AS volatility
+FROM agg WHERE n_days >= 10
+ORDER BY volatility DESC, symbol
+LIMIT 10
+""",
+    "q8_ohlc_series": BARS_SQL
+    + """
+SELECT symbol, trade_date,
+       CAST(open AS DOUBLE) AS open, CAST(high AS DOUBLE) AS high,
+       CAST(low AS DOUBLE) AS low, CAST(close AS DOUBLE) AS close, volume
+FROM bars WHERE symbol = 'P7'
+""",
+    "q9_price_averages": BARS_SQL
+    + """
+SELECT CAST(SUM(close) AS DOUBLE) / COUNT(*) AS avg_close,
+       CAST(SUM(open) AS DOUBLE) / COUNT(*) AS avg_open
+FROM bars
+""",
+    "flagship_liquidity_top20": BARS_SQL
+    + """
+, rolled AS (
+  SELECT symbol, trade_date,
+         CAST(SUM(close * volume) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_traded_value_30d,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date DESC) AS rn
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date AS as_of_date, avg_traded_value_30d,
+       CAST(DENSE_RANK() OVER (ORDER BY avg_traded_value_30d DESC) AS INT) AS liquidity_rank
+FROM rolled WHERE rn = 1
+ORDER BY avg_traded_value_30d DESC, symbol
+LIMIT 20
+""",
+}
