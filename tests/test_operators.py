@@ -1,0 +1,130 @@
+"""Unit tests for the operator library on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from securities_pricing_data_pipeline_spark.operators.dedup import dedup_latest  # noqa: E402
+from securities_pricing_data_pipeline_spark.operators.merge import (  # noqa: E402
+    insert_if_absent,
+    upsert_partitions,
+)
+from securities_pricing_data_pipeline_spark.operators.quality import (  # noqa: E402
+    EmptyLoadError,
+    existence_gate,
+    split_rejects,
+)
+from securities_pricing_data_pipeline_spark.operators.surrogate_keys import (  # noqa: E402
+    assign_ids,
+    next_id,
+)
+from securities_pricing_data_pipeline_spark.sources.eod_api import (  # noqa: E402
+    backfill_source,
+    fetch_day_with_lookback,
+    rows_to_frame,
+)
+
+
+def test_dedup_latest(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 10), ("A", 2, 20), ("B", 1, 30)], "k string, ts int, v int"
+    )
+    out = dedup_latest(df, ["k"], [F.desc("ts")]).collect()
+    got = {(r.k, r.ts, r.v) for r in out}
+    assert got == {("A", 2, 20), ("B", 1, 30)}
+
+
+def test_upsert_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1, d2 = dt.date(2026, 1, 1), dt.date(2026, 1, 2)
+    base = spark.createDataFrame(
+        [("A", d1, 1.0), ("B", d1, 2.0), ("A", d2, 3.0)],
+        "symbol string, trade_date date, v double",
+    )
+    upsert_partitions(spark, base, path, keys=["symbol", "trade_date"])
+    # update A@d1, insert C@d1; d2 partition untouched
+    src = spark.createDataFrame(
+        [("A", d1, 10.0), ("C", d1, 5.0)], "symbol string, trade_date date, v double"
+    )
+    upsert_partitions(spark, src, path, keys=["symbol", "trade_date"])
+    got = {(r.symbol, r.trade_date, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("A", d1, 10.0), ("B", d1, 2.0), ("C", d1, 5.0), ("A", d2, 3.0)}
+
+
+def test_insert_if_absent(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    a = spark.createDataFrame([(1, "X")], "id long, name string")
+    assert insert_if_absent(spark, a, path, keys=["id"]) == 1
+    b = spark.createDataFrame([(1, "CHANGED"), (2, "Y")], "id long, name string")
+    assert insert_if_absent(spark, b, path, keys=["id"]) == 1  # only id=2
+    got = {(r.id, r.name) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "X"), (2, "Y")}  # first write wins
+
+
+def test_split_rejects_null_safe(spark):
+    df = spark.createDataFrame([(1, 5), (2, -1), (3, None)], "id int, vol int")
+    valid, rejects = split_rejects(df, F.col("vol") >= 0, "NEG")
+    assert {r.id for r in valid.collect()} == {1, 3}  # NULL volume is valid
+    rej = rejects.collect()
+    assert [r.id for r in rej] == [2] and rej[0].reject_reason == "NEG"
+
+
+def test_existence_gate(spark):
+    empty = spark.createDataFrame([], "id int")
+    try:
+        existence_gate(empty, "x")
+        assert False, "should raise"
+    except EmptyLoadError:
+        pass
+    existence_gate(spark.createDataFrame([(1,)], "id int"))  # no raise
+
+
+def test_surrogate_ids(spark, tmp_path):
+    path = str(tmp_path / "dim_sec")
+    assert next_id(spark, path) == 1
+    new = spark.createDataFrame([("B",), ("A",)], "symbol string")
+    out = assign_ids(new, 1).collect()
+    assert {(r.security_id, r.symbol) for r in out} == {(1, "A"), (2, "B")}
+    insert_if_absent(spark, assign_ids(new, 1), path, keys=["symbol"])
+    assert next_id(spark, path) == 3
+
+
+def _fake_fetcher(day: dt.date):
+    if day.weekday() >= 5:  # closed weekends
+        return []
+    return [
+        {"T": "AAA", "o": 1.0, "h": 2.0, "l": 0.5, "c": 1.5, "v": 100},
+        {"T": "BBB", "c": 9.9, "v": 7},  # missing fields → NULL
+    ]
+
+
+def test_lookback_and_projection(spark):
+    # Sunday 2026-01-04 → walks back to Friday 2026-01-02
+    day, rows = fetch_day_with_lookback(_fake_fetcher, dt.date(2026, 1, 4), lookback_days=10)
+    assert day == dt.date(2026, 1, 2)
+    df = rows_to_frame(spark, day, rows)
+    got = {(r.symbol, r.open, r.volume is not None) for r in df.collect()}
+    assert ("BBB", None, True) in got
+    assert df.schema["trade_date"].dataType.typeName() == "date"
+
+
+def test_backfill_source_distributed(spark):
+    # defined locally so cloudpickle ships it by value to python workers
+    def fetcher(day: dt.date):
+        if day.weekday() >= 5:
+            return []
+        return [
+            {"T": "AAA", "o": 1.0, "h": 2.0, "l": 0.5, "c": 1.5, "v": 100},
+            {"T": "BBB", "c": 9.9, "v": 7},
+        ]
+
+    days = [dt.date(2026, 1, 5), dt.date(2026, 1, 6), dt.date(2026, 1, 10)]  # Sat empty
+    df = backfill_source(spark, fetcher, days, partitions=2)
+    rows = df.collect()
+    assert len(rows) == 4  # 2 weekdays × 2 symbols
+    assert {str(r.trade_date) for r in rows} == {"2026-01-05", "2026-01-06"}
