@@ -96,7 +96,8 @@ def ngram_jaccard_pairs(
 
 # ---- MinHash + LSH ----------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: keeps a·x + b < 2^62, safe under ANSI long math
+_MERSENNE = (1 << 31) - 1
 
 
 def minhash_signatures(
@@ -186,31 +187,32 @@ def minhash_lsh_pairs(
     return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document from unigram token hashes.
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64, n: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document over word n-gram shingle hashes.
 
-    Per-bit weighted majority over xxhash64(token) — expressed with
-    aggregate/transform array functions, JVM-side end to end.
+    Per-bit weighted majority over xxhash64(shingle) — expressed with
+    aggregate/transform array functions, JVM-side end to end. Shingles
+    (not unigrams) keep the fingerprint discriminative when the corpus
+    vocabulary is small.
     """
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda i: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
-    )
-    sim = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    sh = shingles(df, text_col=text_col, n=n)
+    hashes = F.transform(F.col("shingles"), lambda t: F.xxhash64(t))
+    df = sh
+    # static python loop → literal shift amounts (shiftright needs ints);
+    # the 64 per-bit folds stay one JVM expression tree, no UDF
+    def _voter(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), _voter(i))
+        sim = sim.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
     return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
 
 

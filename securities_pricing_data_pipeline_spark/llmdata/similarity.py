@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+  * ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+    set against the corpus; dot/norm built from JVM-side higher-order array
+    functions (zip_with + aggregate) — no UDF, whole-stage codegen. At
+    100 TB the corpus side stays partitioned; cost is one corpus scan per
+    query batch.
+  * ``lsh_topk`` — random-hyperplane (signed random projection) LSH:
+    bucket corpus+queries by signature bands, search only within matching
+    buckets. Sub-linear candidate generation; recall tunable via
+    (n_planes, bands).
+
+Parity discipline: each elementwise product is snapped to an integer grid
+(units of 1e-13) and folded as exact longs — order-independent, so cosine
+scores hash-match the DuckDB oracle bit-for-bit. Grid error analysis: for
+unit-ish 64-dim vectors, |x·y|·1e13 ≲ 3e12 per element (double round-off
+≪ 0.5 grid units) and Σ ≲ 2e14 < 2^53, so long→double casts stay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE = 1e13  # integer grid: 13 decimal digits of the elementwise product
+
+
+def _dot_grid(a: Column, b: Column) -> Column:
+    """Σ round(aᵢ·bᵢ·1e13) as an exact long (order-independent fold)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(_SCALE)).cast("long")
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, p: acc + p)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Grid units cancel: cos = dotL / sqrt(naL · nbL), all inputs < 2^53."""
+    dot = _dot_grid(a, b).cast("double")
+    na = _dot_grid(a, a).cast("double")
+    nb = _dot_grid(b, b).cast("double")
+    return dot / F.sqrt(na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query (excluding self).
+    Queries are broadcast; ties broken by neighbor id ascending."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign bits against fixed random hyperplanes, packed into a long."""
+    packed = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = _dot_grid(vec, F.array(*[F.lit(w) for w in plane]))
+        packed = packed.bitwiseOR(
+            F.shiftleft(F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i)
+        )
+    return packed
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
+    band with the query, then exact cosine rank within candidates."""
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    rows_per_band = n_planes // bands
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        sig = _signature(F.col(vec_col), planes)
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(sig, i * rows_per_band)
+                    .bitwiseAND(F.lit((1 << rows_per_band) - 1))
+                    .alias("bucket"),
+                )
+                for i in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(band_arr).alias("bb"),
+        ).select(
+            id_alias, vec_alias, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    cb = banded(corpus, "neighbor_id", "c_vec")
+    qb = banded(queries, "query_id", "q_vec")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1,0 +1,78 @@
+"""As-of (point-in-time) join — the securities-native operator SURVEY §2.3
+flags as the extension worth adding (late corrections, event→quote
+alignment). Spark has no built-in as-of join; this is the union-and-window
+formulation:
+
+  1. tag left (events) and right (quotes) rows, union them on a common
+     (key, time) axis;
+  2. one window per key ordered by (time, right-before-left) carries the
+     last seen quote forward (``last(..., ignorenulls=True)``);
+  3. keep only left rows — each now annotated with the most recent right
+     row at-or-before its timestamp (backward as-of, inclusive).
+
+Cost profile: ONE shuffle on the key (same as any join) + a per-key sort —
+no range explosion, no cross product, skew governed by key cardinality.
+This beats a range-condition join (O(n·m) per key) and matches how
+time-series stores implement as-of at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Backward inclusive as-of join: for each left row, the right row with
+    the greatest ``right_time <= left_time`` within ``key``.
+
+    Returns all left columns + right ``value_cols`` (default: all non-key,
+    non-time right columns) + ``right_time`` as ``asof_time``.
+    """
+    key = list(key)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(key) | {right_time}]
+    value_cols = list(value_cols)
+
+    lt = left.select(
+        *key,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_t"),
+    )
+    rt = right.select(
+        *key,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_time).alias("__r_t"),
+    )
+    # right rows sort before left rows at equal time → inclusive semantics
+    w = (
+        Window.partitionBy(*key)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = lt.unionByName(rt).select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in value_cols],
+        F.last("__r_t", ignorenulls=True).over(w).alias("__c_t"),
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        *[F.col(f"__c_{c}").alias(c) for c in value_cols],
+        F.col("__c_t").alias("asof_time"),
+    )
+    return out

@@ -1,0 +1,152 @@
+"""Unit tests for the LLM-data operators and the as-of join on tiny frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from securities_pricing_data_pipeline_spark.llmdata.dedup import (  # noqa: E402
+    exact_dedup,
+    exact_dedup_by_digest,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from securities_pricing_data_pipeline_spark.llmdata.multimodal import (  # noqa: E402
+    assets_from_documents,
+    extract_features,
+)
+from securities_pricing_data_pipeline_spark.llmdata.similarity import (  # noqa: E402
+    brute_force_topk,
+)
+from securities_pricing_data_pipeline_spark.llmdata.text import lang_id  # noqa: E402
+from securities_pricing_data_pipeline_spark.operators.asof import (  # noqa: E402
+    asof_join_backward,
+)
+
+_WORDS = [
+    "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "cat", "watches",
+    "warm", "windowsill", "birds", "sing", "garden", "outside", "river", "stone",
+    "mountain", "cloud", "forest", "meadow", "silver", "morning", "evening",
+    "quiet", "thunder", "harvest", "lantern", "whisper", "journey",
+]
+# ~120-token document: enough shingle features for a stable fingerprint
+BASE = " ".join(_WORDS[(i * 7) % len(_WORDS)] for i in range(120))
+NEAR = BASE.replace("windowsill", "doorstep", 1)  # one-token edit → high jaccard
+OTHER = (
+    "completely different content about spark engines shuffles partitions "
+    "and catalyst optimizer rules that rewrite logical plans into physical"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark):
+    out = {(r.doc_id, r.n_copies) for r in exact_dedup(_docs(spark)).collect()}
+    assert out == {(1, 2), (3, 1), (4, 1)}
+    out2 = {(r.doc_id, r.n_copies) for r in exact_dedup_by_digest(_docs(spark)).collect()}
+    assert out2 == out
+
+
+def test_ngram_jaccard(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated never pairs
+
+
+def test_minhash_lsh(spark):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(_docs(spark), max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0  # identical text → identical fingerprint
+    assert (1, 3) in pairs  # near dup within distance
+    assert not any(4 in p for p in pairs)
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(8, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(8)], "vec_id long, embedding array<float>"
+    )
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    v64 = vecs.astype("float64")
+    sims = v64 @ v64[0] / (np.linalg.norm(v64, axis=1) * np.linalg.norm(v64[0]))
+    expected = [i for i in np.argsort(-sims) if i != 0][:3]
+    got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got == expected
+    top = next(r for r in out if r.rank == 1)
+    # engine snaps products to a 1e-13 grid → agree to ~1e-10 absolute
+    assert math.isclose(top.cos_sim, sims[top.neighbor_id], abs_tol=1e-9)
+
+
+def test_multimodal_features(spark):
+    docs = spark.createDataFrame([(1, "hello", "en", "s", 5)],
+                                 "doc_id long, text string, lang string, source string, n_chars long")
+    feats = extract_features(assets_from_documents(docs)).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert r.n_bytes == 5
+    assert r.digest == hashlib.md5(b"hello").hexdigest()
+    assert r.media_type == "image"
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it was good"),
+            (2, "el perro y la casa de los vecinos en madrid"),
+            (3, "der hund und die katze von dem haus ist im garten"),
+            (4, "le chat et les maisons des voisins en ville est une"),
+            (5, "你好世界这是一个中文文档测试"),
+            (6, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "zh", 6: "und"}
+
+
+def test_asof_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", dt.date(2026, 1, 1), 10.0),
+            ("A", dt.date(2026, 1, 5), 20.0),
+            ("B", dt.date(2026, 1, 3), 99.0),
+        ],
+        "symbol string, qdate date, px double",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, "A", dt.date(2026, 1, 4)),   # between quotes → 1/1
+            (2, "A", dt.date(2026, 1, 5)),   # equal date → inclusive → 1/5
+            (3, "A", dt.date(2025, 12, 31)), # before all → no match
+            (4, "B", dt.date(2026, 2, 1)),   # after last → 1/3
+        ],
+        "event_id long, symbol string, edate date",
+    )
+    out = asof_join_backward(
+        events, quotes, key=["symbol"], left_time="edate", right_time="qdate"
+    )
+    got = {r.event_id: (r.px, r.asof_time) for r in out.collect()}
+    assert got[1] == (10.0, dt.date(2026, 1, 1))
+    assert got[2] == (20.0, dt.date(2026, 1, 5))
+    assert got[3] == (None, None)
+    assert got[4] == (99.0, dt.date(2026, 1, 3))
