@@ -1,0 +1,92 @@
+"""Event-stream operators in their batch form (same plans the streaming
+layer uses via foreachBatch / identical window expressions), each with a
+DuckDB oracle. ``events.ts`` arrives as epoch-nanos long (see session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from securities_pricing_data_pipeline_spark.queries.helpers import load
+
+_GAP_NS = 30 * 60 * 1_000_000_000  # 30-minute session gap
+
+
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (streaming twin:
+    streaming.ingest.windowed_event_stats_stream)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        ev.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form: flag rows that open a session
+    (gap > 30 min), cumulative-sum the flags per user, aggregate per
+    session. Streaming twin: streaming.stateful.sessionize_stream."""
+    ev = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts") - F.lag("ts").over(w_order) > F.lit(_GAP_NS), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w_cum))
+    return flagged.groupBy("user_id", F.col("session_id").cast("int").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.expr("min(ts) div 1000000000").alias("session_start_epoch"),
+        F.expr("max(ts) div 1000000000").alias("session_end_epoch"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )
+
+
+QUERIES = {
+    "events_hourly_stats": events_hourly_stats,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLES = {
+    "events_hourly_stats": """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         AS window_start_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    "events_sessionize": """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tns, value,
+         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, value, tns,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(MIN(tns) // 1000000000 AS BIGINT) AS session_start_epoch,
+       CAST(MAX(tns) // 1000000000 AS BIGINT) AS session_end_epoch,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY 1, 2
+""",
+}

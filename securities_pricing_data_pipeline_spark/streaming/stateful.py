@@ -1,0 +1,101 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` — the pattern for operators Structured
+Streaming's built-in windows can't express (SURVEY build-plan extension;
+the batch twin in queries/ is a plain window cumsum with a DuckDB oracle,
+so the semantics are independently verified).
+
+State per user: (open session start, last event time, count, value sum).
+On timeout (no events past the gap), the session is emitted and cleared.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_end", T.TimestampType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), True),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ts", T.DoubleType(), False),  # epoch seconds
+        T.StructField("last_ts", T.DoubleType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("val", T.DoubleType(), False),
+    ]
+)
+
+GAP_SECONDS = 30 * 60
+
+
+def _epoch(ts: Any) -> float:
+    return pd.Timestamp(ts).timestamp()
+
+
+def sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit closed sessions for one user; keep the open session in state."""
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True) if not state.hasTimedOut else pd.DataFrame()
+    closed: list[tuple] = []
+
+    if state.hasTimedOut:
+        start_ts, last_ts, n, val = state.get
+        closed.append((user_id, start_ts, last_ts, n, val))
+        state.remove()
+    else:
+        times = sorted(_epoch(t) for t in rows["event_time"])
+        values = rows.sort_values("event_time")["value"].tolist()
+        if state.exists:
+            start_ts, last_ts, n, val = state.get
+        else:
+            start_ts = last_ts = times[0]
+            n, val = 0, 0.0
+        for t, v in zip(times, values):
+            if t - last_ts > GAP_SECONDS:
+                closed.append((user_id, start_ts, last_ts, n, val))
+                start_ts, n, val = t, 0, 0.0
+            last_ts = t
+            n += 1
+            val += float(v) if v is not None else 0.0
+        state.update((start_ts, last_ts, n, val))
+        state.setTimeoutDuration(GAP_SECONDS * 1000)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [pd.Timestamp(c[1], unit="s") for c in closed],
+                "session_end": [pd.Timestamp(c[2], unit="s") for c in closed],
+                "n_events": [c[3] for c in closed],
+                "total_value": [c[4] for c in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """events(user_id long, event_time timestamp, value double) →
+    closed-session rows. Streaming: processing-time timeouts close idle
+    sessions; one state row per active user — memory bounded by active
+    users, not history."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        sessionize_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

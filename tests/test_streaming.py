@@ -1,0 +1,108 @@
+"""Structured Streaming tests: file-source ingest → silver merge, the
+watermarked window agg, and stateful sessionization — all drained with
+availableNow/processAllAvailable so they run deterministically in CI."""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from securities_pricing_data_pipeline_spark.streaming.ingest import (  # noqa: E402
+    stream_ingest_eod,
+    windowed_event_stats_stream,
+)
+from securities_pricing_data_pipeline_spark.streaming.stateful import (  # noqa: E402
+    sessionize_stream,
+)
+from securities_pricing_data_pipeline_spark.tables import Warehouse  # noqa: E402
+from tests.fixtures import write_eod_csv  # noqa: E402
+
+
+def test_stream_ingest_matches_batch_semantics(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(str(tmp_path / "wh"))
+    write_eod_csv(landing, dt.date(2026, 2, 2))
+    write_eod_csv(landing, dt.date(2026, 2, 3))
+
+    q = stream_ingest_eod(spark, landing, wh, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    silver = spark.read.parquet(wh.silver)
+    assert silver.count() == 102  # 51 valid keys per date
+    assert silver.select("symbol", "trade_date").distinct().count() == 102
+    rejects = spark.read.parquet(wh.reject)
+    assert rejects.count() == 4  # 2 negative-volume rows per date
+
+    # late file arrives → incremental micro-batch upserts only that date
+    write_eod_csv(landing, dt.date(2026, 2, 4))
+    q2 = stream_ingest_eod(spark, landing, wh, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(wh.silver).count() == 153
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 10, 5), "click", 1.0),
+        (2, dt.datetime(2026, 1, 1, 10, 55), "click", 2.0),
+        (3, dt.datetime(2026, 1, 1, 11, 5), "view", 4.0),
+    ]
+    schema = "event_id long, event_time timestamp, event_type string, value double"
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_event_stats_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start_epoch, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    # batch twin over the same frame must agree exactly
+    batch = windowed_event_stats_stream(spark.read.parquet(src))
+    expected = {
+        (r.window_start_epoch, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == expected
+    assert got[(1767261600, "click")] == (2, 3.0)  # 10:00 window
+
+
+def test_sessionize_stream(spark, tmp_path):
+    t0 = dt.datetime(2026, 1, 1, 9, 0)
+    rows = [
+        (7, t0, 1.0),
+        (7, t0 + dt.timedelta(minutes=10), 2.0),
+        (7, t0 + dt.timedelta(minutes=90), 5.0),  # gap > 30min → new session
+        (9, t0, 3.0),
+    ]
+    schema = "user_id long, event_time timestamp, value double"
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions").collect()
+    # with one drained trigger, only sessions CLOSED by a later event emit;
+    # user 7's first session (2 events, value 3.0) closed when the +90min
+    # event arrived in the same batch
+    closed = {(r.user_id, r.n_events, r.total_value) for r in got}
+    assert (7, 2, 3.0) in closed
