@@ -156,22 +156,27 @@ def q9_price_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2+Q3+Q6: top-20 by 30-day rolling avg traded value, with rank."""
+    """Q2+Q3+Q6: top-20 by 30-day rolling avg traded value, with rank.
+
+    Plan shape: the rolling average is only consumed at each symbol's
+    LATEST bar, so instead of materializing a running window over every
+    row (2 windows + rank in the naive form), rank bars per symbol by
+    recency ONCE, keep the last 30, and aggregate — one shuffle on
+    symbol, then a ~1-row-per-symbol frame feeds the global rank. At
+    100 TB the global window never sees raw rows.
+    """
     b = bars_df(spark, sf_dir)
-    w30 = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-29, 0)
-    wlast = Window.partitionBy("symbol").orderBy(F.desc("trade_date"))
-    rolled = b.select(
-        "symbol",
-        "trade_date",
-        (F.sum(_tv()).over(w30).cast("double") / F.count("*").over(w30)).alias("avg_traded_value_30d"),
-        F.row_number().over(wlast).alias("rn"),
+    wrecent = Window.partitionBy("symbol").orderBy(F.desc("trade_date"))
+    last30 = b.withColumn("rn", F.row_number().over(wrecent)).filter(F.col("rn") <= 30)
+    latest = last30.groupBy("symbol").agg(
+        F.max("trade_date").alias("as_of_date"),
+        (F.sum(_tv()).cast("double") / F.count("*")).alias("avg_traded_value_30d"),
     )
-    latest = rolled.filter(F.col("rn") == 1).drop("rn")
     wrank = Window.orderBy(F.desc("avg_traded_value_30d"))
     return (
         latest.select(
             "symbol",
-            F.col("trade_date").alias("as_of_date"),
+            "as_of_date",
             "avg_traded_value_30d",
             F.dense_rank().over(wrank).cast("int").alias("liquidity_rank"),
         )
