@@ -9,8 +9,17 @@ verify pattern so candidate generation never goes quadratic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def portable_hash60(c: Column) -> Column:
+    """60-bit positive hash reproducible outside Spark: the first 15 hex
+    chars of md5, parsed base-16. DuckDB twin:
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``. Used by the
+    oracle-checked near-dup queries; xxhash64 (faster, JVM-only) remains
+    the default for production paths."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -100,20 +109,33 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 31) - 1
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingles", num_hashes: int = 64
-) -> DataFrame:
-    """MinHash signature per doc: num_hashes permutations approximated by
-    (a·x + b) mod p over xxhash64 shingle hashes. Pure column expressions —
-    the per-hash min is an array aggregate, no UDF, no shuffle beyond the
-    source layout."""
-    # deterministic hash-family parameters
+def minhash_params(num_hashes: int = 64) -> list[tuple[int, int]]:
+    """Deterministic (a, b) parameters of the universal hash family —
+    shared with the DuckDB oracle generator."""
     import random
 
     rnd = random.Random(42)
-    params = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    return [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
 
-    x = F.transform(F.col(shingle_col), lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE))
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    num_hashes: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """MinHash signature per doc: num_hashes permutations approximated by
+    (a·x + b) mod p over hashed shingles. Pure column expressions —
+    the per-hash min is an array aggregate, no UDF, no shuffle beyond the
+    source layout. ``portable=True`` swaps xxhash64 for the md5-based
+    ``portable_hash60`` so the oracle can reproduce signatures exactly."""
+    params = minhash_params(num_hashes)
+
+    if portable:
+        x = F.transform(F.col(shingle_col), lambda s: portable_hash60(s) % F.lit(_MERSENNE))
+    else:
+        x = F.transform(F.col(shingle_col), lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE))
     sig = F.array(
         *[
             F.array_min(
@@ -133,6 +155,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures,
     verified by estimated Jaccard (signature agreement rate).
@@ -143,7 +166,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = shingles(df, text_col=text_col, n=n)
-    sig = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
+    sig = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes, portable=portable)
 
     band_cols = [
         F.struct(
@@ -188,17 +211,26 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64, n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per document over word n-gram shingle hashes.
 
-    Per-bit weighted majority over xxhash64(shingle) — expressed with
+    Per-bit weighted majority over hashed shingles — expressed with
     aggregate/transform array functions, JVM-side end to end. Shingles
     (not unigrams) keep the fingerprint discriminative when the corpus
-    vocabulary is small.
+    vocabulary is small. ``portable=True`` uses the 60-bit md5 hash (top
+    4 bits then always vote 0 — harmless) so DuckDB can reproduce it.
     """
     sh = shingles(df, text_col=text_col, n=n)
-    hashes = F.transform(F.col("shingles"), lambda t: F.xxhash64(t))
+    if portable:
+        hashes = F.transform(F.col("shingles"), lambda t: portable_hash60(t))
+    else:
+        hashes = F.transform(F.col("shingles"), lambda t: F.xxhash64(t))
     df = sh
     # static python loop → literal shift amounts (shiftright needs ints);
     # the 64 per-bit folds stay one JVM expression tree, no UDF
@@ -217,12 +249,16 @@ def simhash(
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, using 4-block
     pigeonhole LSH: any pair within distance 3 agrees exactly on ≥1 of 4
     16-bit blocks → join per block bucket, then verify true distance."""
-    sh = simhash(df, text_col=text_col, id_col=id_col)
+    sh = simhash(df, text_col=text_col, id_col=id_col, portable=portable)
     blocks = [
         F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit((1 << 16) - 1)).alias(f"b{i}")
         for i in range(4)
@@ -242,7 +278,7 @@ def simhash_near_dups(
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )

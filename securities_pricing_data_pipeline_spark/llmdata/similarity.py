@@ -66,6 +66,14 @@ def brute_force_topk(
     )
 
 
+def random_planes(dim: int = 64, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Fixed Gaussian hyperplanes shared by Spark and the oracle generator."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def _signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign bits against fixed random hyperplanes, packed into a long."""
     packed = F.lit(0).cast("long")
@@ -90,10 +98,7 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
     band with the query, then exact cosine rank within candidates."""
-    import random
-
-    rnd = random.Random(seed)
-    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    planes = random_planes(dim=dim, n_planes=n_planes, seed=seed)
     rows_per_band = n_planes // bands
 
     def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
@@ -127,6 +132,121 @@ def lsh_topk(
     )
     scored = cand.select(
         "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: candidates via random-hyperplane
+    banding (pairs must agree on ≥1 of ``bands`` signature blocks), then
+    exact cosine ≥ threshold within candidates. One explode + one
+    equi-join on (band, block) — never an all-pairs cross join, so the
+    candidate stage scales with bucket occupancy, not corpus².
+    """
+    planes = random_planes(dim=dim, n_planes=n_planes, seed=seed)
+    rows_per_band = n_planes // bands
+    sig = _signature(F.col(vec_col), planes)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(sig, i * rows_per_band)
+                .bitwiseAND(F.lit((1 << rows_per_band) - 1))
+                .alias("block"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(band_arr).alias("bb")
+    ).select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.block").alias("block"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, probe only the ``nprobe`` lists closest to
+    each query, rank candidates by exact cosine.
+
+    Centroid selection is deterministic (the ``n_centroids`` lowest-id
+    vectors) instead of k-means so results are reproducible and
+    oracle-checkable; swap in k-means centroids for recall without
+    touching the list/probe machinery. Centroids are broadcast — the
+    corpus is scanned once for assignment and shuffles once on
+    centroid_id, which is the IVF scale contract (cost ∝ probed lists).
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    # inverted-list assignment: best centroid per corpus vector
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("cent_cos"), F.asc("centroid_id")
+    )
+    assigned = (
+        c.join(F.broadcast(centroids))
+        .withColumn("cent_cos", cosine(F.col("c_vec"), F.col("cent_vec")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "c_vec", "centroid_id")
+    )
+    # probe lists: nprobe best centroids per query
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("cent_cos", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -18,7 +18,13 @@ from securities_pricing_data_pipeline_spark.llmdata.multimodal import (
     assets_from_documents,
     extract_features,
 )
-from securities_pricing_data_pipeline_spark.llmdata.similarity import brute_force_topk, lsh_topk
+from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    ivf_topk,
+    lsh_topk,
+    random_planes,
+)
 from securities_pricing_data_pipeline_spark.llmdata.text import (
     fingerprint_md5,
     lang_id,
@@ -42,12 +48,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n=3, threshold=0.5)
+    return minhash_lsh_pairs(docs, n=3, threshold=0.5, portable=True)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=3)
+    return simhash_near_dups(docs, max_hamming=3, portable=True)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.4)
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,6 +93,12 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5)
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return extract_features(assets_from_documents(docs))
@@ -113,12 +130,14 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
     "text_lang_id": text_lang_id,
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
     "multimodal_features": multimodal_features,
     "asof_event_bars": asof_event_bars,
 }
@@ -136,7 +155,180 @@ def _cos_expr(a: str, b: str) -> str:
     return f"({_dot_sql(a, b)}) / sqrt(({_dot_sql(a, a)}) * ({_dot_sql(b, b)}))"
 
 
+# DuckDB twin of llmdata.dedup.portable_hash60 (md5 hex → 60-bit BIGINT)
+def _phash_sql(x: str) -> str:
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+# DuckDB twin of llmdata.dedup.shingles(): distinct word-3-gram shingles,
+# whole doc as one shingle when shorter than 3 tokens
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)])
+         ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks
+)"""
+
+
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """Replicates minhash_lsh_pairs(portable=True) exactly: same hash
+    family, same band → bucket candidate rule (bucket equality expressed
+    as raw signature-slice equality), same estimated-Jaccard verify."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import _MERSENNE, minhash_params
+
+    params = minhash_params(num_hashes)
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE}) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.m{i * rpb + j} = b.m{i * rpb + j}" for j in range(rpb)) + ")"
+        for i in range(bands)
+    )
+    agree = " + ".join(f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(num_hashes))
+    return f"""
+WITH {_SHINGLES_CTE}, hs AS (
+  SELECT doc_id, {_phash_sql('g')} % {_MERSENNE} AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(({agree}) AS DOUBLE) / {float(num_hashes)} AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+WHERE CAST(({agree}) AS DOUBLE) / {float(num_hashes)} >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Replicates simhash_near_dups(portable=True): per-bit majority vote
+    over 60-bit md5 shingle hashes, 4×16-bit pigeonhole blocks, exact
+    Hamming verify."""
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(64)
+    )
+    sim = " + ".join(f"CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END"
+                     for i in range(64))
+    block_eq = " OR ".join(
+        f"((a.sim >> {16 * i}) & 65535) = ((b.sim >> {16 * i}) & 65535)" for i in range(4)
+    )
+    return f"""
+WITH {_SHINGLES_CTE}, hs AS (
+  SELECT doc_id, {_phash_sql('g')} AS h FROM sh
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hs GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {sim} AS sim FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({block_eq})
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+def _plane_sig_sql(vec: str, dim: int = 64, n_planes: int = 16, seed: int = 42) -> str:
+    """Signed-random-projection signature of a DOUBLE[] column — same
+    fixed planes and integer-grid dot as llmdata.similarity._signature."""
+    planes = random_planes(dim=dim, n_planes=n_planes, seed=seed)
+    bits = " + ".join(
+        f"CASE WHEN {_dot_sql(vec, '[' + ', '.join(repr(w) for w in plane) + ']')} >= 0 "
+        f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"({bits})"
+
+
+def _emb_near_dup_oracle_sql(threshold: float = 0.4, n_planes: int = 16, bands: int = 4) -> str:
+    rpb = n_planes // bands
+    mask = (1 << rpb) - 1
+    block_eq = " OR ".join(
+        f"((a.sig >> {rpb * i}) & {mask}) = ((b.sig >> {rpb * i}) & {mask})" for i in range(bands)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), sig AS (
+  SELECT vec_id, vec, {_plane_sig_sql('vec')} AS sig FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_expr('a.vec', 'b.vec')} AS cos_sim
+FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({block_eq})
+WHERE {_cos_expr('a.vec', 'b.vec')} >= {threshold}
+"""
+
+
+def _lsh_topk_oracle_sql(k: int = 5, n_planes: int = 16, bands: int = 4) -> str:
+    rpb = n_planes // bands
+    mask = (1 << rpb) - 1
+    block_eq = " OR ".join(
+        f"((c.sig >> {rpb * i}) & {mask}) = ((q.sig >> {rpb * i}) & {mask})" for i in range(bands)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), sig AS (
+  SELECT vec_id, vec, {_plane_sig_sql('vec')} AS sig FROM v
+), cand AS (
+  SELECT q.vec_id AS query_id, q.vec AS qv, c.vec_id AS neighbor_id, c.vec AS cv
+  FROM sig c JOIN sig q
+    ON q.vec_id < 10 AND c.vec_id != q.vec_id AND ({block_eq})
+), ranked AS (
+  SELECT query_id, neighbor_id, {_cos_expr('qv', 'cv')} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_cos_expr('qv', 'cv')} DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivf_topk_oracle_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < {n_centroids}
+), assigned AS (
+  SELECT neighbor_id, c_vec, centroid_id FROM (
+    SELECT v.vec_id AS neighbor_id, v.vec AS c_vec, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_expr('v.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM v, cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, q_vec, centroid_id FROM (
+    SELECT v.vec_id AS query_id, v.vec AS q_vec, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_expr('v.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM v, cent WHERE v.vec_id < 10
+  ) WHERE rn <= {nprobe}
+), ranked AS (
+  SELECT p.query_id, a.neighbor_id, {_cos_expr('p.q_vec', 'a.c_vec')} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY {_cos_expr('p.q_vec', 'a.c_vec')} DESC, a.neighbor_id) AS rank
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 ORACLES = {
+    "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_simhash": _simhash_oracle_sql(),
+    "dedup_embedding_cosine": _emb_near_dup_oracle_sql(),
+    "sim_lsh_topk": _lsh_topk_oracle_sql(),
+    "sim_ivf_topk": _ivf_topk_oracle_sql(),
     "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text

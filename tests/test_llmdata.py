@@ -24,6 +24,8 @@ from securities_pricing_data_pipeline_spark.llmdata.multimodal import (  # noqa:
 )
 from securities_pricing_data_pipeline_spark.llmdata.similarity import (  # noqa: E402
     brute_force_topk,
+    embedding_near_dups,
+    ivf_topk,
 )
 from securities_pricing_data_pipeline_spark.llmdata.text import lang_id  # noqa: E402
 from securities_pricing_data_pipeline_spark.operators.asof import (  # noqa: E402
@@ -69,6 +71,12 @@ def test_minhash_lsh(spark):
     pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()}
     assert (1, 2) in pairs and (1, 3) in pairs
     assert not any(4 in p for p in pairs)
+    # portable (md5) hash family finds the same structure
+    ppairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.5, portable=True).collect()
+    }
+    assert (1, 2) in ppairs and not any(4 in p for p in ppairs)
 
 
 def test_simhash(spark):
@@ -76,6 +84,15 @@ def test_simhash(spark):
     assert pairs[(1, 2)] == 0  # identical text → identical fingerprint
     assert (1, 3) in pairs  # near dup within distance
     assert not any(4 in p for p in pairs)
+    # portable family: identical docs always collide at distance 0; whether
+    # the one-token edit stays within range depends on the hash draw, so
+    # only the invariants are asserted
+    ppairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(_docs(spark), max_hamming=10, portable=True).collect()
+    }
+    assert ppairs[(1, 2)] == 0
+    assert not any(4 in p for p in ppairs)
 
 
 def test_brute_force_topk_matches_numpy(spark):
@@ -95,6 +112,37 @@ def test_brute_force_topk_matches_numpy(spark):
     top = next(r for r in out if r.rank == 1)
     # engine snaps products to a 1e-13 grid → agree to ~1e-10 absolute
     assert math.isclose(top.cos_sim, sims[top.neighbor_id], abs_tol=1e-9)
+
+
+def test_embedding_near_dups(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(16)
+    near = base + 0.05 * rng.randn(16)          # cosine ≈ 1
+    far = rng.randn(16)
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [float(x) for x in near]), (2, [float(x) for x in far])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.id_a, r.id_b): r.cos_sim for r in embedding_near_dups(df, threshold=0.9, dim=16).collect()}
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)] > 0.95
+
+
+def test_ivf_topk_recalls_true_neighbor(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 16).astype("float64")
+    vecs[20] = vecs[5] + 0.01 * rng.randn(16)   # plant a strong neighbor for id 5
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    out = ivf_topk(df, df.filter(F.col("vec_id") == 5), k=3, n_centroids=8, nprobe=3).collect()
+    got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    # the planted near-duplicate lands in the same inverted list → rank 1
+    assert got[0] == 20
 
 
 def test_multimodal_features(spark):
