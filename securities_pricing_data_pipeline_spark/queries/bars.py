@@ -51,8 +51,14 @@ WITH bars AS (
 """
 
 
-def bars_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bars_df(spark: SparkSession, sf_dir: str, partkeys: list[int] | None = None) -> DataFrame:
+    """``partkeys`` pre-filters on the raw ``l_partkey`` column so the
+    predicate reaches the parquet scan (PushedFilters + row-group stats
+    pruning); filtering the derived ``symbol`` string post-agg cannot be
+    pushed through the concat."""
     li = load(spark, sf_dir, "lineitem")
+    if partkeys is not None:
+        li = li.filter(F.col("l_partkey").isin(partkeys))
     seq = F.col("l_orderkey") * 10 + F.col("l_linenumber")
     return (
         li.groupBy(

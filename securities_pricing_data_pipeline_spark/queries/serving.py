@@ -135,7 +135,9 @@ def q7_volatility_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q8_ohlc_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = bars_df(spark, sf_dir).filter(F.col("symbol") == "P7")
+    # partkey pushdown instead of a post-agg symbol filter: the scan reads
+    # only row groups whose l_partkey stats overlap 7
+    b = bars_df(spark, sf_dir, partkeys=[7])
     return b.select(
         "symbol",
         "trade_date",
