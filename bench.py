@@ -3,8 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed to completion (count + a tiny collect) so the full
-plan runs; timings exclude session startup and the first warm-up action.
+Each query is forced with a hash-of-every-column aggregate, not count():
+Catalyst prunes Window/Project operators that don't affect cardinality, so
+count() would time a cheaper plan than the query actually is. The hash
+fold evaluates every output column of every row and returns one scalar.
+Timings exclude session startup and the first warm-up action.
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 from securities_pricing_data_pipeline_spark.session import get_spark  # noqa: E402
 
 # the headline set: every serving analytic + the heavy relational/LLM ops
@@ -53,9 +57,8 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
-        n = df.count()
+        df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
