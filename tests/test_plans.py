@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: the *shape* of the plan is part of the
+contract (pushdown, broadcast, pruning, no accidental cartesian blowups),
+because at 100 TB the wrong shape is a correctness problem in practice.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from securities_pricing_data_pipeline_spark.queries.bars import bars_df  # noqa: E402
+from securities_pricing_data_pipeline_spark.queries.serving import (  # noqa: E402
+    q2_rolling_liquidity,
+    q4_segment_contribution,
+    q8_ohlc_series,
+    flagship,
+)
+from securities_pricing_data_pipeline_spark.queries.llmq import (  # noqa: E402
+    dedup_minhash_lsh,
+    dedup_embedding_cosine,
+)
+from securities_pricing_data_pipeline_spark.queries.relational import j2_star_join  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q8_partkey_filter_reaches_scan(spark):
+    plan = _plan(q8_ohlc_series(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_partkey), EqualTo(l_partkey,7)]" in plan
+
+
+def test_bars_scan_prunes_columns(spark):
+    plan = _plan(bars_df(spark, SF))
+    # exactly the 6 columns the bar derivation needs — nothing else read
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    for col in ["l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"]:
+        assert col in read
+    for col in ["l_suppkey", "l_discount", "l_tax", "l_comment", "l_returnflag"]:
+        assert col not in read
+
+
+def test_dim_joins_broadcast(spark):
+    for q in (q4_segment_contribution, j2_star_join):
+        plan = _plan(q(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+def test_near_dup_ops_never_cartesian(spark):
+    for q in (dedup_minhash_lsh, dedup_embedding_cosine):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flagship_global_rank_after_reduction(spark):
+    import re
+
+    plan = _plan(flagship(spark, SF))
+    # the single-partition exchange (global rank) must consume the
+    # per-symbol aggregate, never raw bars: in the formatted plan,
+    # node ids are assigned bottom-up, so every HashAggregate feeding the
+    # rank must have a smaller id than the SinglePartition exchange
+    single_m = re.search(r"\((\d+)\) Exchange\nInput.*\nArguments: SinglePartition", plan)
+    agg_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
+    assert single_m is not None and agg_ids
+    assert min(agg_ids) < int(single_m.group(1))
+    # and the plan has no more than 3 shuffles total
+    assert plan.count(") Exchange") <= 3
+
+
+def test_window_survives_bench_force(spark):
+    # guards bench.py honesty: the hash-fold force must keep the Window
+    df = q2_rolling_liquidity(spark, SF)
+    forced = df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns])))
+    assert "Window" in _plan(forced)
+    # while count() alone would prune it (documented Catalyst behavior)
+    assert "Window" not in _plan(df.groupBy().count())
