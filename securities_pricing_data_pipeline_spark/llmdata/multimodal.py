@@ -73,6 +73,86 @@ def extract_features(assets: DataFrame, batch_size_hint: int = 1024) -> DataFram
     return assets.mapInPandas(_featurize, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform frame sampling: each asset's payload → ``n_frames`` rows.
+
+    Real video decoders aren't in this container, so a frame is a
+    deterministic contiguous byte slice (frame *i* of *n* covers bytes
+    ``[i·total/n, (i+1)·total/n)``); swap the slicer for an ffmpeg/pyav
+    keyframe extractor in production — the Arrow batch shape, the
+    one-input-row→n-output-rows explode, and the schema contract are the
+    production plumbing. Rows fan out inside ``mapInPandas`` so the frame
+    bytes never pass through the driver.
+    """
+    import pandas as pd
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_content = [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                total = len(content) if content is not None else 0
+                for i in range(n_frames):
+                    start = i * total // n_frames
+                    end = (i + 1) * total // n_frames
+                    out_ids.append(asset_id)
+                    out_idx.append(i)
+                    out_content.append(None if content is None else content[start:end])
+            yield pd.DataFrame(
+                {"asset_id": out_ids, "frame_idx": out_idx, "content": out_content}
+            )
+
+    return assets.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing: payload → fixed-size thumbnail buffer.
+
+    The decode→resample→encode step needs PIL/libvips (absent here), so
+    the deterministic stand-in truncates the payload to the ``width ×
+    height`` buffer size; schema (same asset row, replaced content +
+    meta) and Arrow batching are production-shaped. ``decode_image``
+    raising NotImplementedError marks the real hook.
+    """
+    import pandas as pd
+
+    cap = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(lambda b: None if b is None else b[:cap])
+            pdf["meta"] = pdf["meta"].map(
+                lambda m: {**(m or {}), "resized": f"{width}x{height}"}
+            )
+            yield pdf
+
+    return assets.mapInPandas(_resize, ASSET_SCHEMA)
+
+
+def frame_digests(frames: DataFrame) -> DataFrame:
+    """Per-frame audit row (size + digest) with JVM-side functions.
+
+    The digest is md5 of the UPPERCASE HEX of the frame bytes — DuckDB's
+    md5 only accepts VARCHAR, so hashing the hex string is the
+    cross-engine-checkable formulation (both engines emit uppercase hex).
+    """
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.octet_length(F.col("content")).cast("int").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("frame_digest"),
+    )
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque media payloads so the
     binary plumbing is exercised against real testdata."""

@@ -31,6 +31,23 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# GPT-2-style pre-tokenizer split, restricted to constructs shared by Java
+# regex (Spark) and RE2 (DuckDB): contraction suffixes, space-prefixed
+# letter/digit/symbol runs, whitespace runs. (The original's negative
+# lookahead is RE2-incompatible and only affects trailing-space grouping.)
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token count: matches of the GPT-2 pre-tokenizer split
+    pattern. One JVM-side regexp_count per row — the cheap proxy for
+    'how many LLM tokens is this corpus' at 100 TB."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE)).cast("int").alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword quality signals per document."""
     toks = _tokens(text_col)

@@ -17,6 +17,9 @@ from securities_pricing_data_pipeline_spark.llmdata.dedup import (
 from securities_pricing_data_pipeline_spark.llmdata.multimodal import (
     assets_from_documents,
     extract_features,
+    frame_digests,
+    resize_images,
+    sample_frames,
 )
 from securities_pricing_data_pipeline_spark.llmdata.similarity import (
     brute_force_topk,
@@ -26,9 +29,11 @@ from securities_pricing_data_pipeline_spark.llmdata.similarity import (
     random_planes,
 )
 from securities_pricing_data_pipeline_spark.llmdata.text import (
+    BPE_SPLIT_RE,
     fingerprint_md5,
     lang_id,
     token_count,
+    token_count_bpe,
     quality_score,
 )
 from securities_pricing_data_pipeline_spark.operators.asof import asof_join_backward
@@ -99,9 +104,30 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
 
 
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return token_count_bpe(docs)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return extract_features(assets_from_documents(docs))
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return frame_digests(sample_frames(assets_from_documents(docs), n_frames=4))
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    resized = resize_images(assets_from_documents(docs), width=64, height=64)
+    return resized.select(
+        "asset_id",
+        F.octet_length(F.col("content")).cast("int").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("digest"),
+        F.col("meta")["resized"].alias("resized"),
+    )
 
 
 def asof_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +158,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "text_token_count": text_token_count,
+    "text_token_count_bpe": text_token_count_bpe,
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
     "text_lang_id": text_lang_id,
@@ -139,6 +166,8 @@ QUERIES = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
     "asof_event_bars": asof_event_bars,
 }
 
@@ -324,6 +353,33 @@ FROM ranked WHERE rank <= {k}
 
 
 ORACLES = {
+    "text_token_count_bpe": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_SPLIT_RE.replace("'", "''")}')) AS INT)
+         AS n_bpe_tokens
+FROM documents
+""",
+    "multimodal_frame_sample": """
+WITH a AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS total
+  FROM documents
+), f AS (
+  SELECT asset_id, hx, total, unnest([0, 1, 2, 3]) AS i FROM a
+)
+SELECT asset_id, CAST(i AS INT) AS frame_idx,
+       CAST((total * (i + 1)) // 4 - (total * i) // 4 AS INT) AS n_bytes,
+       md5(substr(hx, ((total * i) // 4) * 2 + 1,
+                  ((total * (i + 1)) // 4 - (total * i) // 4) * 2)) AS frame_digest
+FROM f
+""",
+    "multimodal_resize": """
+SELECT doc_id AS asset_id,
+       CAST(least(octet_length(encode(text)), 4096) AS INT) AS n_bytes,
+       md5(substr(hex(encode(text)), 1, 4096 * 2)) AS digest,
+       '64x64' AS resized
+FROM documents
+""",
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_embedding_cosine": _emb_near_dup_oracle_sql(),

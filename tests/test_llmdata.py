@@ -21,6 +21,9 @@ from securities_pricing_data_pipeline_spark.llmdata.dedup import (  # noqa: E402
 from securities_pricing_data_pipeline_spark.llmdata.multimodal import (  # noqa: E402
     assets_from_documents,
     extract_features,
+    frame_digests,
+    resize_images,
+    sample_frames,
 )
 from securities_pricing_data_pipeline_spark.llmdata.similarity import (  # noqa: E402
     brute_force_topk,
@@ -154,6 +157,37 @@ def test_multimodal_features(spark):
     assert r.n_bytes == 5
     assert r.digest == hashlib.md5(b"hello").hexdigest()
     assert r.media_type == "image"
+
+
+def test_sample_frames_covers_payload(spark):
+    docs = spark.createDataFrame([(1, "abcdefghij", "en", "s", 10)],
+                                 "doc_id long, text string, lang string, source string, n_chars long")
+    frames = sample_frames(assets_from_documents(docs), n_frames=4).collect()
+    assert [r.frame_idx for r in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    # slices reassemble exactly: frame boundaries are i·total/4
+    joined = b"".join(r.content for r in sorted(frames, key=lambda r: r.frame_idx))
+    assert joined == b"abcdefghij"
+    digs = frame_digests(sample_frames(assets_from_documents(docs), n_frames=4)).collect()
+    r0 = next(r for r in digs if r.frame_idx == 0)
+    assert r0.n_bytes == 2  # 10 bytes → frames of 2,3,2,3
+    assert r0.frame_digest == hashlib.md5(b"ab".hex().upper().encode()).hexdigest()
+
+
+def test_resize_truncates_and_stamps_meta(spark):
+    docs = spark.createDataFrame([(1, "x" * 5000, "en", "s", 5000)],
+                                 "doc_id long, text string, lang string, source string, n_chars long")
+    out = resize_images(assets_from_documents(docs), width=64, height=64).collect()[0]
+    assert len(out.content) == 64 * 64
+    assert out.meta["resized"] == "64x64"
+    assert out.meta["lang"] == "en"  # original metadata preserved
+
+
+def test_token_count_bpe(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import token_count_bpe
+
+    df = spark.createDataFrame([(1, "Hello's world, 42 tests-passed!")], "doc_id long, text string")
+    # Hello|'s| world|,| 42| tests|-|passed|! → 9 pre-tokens
+    assert token_count_bpe(df).collect()[0].n_bpe_tokens == 9
 
 
 def test_lang_id(spark):
