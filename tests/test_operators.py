@@ -103,6 +103,56 @@ def _fake_fetcher(day: dt.date):
     ]
 
 
+def test_salted_aggregate_matches_plain(spark):
+    from securities_pricing_data_pipeline_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("HOT", i, float(i)) for i in range(1000)] + [("COLD", 1, 5.0), ("COLD", 2, 7.0)],
+        "symbol string, volume long, px double",
+    )
+    out = {
+        r.symbol: (r.total_volume, r.n, r.max_px)
+        for r in salted_aggregate(
+            df,
+            keys=["symbol"],
+            aggs={
+                "total_volume": ("volume", "sum"),
+                "n": ("volume", "count"),
+                "max_px": ("px", "max"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert out["HOT"] == (sum(range(1000)), 1000, 999.0)
+    assert out["COLD"] == (3, 2, 7.0)
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark):
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame([("A", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_aggregate(df, ["k"], {"a": ("v", "avg")})
+
+
+def test_replicated_broadcast_join_matches_plain(spark):
+    from securities_pricing_data_pipeline_spark.operators.skew import replicated_broadcast_join
+
+    big = spark.createDataFrame(
+        [("HOT", i) for i in range(500)] + [("X", 0), ("ORPHAN", 9)],
+        "symbol string, seq long",
+    )
+    dim = spark.createDataFrame([("HOT", "Hot Corp"), ("X", "X Inc")], "symbol string, name string")
+    out = replicated_broadcast_join(big, dim, on=["symbol"], n_salts=4)
+    plain = big.join(dim, "symbol")
+    assert out.count() == plain.count() == 501
+    assert set(out.columns) == set(plain.columns)
+    # each big row appears exactly once (no replication leak)
+    assert out.select("symbol", "seq").distinct().count() == 501
+
+
 def test_lookback_and_projection(spark):
     # Sunday 2026-01-04 → walks back to Friday 2026-01-02
     day, rows = fetch_day_with_lookback(_fake_fetcher, dt.date(2026, 1, 4), lookback_days=10)
