@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the operators whose correctness
+depends on subtle ordering/tie/boundary rules. Each example round-trips
+through Spark, so example counts are kept small; the properties are the
+point, not the volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from securities_pricing_data_pipeline_spark.operators.asof import asof_join_backward  # noqa: E402
+from securities_pricing_data_pipeline_spark.operators.skew import salted_aggregate  # noqa: E402
+
+_DATES = st.integers(min_value=0, max_value=60).map(
+    lambda d: dt.date(2026, 1, 1) + dt.timedelta(days=d)
+)
+_SYMS = st.sampled_from(["A", "B", "C"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    quotes=st.lists(st.tuples(_SYMS, _DATES, st.floats(1, 100)), min_size=1, max_size=12),
+    events=st.lists(st.tuples(_SYMS, _DATES), min_size=1, max_size=12),
+)
+def test_asof_backward_matches_pandas_merge_asof(spark, quotes, events):
+    # dedupe quote keys (asof semantics need one value per (sym, date))
+    qmap = {(s, d): px for s, d, px in quotes}
+    qrows = [(s, d, px) for (s, d), px in qmap.items()]
+    erows = [(i, s, d) for i, (s, d) in enumerate(events)]
+    qdf = spark.createDataFrame(qrows, "symbol string, qdate date, px double")
+    edf = spark.createDataFrame(erows, "event_id long, symbol string, edate date")
+    got = {
+        r.event_id: (r.px, r.asof_time)
+        for r in asof_join_backward(
+            edf, qdf, key=["symbol"], left_time="edate", right_time="qdate"
+        ).collect()
+    }
+
+    qpd = pd.DataFrame(qrows, columns=["symbol", "qdate", "px"]).sort_values("qdate")
+    epd = pd.DataFrame(erows, columns=["event_id", "symbol", "edate"]).sort_values("edate")
+    qpd["qdate"] = pd.to_datetime(qpd["qdate"])
+    epd["edate"] = pd.to_datetime(epd["edate"])
+    ref = pd.merge_asof(
+        epd, qpd, left_on="edate", right_on="qdate", by="symbol", direction="backward"
+    )
+    for row in ref.itertuples():
+        exp_px = None if pd.isna(row.px) else row.px
+        exp_t = None if pd.isna(row.qdate) else row.qdate.date()
+        assert got[row.event_id] == (exp_px, exp_t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(_SYMS, st.integers(-1000, 1000)), min_size=1, max_size=40
+    ),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_aggregate_equals_plain(spark, rows, n_salts):
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r.k: (r.s, r.n, r.mn, r.mx)
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {"s": ("v", "sum"), "n": ("v", "count"), "mn": ("v", "min"), "mx": ("v", "max")},
+            n_salts=n_salts,
+        ).collect()
+    }
+    exp: dict[str, list[int]] = {}
+    for k, v in rows:
+        exp.setdefault(k, []).append(v)
+    assert got == {k: (sum(vs), len(vs), min(vs), max(vs)) for k, vs in exp.items()}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_portable_hash_matches_duckdb(spark, texts):
+    from pyspark.sql import functions as F
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import portable_hash60
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = {r.s: r.h for r in df.select("s", portable_hash60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"s": texts}))
+    exp = dict(
+        con.sql("SELECT s, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FROM t").fetchall()
+    )
+    assert got == exp
