@@ -74,6 +74,26 @@ def bars_df(spark: SparkSession, sf_dir: str, partkeys: list[int] | None = None)
     )
 
 
+# one materialized silver per (session, sf_dir): the medallion contract is
+# that serving queries read the silver table, not re-aggregate raw rows.
+# At cluster scale this is a written silver table; in-session it's a
+# persisted DataFrame (memory, spill to disk).
+_SILVER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def bars_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared materialized bars. First caller pays the lineitem scan +
+    aggregate; every later serving query in the session reuses it."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SILVER_CACHE.get(key)
+    if df is None:
+        df = bars_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        _SILVER_CACHE[key] = df
+    return df
+
+
 def q_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/A-style derivation exposed as a query (prices as double for a
     cross-engine-stable output schema)."""

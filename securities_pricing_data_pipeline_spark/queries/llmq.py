@@ -37,7 +37,7 @@ from securities_pricing_data_pipeline_spark.llmdata.text import (
     quality_score,
 )
 from securities_pricing_data_pipeline_spark.operators.asof import asof_join_backward
-from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_df
+from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_df, bars_silver
 from securities_pricing_data_pipeline_spark.queries.helpers import load
 
 
@@ -141,7 +141,7 @@ def asof_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("P"), (F.col("user_id") % 200).cast("string")).alias("symbol"),
         F.date_add(F.lit("1995-01-01").cast("date"), offset.cast("int")).alias("event_date"),
     )
-    b = bars_df(spark, sf_dir).select("symbol", "trade_date", F.col("close").cast("double").alias("close"))
+    b = bars_silver(spark, sf_dir).select("symbol", "trade_date", F.col("close").cast("double").alias("close"))
     joined = asof_join_backward(
         left, b, key=["symbol"], left_time="event_date", right_time="trade_date",
         value_cols=["close"],

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_df
+from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_df, bars_silver
 from securities_pricing_data_pipeline_spark.queries.helpers import dec, load
 
 def _tv():
@@ -44,7 +44,7 @@ RET_SQL = """
 
 
 def q1_market_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = bars_df(spark, sf_dir)
+    b = bars_silver(spark, sf_dir)
     return b.agg(
         F.sum(_tv()).cast("double").alias("total_traded_value"),
         F.sum("volume").cast("long").alias("total_volume"),
@@ -54,7 +54,7 @@ def q1_market_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q2_rolling_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = bars_df(spark, sf_dir)
+    b = bars_silver(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-29, 0)
     return b.select(
         "symbol",
@@ -71,7 +71,7 @@ def _symbol_liquidity(b: DataFrame) -> DataFrame:
 
 
 def q3_liquidity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = bars_df(spark, sf_dir)
+    b = bars_silver(spark, sf_dir)
     liq = _symbol_liquidity(b)
     # global window AFTER reduction to one row per symbol
     w = Window.orderBy(F.desc("avg_traded_value"))
@@ -101,7 +101,7 @@ def q4_segment_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _returns(bars_df(spark, sf_dir)).filter(F.col("ret").isNotNull())
+    b = _returns(bars_silver(spark, sf_dir)).filter(F.col("ret").isNotNull())
     return b.groupBy("trade_date").agg(
         (F.sum(dec(F.col("ret"), 10)).cast("double") / F.count("ret")).alias("avg_return"),
         F.count("ret").alias("n_symbols"),
@@ -109,7 +109,7 @@ def q5_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q6_top_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = bars_df(spark, sf_dir)
+    b = bars_silver(spark, sf_dir)
     return (
         b.orderBy(F.desc("volume"), "symbol", "trade_date")
         .limit(20)
@@ -118,7 +118,7 @@ def q6_top_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q7_volatility_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _returns(bars_df(spark, sf_dir)).filter(F.col("ret").isNotNull())
+    b = _returns(bars_silver(spark, sf_dir)).filter(F.col("ret").isNotNull())
     agg = b.groupBy("symbol").agg(
         F.count("ret").alias("n_days"),
         F.sum(dec(F.col("ret"), 10)).cast("double").alias("s1"),
@@ -150,7 +150,7 @@ def q8_ohlc_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q9_price_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = bars_df(spark, sf_dir)
+    b = bars_silver(spark, sf_dir)
     return b.agg(
         (F.sum(F.col("close")).cast("double") / F.count("*")).alias("avg_close"),
         (F.sum(F.col("open")).cast("double") / F.count("*")).alias("avg_open"),
@@ -167,7 +167,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol, then a ~1-row-per-symbol frame feeds the global rank. At
     100 TB the global window never sees raw rows.
     """
-    b = bars_df(spark, sf_dir)
+    b = bars_silver(spark, sf_dir)
     wrecent = Window.partitionBy("symbol").orderBy(F.desc("trade_date"))
     last30 = b.withColumn("rn", F.row_number().over(wrecent)).filter(F.col("rn") <= 30)
     latest = last30.groupBy("symbol").agg(

@@ -65,6 +65,14 @@ def test_near_dup_ops_never_cartesian(spark):
 def test_flagship_global_rank_after_reduction(spark):
     import re
 
+    from securities_pricing_data_pipeline_spark.queries import bars
+
+    # pin the canonical uncached plan — a warm silver cache (set by any
+    # earlier serving-query test in the session) swaps the bars subtree
+    # for an InMemoryTableScan; the CacheManager matches by logical plan,
+    # so the persisted relation must be dropped too
+    bars._SILVER_CACHE.clear()
+    spark.catalog.clearCache()
     plan = _plan(flagship(spark, SF))
     # the single-partition exchange (global rank) must consume the
     # per-symbol aggregate, never raw bars: in the formatted plan,
