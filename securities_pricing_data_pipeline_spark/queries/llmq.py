@@ -264,6 +264,7 @@ WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
 
 
 def _plane_sig_sql(vec: str, dim: int = 64, n_planes: int = 16, seed: int = 42) -> str:
+    """n_planes must match the Spark-side operator's parameter."""
     """Signed-random-projection signature of a DOUBLE[] column — same
     fixed planes and integer-grid dot as llmdata.similarity._signature."""
     planes = random_planes(dim=dim, n_planes=n_planes, seed=seed)
@@ -275,7 +276,7 @@ def _plane_sig_sql(vec: str, dim: int = 64, n_planes: int = 16, seed: int = 42) 
     return f"({bits})"
 
 
-def _emb_near_dup_oracle_sql(threshold: float = 0.4, n_planes: int = 16, bands: int = 4) -> str:
+def _emb_near_dup_oracle_sql(threshold: float = 0.4, n_planes: int = 32, bands: int = 4) -> str:
     rpb = n_planes // bands
     mask = (1 << rpb) - 1
     block_eq = " OR ".join(
@@ -285,7 +286,7 @@ def _emb_near_dup_oracle_sql(threshold: float = 0.4, n_planes: int = 16, bands: 
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
 ), sig AS (
-  SELECT vec_id, vec, {_plane_sig_sql('vec')} AS sig FROM v
+  SELECT vec_id, vec, {_plane_sig_sql('vec', n_planes=n_planes)} AS sig FROM v
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_cos_expr('a.vec', 'b.vec')} AS cos_sim
