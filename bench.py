@@ -37,9 +37,21 @@ BENCH_QUERIES = [
     "flagship_liquidity_top20",
     "j2_star_join",
     "a4_dedup_latest",
+    "events_hourly_stats",
+    "events_sessionize",
+    "asof_event_bars",
     "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
     "text_quality_score",
     "text_fingerprint",
+    "text_token_count_bpe",
+    "multimodal_frame_sample",
 ]
 
 
