@@ -193,25 +193,29 @@ def minhash_lsh_pairs(
         )
         for i in range(bands)
     ]
-    banded = sig.select("id", "signature", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # candidate pairs over bare (id, band, bucket) rows — the wide
+    # self-join + pair dedup shuffles 24-byte rows; full signatures join
+    # back onto the deduplicated pair list only
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        pairs.join(sig.select(F.col("id"), F.col("signature").alias("sig_a")), pairs.id_a == F.col("id"))
+        .drop("id")
+        .join(sig.select(F.col("id"), F.col("signature").alias("sig_b")), pairs.id_b == F.col("id"))
+        .drop("id")
     )
     est = cand.withColumn(
         "est_jaccard",
