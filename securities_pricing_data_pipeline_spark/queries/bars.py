@@ -96,8 +96,9 @@ def bars_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/A-style derivation exposed as a query (prices as double for a
-    cross-engine-stable output schema)."""
-    b = bars_df(spark, sf_dir)
+    cross-engine-stable output schema). Reads the shared silver
+    materialization — this query IS the silver table's contents."""
+    b = bars_silver(spark, sf_dir)
     return b.select(
         "symbol",
         "trade_date",
