@@ -277,28 +277,44 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, using 4-block
     pigeonhole LSH: any pair within distance 3 agrees exactly on ≥1 of 4
-    16-bit blocks → join per block bucket, then verify true distance."""
+    16-bit blocks → join on matching (block_idx, block_value), then
+    verify true distance. One exploded self-join (bare 20-byte rows)
+    replaces four unioned joins; fingerprints join back onto the
+    deduplicated pair list."""
     sh = simhash(df, text_col=text_col, id_col=id_col, portable=portable)
-    blocks = [
-        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit((1 << 16) - 1)).alias(f"b{i}")
-        for i in range(4)
-    ]
-    blocked = sh.select("id", "simhash", *blocks)
-    pairs = None
-    for i in range(4):
-        a = blocked.alias("a")
-        b = blocked.alias("b")
-        p = a.join(
-            b, (F.col(f"a.b{i}") == F.col(f"b.b{i}")) & (F.col("a.id") < F.col("b.id"))
-        ).select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit((1 << 16) - 1))
+                .alias("val"),
+            )
+            for i in range(4)
+        ]
     )
+    blocked = sh.select("id", F.explode(block_arr).alias("bb")).select(
+        "id", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    withsigs = (
+        pairs.join(sh.select(F.col("id"), F.col("simhash").alias("sh_a")), pairs.id_a == F.col("id"))
+        .drop("id")
+        .join(sh.select(F.col("id"), F.col("simhash").alias("sh_b")), pairs.id_b == F.col("id"))
+        .drop("id")
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return withsigs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
