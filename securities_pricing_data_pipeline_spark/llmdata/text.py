@@ -73,6 +73,53 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every character k-gram, slide a w-wide window over the hash
+    sequence, keep each window's minimum — the classic rolling-hash
+    fingerprint for local similarity detection.
+
+    Output: one (doc_id, fp) row per distinct selected hash. Docs shorter
+    than k characters produce no rows. Entirely array expressions per doc
+    (no shuffle before the final distinct); hashes use ``portable_hash60``
+    so DuckDB replays the selection exactly. Winnowing guarantees any
+    shared substring ≥ k+w−1 chars yields a shared fingerprint.
+    """
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import portable_hash60
+
+    txt = F.lower(F.trim(F.col(text_col)))
+    n_grams = F.length(txt) - k + 1
+    hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: portable_hash60(F.substr(txt, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_wins = F.size(hashes) - w + 1
+    # one window min per position; a doc with fewer than w grams keeps a
+    # single window over all of them (standard winnowing edge rule)
+    wins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        ),
+    ).otherwise(F.when(F.size(hashes) >= 1, F.array(F.array_min(hashes))).otherwise(
+        F.array().cast("array<bigint>")
+    ))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp"))
+        .distinct()
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID.
 

@@ -35,6 +35,7 @@ from securities_pricing_data_pipeline_spark.llmdata.text import (
     token_count,
     token_count_bpe,
     quality_score,
+    winnow_fingerprints,
 )
 from securities_pricing_data_pipeline_spark.operators.asof import asof_join_backward
 from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_df, bars_silver
@@ -109,6 +110,11 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpe(docs)
 
 
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, w=4)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return extract_features(assets_from_documents(docs))
@@ -159,6 +165,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "text_token_count": text_token_count,
     "text_token_count_bpe": text_token_count_bpe,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
     "text_lang_id": text_lang_id,
@@ -354,6 +361,29 @@ FROM ranked WHERE rank <= {k}
 
 
 ORACLES = {
+    # winnowing (k=8, w=4): hash every char 8-gram, min per 4-window at
+    # window starts 1..max(n-4+1, 1) (truncated single window for short
+    # docs — mirrors the Spark edge rule), distinct selected hashes
+    "text_winnow_fingerprint": f"""
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS txt FROM documents
+), grams AS (
+  SELECT doc_id, unnest(range(1, greatest(length(txt) - 8 + 1, 0) + 1)) AS i, txt
+  FROM t WHERE length(txt) >= 8
+), hs AS (
+  SELECT doc_id, i, {_phash_sql("substr(txt, CAST(i AS INT), 8)")} AS h,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+), wins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         n
+  FROM hs
+)
+SELECT DISTINCT doc_id, m AS fp
+FROM wins WHERE i <= greatest(n - 4 + 1, 1)
+""",
     "text_token_count_bpe": f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{BPE_SPLIT_RE.replace("'", "''")}')) AS INT)

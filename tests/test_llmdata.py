@@ -190,6 +190,30 @@ def test_token_count_bpe(spark):
     assert token_count_bpe(df).collect()[0].n_bpe_tokens == 9
 
 
+def test_winnow_fingerprints(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import winnow_fingerprints
+
+    shared = "a common run of text that is plenty long"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other start " + shared + " different end"),
+            (3, "totally unrelated content with no overlap at all here"),
+            (4, "tiny"),  # shorter than k=8 → no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: a shared substring ≥ k+w−1 chars ⇒ ≥1 shared fp
+    assert by_doc[1] & by_doc[2]
+    # unrelated text shares nothing
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [
