@@ -78,6 +78,54 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     assert got[(1767261600, "click")] == (2, 3.0)  # 10:00 window
 
 
+def test_watermark_drops_data_later_than_threshold(spark, tmp_path):
+    """Run 1 advances the watermark to 11:20 (max 12:20 − 1h, persisted in
+    the checkpoint); run 2 delivers a row 35 min late (kept, inside the
+    watermark) and one 4+ h late (dropped by the stateful aggregation)."""
+    schema = "event_id long, event_time timestamp, event_type string, value double"
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    emitted: list[tuple] = []
+
+    def run_drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def capture(batch, batch_id):
+            emitted.extend(
+                (r.window_start_epoch, r.event_type, r.n_events, r.total_value)
+                for r in batch.collect()
+            )
+
+        q = (
+            windowed_event_stats_stream(stream, watermark="1 hour")
+            .writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        (1, dt.datetime(2026, 1, 1, 12, 10), "click", 1.0),
+        (2, dt.datetime(2026, 1, 1, 12, 20), "click", 2.0),
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(src)
+    run_drain()
+
+    emitted.clear()
+    b2 = [
+        (3, dt.datetime(2026, 1, 1, 11, 45), "click", 8.0),   # 35 min late: inside watermark
+        (4, dt.datetime(2026, 1, 1, 8, 0), "click", 100.0),   # hours late: beyond watermark
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run_drain()
+
+    windows = {e[0]: (e[2], e[3]) for e in emitted if e[1] == "click"}
+    assert windows.get(1767265200) == (1, 8.0)  # 11:00 window updated
+    assert 1767254400 not in windows            # 8:00 window never materializes
+
+
 def test_sessionize_stream(spark, tmp_path):
     t0 = dt.datetime(2026, 1, 1, 9, 0)
     rows = [
