@@ -26,6 +26,8 @@ from securities_pricing_data_pipeline_spark.session import get_spark  # noqa: E4
 # the headline set: every serving analytic + the heavy relational/LLM ops
 BENCH_QUERIES = [
     "bars_ohlcv",
+    "bars_rollup_multigrain",
+    "range_join_in_transit",
     "q1_market_totals",
     "q2_rolling_liquidity",
     "q3_liquidity_rank",

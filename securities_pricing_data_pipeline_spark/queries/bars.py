@@ -110,7 +110,55 @@ def q_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"bars_ohlcv": q_bars}
+def q_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: weekly AND monthly OHLCV bars from the
+    daily silver in ONE pass via GROUPING SETS (the hypertable-rollup
+    pattern). Open/close picked by first/last trading day in the period
+    (min_by/max_by on trade_date — deterministic, one row per symbol-day).
+
+    Scale note: GROUPING SETS expands each input row once per set inside
+    the hash aggregate (2× map-side rows here) but shuffles ONCE on the
+    grouping key — vs. two separate groupBy jobs re-reading the silver.
+    At 100 TB the rollup output is ~1/5 (weekly) + ~1/21 (monthly) of
+    daily-bar cardinality, so partial aggregation collapses almost all of
+    it before the exchange."""
+    b = bars_silver(spark, sf_dir).withColumns(
+        {
+            "week_start": F.date_trunc("week", F.col("trade_date")).cast("date"),
+            "month_start": F.date_trunc("month", F.col("trade_date")).cast("date"),
+        }
+    )
+    return (
+        b.groupingSets(
+            [["symbol", "week_start"], ["symbol", "month_start"]],
+            "symbol",
+            "week_start",
+            "month_start",
+        )
+        .agg(
+            F.min_by("open", "trade_date").cast("double").alias("open"),
+            F.max("high").cast("double").alias("high"),
+            F.min("low").cast("double").alias("low"),
+            F.max_by("close", "trade_date").cast("double").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.count("*").alias("n_days"),
+            F.grouping("week_start").alias("_g_week"),
+        )
+        .select(
+            "symbol",
+            F.when(F.col("_g_week") == 0, F.lit("week")).otherwise(F.lit("month")).alias("grain"),
+            F.coalesce("week_start", "month_start").alias("period_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_days",
+        )
+    )
+
+
+QUERIES = {"bars_ohlcv": q_bars, "bars_rollup_multigrain": q_bars_rollup}
 
 ORACLES = {
     "bars_ohlcv": BARS_SQL
@@ -119,5 +167,25 @@ SELECT symbol, trade_date,
        CAST(open AS DOUBLE) AS open, CAST(high AS DOUBLE) AS high,
        CAST(low AS DOUBLE) AS low, CAST(close AS DOUBLE) AS close, volume
 FROM bars
-"""
+""",
+    "bars_rollup_multigrain": BARS_SQL
+    + """
+, calendared AS (
+  SELECT *,
+         CAST(date_trunc('week', trade_date) AS DATE)  AS week_start,
+         CAST(date_trunc('month', trade_date) AS DATE) AS month_start
+  FROM bars
+)
+SELECT symbol,
+       CASE WHEN GROUPING(week_start) = 0 THEN 'week' ELSE 'month' END AS grain,
+       COALESCE(week_start, month_start) AS period_start,
+       CAST(arg_min(open, trade_date) AS DOUBLE)  AS open,
+       CAST(max(high) AS DOUBLE)                  AS high,
+       CAST(min(low) AS DOUBLE)                   AS low,
+       CAST(arg_max(close, trade_date) AS DOUBLE) AS close,
+       CAST(SUM(volume) AS BIGINT) AS volume,
+       COUNT(*) AS n_days
+FROM calendared
+GROUP BY GROUPING SETS ((symbol, week_start), (symbol, month_start))
+""",
 }

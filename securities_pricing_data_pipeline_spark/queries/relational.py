@@ -266,6 +266,38 @@ def dim_date_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_in_transit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension join (SURVEY §2.3 'absent' row): date-range containment
+    join via the bucketed-equi-join rewrite in operators/range_join.py.
+    For each distinct order date, count the lineitems whose shipment
+    interval [l_shipdate, l_receiptdate] contains it ("in transit")."""
+    from securities_pricing_data_pipeline_spark.operators.range_join import date_range_join
+
+    probe = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("probe_date"))
+        .distinct()
+    )
+    # driver's lineitem carries no receipt date; derive a deterministic
+    # 1–21-day transit span from the unique line sequence (oracle does the
+    # same arithmetic)
+    li = load(spark, sf_dir, "lineitem")
+    transit_days = ((F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 21 + 1).cast("int")
+    intervals = li.select(
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.date_add(F.col("l_shipdate").cast("date"), transit_days).alias("receipt_date"),
+        F.col("l_quantity").cast("bigint").alias("quantity"),
+    )
+    return (
+        date_range_join(probe, intervals, "probe_date", "ship_date", "receipt_date")
+        .groupBy("probe_date")
+        .agg(
+            F.count("*").alias("n_in_transit"),
+            F.sum("quantity").cast("bigint").alias("qty_in_transit"),
+        )
+    )
+
+
 QUERIES = {
     "p1_typed_projection": p1_typed_projection,
     "p2_date_filter": p2_date_filter,
@@ -285,6 +317,7 @@ QUERIES = {
     "a9_postmerge_recon": a9_postmerge_recon,
     "a10_surrogate_assignment": a10_surrogate_assignment,
     "dim_date_build": dim_date_build,
+    "range_join_in_transit": range_join_in_transit,
 }
 
 ORACLES = {
@@ -402,5 +435,21 @@ SELECT DISTINCT
   CAST(weekofyear(d) AS INT) AS week_of_year,
   dayofweek(d) IN (0, 6) AS is_weekend
 FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+""",
+    "range_join_in_transit": """
+WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS probe_date FROM orders),
+intervals AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_orderkey * 10 + l_linenumber) % 21 + 1 AS INTEGER) AS receipt_date,
+         CAST(l_quantity AS BIGINT) AS quantity
+  FROM lineitem
+)
+SELECT probe_date,
+       COUNT(*) AS n_in_transit,
+       CAST(SUM(quantity) AS BIGINT) AS qty_in_transit
+FROM days
+JOIN intervals ON probe_date BETWEEN ship_date AND receipt_date
+GROUP BY probe_date
 """,
 }

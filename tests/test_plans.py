@@ -86,6 +86,33 @@ def test_flagship_global_rank_after_reduction(spark):
     assert plan.count(") Exchange") <= 3
 
 
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # the bucketed rewrite must plan a hash/sort-merge equi-join on the
+    # bucket key; a naive BETWEEN theta-join would fall back to
+    # BroadcastNestedLoopJoin (O(n·m) — unusable at scale)
+    from securities_pricing_data_pipeline_spark.queries.relational import range_join_in_transit
+
+    plan = _plan(range_join_in_transit(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_rollup_single_shuffle_over_silver(spark):
+    # GROUPING SETS must Expand then aggregate with ONE exchange on top of
+    # the (possibly cached) silver — not one job per grain
+    from securities_pricing_data_pipeline_spark.queries.bars import q_bars_rollup
+
+    plan = _plan(q_bars_rollup(spark, SF))
+    # formatted-mode details list nodes bottom-up by id, so everything
+    # printed after "(n) Expand" sits ABOVE the Expand in the tree — the
+    # rollup itself must contribute exactly one exchange there (the silver
+    # subtree below Expand may add its own)
+    assert ") Expand" in plan
+    above_expand = plan[plan.index(") Expand") :]
+    assert above_expand.count(") Exchange") == 1
+
+
 def test_window_survives_bench_force(spark):
     # guards bench.py honesty: the hash-fold force must keep the Window
     df = q2_rolling_liquidity(spark, SF)
