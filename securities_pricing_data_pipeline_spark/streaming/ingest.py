@@ -94,6 +94,27 @@ def stream_ingest_eod(
     return writer.start()
 
 
+def dedup_event_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """In-stream exact dedup: keep the first occurrence of each key within
+    the watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
+    twin of the batch `dedup_exact` operator.
+
+    Unlike plain `dropDuplicates` on a stream (state grows forever), the
+    watermarked variant evicts key state once the watermark passes it, so
+    state size is bounded by keys-per-horizon — the only formulation that
+    survives an unbounded 100 TB/day feed. Redeliveries inside the horizon
+    (at-least-once sources, retried micro-batches) collapse; replays older
+    than the watermark are already beyond the sink's reprocessing window.
+    Works on batch frames too (falls back to plain dropDuplicates).
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_event_stats_stream(
     events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
 ) -> DataFrame:

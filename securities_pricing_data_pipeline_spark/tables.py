@@ -76,3 +76,35 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str = "trade_date
 
 def append(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str] | None = None,
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-registered bucketed table — the SURVEY §7 scale posture for
+    silver: bucket by ``symbol`` so every symbol-keyed join/agg between
+    bucketed tables is co-located (Catalyst drops BOTH shuffle exchanges;
+    ``sortBy`` additionally removes the sort under sort-merge join).
+
+    Bucketing needs the session catalog (bucket metadata lives there, not
+    in parquet footers), hence ``saveAsTable`` with an explicit ``path``
+    (external table) rather than a bare directory write. At 100 TB, pick
+    ``n_buckets`` so a bucket ≈ one task's comfortable input (~128–512 MB);
+    bucket count must match across tables meant to co-join.
+    """
+    bucket_cols = bucket_cols or ["symbol"]
+    sort_cols = sort_cols if sort_cols is not None else bucket_cols
+    writer = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

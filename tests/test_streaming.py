@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, "/root/repo")
 
 from securities_pricing_data_pipeline_spark.streaming.ingest import (  # noqa: E402
+    dedup_event_stream,
     stream_ingest_eod,
     windowed_event_stats_stream,
 )
@@ -124,6 +125,51 @@ def test_watermark_drops_data_later_than_threshold(spark, tmp_path):
     windows = {e[0]: (e[2], e[3]) for e in emitted if e[1] == "click"}
     assert windows.get(1767265200) == (1, 8.0)  # 11:00 window updated
     assert 1767254400 not in windows            # 8:00 window never materializes
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Redelivered event_ids inside the watermark horizon collapse to the
+    first occurrence, including across micro-batch (drain) boundaries."""
+    schema = "event_id long, event_time timestamp, event_type string, value double"
+    src = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    emitted: list[tuple] = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            dedup_event_stream(stream)
+            .writeStream.foreachBatch(
+                lambda b, _: emitted.extend((r.event_id, r.value) for r in b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = dt.datetime(2026, 1, 1, 12, 0)
+    b1 = [
+        (1, t, "click", 1.0),
+        (1, t, "click", 1.0),  # same-batch duplicate
+        (2, t + dt.timedelta(minutes=5), "view", 2.0),
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(src)
+    drain()
+
+    b2 = [
+        (2, t + dt.timedelta(minutes=5), "view", 2.0),  # cross-batch redelivery
+        (3, t + dt.timedelta(minutes=10), "click", 3.0),
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain()
+
+    assert sorted(emitted) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+    # batch frames fall back to plain dropDuplicates — same output
+    batch = dedup_event_stream(spark.createDataFrame(b1 + b2, schema))
+    assert sorted((r.event_id, r.value) for r in batch.collect()) == [(1, 1.0), (2, 2.0), (3, 3.0)]
 
 
 def test_sessionize_stream(spark, tmp_path):
