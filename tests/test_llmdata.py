@@ -256,3 +256,20 @@ def test_asof_join_backward(spark):
     assert got[2] == (20.0, dt.date(2026, 1, 5))
     assert got[3] == (None, None)
     assert got[4] == (99.0, dt.date(2026, 1, 3))
+
+
+def test_plane_signatures_udf_matches_expr(spark, sf_dir):
+    """The numpy pandas-UDF signature path must be bit-identical to the
+    SQL-expression twin (whose semantics the DuckDB oracle mirrors) —
+    HALF_UP grid rounding included."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        plane_signatures,
+        plane_signatures_expr,
+        random_planes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = random_planes(dim=64, n_planes=32, seed=42)
+    fast = sorted(plane_signatures(emb, planes).collect())
+    ref = sorted(plane_signatures_expr(emb, planes).collect())
+    assert fast == ref
