@@ -257,7 +257,7 @@ def embedding_near_dups(
     banding (pairs must agree on ≥1 of ``bands`` signature blocks), then
     exact cosine ≥ threshold within candidates.
 
-    Plan shape: the band self-join and pair dedup run over bare
+    Plan shape: in-bucket pair enumeration and pair dedup run over bare
     (id, band, block) rows — vectors and norms join back onto the
     deduplicated pair list, so the widest shuffle carries 16-byte rows,
     not embeddings. 8-bit blocks (32 planes / 4 bands) keep bucket
@@ -282,18 +282,9 @@ def embedding_near_dups(
     banded = sig_df.select("id", F.explode(band_arr).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.block").alias("block")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import candidate_pairs_in_buckets
+
+    pairs = candidate_pairs_in_buckets(banded, ["band", "block"])
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
