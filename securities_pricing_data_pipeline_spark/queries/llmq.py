@@ -115,6 +115,27 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=8, w=4)
 
 
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: exact length quartiles + mean per source — the
+    distribution snapshot a data curator reads before setting quality
+    cutoffs. Exact percentile is a sort-based aggregate (Catalyst sorts
+    within each group); at 100 TB swap to approx_percentile with a
+    documented error budget — kept exact here for DuckDB value parity
+    (quantile_cont uses the same linear interpolation)."""
+    docs = load(spark, sf_dir, "documents")
+    q = F.percentile(F.col("n_chars").cast("double"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            q[0].alias("p25_chars"),
+            q[1].alias("median_chars"),
+            q[2].alias("p75_chars"),
+            F.avg(F.col("n_chars").cast("double")).alias("mean_chars"),
+        )
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return extract_features(assets_from_documents(docs))
@@ -169,6 +190,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
     "text_lang_id": text_lang_id,
+    "text_length_quantiles": text_length_quantiles,
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -521,5 +543,15 @@ FROM documents
 """,
     "text_fingerprint": """
 SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+""",
+    "text_length_quantiles": """
+SELECT source,
+       COUNT(*) AS n_docs,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25_chars,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.5)  AS median_chars,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75_chars,
+       AVG(CAST(n_chars AS DOUBLE)) AS mean_chars
+FROM documents
+GROUP BY source
 """,
 }
