@@ -12,6 +12,7 @@ import sys
 import duckdb
 import pandas as pd
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 
@@ -106,3 +107,89 @@ def test_portable_hash_matches_duckdb(spark, texts):
         con.sql("SELECT s, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FROM t").fetchall()
     )
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    intervals=st.lists(
+        st.tuples(_DATES, st.integers(0, 45), st.integers(1, 50)), min_size=1, max_size=15
+    ),
+    probes=st.lists(_DATES, min_size=1, max_size=10),
+)
+def test_range_join_matches_naive_theta_join(spark, intervals, probes):
+    """The bucketed equi-rewrite must equal the naive BETWEEN join for any
+    intervals (spans crossing 0, 1, or many month boundaries) and probes."""
+    from securities_pricing_data_pipeline_spark.operators.range_join import date_range_join
+
+    irows = [
+        (i, start, start + dt.timedelta(days=span), qty)
+        for i, (start, span, qty) in enumerate(intervals)
+    ]
+    idf = spark.createDataFrame(irows, "iv_id long, s date, e date, qty long")
+    pdf_ = spark.createDataFrame([(d,) for d in set(probes)], "probe_date date")
+
+    got = sorted(
+        (r.probe_date, r.iv_id)
+        for r in date_range_join(pdf_, idf, "probe_date", "s", "e").collect()
+    )
+    want = sorted(
+        (r.probe_date, r.iv_id)
+        for r in pdf_.join(idf, (F.col("probe_date") >= F.col("s")) & (F.col("probe_date") <= F.col("e"))).collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    bars=st.lists(
+        st.tuples(_SYMS, _DATES, st.integers(1, 500), st.integers(1, 1000)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_rollup_grains_match_direct_aggregation(spark, bars):
+    """Each GROUPING SETS grain must equal the equivalent standalone
+    groupBy over the same frame (open/close picked by first/last day)."""
+    rows = {}
+    for s, d, px, vol in bars:  # one row per (symbol, day), like the silver
+        rows[(s, d)] = (s, d, float(px), px + 1.0, px - 1.0, float(px * 2), vol)
+    df = spark.createDataFrame(
+        list(rows.values()),
+        "symbol string, trade_date date, open double, high double, low double, close double, volume long",
+    )
+    cal = df.withColumns(
+        {
+            "week_start": F.date_trunc("week", "trade_date").cast("date"),
+            "month_start": F.date_trunc("month", "trade_date").cast("date"),
+        }
+    )
+    rolled = (
+        cal.groupingSets(
+            [["symbol", "week_start"], ["symbol", "month_start"]],
+            "symbol", "week_start", "month_start",
+        )
+        .agg(
+            F.min_by("open", "trade_date").alias("open"),
+            F.max_by("close", "trade_date").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.grouping("week_start").alias("_gw"),
+        )
+        .select(
+            "symbol",
+            F.when(F.col("_gw") == 0, "week").otherwise("month").alias("grain"),
+            F.coalesce("week_start", "month_start").alias("period_start"),
+            "open", "close", "volume",
+        )
+    )
+    got = {(r.symbol, r.grain, r.period_start): (r.open, r.close, r.volume) for r in rolled.collect()}
+    for grain, col in [("week", "week_start"), ("month", "month_start")]:
+        direct = (
+            cal.groupBy("symbol", col)
+            .agg(
+                F.min_by("open", "trade_date").alias("open"),
+                F.max_by("close", "trade_date").alias("close"),
+                F.sum("volume").alias("volume"),
+            )
+        )
+        for r in direct.collect():
+            assert got[(r.symbol, grain, r[col])] == (r.open, r.close, r.volume)
