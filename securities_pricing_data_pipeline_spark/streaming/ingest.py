@@ -94,6 +94,40 @@ def stream_ingest_eod(
     return writer.start()
 
 
+def join_events_quotes_stream(
+    events: DataFrame,
+    quotes: DataFrame,
+    max_delay_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each event
+    pairs with quotes of its symbol from the trailing ``max_delay_minutes``
+    window (``quote_time ∈ [event_time − delay, event_time]``).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can prove when buffered rows are no longer
+    joinable and evict them — the ONLY stream-stream join formulation
+    whose state doesn't grow without bound (an unconstrained condition
+    buffers both streams forever). State ≈ one watermark horizon of each
+    side, independent of total stream length. Works on batch frames too
+    (same plan, minus watermarks/eviction).
+    """
+    e = (
+        events.withWatermark("event_time", watermark) if events.isStreaming else events
+    ).alias("e")
+    q = (
+        quotes.withWatermark("quote_time", watermark) if quotes.isStreaming else quotes
+    ).alias("q")
+    cond = F.expr(
+        "e.symbol = q.symbol"
+        f" AND q.quote_time >= e.event_time - INTERVAL {int(max_delay_minutes)} MINUTES"
+        " AND q.quote_time <= e.event_time"
+    )
+    return e.join(q, cond).select(
+        "e.event_id", "e.symbol", "e.event_time", "q.quote_time", "q.price"
+    )
+
+
 def dedup_event_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -13,6 +13,7 @@ sys.path.insert(0, "/root/repo")
 
 from securities_pricing_data_pipeline_spark.streaming.ingest import (  # noqa: E402
     dedup_event_stream,
+    join_events_quotes_stream,
     stream_ingest_eod,
     windowed_event_stats_stream,
 )
@@ -125,6 +126,57 @@ def test_watermark_drops_data_later_than_threshold(spark, tmp_path):
     windows = {e[0]: (e[2], e[3]) for e in emitted if e[1] == "click"}
     assert windows.get(1767265200) == (1, 8.0)  # 11:00 window updated
     assert 1767254400 not in windows            # 8:00 window never materializes
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream time-range join must produce exactly
+    the batch join's rows once both streams drain."""
+    e_schema = "event_id long, symbol string, event_time timestamp"
+    q_schema = "symbol string, quote_time timestamp, price double"
+    t = dt.datetime(2026, 1, 1, 12, 0)
+    m = dt.timedelta
+    events = [
+        (1, "A", t),                      # quotes at 11:10(out), 11:30, 12:00
+        (2, "A", t + m(minutes=90)),      # 13:30: quote 13:00 in window
+        (3, "B", t),                      # no B quotes in window
+    ]
+    quotes = [
+        ("A", t - m(minutes=50), 10.0),
+        ("A", t - m(minutes=30), 11.0),
+        ("A", t, 12.0),
+        ("A", t + m(minutes=60), 13.0),
+        ("B", t + m(minutes=30), 99.0),   # after event 3 → excluded
+    ]
+    e_src, q_src = str(tmp_path / "ev"), str(tmp_path / "qt")
+    spark.createDataFrame(events, e_schema).write.parquet(e_src)
+    spark.createDataFrame(quotes, q_schema).write.parquet(q_src)
+
+    batch = join_events_quotes_stream(
+        spark.read.parquet(e_src), spark.read.parquet(q_src), max_delay_minutes=45
+    )
+    want = sorted((r.event_id, r.quote_time, r.price) for r in batch.collect())
+    assert want == [
+        (1, t - m(minutes=30), 11.0),
+        (1, t, 12.0),
+        (2, t + m(minutes=60), 13.0),
+    ]
+
+    got: list[tuple] = []
+    q = (
+        join_events_quotes_stream(
+            spark.readStream.schema(e_schema).parquet(e_src),
+            spark.readStream.schema(q_schema).parquet(q_src),
+            max_delay_minutes=45,
+        )
+        .writeStream.foreachBatch(
+            lambda b, _: got.extend((r.event_id, r.quote_time, r.price) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == want
 
 
 def test_stream_dedup_within_watermark(spark, tmp_path):
