@@ -306,6 +306,69 @@ def embedding_near_dups(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over cosine assignment, producing a
+    centroid frame for ``ivf_topk(..., centroids=...)``.
+
+    Init: the ``n_centroids`` lowest-id vectors (reproducible across
+    runs/retries — never sample). Each iteration is one distributed pass:
+    broadcast the k current centroids, assign every vector to its best
+    centroid by cosine, recompute per-cluster elementwise means via
+    posexplode + one hash-aggregate keyed (cluster, pos). Only the k×dim
+    centroid matrix is collected per iteration (k·dim doubles — a
+    metrics-sized collect), so the loop is iterative-driver /
+    distributed-data: the classic Spark k-means shape. Empty clusters
+    keep their previous centroid.
+    """
+    cur = [
+        (int(r["centroid_id"]), [float(x) for x in r["cent_vec"]])
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec"))
+        .collect()
+    ]
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("nrm"),
+    )
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            cur, "centroid_id int, cent_vec array<double>"
+        ).withColumn("cent_norm", norm_grid(F.col("cent_vec")))
+        w = Window.partitionBy("nid").orderBy(F.desc("cos"), F.asc("centroid_id"))
+        assigned = (
+            c.join(F.broadcast(cent_df))
+            .withColumn(
+                "cos",
+                cosine_with_norms(F.col("vec"), F.col("cent_vec"), F.col("nrm"), F.col("cent_norm")),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("centroid_id", "vec")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("centroid_id", F.transform("pm", lambda s: s["m"]).alias("cent_vec"))
+        )
+        got = {int(r["centroid_id"]): [float(x) for x in r["cent_vec"]] for r in means.collect()}
+        cur = [(cid, got.get(cid, vec)) for cid, vec in cur]
+    return (
+        spark.createDataFrame(cur, "centroid_id int, cent_vec array<double>")
+        .withColumn("cent_norm", norm_grid(F.col("cent_vec")))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -314,23 +377,26 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into inverted
     lists by nearest centroid, probe only the ``nprobe`` lists closest to
     each query, rank candidates by exact cosine.
 
-    Centroid selection is deterministic (the ``n_centroids`` lowest-id
-    vectors) instead of k-means so results are reproducible and
-    oracle-checkable; swap in k-means centroids for recall without
-    touching the list/probe machinery. Centroids are broadcast — the
-    corpus is scanned once for assignment and shuffles once on
-    centroid_id, which is the IVF scale contract (cost ∝ probed lists).
+    Centroid selection defaults to deterministic (the ``n_centroids``
+    lowest-id vectors) so results are reproducible and oracle-checkable;
+    pass ``centroids=kmeans_centroids(...)`` for trained lists (better
+    recall, still deterministic, but iterative → not SQL-expressible).
+    Centroids are broadcast — the corpus is scanned once for assignment
+    and shuffles once on centroid_id, which is the IVF scale contract
+    (cost ∝ probed lists).
     """
-    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).alias("cent_vec"),
-        norm_grid(F.col(vec_col)).alias("cent_norm"),
-    )
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cent_vec"),
+            norm_grid(F.col(vec_col)).alias("cent_norm"),
+        )
     # inverted-list assignment: best centroid per corpus vector
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -273,3 +273,27 @@ def test_plane_signatures_udf_matches_expr(spark, sf_dir):
     fast = sorted(plane_signatures(emb, planes).collect())
     ref = sorted(plane_signatures_expr(emb, planes).collect())
     assert fast == ref
+
+
+def test_kmeans_ivf_deterministic_and_recall(spark, sf_dir):
+    """Lloyd k-means centroids are deterministic across runs, and IVF over
+    trained lists keeps reasonable recall vs the exact brute-force top-k."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents1 = {r.centroid_id: list(r.cent_vec) for r in kmeans_centroids(emb, 8, iters=2).collect()}
+    cents2 = {r.centroid_id: list(r.cent_vec) for r in kmeans_centroids(emb, 8, iters=2).collect()}
+    assert cents1 == cents2 and len(cents1) == 8
+
+    queries = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    trained = kmeans_centroids(emb, 8, iters=2)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, centroids=trained).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
