@@ -298,6 +298,33 @@ def range_join_in_transit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew posture (SURVEY §7): two-stage salted aggregation over
+    ``l_returnflag`` — 3 group keys across 600k rows, the worst-case
+    hot-key shape where a plain groupBy lands each key's entire row set
+    on one task. Results are identical to a plain GROUP BY (the oracle),
+    only the shuffle distribution differs: stage 1 on (key, salt) spreads
+    each hot key over n partitions; stage 2 merges tiny partials."""
+    from securities_pricing_data_pipeline_spark.operators.skew import salted_aggregate
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    return salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": ("qty", "count"),
+            "total_qty": ("qty", "sum"),
+            "max_orderkey": ("ok", "max"),
+        },
+        n_salts=8,
+        entropy_cols=["ok"],
+    )
+
+
 QUERIES = {
     "p1_typed_projection": p1_typed_projection,
     "p2_date_filter": p2_date_filter,
@@ -318,6 +345,7 @@ QUERIES = {
     "a10_surrogate_assignment": a10_surrogate_assignment,
     "dim_date_build": dim_date_build,
     "range_join_in_transit": range_join_in_transit,
+    "skew_salted_aggregate": skew_salted_aggregate,
 }
 
 ORACLES = {
@@ -451,5 +479,13 @@ SELECT probe_date,
 FROM days
 JOIN intervals ON probe_date BETWEEN ship_date AND receipt_date
 GROUP BY probe_date
+""",
+    "skew_salted_aggregate": """
+SELECT l_returnflag,
+       COUNT(CAST(l_quantity AS BIGINT)) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       MAX(l_orderkey) AS max_orderkey
+FROM lineitem
+GROUP BY l_returnflag
 """,
 }
