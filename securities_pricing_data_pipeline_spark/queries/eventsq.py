@@ -53,9 +53,26 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract a typed field from the ``props``
+    JSON string per row (``get_json_object`` — JVM-side JSON path eval,
+    no UDF) and aggregate it per event type. At scale prefer parsing once
+    with an explicit schema (``from_json``) at silver write so gold reads
+    never re-parse strings."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("total_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 QUERIES = {
     "events_hourly_stats": events_hourly_stats,
     "events_sessionize": events_sessionize,
+    "events_json_props": events_json_props,
 }
 
 ORACLES = {
@@ -88,5 +105,14 @@ SELECT user_id, CAST(session_id AS INT) AS session_id,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY 1, 2
+""",
+    "events_json_props": """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
 """,
 }
