@@ -6,10 +6,18 @@ and ``ORACLES`` (name → DuckDB SQL). ``__spark_entry__.py`` merges them.
 
 from __future__ import annotations
 
-from securities_pricing_data_pipeline_spark.queries import bars, eventsq, relational, serving, llmq
+from securities_pricing_data_pipeline_spark.queries import (
+    analytic,
+    bars,
+    eventsq,
+    llmq,
+    relational,
+    serving,
+    tpch,
+)
 
 QUERIES = {}
 ORACLES = {}
-for _m in (bars, eventsq, relational, serving, llmq):
+for _m in (bars, eventsq, relational, serving, llmq, tpch, analytic):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -1,0 +1,178 @@
+"""Analytic-SQL surface: running totals, pivot, CUBE, exact percentiles.
+
+The reference's serving layer is dashboard analytics (SURVEY §2.6) — rolling
+windows, ranks, percent-of-total. This module rounds out the analytic
+operator classes Spark offers beyond those dashboards, each expressed as a
+pure Catalyst plan (no UDFs) with a DuckDB oracle:
+
+* cumulative window aggregation (running total over a total order);
+* pivot (Spark ``groupBy().pivot()`` with an explicit value list — the
+  list matters at scale: without it Spark runs an extra distinct job to
+  discover pivot values);
+* CUBE with ``GROUPING()`` disambiguation (super-aggregate rows keep a
+  deterministic 'ALL' sentinel instead of NULL);
+* exact interpolated percentiles (``percentile`` — exact, unlike
+  ``percentile_approx`` — over integral doubles with dyadic fractions, so
+  Spark's ``a + (b-a)*f`` and DuckDB's ``quantile_cont`` agree bitwise).
+
+Determinism notes: cumulative sums run over a total order (unique date per
+partition after the pre-aggregate), and all float sums follow the
+decimal-grid rule in ``queries.helpers``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from securities_pricing_data_pipeline_spark.queries.helpers import (
+    dec,
+    dsum,
+    load,
+    sql_dsum,
+)
+
+
+def w_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue total per return flag: pre-aggregate to one row per
+    (flag, ship_date) — collapsing ~all rows map-side — then a cumulative
+    window over the (unique) date order. The window shuffles on the 3-value
+    flag key; at 100 TB the pre-aggregate means the window input is only
+    |flags|×|dates| rows, so the low-cardinality partition key is safe."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy("l_returnflag", F.col("l_shipdate").cast("date").alias("ship_date"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), 4)).alias("_rev"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("ship_date")
+    return daily.select(
+        F.col("l_returnflag").alias("return_flag"),
+        "ship_date",
+        F.col("_rev").cast("double").alias("day_revenue"),
+        F.sum("_rev").over(w).cast("double").alias("cum_revenue"),
+        "n_lines",
+    )
+
+
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per market segment pivoted by order status. The explicit
+    ``pivot`` value list skips the value-discovery job and pins the output
+    schema — mandatory for a stable contract (and one less job at scale)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "segment",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_fulfilled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) with totals: all four grouping sets in
+    one pass (Catalyst Expand → single hash aggregate, one shuffle).
+    Super-aggregate NULLs are disambiguated to 'ALL' via GROUPING() so real
+    NULLs could never collide with the rollup rows."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            # grouping() is only valid inside the cube aggregate itself
+            F.grouping("o_orderpriority").alias("_gp"),
+            F.grouping("o_orderstatus").alias("_gs"),
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.when(F.col("_gp") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def percentile_quantity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of quantity per return flag. ``percentile``
+    (not ``percentile_approx``) sorts within each group — fine here because
+    groups are read-side partial-aggregated; for a 100 TB arbitrary-
+    cardinality case you'd switch to ``percentile_approx`` and a
+    rows-only contract. Quantity is integral and fractions are dyadic, so
+    interpolation is exact in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.percentile(F.col("l_quantity"), F.lit(0.25)).alias("qty_p25"),
+            F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("qty_p50"),
+            F.percentile(F.col("l_quantity"), F.lit(0.75)).alias("qty_p75"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+QUERIES = {
+    "w_cumulative_revenue": w_cumulative_revenue,
+    "pivot_segment_status": pivot_segment_status,
+    "cube_priority_status": cube_priority_status,
+    "percentile_quantity_exact": percentile_quantity_exact,
+}
+
+ORACLES = {
+    "w_cumulative_revenue": """
+WITH daily AS (
+  SELECT l_returnflag,
+         CAST(l_shipdate AS DATE) AS ship_date,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS _rev,
+         COUNT(*) AS n_lines
+  FROM lineitem
+  GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+)
+SELECT l_returnflag AS return_flag, ship_date,
+       CAST(_rev AS DOUBLE) AS day_revenue,
+       CAST(SUM(_rev) OVER (PARTITION BY l_returnflag ORDER BY ship_date) AS DOUBLE)
+         AS cum_revenue,
+       n_lines
+FROM daily
+""",
+    "pivot_segment_status": """
+SELECT c_mktsegment AS segment,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    "cube_priority_status": f"""
+SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END
+         AS priority,
+       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END
+         AS status,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+    "percentile_quantity_exact": """
+SELECT l_returnflag AS return_flag,
+       quantile_cont(l_quantity, 0.25) AS qty_p25,
+       quantile_cont(l_quantity, 0.5)  AS qty_p50,
+       quantile_cont(l_quantity, 0.75) AS qty_p75,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+""",
+}

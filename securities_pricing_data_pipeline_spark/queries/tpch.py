@@ -1,0 +1,254 @@
+"""Classic warehouse analytics (TPC-H-shaped) over the driver's star schema.
+
+The reference delegates all relational compute to Snowflake; its serving
+layer answers star-join + aggregate dashboards (SURVEY §2.6, J2 star join
+`7. merge_fact_daily_price.sql:33-36`). These queries demonstrate the same
+capability class at depth — multi-way joins with broadcast dims, filtered
+aggregation, top-N with deterministic tie-breaks — expressed so Catalyst
+keeps the whole plan in WholeStageCodegen:
+
+* constant-size dims (`region`, `nation`) carry explicit ``broadcast``
+  hints; SF-scaled tables (`customer`, `supplier`, `orders`) deliberately
+  do NOT — at 100 TB they are fact-sized, so the plan uses shuffle joins
+  on their keys and lets AQE demote to broadcast at runtime when a
+  filtered side turns out small;
+* every float SUM goes through the decimal-grid rule in
+  ``queries.helpers`` so Spark's partial aggregation and DuckDB's serial
+  scan agree bit-for-bit;
+* top-N orderings always end in a unique key so ties never flip rows
+  between engines, and ``limit`` after ``orderBy`` compiles to
+  TakeOrderedAndProject (per-partition top-N, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from securities_pricing_data_pipeline_spark.queries.helpers import (
+    davg,
+    dsum,
+    load,
+    sql_davg,
+    sql_dsum,
+)
+
+_REVENUE = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+_REVENUE_SQL = "l_extendedprice * (1.0 - l_discount)"
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shaped pricing summary: one hash aggregate over the fact table,
+    grouped on two low-cardinality flags. Map-side partial aggregation
+    collapses ~all rows before the (tiny) shuffle."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("2001-09-02").cast("date")
+    )
+    charge = _REVENUE * (1.0 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 4).alias("sum_base_price"),
+            dsum(_REVENUE, 4).alias("sum_disc_price"),
+            # charge has exactly 6 decimal digits (price:2 × disc:2 × tax:2);
+            # scale 6 keeps the grid tie-free (scale 4 would hit .5 ties)
+            dsum(charge, 6).alias("sum_charge"),
+            davg(F.col("l_quantity"), 2).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            davg(F.col("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped shipping priority: segment-filtered customer semi-joined
+    into orders, joined to lineitem, top-10 open orders by revenue. Both
+    fact-side joins shuffle on their natural keys (custkey, orderkey); the
+    date/segment filters push down to all three parquet scans and AQE may
+    demote either join to broadcast when the filtered side is small."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "inner",
+        )
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"), "o_orderpriority")
+        .agg(dsum(_REVENUE, 4).alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            "revenue",
+            "order_date",
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .orderBy(F.desc("revenue"), "order_date", "order_key")
+        .limit(10)
+    )
+
+
+def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped regional revenue: six-way join. region/nation are
+    broadcast (constant size); customer and supplier enrichments shuffle on
+    their keys since both scale with the fact tables. The final aggregate
+    has ~25 groups, so map-side partials collapse it before the shuffle."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name")
+    asia_cust = cust.join(
+        F.broadcast(asia_nations), cust.c_nationkey == F.col("n_nationkey"), "inner"
+    ).select("c_custkey", "c_nationkey", "n_name")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .join(supp, li.l_suppkey == supp.s_suppkey, "inner")
+        # local-supplier condition: supplier sits in the customer's nation
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(_REVENUE, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped forecast revenue: pure scan-filter-aggregate; all three
+    predicates push down to the parquet reader, no shuffle at all (single
+    scalar aggregate)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped returned-item report: top-20 customers by lost revenue in
+    a quarter. nation is broadcast; orders (date-filtered) and customer
+    join via shuffle on their keys — at 100 TB the quarter filter still
+    leaves a fact-sized orders slice. The aggregate shuffles on custkey
+    (high cardinality → scales linearly), then TakeOrderedAndProject."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(cust, F.col("o_custkey") == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_acctbal").alias("acct_bal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(dsum(_REVENUE, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "cust_key")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_regional_revenue": tpch_q5_regional_revenue,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+}
+
+ORACLES = {
+    "tpch_q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 2)} AS sum_qty,
+       {sql_dsum('l_extendedprice', 4)} AS sum_base_price,
+       {sql_dsum(_REVENUE_SQL, 4)} AS sum_disc_price,
+       {sql_dsum(_REVENUE_SQL + ' * (1.0 + l_tax)', 6)} AS sum_charge,
+       {sql_davg('l_quantity', 2)} AS avg_qty,
+       {sql_davg('l_extendedprice', 4)} AS avg_price,
+       {sql_davg('l_discount', 6)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "tpch_q3_shipping_priority": f"""
+SELECT l_orderkey AS order_key,
+       {sql_dsum(_REVENUE_SQL, 4)} AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority AS order_priority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, order_date, order_key
+LIMIT 10
+""",
+    "tpch_q5_regional_revenue": f"""
+SELECT n_name AS nation, {sql_dsum(_REVENUE_SQL, 4)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, nation
+""",
+    "tpch_q6_forecast_revenue": f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+""",
+    "tpch_q10_returned_items": f"""
+SELECT c_custkey AS cust_key, c_name AS cust_name, c_acctbal AS acct_bal,
+       n_name AS nation, {sql_dsum(_REVENUE_SQL, 4)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, cust_key
+LIMIT 20
+""",
+}
