@@ -124,14 +124,57 @@ def percentile_quantity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each brand. Order of operations is the
+    scale lever: aggregate lineitem per partkey FIRST (map-side combine
+    collapses the fact), join the much smaller per-part totals to the part
+    dim, then rank inside each brand. Ranking after pre-aggregation means
+    the window input is |parts|, not |lineitem|."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), 4)).alias("_rev")
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("_rev"), "p_partkey")
+    return (
+        per_part.join(part, per_part.l_partkey == part.p_partkey, "inner")
+        .withColumn("brand_rank", F.row_number().over(w))
+        .filter(F.col("brand_rank") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            "brand_rank",
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "w_cumulative_revenue": w_cumulative_revenue,
+    "topk_parts_per_brand": topk_parts_per_brand,
     "pivot_segment_status": pivot_segment_status,
     "cube_priority_status": cube_priority_status,
     "percentile_quantity_exact": percentile_quantity_exact,
 }
 
 ORACLES = {
+    "topk_parts_per_brand": """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS _rev
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT p_brand AS brand,
+       ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY _rev DESC, p_partkey)
+         AS brand_rank,
+       p_partkey AS part_key,
+       p_name AS part_name,
+       CAST(_rev AS DOUBLE) AS revenue
+FROM per_part JOIN part ON l_partkey = p_partkey
+QUALIFY brand_rank <= 3
+""",
     "w_cumulative_revenue": """
 WITH daily AS (
   SELECT l_returnflag,

@@ -69,10 +69,74 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention without a self-join: dedup to (user, day) —
+    map-side combine shrinks this to |users|×|days| rows — then a per-user
+    ``lag`` marks days whose predecessor was also active, and one aggregate
+    counts active vs retained users per day. The self-join formulation would
+    shuffle the full event table twice; this shuffles the deduped frame
+    once on user_id, once on day."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("ts div 86400000000000").cast("long").alias("day")
+    ).distinct()
+    prev = F.lag("day").over(Window.partitionBy("user_id").orderBy("day"))
+    seq = ud.withColumn("retained", (prev == F.col("day") - 1).cast("int"))
+    return (
+        seq.groupBy("day")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum(F.coalesce("retained", F.lit(0))).alias("retained_users"),
+        )
+        .select(
+            F.col("day").alias("day_epoch_days"),
+            "active_users",
+            F.col("retained_users").cast("long").alias("retained_users"),
+        )
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: three stacked unbounded windows
+    on the same user partitioning (one shuffle — Catalyst chains the Window
+    nodes), each stage a conditional MIN gated on the previous stage's
+    timestamp, then a single global count of users per stage."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+            )
+        ).over(w),
+    )
+    return s3.agg(
+        F.count_distinct(F.when(F.col("t_view").isNotNull(), F.col("user_id"))).alias("n_view"),
+        F.count_distinct(F.when(F.col("t_click").isNotNull(), F.col("user_id"))).alias(
+            "n_click_after_view"
+        ),
+        F.count_distinct(F.when(F.col("t_purchase").isNotNull(), F.col("user_id"))).alias(
+            "n_purchase_after_click"
+        ),
+    )
+
+
 QUERIES = {
     "events_hourly_stats": events_hourly_stats,
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
+    "events_retention": events_retention,
+    "events_funnel": events_funnel,
 }
 
 ORACLES = {
@@ -114,5 +178,43 @@ SELECT event_type,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
+""",
+    "events_retention": """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+  FROM events
+), seq AS (
+  SELECT day,
+         CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) = day - 1
+              THEN 1 ELSE 0 END AS retained
+  FROM ud
+)
+SELECT day AS day_epoch_days,
+       COUNT(*) AS active_users,
+       CAST(SUM(retained) AS BIGINT) AS retained_users
+FROM seq
+GROUP BY day
+""",
+    "events_funnel": """
+WITH s1 AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS t,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND t > t_view THEN t END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t > t_click THEN t END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+)
+SELECT COUNT(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END) AS n_view,
+       COUNT(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END) AS n_click_after_view,
+       COUNT(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END)
+         AS n_purchase_after_click
+FROM s3
 """,
 }
