@@ -42,6 +42,18 @@ BENCH_QUERIES = [
     "events_hourly_stats",
     "events_sessionize",
     "asof_event_bars",
+    "events_retention",
+    "events_funnel",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "w_cumulative_revenue",
+    "topk_parts_per_brand",
+    "pivot_segment_status",
+    "cube_priority_status",
+    "percentile_quantity_exact",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

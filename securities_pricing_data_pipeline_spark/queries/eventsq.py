@@ -120,14 +120,18 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).over(w),
     )
-    return s3.agg(
-        F.count_distinct(F.when(F.col("t_view").isNotNull(), F.col("user_id"))).alias("n_view"),
-        F.count_distinct(F.when(F.col("t_click").isNotNull(), F.col("user_id"))).alias(
-            "n_click_after_view"
-        ),
-        F.count_distinct(F.when(F.col("t_purchase").isNotNull(), F.col("user_id"))).alias(
-            "n_purchase_after_click"
-        ),
+    # stage timestamps are constant per user: collapse to one row per user
+    # (reuses the window's user_id partitioning — no extra exchange) so the
+    # final count needs no DISTINCT (which would Expand 3× the event rows)
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
     )
 
 

@@ -33,7 +33,11 @@ from securities_pricing_data_pipeline_spark.queries.helpers import (
     sql_dsum,
 )
 
-_REVENUE = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+def _revenue():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+
+
 _REVENUE_SQL = "l_extendedprice * (1.0 - l_discount)"
 
 
@@ -44,13 +48,13 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").cast("date") <= F.lit("2001-09-02").cast("date")
     )
-    charge = _REVENUE * (1.0 + F.col("l_tax"))
+    charge = _revenue() * (1.0 + F.col("l_tax"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity"), 2).alias("sum_qty"),
             dsum(F.col("l_extendedprice"), 4).alias("sum_base_price"),
-            dsum(_REVENUE, 4).alias("sum_disc_price"),
+            dsum(_revenue(), 4).alias("sum_disc_price"),
             # charge has exactly 6 decimal digits (price:2 × disc:2 × tax:2);
             # scale 6 keeps the grid tie-free (scale 4 would hit .5 ties)
             dsum(charge, 6).alias("sum_charge"),
@@ -83,7 +87,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inner",
         )
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"), "o_orderpriority")
-        .agg(dsum(_REVENUE, 4).alias("revenue"))
+        .agg(dsum(_revenue(), 4).alias("revenue"))
         .select(
             F.col("l_orderkey").alias("order_key"),
             "revenue",
@@ -124,7 +128,7 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # local-supplier condition: supplier sits in the customer's nation
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(dsum(_REVENUE, 4).alias("revenue"))
+        .agg(dsum(_revenue(), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "nation")
     )
 
@@ -169,7 +173,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").alias("acct_bal"),
             F.col("n_name").alias("nation"),
         )
-        .agg(dsum(_REVENUE, 4).alias("revenue"))
+        .agg(dsum(_revenue(), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "cust_key")
         .limit(20)
     )

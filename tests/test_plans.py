@@ -113,6 +113,48 @@ def test_rollup_single_shuffle_over_silver(spark):
     assert above_expand.count(") Exchange") == 1
 
 
+def test_tpch_filters_push_to_scans(spark):
+    from securities_pricing_data_pipeline_spark.queries.tpch import tpch_q6_forecast_revenue
+
+    plan = _plan(tpch_q6_forecast_revenue(spark, SF))
+    # the discount/quantity predicates must reach the parquet reader
+    pushed = next(line for line in plan.splitlines() if "PushedFilters" in line)
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_tpch_q5_no_cartesian_and_tiny_dims_broadcast(spark):
+    from securities_pricing_data_pipeline_spark.queries.tpch import tpch_q5_regional_revenue
+
+    plan = _plan(tpch_q5_regional_revenue(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # region→nation enrichment is explicitly broadcast (constant-size dims)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_per_group_ranks_after_preaggregate(spark):
+    import re
+
+    from securities_pricing_data_pipeline_spark.queries.analytic import topk_parts_per_brand
+
+    plan = _plan(topk_parts_per_brand(spark, SF))
+    # the window must sit above the per-partkey HashAggregate (node ids are
+    # assigned bottom-up): ranking raw lineitem would be the scale bug
+    win_m = re.search(r"\((\d+)\) Window", plan)
+    agg_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
+    assert win_m is not None and agg_ids
+    assert min(agg_ids) < int(win_m.group(1))
+
+
+def test_funnel_windows_share_one_shuffle(spark):
+    from securities_pricing_data_pipeline_spark.queries.eventsq import events_funnel
+
+    plan = _plan(events_funnel(spark, SF))
+    # three stacked per-user windows must reuse a single user_id exchange
+    # (plus the final single-partition aggregate — nothing else)
+    assert plan.count(") Exchange") <= 2
+
+
 def test_window_survives_bench_force(spark):
     # guards bench.py honesty: the hash-fold force must keep the Window
     df = q2_rolling_liquidity(spark, SF)
