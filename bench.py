@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_cluster_canonical",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",

@@ -360,3 +360,53 @@ def simhash_near_dups(
     return withsigs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components by iterative min-label
+    propagation: every vertex repeatedly adopts the smallest label in its
+    neighborhood until fixpoint, so each component converges to its
+    minimum id. Iterations are bounded by the component diameter — for
+    near-dup graphs (dense clusters of copies) that is tiny; for
+    adversarial long chains switch to large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce"), which this loop structure
+    accommodates without API change.
+
+    Each round is one shuffle join + one aggregate; ``localCheckpoint``
+    truncates the growing lineage (on a cluster, prefer a reliable
+    ``checkpoint`` dir). The only driver-side value per round is the
+    1-row convergence count.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.persist()
+
+    labels = vertices.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        proposed = (
+            labels.join(neigh, labels.id == neigh.nid, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                (F.coalesce("nlabel", F.col("label")) < F.col("label")).alias("_improved"),
+            )
+            .localCheckpoint()
+        )
+        changed = proposed.filter("_improved").limit(1).count()
+        labels = proposed.drop("_improved")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

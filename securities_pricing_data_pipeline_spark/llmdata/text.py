@@ -143,3 +143,18 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
     )
     return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonicalize text ahead of exact dedup: lowercase, strip
+    punctuation to spaces, collapse whitespace runs, trim. Pure JVM
+    regexp expressions (whole-stage codegen) — the normalization that
+    makes hash-groupBy dedup catch trivially-reformatted copies."""
+    stripped = F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        collapsed.alias("norm_text"),
+        F.length(collapsed).alias("n_chars_norm"),
+        F.md5(collapsed).alias("norm_digest"),
+    )

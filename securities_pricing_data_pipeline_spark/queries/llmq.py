@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -32,6 +33,7 @@ from securities_pricing_data_pipeline_spark.llmdata.text import (
     BPE_SPLIT_RE,
     fingerprint_md5,
     lang_id,
+    normalize_text,
     token_count,
     token_count_bpe,
     quality_score,
@@ -178,8 +180,28 @@ def asof_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline ending: MinHash-LSH pairs → connected
+    components → one canonical doc (the cluster-min id) per cluster.
+    This is the step that actually shrinks a corpus: keep rows where
+    ``is_canonical``."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, portable=True)
+    cc = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    return cc.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
+    )
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return normalize_text(docs)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
+    "text_normalize": text_normalize,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -434,6 +456,39 @@ SELECT doc_id AS asset_id,
 FROM documents
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "text_normalize": r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS INT) AS n_chars_norm,
+       md5(norm_text) AS norm_digest
+FROM n
+""",
+    # connected components as min-reachable-id: enumerate reachability from
+    # every doc over the undirected pair graph (tiny at oracle scale), then
+    # MIN per vertex — the same fixpoint the Spark label propagation reaches
+    "dedup_cluster_canonical": f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id,
+       (MIN(r) = id) AS is_canonical
+FROM reach
+GROUP BY id
+""",
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_embedding_cosine": _emb_near_dup_oracle_sql(),
     "sim_lsh_topk": _lsh_topk_oracle_sql(),

@@ -297,3 +297,31 @@ def test_kmeans_ivf_deterministic_and_recall(spark, sf_dir):
         for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, centroids=trained).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_connected_components_min_label(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import connected_components
+
+    # two components {1,2,3,7} (chain 1-2, 2-3, 3-7) and {5,6}; 9 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 6)], ["id_a", "id_b"]
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 7, 9)], ["doc_id"])
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, verts, id_col="doc_id").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (5, 5), (6, 5), (9, 9)}
+
+
+def test_normalize_text_collapses_formatting_variants(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO ... world?")],
+        ["doc_id", "text"],
+    )
+    out = normalize_text(df).collect()
+    texts = {r.doc_id: r.norm_text for r in out}
+    assert texts == {1: "hello world", 2: "hello world", 3: "hello world"}
+    assert len({r.norm_digest for r in out}) == 1
