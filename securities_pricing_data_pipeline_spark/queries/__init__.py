@@ -13,11 +13,12 @@ from securities_pricing_data_pipeline_spark.queries import (
     llmq,
     relational,
     serving,
+    sqlapi,
     tpch,
 )
 
 QUERIES = {}
 ORACLES = {}
-for _m in (bars, eventsq, relational, serving, llmq, tpch, analytic):
+for _m in (bars, eventsq, relational, serving, llmq, tpch, analytic, sqlapi):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -1,0 +1,99 @@
+"""Spark SQL string entry point: the same engine surface exposed as ANSI
+SQL over registered views (``spark.sql``), exercising subquery forms the
+DataFrame-API modules don't — EXISTS (correlated), IN (uncorrelated with
+HAVING), and scalar subqueries. Catalyst rewrites all three to joins
+(RewritePredicateSubquery → left-semi; scalar → broadcast single-row), so
+the physical plans are the same shuffle/broadcast shapes as the DataFrame
+queries — no nested-loop per-row execution anywhere.
+
+Because both engines run literally the same ANSI text, these also pin the
+engine's SQL-dialect compatibility for the constructs they use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from securities_pricing_data_pipeline_spark.queries.helpers import load
+
+_TABLES = ("customer", "orders", "lineitem")
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    # re-registering per call is cheap (a catalog map write, no scan) and
+    # keeps the views pinned to the requested scale directory
+    for t in _TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+SQL_EXISTS_LATE_SHIP = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+SQL_IN_HAVING_LARGE_ORDERS = """
+SELECT c_name, c_custkey AS cust_key, o_orderkey AS order_key,
+       CAST(o_orderdate AS DATE) AS order_date, o_totalprice AS total_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY total_price DESC, order_key
+LIMIT 100
+"""
+
+SQL_SCALAR_SUBQUERY_ABOVE_AVG = """
+SELECT c_mktsegment AS segment, COUNT(*) AS n_rich_customers
+FROM customer
+WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(38,4))) FROM customer)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def sql_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → Catalyst left-semi join (Q4-shaped): orders in a
+    quarter having at least one line shipped after the order date."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_EXISTS_LATE_SHIP)
+
+
+def sql_in_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN over a HAVING subquery → semi join on the pre-aggregated key set
+    (Q18-shaped): customers whose orders exceed 250 total units."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_IN_HAVING_LARGE_ORDERS)
+
+
+def sql_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery → single-row broadcast: customers above
+    the global average balance, counted per segment."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_SCALAR_SUBQUERY_ABOVE_AVG)
+
+
+QUERIES = {
+    "sql_exists_late_ship": sql_exists_late_ship,
+    "sql_in_having_large_orders": sql_in_having_large_orders,
+    "sql_scalar_subquery_above_avg": sql_scalar_subquery_above_avg,
+}
+
+# the oracle IS the same SQL text — DuckDB runs it over identical views
+ORACLES = {
+    "sql_exists_late_ship": SQL_EXISTS_LATE_SHIP,
+    "sql_in_having_large_orders": SQL_IN_HAVING_LARGE_ORDERS,
+    "sql_scalar_subquery_above_avg": SQL_SCALAR_SUBQUERY_ABOVE_AVG,
+}

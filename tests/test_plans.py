@@ -155,6 +155,16 @@ def test_funnel_windows_share_one_shuffle(spark):
     assert plan.count(") Exchange") <= 2
 
 
+def test_sql_exists_rewrites_to_semi_join(spark):
+    from securities_pricing_data_pipeline_spark.queries.sqlapi import sql_exists_late_ship
+
+    plan = _plan(sql_exists_late_ship(spark, SF))
+    # RewritePredicateSubquery must turn the correlated EXISTS into a
+    # hash-based LeftSemi — never per-row subquery execution or nested loop
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_window_survives_bench_force(spark):
     # guards bench.py honesty: the hash-fold force must keep the Window
     df = q2_rolling_liquidity(spark, SF)
