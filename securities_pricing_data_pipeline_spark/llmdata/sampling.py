@@ -1,0 +1,48 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Random sampling is useless at 100 TB if it isn't reproducible across
+re-runs and engines: ``rand()`` changes with partitioning and retries.
+Everything here derives decisions from a content-stable hash of the row
+key (md5 → 60-bit int, same family as ``dedup.portable_hash60``), so the
+same row always lands in the same split/sample on any cluster layout —
+and the DuckDB oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from securities_pricing_data_pipeline_spark.llmdata.dedup import portable_hash60
+
+
+def hash_bucket(c, buckets: int = 100):
+    """Stable bucket in [0, buckets) from the md5-derived 60-bit hash of
+    the column's string form. Decoupled from Spark's internal ``hash``
+    (seed- and type-dependent) on purpose."""
+    return portable_hash60(c.cast("string")) % buckets
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign train/val/test by hash bucket — a narrow projection (no
+    shuffle, no state): re-runs, backfills, and late-arriving rows all
+    split identically. Percentages are exact over the bucket space, not
+    the row count (the usual contract for hash splits)."""
+    b = hash_bucket(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def sample_fraction(df: DataFrame, id_col: str = "doc_id", pct: int = 10) -> DataFrame:
+    """Keep a stable pct% sample: the filter is a pure expression, so it
+    pushes into the scan and composes with partition pruning."""
+    return df.filter(hash_bucket(F.col(id_col)) < pct)

@@ -158,3 +158,40 @@ def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.length(collapsed).alias("n_chars_norm"),
         F.md5(collapsed).alias("norm_digest"),
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget_tokens: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Greedy sequence packing: assign each document to a context-window
+    bin by cumulative token count within its group (deterministic doc_id
+    order). A doc starts in the bin where its running prefix ends, so bins
+    fill to ~``budget_tokens`` (the standard streaming-packing contract;
+    no bin-optimal shuffle, which would be non-deterministic and
+    all-to-all). One window shuffle on the group key; at 100 TB the group
+    (source/shard) key keeps partitions bounded."""
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.partitionBy(group_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_cum = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        toks.alias("n_tokens"),
+        F.sum(toks).over(w).alias("cum_tokens"),
+    )
+    return with_cum.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget_tokens))
+        .cast("long")
+        .alias("bin_id"),
+        "cum_tokens",
+    )

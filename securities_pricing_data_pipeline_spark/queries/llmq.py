@@ -29,11 +29,13 @@ from securities_pricing_data_pipeline_spark.llmdata.similarity import (
     lsh_topk,
     random_planes,
 )
+from securities_pricing_data_pipeline_spark.llmdata.sampling import split_assign
 from securities_pricing_data_pipeline_spark.llmdata.text import (
     BPE_SPLIT_RE,
     fingerprint_md5,
     lang_id,
     normalize_text,
+    pack_greedy,
     token_count,
     token_count_bpe,
     quality_score,
@@ -198,10 +200,25 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs)
 
 
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return split_assign(docs).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return pack_greedy(docs, budget_tokens=4096)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "text_normalize": text_normalize,
+    "sample_split": sample_split,
+    "text_pack_bins": text_pack_bins,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -456,6 +473,37 @@ SELECT doc_id AS asset_id,
 FROM documents
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "sample_split": """
+WITH b AS (
+  SELECT n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1
+""",
+    "text_pack_bins": r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((cum_tokens - n_tokens) / 4096.0) AS BIGINT) AS bin_id,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c
+""",
     "text_normalize": r"""
 WITH n AS (
   SELECT doc_id,
