@@ -195,3 +195,38 @@ def pack_greedy(
         .alias("bin_id"),
         "cum_tokens",
     )
+
+
+# compact polarity lexicon (sentiment-lexicon aggregation pattern — the
+# Spark sentiment pipelines of EDBT'16 scale this to full dictionaries;
+# the operator shape is identical: tokenize → broadcast dictionary join →
+# per-document aggregate)
+SENTIMENT_LEXICON: list[tuple[str, int]] = [
+    ("good", 1), ("great", 1), ("excellent", 1), ("positive", 1), ("gain", 1),
+    ("up", 1), ("strong", 1), ("best", 1), ("win", 1), ("success", 1),
+    ("bad", -1), ("poor", -1), ("terrible", -1), ("negative", -1), ("loss", -1),
+    ("down", -1), ("weak", -1), ("worst", -1), ("fail", -1), ("risk", -1),
+]
+
+
+def sentiment_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Lexicon sentiment per document: lowercase/strip → explode tokens →
+    broadcast-join the polarity dictionary → one aggregate keyed on doc.
+    The dictionary join is the canonical tiny-dim broadcast (a full
+    lexicon is a few MB — still broadcastable at any corpus scale); the
+    explode never materializes cross-document state, so this pipelines
+    inside one stage until the per-doc aggregate shuffle."""
+    spark = df.sparkSession
+    lex = spark.createDataFrame(SENTIMENT_LEXICON, "word string, polarity int")
+    stripped = F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", " ")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(stripped), r"\s+")).alias("word"),
+    )
+    scored = toks.join(F.broadcast(lex), "word", "left")
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("polarity") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("polarity") == -1, 1).otherwise(0)).cast("long").alias("n_neg"),
+        F.sum(F.coalesce("polarity", F.lit(0))).cast("long").alias("net_sentiment"),
+    )

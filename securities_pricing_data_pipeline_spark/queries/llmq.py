@@ -36,6 +36,8 @@ from securities_pricing_data_pipeline_spark.llmdata.text import (
     lang_id,
     normalize_text,
     pack_greedy,
+    sentiment_score,
+    SENTIMENT_LEXICON,
     token_count,
     token_count_bpe,
     quality_score,
@@ -213,12 +215,18 @@ def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(docs, budget_tokens=4096)
 
 
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return sentiment_score(docs)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "text_normalize": text_normalize,
     "sample_split": sample_split,
     "text_pack_bins": text_pack_bins,
+    "text_sentiment": text_sentiment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -473,6 +481,28 @@ SELECT doc_id AS asset_id,
 FROM documents
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "text_sentiment": r"""
+WITH lex(word, polarity) AS (VALUES {lex_values}),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '[^\p{{L}}\p{{N}}\s]', ' ', 'g')),
+           '\s+')) AS word
+  FROM documents
+),
+scored AS (
+  SELECT t.doc_id, l.polarity FROM toks t LEFT JOIN lex l ON t.word = l.word
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN polarity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN polarity = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(SUM(COALESCE(polarity, 0)) AS BIGINT) AS net_sentiment
+FROM scored
+GROUP BY doc_id
+""".format(
+        lex_values=", ".join(f"('{w}', {p})" for w, p in SENTIMENT_LEXICON)
+    ),
     "sample_split": """
 WITH b AS (
   SELECT n_chars,
