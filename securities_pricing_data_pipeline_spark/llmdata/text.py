@@ -230,3 +230,27 @@ def sentiment_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.sum(F.when(F.col("polarity") == -1, 1).otherwise(0)).cast("long").alias("n_neg"),
         F.sum(F.coalesce("polarity", F.lit(0))).cast("long").alias("net_sentiment"),
     )
+
+
+def fuzzy_name_match(
+    df: DataFrame,
+    name_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Edit-distance similarity join over the DISTINCT values of a string
+    column, blocked on the trailing token so candidate generation never
+    goes quadratic in the table (the compressed-index string-join insight:
+    match on the distinct-key dictionary — tiny — then map hits back to
+    rows). Verification is JVM ``levenshtein``; the block key join is a
+    plain hash equi-join."""
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    blocked = names.withColumn("blk", F.regexp_extract("name", r"(\S+)$", 1))
+    a = blocked.select(F.col("name").alias("name_a"), "blk")
+    b = blocked.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("name_a", "name_b", "distance")
+    )

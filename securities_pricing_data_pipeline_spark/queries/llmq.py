@@ -34,6 +34,7 @@ from securities_pricing_data_pipeline_spark.llmdata.text import (
     BPE_SPLIT_RE,
     fingerprint_md5,
     lang_id,
+    fuzzy_name_match,
     normalize_text,
     pack_greedy,
     sentiment_score,
@@ -220,6 +221,11 @@ def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentiment_score(docs)
 
 
+def strings_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return fuzzy_name_match(part, "p_name", max_distance=2)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -227,6 +233,7 @@ QUERIES = {
     "sample_split": sample_split,
     "text_pack_bins": text_pack_bins,
     "text_sentiment": text_sentiment,
+    "strings_fuzzy_match": strings_fuzzy_match,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -481,6 +488,14 @@ SELECT doc_id AS asset_id,
 FROM documents
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "strings_fuzzy_match": r"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+blocked AS (SELECT name, regexp_extract(name, '(\S+)$', 1) AS blk FROM names)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS distance
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+""",
     "text_sentiment": r"""
 WITH lex(word, polarity) AS (VALUES {lex_values}),
 toks AS (
