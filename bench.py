@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "q6_top_volume",
     "q7_volatility_topk",
     "q9_price_averages",
+    "q10_zscore_anomalies",
     "flagship_liquidity_top20",
     "j2_star_join",
     "a4_dedup_latest",

@@ -157,6 +157,37 @@ def q9_price_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outliers: days where close deviates >2.2σ from its
+    own 30-day window. Sums of DECIMAL(18,4) closes (and their exact
+    decimal squares) stay order-independent; mean/variance/sqrt then run
+    in double on identical operands in both engines, so even the threshold
+    boundary decisions match bit-for-bit. One symbol-keyed window shuffle,
+    same shape as Q2/Q7."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-29, 0)
+    c = F.col("close").cast("double")
+    sx = F.sum("close").over(w).cast("double")
+    # rescale each exact decimal square 8→4 digits before summing: the
+    # windowed sum then stays under 2^53 integer units, so the final
+    # decimal→double cast is exact (and identical) in both engines
+    sx2 = F.sum(dec(F.col("close") * F.col("close"), 4)).over(w).cast("double")
+    n = F.count("close").over(w).cast("double")
+    stats = b.select(
+        "symbol", "trade_date", c.alias("close_d"), sx.alias("sx"), sx2.alias("sx2"), n.alias("n")
+    )
+    var = (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("close_d") - F.col("sx") / F.col("n")) / F.sqrt(var)
+    return (
+        stats.filter(F.col("n") >= 20)
+        .withColumn("_var", var)
+        .filter(F.col("_var") > 1e-12)
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 2.2)
+        .select("symbol", "trade_date", F.col("close_d").alias("close"), "zscore")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2+Q3+Q6: top-20 by 30-day rolling avg traded value, with rank.
 
@@ -197,10 +228,29 @@ QUERIES = {
     "q7_volatility_topk": q7_volatility_topk,
     "q8_ohlc_series": q8_ohlc_series,
     "q9_price_averages": q9_price_averages,
+    "q10_zscore_anomalies": q10_zscore_anomalies,
     "flagship_liquidity_top20": flagship,
 }
 
 ORACLES = {
+    "q10_zscore_anomalies": BARS_SQL
+    + """
+, stats AS (
+  SELECT symbol, trade_date, CAST(close AS DOUBLE) AS close_d,
+         CAST(SUM(close) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(close AS DECIMAL(38,4)) * close AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sx2,
+         CAST(COUNT(close) OVER w AS DOUBLE) AS n
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date, close_d AS close,
+       (close_d - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)) AS zscore
+FROM stats
+WHERE n >= 20
+  AND (sx2 - sx * sx / n) / (n - 1) > 1e-12
+  AND abs((close_d - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1))) > 2.2
+""",
     "q1_market_totals": BARS_SQL
     + """
 SELECT CAST(SUM(close * volume) AS DOUBLE) AS total_traded_value,
