@@ -325,3 +325,29 @@ def test_normalize_text_collapses_formatting_variants(spark):
     texts = {r.doc_id: r.norm_text for r in out}
     assert texts == {1: "hello world", 2: "hello world", 3: "hello world"}
     assert len({r.norm_digest for r in out}) == 1
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = {(r.doc_id, r.split) for r in split_assign(df).collect()}
+    b = {(r.doc_id, r.split) for r in split_assign(df.repartition(7)).collect()}
+    assert a == b  # partition-layout independent
+    by_split = {}
+    for _id, s in a:
+        by_split[s] = by_split.get(s, 0) + 1
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"]
+
+
+def test_pack_greedy_bins_respect_budget_start(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import pack_greedy
+
+    rows = [(i, "w " * 50, "s") for i in range(10)]  # 50 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = pack_greedy(df, budget_tokens=120).orderBy("doc_id").collect()
+    # 50-token docs, 120 budget: docs 0,1 -> bin 0 (start 0,50), doc 2 starts
+    # at 100 -> bin 0, doc 3 starts at 150 -> bin 1, ...
+    assert [r.bin_id for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert all(r.n_tokens == 50 for r in out)
