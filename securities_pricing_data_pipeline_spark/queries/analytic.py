@@ -150,15 +150,52 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing of customers by account balance (NTILE over a
+    total order — tie-broken by key so both engines assign identically),
+    then one aggregate per decile. The global sort is the scale cost;
+    when deciles-per-partition suffice, swap the window for
+    ``percentile_approx`` boundaries + a range join."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("c_acctbal"), 4).alias("total_balance"),
+            F.min(F.col("c_acctbal")).alias("min_balance"),
+            F.max(F.col("c_acctbal")).alias("max_balance"),
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES = {
     "w_cumulative_revenue": w_cumulative_revenue,
     "topk_parts_per_brand": topk_parts_per_brand,
+    "ntile_customer_deciles": ntile_customer_deciles,
     "pivot_segment_status": pivot_segment_status,
     "cube_priority_status": cube_priority_status,
     "percentile_quantity_exact": percentile_quantity_exact,
 }
 
 ORACLES = {
+    "ntile_customer_deciles": f"""
+WITH d AS (
+  SELECT c_acctbal,
+         NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+  FROM customer
+)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       {sql_dsum('c_acctbal', 4)} AS total_balance,
+       MIN(c_acctbal) AS min_balance,
+       MAX(c_acctbal) AS max_balance
+FROM d
+GROUP BY decile
+ORDER BY decile
+""",
     "topk_parts_per_brand": """
 WITH per_part AS (
   SELECT l_partkey,

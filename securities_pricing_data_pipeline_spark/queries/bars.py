@@ -26,7 +26,7 @@ does the heavy lifting since ~24 lines collapse per bar. No window, no skew
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -158,9 +158,68 @@ def q_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"bars_ohlcv": q_bars, "bars_rollup_multigrain": q_bars_rollup}
+def q_bars_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + LOCF: build each symbol's continuous daily date
+    spine (``sequence`` + ``explode`` — generated, never collected), left
+    join the observed bars, and carry the last close forward
+    (``last(ignorenulls)`` over an unbounded-preceding row frame). The
+    canonical series-alignment op for sparse instruments: downstream
+    windows then see one row per calendar day. Spine generation is
+    per-symbol (no cross-symbol state), so it scales with the symbol count;
+    the partkey pushdown keeps this query's scan pruned."""
+    b = bars_df(spark, sf_dir, partkeys=[3, 7, 11, 19]).select("symbol", "trade_date", "close")
+    rng = b.groupBy("symbol").agg(
+        F.min("trade_date").alias("d0"), F.max("trade_date").alias("d1")
+    )
+    spine = rng.select(
+        "symbol",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("trade_date"),
+    )
+    joined = spine.join(b, ["symbol", "trade_date"], "left")
+    w = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "symbol",
+        "trade_date",
+        F.last(F.col("close").cast("double"), ignorenulls=True).over(w).alias("close_filled"),
+        F.col("close").isNotNull().alias("is_observed"),
+    )
+
+
+QUERIES = {
+    "bars_ohlcv": q_bars,
+    "bars_rollup_multigrain": q_bars_rollup,
+    "bars_gapfill_locf": q_bars_gapfill,
+}
 
 ORACLES = {
+    "bars_gapfill_locf": """
+WITH fbars AS (
+  SELECT 'P' || CAST(l_partkey AS VARCHAR) AS symbol,
+         CAST(l_shipdate AS DATE) AS trade_date,
+         CAST(arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber) AS DECIMAL(18,4)) AS close
+  FROM lineitem
+  WHERE l_partkey IN (3, 7, 11, 19)
+  GROUP BY 1, 2
+), rng AS (
+  SELECT symbol, MIN(trade_date) AS d0, MAX(trade_date) AS d1 FROM fbars GROUP BY symbol
+), spine AS (
+  SELECT symbol,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS trade_date
+  FROM rng
+), j AS (
+  SELECT s.symbol, s.trade_date, b.close
+  FROM spine s LEFT JOIN fbars b USING (symbol, trade_date)
+)
+SELECT symbol, trade_date,
+       last_value(CAST(close AS DOUBLE) IGNORE NULLS)
+         OVER (PARTITION BY symbol ORDER BY trade_date
+               ROWS UNBOUNDED PRECEDING) AS close_filled,
+       close IS NOT NULL AS is_observed
+FROM j
+""",
     "bars_ohlcv": BARS_SQL
     + """
 SELECT symbol, trade_date,
