@@ -39,3 +39,46 @@ def existence_gate(df: DataFrame, what: str = "load") -> None:
     Uses limit(1) — never a full count."""
     if df.limit(1).count() == 0:
         raise EmptyLoadError(f"existence gate failed: {what} produced 0 rows")
+
+
+def dq_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Declarative data-quality profile: one aggregate pass computes, for
+    every requested column, null count, distinct count, and min/max (as
+    strings, type-agnostic). The generalization of the reference's ad-hoc
+    count gates — ONE job regardless of how many columns are profiled
+    (reference runs one statement per metric). Output is long-form
+    (column, metric, value) so downstream gates can assert on rows.
+
+    Scale note: count_distinct per column shares the same shuffle via
+    Spark's multi-distinct Expand rewrite; for very wide profiles switch
+    to approx_count_distinct (one pass, no Expand) and a rows-only check.
+    """
+    aggs = [F.count("*").alias("__n_rows")]
+    for c in columns:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    metrics = []
+    for c in columns:
+        for m in ("nulls", "distinct", "min", "max"):
+            metrics.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(m).alias("metric"),
+                    F.col(f"{c}__{m}").cast("string").alias("value"),
+                )
+            )
+    metrics.append(
+        F.struct(
+            F.lit("*").alias("column"),
+            F.lit("n_rows").alias("metric"),
+            F.col("__n_rows").cast("string").alias("value"),
+        )
+    )
+    return wide.select(F.explode(F.array(*metrics)).alias("s")).select(
+        "s.column", "s.metric", "s.value"
+    )

@@ -325,6 +325,15 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ profile (generalized P5/A1 gates): null/distinct/
+    min/max for three columns + row count, all in ONE aggregate job."""
+    from securities_pricing_data_pipeline_spark.operators.quality import dq_profile
+
+    li = load(spark, sf_dir, "lineitem")
+    return dq_profile(li, ["l_orderkey", "l_returnflag", "l_quantity"])
+
+
 QUERIES = {
     "p1_typed_projection": p1_typed_projection,
     "p2_date_filter": p2_date_filter,
@@ -346,9 +355,41 @@ QUERIES = {
     "dim_date_build": dim_date_build,
     "range_join_in_transit": range_join_in_transit,
     "skew_salted_aggregate": skew_salted_aggregate,
+    "dq_profile_lineitem": dq_profile_lineitem,
 }
 
 ORACLES = {
+    "dq_profile_lineitem": """
+WITH w AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS ok_nulls,
+         COUNT(DISTINCT l_orderkey) AS ok_distinct,
+         MIN(CAST(l_orderkey AS VARCHAR)) AS ok_min,
+         MAX(CAST(l_orderkey AS VARCHAR)) AS ok_max,
+         COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS rf_nulls,
+         COUNT(DISTINCT l_returnflag) AS rf_distinct,
+         MIN(CAST(l_returnflag AS VARCHAR)) AS rf_min,
+         MAX(CAST(l_returnflag AS VARCHAR)) AS rf_max,
+         COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS q_nulls,
+         COUNT(DISTINCT l_quantity) AS q_distinct,
+         MIN(CAST(l_quantity AS VARCHAR)) AS q_min,
+         MAX(CAST(l_quantity AS VARCHAR)) AS q_max
+  FROM lineitem
+)
+SELECT 'l_orderkey' AS "column", 'nulls' AS metric, CAST(ok_nulls AS VARCHAR) AS value FROM w
+UNION ALL SELECT 'l_orderkey', 'distinct', CAST(ok_distinct AS VARCHAR) FROM w
+UNION ALL SELECT 'l_orderkey', 'min', ok_min FROM w
+UNION ALL SELECT 'l_orderkey', 'max', ok_max FROM w
+UNION ALL SELECT 'l_returnflag', 'nulls', CAST(rf_nulls AS VARCHAR) FROM w
+UNION ALL SELECT 'l_returnflag', 'distinct', CAST(rf_distinct AS VARCHAR) FROM w
+UNION ALL SELECT 'l_returnflag', 'min', rf_min FROM w
+UNION ALL SELECT 'l_returnflag', 'max', rf_max FROM w
+UNION ALL SELECT 'l_quantity', 'nulls', CAST(q_nulls AS VARCHAR) FROM w
+UNION ALL SELECT 'l_quantity', 'distinct', CAST(q_distinct AS VARCHAR) FROM w
+UNION ALL SELECT 'l_quantity', 'min', q_min FROM w
+UNION ALL SELECT 'l_quantity', 'max', q_max FROM w
+UNION ALL SELECT '*', 'n_rows', CAST(n_rows AS VARCHAR) FROM w
+""",
     "p1_typed_projection": """
 SELECT l_orderkey AS order_key, l_linenumber AS line_number,
        l_returnflag AS return_flag, CAST(l_quantity AS BIGINT) AS quantity,
