@@ -27,6 +27,7 @@ from securities_pricing_data_pipeline_spark.session import get_spark  # noqa: E4
 BENCH_QUERIES = [
     "bars_ohlcv",
     "bars_rollup_multigrain",
+    "bars_gapfill_locf",
     "range_join_in_transit",
     "q1_market_totals",
     "q2_rolling_liquidity",
@@ -67,6 +68,8 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_fingerprint",
     "text_token_count_bpe",
+    "text_sentiment",
+    "dq_profile_lineitem",
     "multimodal_frame_sample",
 ]
 
