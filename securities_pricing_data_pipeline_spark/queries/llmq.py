@@ -30,6 +30,7 @@ from securities_pricing_data_pipeline_spark.llmdata.similarity import (
     random_planes,
 )
 from securities_pricing_data_pipeline_spark.llmdata.sampling import split_assign
+from securities_pricing_data_pipeline_spark.llmdata.sketch import hll_oracle_sql
 from securities_pricing_data_pipeline_spark.llmdata.text import (
     BPE_SPLIT_RE,
     fingerprint_md5,
@@ -226,6 +227,16 @@ def strings_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_match(part, "p_name", max_distance=2)
 
 
+def sketch_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-orderkey estimate (p=8, 256
+    registers) — the sketch itself, not just the estimate, is
+    cross-engine reproducible."""
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import hll_estimate
+
+    li = load(spark, sf_dir, "lineitem")
+    return hll_estimate(li, F.col("l_orderkey"), p=8)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -234,6 +245,7 @@ QUERIES = {
     "text_pack_bins": text_pack_bins,
     "text_sentiment": text_sentiment,
     "strings_fuzzy_match": strings_fuzzy_match,
+    "sketch_hll_orderkeys": sketch_hll_orderkeys,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -488,6 +500,7 @@ SELECT doc_id AS asset_id,
 FROM documents
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "sketch_hll_orderkeys": hll_oracle_sql("lineitem", "l_orderkey", p=8),
     "strings_fuzzy_match": r"""
 WITH names AS (SELECT DISTINCT p_name AS name FROM part),
 blocked AS (SELECT name, regexp_extract(name, '(\S+)$', 1) AS blk FROM names)

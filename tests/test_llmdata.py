@@ -351,3 +351,13 @@ def test_pack_greedy_bins_respect_budget_start(spark):
     # at 100 -> bin 0, doc 3 starts at 150 -> bin 1, ...
     assert [r.bin_id for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
     assert all(r.n_tokens == 50 for r in out)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import hll_estimate
+
+    df = spark.createDataFrame([(i % 3000,) for i in range(9000)], ["k"])
+    row = hll_estimate(df, F.col("k"), p=8).collect()[0]
+    # standard error 1.04/sqrt(256) ≈ 6.5%; allow 3 sigma
+    assert abs(row.hll_estimate - 3000) / 3000 < 0.20
+    assert row.m == 256
