@@ -55,6 +55,10 @@ def get_spark(
         # default; keep file splitting sized so sf0.1 local runs don't create
         # thousands of tiny tasks
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # answer bare MIN/MAX/COUNT from parquet footer statistics instead
+        # of scanning row groups (runtime bloom filters and dynamic
+        # partition pruning are already on by default in Spark 4)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
