@@ -179,8 +179,44 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped bilateral trade volume: revenue shipped between two nations
+    by year, in both directions. Both nation joins broadcast (constant-size
+    dim with a 2-row filter applied on each side); the supplier/customer
+    enrichments shuffle on their keys; one aggregate over (supp_nation,
+    cust_nation, year) finishes it — 4 groups, collapsed map-side."""
+    n1 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    )
+    cust = load(spark, sf_dir, "customer").join(
+        F.broadcast(n1.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cnk"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") <= F.lit("1997-12-31").cast("date"))
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+        )
+        .agg(dsum(_revenue(), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q7_nation_trade": tpch_q7_nation_trade,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_regional_revenue": tpch_q5_regional_revenue,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
@@ -188,6 +224,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q7_nation_trade": f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(CAST(l_shipdate AS DATE)) AS l_year,
+       {sql_dsum(_REVENUE_SQL, 4)} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+  AND n2.n_name IN ('NATION_3', 'NATION_7')
+  AND n1.n_name <> n2.n_name
+  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
     "tpch_q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dsum('l_quantity', 2)} AS sum_qty,
