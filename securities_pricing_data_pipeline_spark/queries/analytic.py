@@ -171,16 +171,83 @@ def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def setop_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT): customers who ordered in 1996 but
+    not in 1997, enriched back to their segment. ``subtract`` plans as a
+    left-anti hash aggregate join — same shuffle shape as the insert-only
+    merge (A6), demonstrated as a set operator."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    k96 = o.filter((d >= F.lit("1996-01-01").cast("date")) & (d < F.lit("1997-01-01").cast("date"))).select("o_custkey")
+    k97 = o.filter((d >= F.lit("1997-01-01").cast("date")) & (d < F.lit("1998-01-01").cast("date"))).select("o_custkey")
+    churned = k96.subtract(k97)
+    c = load(spark, sf_dir, "customer")
+    return (
+        churned.join(c, churned.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_churned"))
+        .orderBy("segment")
+    )
+
+
+def cond_agg_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (Q12 shape): per order-year, how many orders
+    fall in urgent vs non-urgent priority classes — CASE WHEN inside SUM,
+    one scan, one tiny aggregate shuffle."""
+    o = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.groupBy(F.year(F.col("o_orderdate").cast("date")).alias("order_year"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("n_urgent"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("long").alias("n_normal"),
+            dsum(F.when(urgent, F.col("o_totalprice")).otherwise(F.lit(0.0)), 2).alias(
+                "urgent_value"
+            ),
+        )
+        .orderBy("order_year")
+    )
+
+
 QUERIES = {
     "w_cumulative_revenue": w_cumulative_revenue,
     "topk_parts_per_brand": topk_parts_per_brand,
     "ntile_customer_deciles": ntile_customer_deciles,
+    "setop_churned_customers": setop_churned_customers,
+    "cond_agg_priority_classes": cond_agg_priority_classes,
     "pivot_segment_status": pivot_segment_status,
     "cube_priority_status": cube_priority_status,
     "percentile_quantity_exact": percentile_quantity_exact,
 }
 
 ORACLES = {
+    "setop_churned_customers": """
+WITH churned AS (
+  SELECT o_custkey FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+  EXCEPT
+  SELECT o_custkey FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
+)
+SELECT c_mktsegment AS segment, COUNT(*) AS n_churned
+FROM churned JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+ORDER BY 1
+""",
+    "cond_agg_priority_classes": f"""
+SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_normal,
+       {sql_dsum("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0.0 END", 2)}
+         AS urgent_value
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
     "ntile_customer_deciles": f"""
 WITH d AS (
   SELECT c_acctbal,
