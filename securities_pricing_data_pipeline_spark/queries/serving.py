@@ -64,6 +64,31 @@ def q2_rolling_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2b_rolling_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 with CALENDAR semantics: a RANGE frame over epoch-days covers the
+    last 30 calendar days even when trading days are missing (the rows
+    frame of q2 would silently stretch across gaps). Same one symbol-keyed
+    window shuffle; the frame type changes only the in-partition scan."""
+    b = bars_silver(spark, sf_dir)
+    days = F.datediff(F.col("trade_date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-29, 0)
+    )
+    return b.select(
+        "symbol",
+        "trade_date",
+        F.count("*").over(w).alias("n_days_present"),
+        (F.sum("volume").over(w).cast("double") / F.count("*").over(w)).alias(
+            "avg_volume_30cd"
+        ),
+        (F.sum(_tv()).over(w).cast("double") / F.count("*").over(w)).alias(
+            "avg_traded_value_30cd"
+        ),
+    )
+
+
 def _symbol_liquidity(b: DataFrame) -> DataFrame:
     return b.groupBy("symbol").agg(
         (F.sum(_tv()).cast("double") / F.count("*")).alias("avg_traded_value")
@@ -221,6 +246,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q1_market_totals": q1_market_totals,
     "q2_rolling_liquidity": q2_rolling_liquidity,
+    "q2b_rolling_calendar": q2b_rolling_calendar,
     "q3_liquidity_rank": q3_liquidity_rank,
     "q4_segment_contribution": q4_segment_contribution,
     "q5_daily_returns": q5_daily_returns,
@@ -266,6 +292,18 @@ SELECT symbol, trade_date,
        CAST(SUM(close * volume) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_traded_value_30d
 FROM bars
 WINDOW w AS (PARTITION BY symbol ORDER BY trade_date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+""",
+    "q2b_rolling_calendar": BARS_SQL
+    + """
+SELECT symbol, trade_date,
+       COUNT(*) OVER w AS n_days_present,
+       CAST(SUM(volume) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_volume_30cd,
+       CAST(SUM(close * volume) OVER w AS DOUBLE) / COUNT(*) OVER w
+         AS avg_traded_value_30cd
+FROM bars
+WINDOW w AS (PARTITION BY symbol
+             ORDER BY CAST(trade_date - DATE '1970-01-01' AS BIGINT)
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
 """,
     "q3_liquidity_rank": BARS_SQL
     + """
