@@ -214,9 +214,36 @@ def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped promo revenue share: the percentage of one month's
+    revenue coming from PROMO parts — a ratio of two conditional sums over
+    a lineitem⋈part join, computed in a single aggregate pass. The date
+    filter pushes to the fact scan; the division runs once on exact
+    decimal sums cast to double."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo_rev = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo_rev, 4).alias("promo_revenue"),
+            dsum(_revenue(), 4).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (F.col("promo_revenue") / F.col("total_revenue") * 100.0).alias("promo_pct"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q7_nation_trade": tpch_q7_nation_trade,
+    "tpch_q14_promo_share": tpch_q14_promo_share,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_regional_revenue": tpch_q5_regional_revenue,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
@@ -224,6 +251,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q14_promo_share": f"""
+SELECT {sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} ELSE 0.0 END", 4)}
+         AS promo_revenue,
+       {sql_dsum(_REVENUE_SQL, 4)} AS total_revenue,
+       ({sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} ELSE 0.0 END", 4)}
+        / {sql_dsum(_REVENUE_SQL, 4)} * 100.0) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+""",
     "tpch_q7_nation_trade": f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(CAST(l_shipdate AS DATE)) AS l_year,
