@@ -227,6 +227,32 @@ def strings_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_match(part, "p_name", max_distance=2)
 
 
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics via higher-order array
+    expressions (``zip_with`` + ``aggregate`` fold — JVM-side, no UDF):
+    self-dot on the shared 1e13 integer grid, summed exactly per label.
+    The shape every vector-quality gate takes before indexing a corpus."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import norm_grid
+
+    emb = load(spark, sf_dir, "embeddings")
+    sq = norm_grid(F.col("embedding"))  # exact grid units as double
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(sq.cast("long")).alias("sum_sq_grid"),
+            F.max(sq.cast("long")).alias("max_sq_grid"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "sum_sq_grid",
+            "max_sq_grid",
+            (F.col("sum_sq_grid").cast("double") / F.col("n_vectors")).alias("avg_sq_norm_grid"),
+        )
+    )
+
+
 def sketch_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-orderkey estimate (p=8, 256
     registers) — the sketch itself, not just the estimate, is
@@ -246,6 +272,7 @@ QUERIES = {
     "text_sentiment": text_sentiment,
     "strings_fuzzy_match": strings_fuzzy_match,
     "sketch_hll_orderkeys": sketch_hll_orderkeys,
+    "emb_norm_stats": emb_norm_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -501,6 +528,20 @@ FROM documents
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "sketch_hll_orderkeys": hll_oracle_sql("lineitem", "l_orderkey", p=8),
+    "emb_norm_stats": """
+WITH g AS (
+  SELECT label,
+         list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+                  p -> CAST(round(p[1] * p[2] * 1e13) AS BIGINT))) AS sq
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(sq) AS BIGINT) AS sum_sq_grid,
+       CAST(MAX(sq) AS BIGINT) AS max_sq_grid,
+       CAST(SUM(sq) AS DOUBLE) / COUNT(*) AS avg_sq_norm_grid
+FROM g
+GROUP BY label
+""",
     "strings_fuzzy_match": r"""
 WITH names AS (SELECT DISTINCT p_name AS name FROM part),
 blocked AS (SELECT name, regexp_extract(name, '(\S+)$', 1) AS blk FROM names)
