@@ -28,6 +28,12 @@ from pyspark.sql import types as T
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # testdata `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark
+    # rejects unless nanosAsLong is on. The conf is runtime-settable, so pin
+    # it here (idempotent) rather than relying on the session factory — query
+    # callables must work on ANY SparkSession, including the correctness
+    # driver's vanilla one, not just session.get_spark()'s.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
