@@ -77,6 +77,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int = 2000,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
 
@@ -90,9 +92,17 @@ def ngram_jaccard_pairs(
 
     Skew/scale: a shingle shared by k docs materializes k(k−1)/2 pairs in
     one row's array — the same fan-out a self-join pays, but concentrated.
-    At 100 TB, cap it by dropping stop-shingles (document-frequency cap)
-    before pairing; any shingle frequent enough to blow a task's memory
-    carries ~zero Jaccard signal.
+    ``max_doc_freq`` ENFORCES the document-frequency cap: shingles shared
+    by more members than the cap are dropped before pairing (any shingle
+    that frequent carries ~zero Jaccard signal and would OOM a task at
+    100 TB). Pass a pyspark ``Observation`` as ``observation`` to read the
+    dropped-shingle count — it rides the normal action (``df.observe``),
+    costing no extra job. (Caveat: if the FINAL result is empty, AQE's
+    empty-relation propagation can rewrite the plan past the metrics node
+    and ``Observation.get`` raises — treat the metric as best-effort.) NOTE the cap is an approximation knob: dropped
+    shingles no longer count toward |A∩B|, so pairs held together only by
+    stop-shingles lose score. The default is far above any real shingle's
+    DF in the test corpora (oracle results unchanged).
     """
     sh = shingles(df, text_col=text_col, n=n).select(
         F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("sh_cnt")
@@ -107,6 +117,12 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list("m")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    if observation is not None:
+        grouped = grouped.observe(
+            observation,
+            F.sum((F.size("ms") > max_doc_freq).cast("long")).alias("dropped_shingles"),
+        )
+    grouped = grouped.filter(F.size("ms") <= max_doc_freq)
     pairs = grouped.select(
         F.explode(
             F.flatten(
@@ -135,7 +151,11 @@ def ngram_jaccard_pairs(
 
 
 def candidate_pairs_in_buckets(
-    df: DataFrame, bucket_cols: list[str], id_col: str = "id"
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "id",
+    max_bucket: int = 2000,
+    observation=None,
 ) -> DataFrame:
     """Unique candidate pairs (id_a < id_b) of rows sharing a bucket:
     groupBy bucket → sorted member-id array → enumerate each unordered
@@ -144,16 +164,28 @@ def candidate_pairs_in_buckets(
     One shuffle of the bucket rows, where the equivalent self-join
     exchanges the same rows twice and re-derives each pair from both
     sides (measured ~1.6× faster on the near-dup benches; identical
-    output). Skew guard at scale: a bucket of k members materializes
-    k(k−1)/2 pairs in one array — cap bucket size (drop degenerate
-    buckets) before pairing; a bucket holding thousands of members
-    carries no locality signal.
+    output). Skew guard at scale, ENFORCED: a bucket of k members
+    materializes k(k−1)/2 pairs in one array, so buckets larger than
+    ``max_bucket`` are dropped before pairing — a bucket holding
+    thousands of members carries no locality signal (for LSH it means
+    a degenerate band hash). Pass a pyspark ``Observation`` as
+    ``observation`` to read the dropped-bucket count; it is collected
+    during the normal action (``df.observe``), no extra job (same
+    empty-result AQE caveat as :func:`ngram_jaccard_pairs`). The default
+    cap (2000 ⇒ ≤~2M pairs ≈ 50 MB array per degenerate bucket) never
+    fires on the test corpora, keeping oracle results unchanged.
     """
     grouped = (
         df.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if observation is not None:
+        grouped = grouped.observe(
+            observation,
+            F.sum((F.size("ids") > max_bucket).cast("long")).alias("dropped_buckets"),
+        )
+    grouped = grouped.filter(F.size("ids") <= max_bucket)
     pairs = grouped.select(
         F.explode(
             F.flatten(
@@ -367,6 +399,7 @@ def connected_components(
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Cluster near-dup pairs into components by iterative min-label
     propagation: every vertex repeatedly adopts the smallest label in its
@@ -381,6 +414,12 @@ def connected_components(
     truncates the growing lineage (on a cluster, prefer a reliable
     ``checkpoint`` dir). The only driver-side value per round is the
     1-row convergence count.
+
+    If the fixpoint is NOT reached within ``max_iter`` rounds (component
+    diameter > max_iter), truncated labels are silently wrong — so
+    ``strict=True`` (default) raises instead of returning them;
+    ``strict=False`` downgrades to a logged warning for callers that
+    accept approximate clusters.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.union(
@@ -389,6 +428,7 @@ def connected_components(
     edges = edges.persist()
 
     labels = vertices.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.src == labels.id)
@@ -409,4 +449,15 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (a component's diameter exceeds it); labels are truncated. "
+            "Raise max_iter or use a large-star/small-star variant."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -48,9 +48,15 @@ def hll_estimate(df: DataFrame, key: Column, p: int = 8) -> DataFrame:
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
 
     regs = df.select(bucket, rho.alias("rho")).groupBy("bucket").agg(F.max("rho").alias("M"))
+    # M can reach wbits+1 (all-zero suffix, hash < 2^p), making the exponent
+    # -1: Spark masks shift counts to 63 (silent Long.MIN_VALUE), DuckDB
+    # raises. Clamp to 0 in BOTH engines — that bucket contributes 1 instead
+    # of the true ½ grid unit, a half-unit overstatement of s_scaled with
+    # probability ~2^-(60-p) per row, identical (hence still bit-reproducible)
+    # everywhere.
     agg = regs.agg(
         F.count("*").alias("n_buckets_seen"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {wbits} - M)")).alias("s_seen"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), greatest({wbits} - M, 0))")).alias("s_seen"),
     )
     zeros = F.lit(m) - F.col("n_buckets_seen")
     s_scaled = F.col("s_seen") + zeros * F.lit(1 << wbits).cast("long")
@@ -80,7 +86,7 @@ WITH h AS (
   FROM h GROUP BY 1
 ), agg AS (
   SELECT COUNT(*) AS n_buckets_seen,
-         CAST(SUM(CAST(1 AS BIGINT) << ({wbits} - M)) AS BIGINT) AS s_seen
+         CAST(SUM(CAST(1 AS BIGINT) << greatest({wbits} - M, 0)) AS BIGINT) AS s_seen
   FROM regs
 )
 SELECT {m} AS m,

@@ -361,3 +361,87 @@ def test_hll_estimate_within_error_bound(spark):
     # standard error 1.04/sqrt(256) ≈ 6.5%; allow 3 sigma
     assert abs(row.hll_estimate - 3000) / 3000 < 0.20
     assert row.m == 256
+
+
+def test_bucket_cap_drops_degenerate_buckets(spark):
+    from pyspark.sql import Observation
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        candidate_pairs_in_buckets,
+    )
+
+    rows = [("hot", i) for i in range(50)] + [("ok", i) for i in (100, 101, 102)]
+    df = spark.createDataFrame(rows, ["bucket", "id"])
+    obs = Observation("cap")
+    pairs = candidate_pairs_in_buckets(
+        df, ["bucket"], max_bucket=10, observation=obs
+    ).collect()
+    # 50-member bucket dropped; only the 3-member bucket pairs (3 choose 2)
+    assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101), (100, 102), (101, 102)}
+    assert obs.get["dropped_buckets"] == 1
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    from pyspark.sql import Observation
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    # 30 docs share ONE stop-shingle ("common shingle words"); everything
+    # else is unique per doc, so those pairs exist only through it. Docs
+    # 100/101 are true duplicates via non-stop shingles (kept so the capped
+    # result is non-empty — an all-empty result lets AQE prune the
+    # CollectMetrics node and the Observation never materializes).
+    rows = [(i, f"common shingle words unique{i} tail{i} end{i}") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    assert len(uncapped) == 30 * 29 // 2 + 1  # jaccard 1/9 through the stop-shingle
+    obs = Observation("df_cap")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=5, observation=obs).collect()
+    }
+    assert capped == {(100, 101)}  # stop-shingle pairs gone; real dup survives
+    assert obs.get["dropped_shingles"] == 1
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest as _pytest
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], ["id_a", "id_b"])
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, verts, id_col="doc_id", max_iter=1)
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        truncated = connected_components(
+            chain, verts, id_col="doc_id", max_iter=1, strict=False
+        ).collect()
+    assert len(truncated) == 6  # non-strict still returns (approximate) labels
+
+
+def test_hll_allzero_suffix_bucket_clamps_identically(spark):
+    import duckdb
+    import pandas as pd
+
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+        hll_estimate,
+        hll_oracle_sql,
+    )
+
+    # p=55 -> wbits=5: keys whose portable hash has an all-zero 5-bit suffix
+    # (w == 0, rho = wbits+1) occur with prob 1/32 — find some by search so
+    # the degenerate shiftleft(1, -1) branch is actually exercised
+    p, wbits = 55, 5
+    keys = [k for k in range(2000) if int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) >> p == 0]
+    assert keys, "search window produced no all-zero-suffix key"
+    df = spark.createDataFrame([(k,) for k in range(2000)], ["k"])
+    srow = hll_estimate(df, F.col("k"), p=p).collect()[0]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": list(range(2000))}))
+    ddf = con.sql(hll_oracle_sql("t", "k", p=p)).df()
+    # bit parity must survive the clamp: both engines agree exactly
+    # (index columns before the row — df.iloc[0] coerces mixed dtypes to float)
+    assert srow.s_scaled == int(ddf["s_scaled"].iloc[0])
+    assert srow.hll_estimate == float(ddf["hll_estimate"].iloc[0])
