@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q2_rolling_liquidity",
     "q3_liquidity_rank",
     "q4_segment_contribution",
+    "q4b_sector_contribution",
     "q5_daily_returns",
     "q6_top_volume",
     "q7_volatility_topk",

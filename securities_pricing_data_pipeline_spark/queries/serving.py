@@ -125,6 +125,106 @@ def q4_segment_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic enrichment mappings (SURVEY §2.6 / §7): the reference's
+#: dashboard filters on sector + security type
+#: (``dashboard/securities_market_report1.jpg``) but no repo SQL populates
+#: that dim — we seed it from stable part attributes so both engines derive
+#: identical labels: sector from the manufacturer digit embedded in p_brand
+#: ('Brand#MN' → M), security type from p_type's leading size token.
+_SECTORS = {
+    "1": "Technology",
+    "2": "Financials",
+    "3": "Energy",
+    "4": "Healthcare",
+    "5": "Industrials",
+    "6": "Utilities",
+    "7": "Materials",
+    "8": "Consumer Staples",
+    "9": "Real Estate",
+}
+_SECURITY_TYPES = {
+    "STANDARD": "COMMON_STOCK",
+    "SMALL": "PREFERRED_STOCK",
+    "MEDIUM": "ETF",
+    "LARGE": "ADR",
+    "ECONOMY": "BOND",
+    "PROMO": "REIT",
+}
+
+
+def security_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded sector/security-type enrichment dim: one row per symbol.
+
+    At 100 TB this is a written dimension table keyed on symbol; it stays
+    dim-sized (one row per instrument, ~10⁴–10⁶ rows) so fact joins against
+    it broadcast.
+    """
+    p = load(spark, sf_dir, "part")
+    mfgr_digit = F.substring("p_brand", 7, 1)
+    type_head = F.split("p_type", " ").getItem(0)
+    sector = F.lit(None).cast("string")
+    for digit, name in _SECTORS.items():
+        sector = F.when(mfgr_digit == digit, name).otherwise(sector)
+    sectype = F.lit(None).cast("string")
+    for token, name in _SECURITY_TYPES.items():
+        sectype = F.when(type_head == token, name).otherwise(sectype)
+    return p.select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("symbol"),
+        sector.alias("sector"),
+        sectype.alias("security_type"),
+    )
+
+
+# shared CTE for oracles joining the enrichment dim
+DIM_SQL = """
+, dim AS (
+  SELECT 'P' || CAST(p_partkey AS VARCHAR) AS symbol,
+         CASE substr(p_brand, 7, 1)
+           WHEN '1' THEN 'Technology' WHEN '2' THEN 'Financials'
+           WHEN '3' THEN 'Energy' WHEN '4' THEN 'Healthcare'
+           WHEN '5' THEN 'Industrials' WHEN '6' THEN 'Utilities'
+           WHEN '7' THEN 'Materials' WHEN '8' THEN 'Consumer Staples'
+           WHEN '9' THEN 'Real Estate' END AS sector,
+         CASE split_part(p_type, ' ', 1)
+           WHEN 'STANDARD' THEN 'COMMON_STOCK' WHEN 'SMALL' THEN 'PREFERRED_STOCK'
+           WHEN 'MEDIUM' THEN 'ETF' WHEN 'LARGE' THEN 'ADR'
+           WHEN 'ECONOMY' THEN 'BOND' WHEN 'PROMO' THEN 'REIT' END AS security_type
+  FROM part
+)
+"""
+
+
+def q4b_sector_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 in the dashboard's real shape: traded-value contribution % by
+    enriched sector (bars ⋈ security dim), not the c_mktsegment proxy.
+
+    Plan: bars already reduced to symbol-day grain; the dim join broadcasts
+    (dim is one row per symbol). One hash aggregate on sector (5 groups),
+    then a single-partition total over 5 rows — driver-safe at any scale.
+    """
+    b = bars_silver(spark, sf_dir)
+    dim = security_dim(spark, sf_dir)
+    agg = (
+        b.join(F.broadcast(dim), "symbol")
+        .groupBy("sector")
+        .agg(
+            F.sum(_tv()).alias("tv_dec"),
+            F.countDistinct("symbol").alias("n_symbols"),
+        )
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "sector",
+        F.col("tv_dec").cast("double").alias("total_traded_value"),
+        (
+            F.col("tv_dec").cast("double")
+            / F.sum("tv_dec").over(total).cast("double")
+            * 100
+        ).alias("pct_of_total"),
+        "n_symbols",
+    )
+
+
 def q5_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _returns(bars_silver(spark, sf_dir)).filter(F.col("ret").isNotNull())
     return b.groupBy("trade_date").agg(
@@ -249,6 +349,7 @@ QUERIES = {
     "q2b_rolling_calendar": q2b_rolling_calendar,
     "q3_liquidity_rank": q3_liquidity_rank,
     "q4_segment_contribution": q4_segment_contribution,
+    "q4b_sector_contribution": q4b_sector_contribution,
     "q5_daily_returns": q5_daily_returns,
     "q6_top_volume": q6_top_volume,
     "q7_volatility_topk": q7_volatility_topk,
@@ -325,6 +426,22 @@ WITH seg AS (
 SELECT segment,
        CAST(seg_dec AS DOUBLE) AS total_value,
        CAST(seg_dec AS DOUBLE) / CAST(SUM(seg_dec) OVER () AS DOUBLE) * 100 AS pct_of_total
+FROM seg
+""",
+    "q4b_sector_contribution": BARS_SQL
+    + DIM_SQL
+    + """
+, seg AS (
+  SELECT sector,
+         SUM(close * volume) AS tv_dec,
+         COUNT(DISTINCT symbol) AS n_symbols
+  FROM bars JOIN dim USING (symbol)
+  GROUP BY 1
+)
+SELECT sector,
+       CAST(tv_dec AS DOUBLE) AS total_traded_value,
+       CAST(tv_dec AS DOUBLE) / CAST(SUM(tv_dec) OVER () AS DOUBLE) * 100 AS pct_of_total,
+       n_symbols
 FROM seg
 """,
     "q5_daily_returns": BARS_SQL

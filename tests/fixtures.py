@@ -41,3 +41,28 @@ def write_eod_csv(dir_path: str, trading_date: dt.date, n_symbols: int = 50, see
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     return path
+
+
+def write_corrupt_eod_csv(dir_path: str, trading_date: dt.date) -> tuple[str, int, int]:
+    """Landing CSV exercising ON_ERROR='CONTINUE': returns
+    (path, n_good, n_bad). Bad rows cover the two damage classes the
+    reference's loader skips (``1. copy_to_raw.sql:38``):
+    structural (wrong token count) and single-field cast failure —
+    the latter is the case plain DROPMALFORMED would half-load."""
+    os.makedirs(dir_path, exist_ok=True)
+    path = os.path.join(dir_path, f"eod_corrupt_{trading_date.isoformat()}.csv")
+    d = trading_date.isoformat()
+    good = [
+        f"{d},GOOD1,10.0,11.0,9.0,10.5,1000",
+        f"{d},GOOD2,20.0,21.0,19.0,20.5,2000",
+        f"{d},NULLY,,NULL,1.0,2.0,777",  # NULL_IF sentinels are NOT errors
+    ]
+    bad = [
+        f"{d},BADPRICE,not_a_number,11.0,9.0,10.5,1000",  # field cast failure
+        f"not_a_date,BADDATE,10.0,11.0,9.0,10.5,1000",  # date cast failure
+        f"{d},SHORTROW,10.0",  # structural: too few tokens
+    ]
+    lines = ["trade_date,symbol,open,high,low,close,volume"] + good + bad
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return path, len(good), len(bad)

@@ -445,3 +445,52 @@ def test_hll_allzero_suffix_bucket_clamps_identically(spark):
     # (index columns before the row — df.iloc[0] coerces mixed dtypes to float)
     assert srow.s_scaled == int(ddf["s_scaled"].iloc[0])
     assert srow.hll_estimate == float(ddf["hll_estimate"].iloc[0])
+
+
+def test_connected_components_star_matches_fixpoint(spark):
+    """Large-star/small-star must label identically to min-label
+    propagation — checked on seeded random graphs AND the adversarial
+    long chain where plain propagation needs diameter rounds."""
+    import random
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def labels(fn, edges, n_vertices, **kw):
+        pairs = spark.createDataFrame(edges or [(0, 0)], ["id_a", "id_b"])
+        if not edges:
+            pairs = pairs.filter("id_a != id_a")
+        verts = spark.createDataFrame([(i,) for i in range(n_vertices)], ["doc_id"])
+        return {(r.doc_id, r.cluster_id) for r in fn(pairs, verts, id_col="doc_id", **kw).collect()}
+
+    rnd = random.Random(4)
+    for n, m in [(30, 15), (40, 60), (25, 0)]:
+        edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(m)]
+        assert labels(connected_components_star, edges, n) == labels(
+            connected_components, edges, n, max_iter=60
+        )
+
+    # 40-long chain: diameter 40 — star converges in O(log^2) rounds
+    chain = [(i, i + 1) for i in range(39)]
+    got = labels(connected_components_star, chain, 40, max_iter=12)
+    assert got == {(i, 0) for i in range(40)}
+
+
+def test_connected_components_star_string_ids(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [("d2", "d1"), ("d3", "d2"), ("d9", "d8")], ["id_a", "id_b"]
+    )
+    verts = spark.createDataFrame(
+        [(s,) for s in ("d1", "d2", "d3", "d8", "d9", "dX")], ["doc_id"]
+    )
+    got = {(r.doc_id, r.cluster_id) for r in connected_components_star(pairs, verts).collect()}
+    assert got == {
+        ("d1", "d1"), ("d2", "d1"), ("d3", "d1"),
+        ("d8", "d8"), ("d9", "d8"), ("dX", "dX"),
+    }
