@@ -254,3 +254,75 @@ def fuzzy_name_match(
         .filter(F.col("distance") <= max_distance)
         .select("name_a", "name_b", "distance")
     )
+
+
+#: cross-dialect PII patterns — the common Java-regex ∩ RE2 subset so the
+#: DuckDB oracle replays detection and redaction bit-for-bit
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Detect and redact the two highest-volume PII shapes (emails, NANP
+    phone numbers) per document: match counts plus the md5 of the redacted
+    text (the digest, not the text, is what a scrub-audit table carries —
+    16 bytes per doc at 100 TB). All JVM regexp expressions, row-local, no
+    shuffle; real corpora extend the pattern list, same plan shape."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0))).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PHONE_RE), F.lit(0))).cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_digest"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+    duplicate-unigram fraction and the token share of the single most
+    frequent word bigram — the standard filters for boilerplate/spam docs
+    in a pretraining corpus.
+
+    Entirely JVM array expressions, row-local: bigrams are the token array
+    zipped against its own 1-shift; the max bigram frequency is the longest
+    equal-run in the SORTED bigram array, found with one ``aggregate`` fold
+    (O(n log n) per doc, no explode, no shuffle). At 100 TB this runs as a
+    narrow map stage over documents.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    bigrams = F.zip_with(
+        toks, F.slice(toks, 2, F.greatest(n - 1, F.lit(0))), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    bigrams = F.slice(bigrams, 1, F.greatest(n - 1, F.lit(0)))
+    srt = F.array_sort(bigrams)
+    # longest run of equal adjacent elements in the sorted array == max freq
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    top_count = F.aggregate(
+        srt,
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        dup_frac.alias("dup_unigram_frac"),
+        top_count.cast("int").alias("top_bigram_count"),
+        (F.lit(2.0) * top_count / n).alias("top_bigram_frac"),
+    )

@@ -42,7 +42,9 @@ from securities_pricing_data_pipeline_spark.llmdata.text import (
     SENTIMENT_LEXICON,
     token_count,
     token_count_bpe,
+    pii_scrub,
     quality_score,
+    repetition_stats,
     winnow_fingerprints,
 )
 from securities_pricing_data_pipeline_spark.operators.asof import asof_join_backward
@@ -83,6 +85,16 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return quality_score(docs)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return pii_scrub(docs)
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return repetition_stats(docs)
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,6 +293,8 @@ QUERIES = {
     "text_token_count_bpe": text_token_count_bpe,
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_quality_score": text_quality_score,
+    "text_pii_scrub": text_pii_scrub,
+    "text_repetition_stats": text_repetition_stats,
     "text_fingerprint": text_fingerprint,
     "text_lang_id": text_lang_id,
     "text_length_quantiles": text_length_quantiles,
@@ -745,6 +759,36 @@ FROM documents
 """,
     "text_fingerprint": """
 SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+""",
+    "text_pii_scrub": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS INT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g')) AS redacted_digest
+FROM documents
+""",
+    "text_repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM toks
+), bgc AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+  GROUP BY 1
+), stats AS (
+  SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct FROM toks
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS INT) AS n_tokens,
+       1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS dup_unigram_frac,
+       CAST(COALESCE(b.top_bigram_count, 0) AS INT) AS top_bigram_count,
+       2.0 * COALESCE(b.top_bigram_count, 0) / s.n_tokens AS top_bigram_frac
+FROM stats s LEFT JOIN bgc b USING (doc_id)
 """,
     "text_length_quantiles": """
 SELECT source,

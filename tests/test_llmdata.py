@@ -494,3 +494,48 @@ def test_connected_components_star_string_ids(spark):
         ("d1", "d1"), ("d2", "d1"), ("d3", "d1"),
         ("d8", "d8"), ("d9", "d8"), ("dX", "dX"),
     }
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or sue@corp.io today"),
+            (2, "call 415-555-1234 or 212.555.9876 now"),
+            (3, "no pii here at all"),
+            (4, "mix: a@b.co and 650 555 0000 ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones) == (2, 0)
+    assert (out[2].n_emails, out[2].n_phones) == (0, 2)
+    assert (out[3].n_emails, out[3].n_phones) == (0, 0)
+    assert (out[4].n_emails, out[4].n_phones) == (1, 1)
+    # digest of doc 3 equals md5 of the unchanged text; doc 1's differs
+    import hashlib
+
+    assert out[3].redacted_digest == hashlib.md5(b"no pii here at all").hexdigest()
+    assert out[1].redacted_digest != hashlib.md5(b"contact bob@example.com or sue@corp.io today").hexdigest()
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one token, one bigram repeated
+            (2, "all tokens here are fully distinct words"),
+            (3, "single"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].n_tokens == 6
+    assert abs(out[1].dup_unigram_frac - 5 / 6) < 1e-12
+    assert out[1].top_bigram_count == 5  # "spam spam" x5
+    assert abs(out[1].top_bigram_frac - 10 / 6) < 1e-12  # overlapping coverage >1 by design
+    assert out[2].dup_unigram_frac == 0.0 and out[2].top_bigram_count == 1
+    assert out[3].n_tokens == 1 and out[3].top_bigram_count == 0
+    assert out[3].top_bigram_frac == 0.0
