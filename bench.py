@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "q7_volatility_topk",
     "q9_price_averages",
     "q10_zscore_anomalies",
+    "q12_max_drawdown",
+    "q13_beta",
     "flagship_liquidity_top20",
     "j2_star_join",
     "a4_dedup_latest",

@@ -211,6 +211,24 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline as ``dedup_cluster_canonical`` but clustered with the
+    large-star/small-star CC variant — O(log²) rounds regardless of
+    component diameter, so the end-to-end near-dup job stays bounded even
+    on adversarial chain-shaped duplicate graphs. Shares the canonical
+    oracle: both CC implementations must reach the identical fixpoint."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        connected_components_star,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, portable=True)
+    cc = connected_components_star(pairs, docs.select("doc_id"), id_col="doc_id")
+    return cc.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
+    )
+
+
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return normalize_text(docs)
@@ -278,6 +296,7 @@ def sketch_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_canonical": dedup_cluster_canonical,
+    "dedup_cluster_star": dedup_cluster_star,
     "text_normalize": text_normalize,
     "sample_split": sample_split,
     "text_pack_bins": text_pack_bins,
@@ -651,6 +670,25 @@ FROM reach
 GROUP BY id
 """,
     "dedup_simhash": _simhash_oracle_sql(),
+    # identical fixpoint contract: the star variant must reproduce the
+    # canonical clustering bit-for-bit
+    "dedup_cluster_star": f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id,
+       (MIN(r) = id) AS is_canonical
+FROM reach
+GROUP BY id
+""",
     "dedup_embedding_cosine": _emb_near_dup_oracle_sql(),
     "sim_lsh_topk": _lsh_topk_oracle_sql(),
     "sim_ivf_topk": _ivf_topk_oracle_sql(),

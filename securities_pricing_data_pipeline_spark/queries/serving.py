@@ -313,6 +313,80 @@ def q10_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per symbol over the period — the
+    canonical execution-quality benchmark. One hash aggregate on symbol
+    (map-side combine does the heavy lifting); both sums are exact
+    decimals so the double division is bit-identical cross-engine."""
+    b = bars_silver(spark, sf_dir)
+    return b.groupBy("symbol").agg(
+        (F.sum(_tv()).cast("double") / F.sum("volume").cast("double")).alias("vwap"),
+        F.sum("volume").cast("long").alias("total_volume"),
+    )
+
+
+def q12_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum peak-to-trough drawdown per symbol: running close peak
+    (unbounded-preceding window) then the worst (peak−close)/peak. One
+    symbol-keyed window shuffle + per-symbol max — same shape as Q2/Q7.
+    Peak is an exact decimal MAX, so the double ratio matches DuckDB."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    peak = F.max("close").over(w).cast("double")
+    dd = (peak - F.col("close").cast("double")) / peak
+    return (
+        b.select("symbol", dd.alias("dd"))
+        .groupBy("symbol")
+        .agg(F.max("dd").alias("max_drawdown"))
+    )
+
+
+def q13_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol beta against the equal-weight market AGGREGATE return
+    (the cross-sectional sum of that day's returns): cov(r, M)/var(M) over
+    each symbol's trading days.
+
+    The index is the per-day SUM — not the mean — deliberately: the sum of
+    scale-10 decimals is exact, whereas a mean (decimal ÷ day-count) lands
+    exactly on snap-grid midpoints whenever the count divides a half-unit,
+    where Spark's string-based and DuckDB's binary double→decimal
+    roundings disagree (observed: 1-ulp sm drift amplified ~500× by the
+    variance cancellation).
+
+    Moment plumbing follows the helpers.py unit-budget rule: the index
+    M (DECIMAL(18,10), ≤14 significant digits) converts to double
+    EXACTLY; the r·M and M² products are per-row doubles snapped at
+    scales 8/6 so every moment sum stays ≲1e12 grid units — small enough
+    that the final decimal→double casts are single correct roundings of
+    values both engines hold bit-identically. (Snapping the noisy
+    products is safe — midpoint collisions need a constructed rational,
+    which is exactly what the mean-based index was.)
+
+    Plan: the per-day index is a tiny aggregate (one row per day)
+    broadcast back onto the per-symbol return stream; moment sums combine
+    map-side. No global window anywhere.
+    """
+    r = _returns(bars_silver(spark, sf_dir)).filter(F.col("ret").isNotNull())
+    mkt = r.groupBy("trade_date").agg(
+        F.sum(dec(F.col("ret"), 10)).cast("decimal(18,10)").alias("mkt_ret")
+    )
+    j = r.join(F.broadcast(mkt), "trade_date")
+    md = F.col("mkt_ret").cast("double")  # exact: ≤14 significant digits
+    agg = j.groupBy("symbol").agg(
+        F.count("*").alias("n_days"),
+        F.sum(dec(F.col("ret"), 10)).cast("double").alias("sr"),
+        F.sum(F.col("mkt_ret")).cast("double").alias("sm"),
+        F.sum(dec(F.col("ret") * md, 8)).cast("double").alias("srm"),
+        F.sum(dec(md * md, 6)).cast("double").alias("smm"),
+    )
+    n = F.col("n_days")
+    den = F.col("smm") - F.col("sm") * F.col("sm") / n
+    beta = (F.col("srm") - F.col("sr") * F.col("sm") / n) / F.nullif(den, F.lit(0.0))
+    return agg.filter(n >= 10).select("symbol", "n_days", beta.alias("beta"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2+Q3+Q6: top-20 by 30-day rolling avg traded value, with rank.
 
@@ -356,6 +430,9 @@ QUERIES = {
     "q8_ohlc_series": q8_ohlc_series,
     "q9_price_averages": q9_price_averages,
     "q10_zscore_anomalies": q10_zscore_anomalies,
+    "q11_vwap": q11_vwap,
+    "q12_max_drawdown": q12_max_drawdown,
+    "q13_beta": q13_beta,
     "flagship_liquidity_top20": flagship,
 }
 
@@ -488,6 +565,48 @@ FROM bars WHERE symbol = 'P7'
 SELECT CAST(SUM(close) AS DOUBLE) / COUNT(*) AS avg_close,
        CAST(SUM(open) AS DOUBLE) / COUNT(*) AS avg_open
 FROM bars
+""",
+    "q11_vwap": BARS_SQL
+    + """
+SELECT symbol,
+       CAST(SUM(close * volume) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS vwap,
+       CAST(SUM(volume) AS BIGINT) AS total_volume
+FROM bars GROUP BY symbol
+""",
+    "q12_max_drawdown": BARS_SQL
+    + """
+, pk AS (
+  SELECT symbol,
+         CAST(close AS DOUBLE) AS c,
+         CAST(MAX(close) OVER (PARTITION BY symbol ORDER BY trade_date
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS peak
+  FROM bars
+)
+SELECT symbol, MAX((peak - c) / peak) AS max_drawdown
+FROM pk GROUP BY symbol
+""",
+    "q13_beta": BARS_SQL
+    + RET_SQL
+    + """
+, mkt AS (
+  SELECT trade_date,
+         CAST(SUM(CAST(ret AS DECIMAL(38,10))) AS DECIMAL(18,10)) AS mkt_ret
+  FROM rets WHERE ret IS NOT NULL GROUP BY trade_date
+), j AS (
+  SELECT r.symbol, r.ret, k.mkt_ret, CAST(k.mkt_ret AS DOUBLE) AS md
+  FROM rets r JOIN mkt k USING (trade_date)
+  WHERE r.ret IS NOT NULL
+), agg AS (
+  SELECT symbol, COUNT(*) AS n_days,
+         CAST(SUM(CAST(ret AS DECIMAL(38,10))) AS DOUBLE) AS sr,
+         CAST(SUM(mkt_ret) AS DOUBLE) AS sm,
+         CAST(SUM(CAST(ret * md AS DECIMAL(38,8))) AS DOUBLE) AS srm,
+         CAST(SUM(CAST(md * md AS DECIMAL(38,6))) AS DOUBLE) AS smm
+  FROM j GROUP BY symbol
+)
+SELECT symbol, n_days,
+       (srm - sr * sm / n_days) / NULLIF(smm - sm * sm / n_days, 0) AS beta
+FROM agg WHERE n_days >= 10
 """,
     "flagship_liquidity_top20": BARS_SQL
     + """
