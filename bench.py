@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q10_zscore_anomalies",
     "q12_max_drawdown",
     "q13_beta",
+    "q14_top_corr_pairs",
     "flagship_liquidity_top20",
     "j2_star_join",
     "a4_dedup_latest",

@@ -98,3 +98,108 @@ SELECT {m} AS m,
          AS hll_estimate
 FROM agg
 """
+
+
+def cms_table(df: DataFrame, key: Column, d: int = 4, w: int = 256) -> DataFrame:
+    """Portable count-min sketch (Cormode & Muthukrishnan 2005): the
+    (depth, bucket) → count table, built from the same md5-derived hash
+    family as the HLL so any SQL engine reproduces every cell exactly
+    (row i hashes ``'i:' || key``).
+
+    One explode (d rows per input) + one hash aggregate; map-side combine
+    collapses to ≤ d·w rows per partition, so at 100 TB the exchange
+    carries kilobytes. The sketch is mergeable by cell-wise addition —
+    the property that makes it the streaming/x-system frequency sketch.
+    """
+    ks = key.cast("string")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (portable_hash60(F.concat(F.lit(f"{i}:"), ks)) % F.lit(w)).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("c")
+    return (
+        df.select(cells)
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate_topk(
+    df: DataFrame, key: Column, k: int = 10, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Heavy-hitter check: exact top-k keys by frequency, each with its
+    count-min estimate (min over the d rows — always ≥ truth). The CMS is
+    d·w rows, broadcast onto the probe set; the only full-data passes are
+    the sketch build and the exact count (kept here to EXPOSE the
+    estimation error; production reads the sketch alone)."""
+    ks = key.cast("string")
+    cms = cms_table(df, key, d=d, w=w)
+    probes = (
+        df.select(ks.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "k")
+        .limit(k)
+    )
+    probed = probes.select(
+        "k",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            portable_hash60(F.concat(F.lit(f"{i}:"), F.col("k")))
+                            % F.lit(w)
+                        ).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("k", "true_cnt", F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+    return (
+        probed.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("k", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def cms_oracle_sql(table: str, key_expr: str, k: int = 10, d: int = 4, w: int = 256) -> str:
+    """DuckDB twin of :func:`cms_estimate_topk` — same hash family, same
+    integer pipeline."""
+    hash_sql = (
+        "CAST(('0x' || substr(md5(CAST(di.i AS VARCHAR) || ':' || s.k), 1, 15)) "
+        f"AS BIGINT) % {w}"
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST({key_expr} AS VARCHAR) AS k FROM {table}
+), depths AS (
+  SELECT unnest(range({d})) AS i
+), cms AS (
+  SELECT di.i, {hash_sql} AS bucket, COUNT(*) AS cnt
+  FROM src s, depths di
+  GROUP BY 1, 2
+), probes AS (
+  SELECT k, COUNT(*) AS true_cnt FROM src GROUP BY k
+  ORDER BY true_cnt DESC, k LIMIT {k}
+)
+SELECT s.k, s.true_cnt, MIN(c.cnt) AS cms_est
+FROM (SELECT p.k AS k, p.true_cnt,
+             di.i AS i,
+             CAST(('0x' || substr(md5(CAST(di.i AS VARCHAR) || ':' || p.k), 1, 15))
+                  AS BIGINT) % {w} AS bucket
+      FROM probes p, depths di) s
+JOIN cms c ON c.i = s.i AND c.bucket = s.bucket
+GROUP BY 1, 2
+"""

@@ -30,7 +30,10 @@ from securities_pricing_data_pipeline_spark.llmdata.similarity import (
     random_planes,
 )
 from securities_pricing_data_pipeline_spark.llmdata.sampling import split_assign
-from securities_pricing_data_pipeline_spark.llmdata.sketch import hll_oracle_sql
+from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+    cms_oracle_sql,
+    hll_oracle_sql,
+)
 from securities_pricing_data_pipeline_spark.llmdata.text import (
     BPE_SPLIT_RE,
     fingerprint_md5,
@@ -293,6 +296,17 @@ def sketch_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(li, F.col("l_orderkey"), p=8)
 
 
+def sketch_cms_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min sketch heavy hitters: top-10 partkeys by
+    lineitem frequency with their CMS estimates (d=4, w=256) — estimate ≥
+    truth always; both the sketch cells and the estimates are bit-equal
+    cross-engine."""
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import cms_estimate_topk
+
+    li = load(spark, sf_dir, "lineitem")
+    return cms_estimate_topk(li, F.col("l_partkey"), k=10, d=4, w=256)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -303,6 +317,7 @@ QUERIES = {
     "text_sentiment": text_sentiment,
     "strings_fuzzy_match": strings_fuzzy_match,
     "sketch_hll_orderkeys": sketch_hll_orderkeys,
+    "sketch_cms_partkeys": sketch_cms_partkeys,
     "emb_norm_stats": emb_norm_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -561,6 +576,7 @@ FROM documents
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "sketch_hll_orderkeys": hll_oracle_sql("lineitem", "l_orderkey", p=8),
+    "sketch_cms_partkeys": cms_oracle_sql("lineitem", "l_partkey", k=10, d=4, w=256),
     "emb_norm_stats": """
 WITH g AS (
   SELECT label,

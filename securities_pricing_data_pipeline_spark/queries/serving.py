@@ -387,6 +387,54 @@ def q13_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter(n >= 10).select("symbol", "n_days", beta.alias("beta"))
 
 
+def q14_top_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-correlated instrument pairs (the pairs-trading screen): Pearson
+    correlation of daily returns between the top-20 symbols by total
+    volume, top-10 pairs by |ρ|.
+
+    Scale posture: the quadratic blow-up is bounded BEFORE it happens —
+    pair enumeration only ever sees the top-k liquid symbols (k² pairs,
+    constant), never the full universe, and the date-keyed self-join
+    broadcasts the (tiny, top-k-filtered) build side. An unbounded
+    all-pairs correlation at 100 TB needs DIMSUM-style sampling instead;
+    this query is the exact screen over the liquid set. Moment sums follow
+    the helpers.py snap discipline (noisy-double products, grid units
+    ≲1e12) so both engines agree bit-for-bit.
+    """
+    b = bars_silver(spark, sf_dir)
+    top = (
+        b.groupBy("symbol")
+        .agg(F.sum("volume").cast("long").alias("tv"))
+        .orderBy(F.desc("tv"), "symbol")
+        .limit(20)
+        .select("symbol")
+    )
+    r = _returns(b).filter(F.col("ret").isNotNull()).join(F.broadcast(top), "symbol")
+    a = r.select(F.col("symbol").alias("sym_a"), "trade_date", F.col("ret").alias("ra"))
+    bb = r.select(F.col("symbol").alias("sym_b"), "trade_date", F.col("ret").alias("rb"))
+    pairs = a.join(F.broadcast(bb), "trade_date").filter(F.col("sym_a") < F.col("sym_b"))
+    m = pairs.groupBy("sym_a", "sym_b").agg(
+        F.count("*").alias("n_days"),
+        F.sum(dec(F.col("ra"), 10)).cast("double").alias("sa"),
+        F.sum(dec(F.col("rb"), 10)).cast("double").alias("sb"),
+        F.sum(dec(F.col("ra") * F.col("rb"), 9)).cast("double").alias("sab"),
+        F.sum(dec(F.col("ra") * F.col("ra"), 9)).cast("double").alias("saa"),
+        F.sum(dec(F.col("rb") * F.col("rb"), 9)).cast("double").alias("sbb"),
+    )
+    n = F.col("n_days")
+    cov = n * F.col("sab") - F.col("sa") * F.col("sb")
+    va = F.greatest(n * F.col("saa") - F.col("sa") * F.col("sa"), F.lit(0.0))
+    vb = F.greatest(n * F.col("sbb") - F.col("sb") * F.col("sb"), F.lit(0.0))
+    corr = cov / F.nullif(F.sqrt(va) * F.sqrt(vb), F.lit(0.0))
+    return (
+        m.filter(n >= 10)
+        .select("sym_a", "sym_b", "n_days", corr.alias("corr"))
+        .filter(F.col("corr").isNotNull())
+        .orderBy(F.desc(F.abs(F.col("corr"))), "sym_a", "sym_b")
+        .limit(10)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2+Q3+Q6: top-20 by 30-day rolling avg traded value, with rank.
 
@@ -433,6 +481,7 @@ QUERIES = {
     "q11_vwap": q11_vwap,
     "q12_max_drawdown": q12_max_drawdown,
     "q13_beta": q13_beta,
+    "q14_top_corr_pairs": q14_top_corr_pairs,
     "flagship_liquidity_top20": flagship,
 }
 
@@ -607,6 +656,38 @@ FROM pk GROUP BY symbol
 SELECT symbol, n_days,
        (srm - sr * sm / n_days) / NULLIF(smm - sm * sm / n_days, 0) AS beta
 FROM agg WHERE n_days >= 10
+""",
+    "q14_top_corr_pairs": BARS_SQL
+    + RET_SQL
+    + """
+, top AS (
+  SELECT symbol FROM (
+    SELECT symbol, CAST(SUM(volume) AS BIGINT) AS tv FROM bars GROUP BY symbol
+  ) ORDER BY tv DESC, symbol LIMIT 20
+), fr AS (
+  SELECT r.* FROM rets r JOIN top USING (symbol) WHERE ret IS NOT NULL
+), p AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ret AS ra, b.ret AS rb
+  FROM fr a JOIN fr b ON a.trade_date = b.trade_date AND a.symbol < b.symbol
+), m AS (
+  SELECT sym_a, sym_b, COUNT(*) AS n_days,
+         CAST(SUM(CAST(ra AS DECIMAL(38,10))) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(rb AS DECIMAL(38,10))) AS DOUBLE) AS sb,
+         CAST(SUM(CAST(ra * rb AS DECIMAL(38,9))) AS DOUBLE) AS sab,
+         CAST(SUM(CAST(ra * ra AS DECIMAL(38,9))) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(rb * rb AS DECIMAL(38,9))) AS DOUBLE) AS sbb
+  FROM p GROUP BY 1, 2
+), c AS (
+  SELECT sym_a, sym_b, n_days,
+         (n_days * sab - sa * sb) /
+         NULLIF(sqrt(greatest(n_days * saa - sa * sa, 0.0)) *
+                sqrt(greatest(n_days * sbb - sb * sb, 0.0)), 0.0) AS corr
+  FROM m WHERE n_days >= 10
+)
+SELECT sym_a, sym_b, n_days, corr
+FROM c WHERE corr IS NOT NULL
+ORDER BY abs(corr) DESC, sym_a, sym_b
+LIMIT 10
 """,
     "flagship_liquidity_top20": BARS_SQL
     + """

@@ -539,3 +539,23 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[2].dup_unigram_frac == 0.0 and out[2].top_bigram_count == 1
     assert out[3].n_tokens == 1 and out[3].top_bigram_count == 0
     assert out[3].top_bigram_frac == 0.0
+
+
+def test_cms_overestimates_and_reproduces(spark):
+    """Count-min property: estimate ≥ true count, and exact for keys whose
+    cells see no collisions; the sketch table is deterministic."""
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+        cms_estimate_topk,
+        cms_table,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(700)] + [("rare",)]
+    df = spark.createDataFrame(rows, ["k"])
+    est = {r.k: r for r in cms_estimate_topk(df, F.col("k"), k=8).collect()}
+    assert set(est) == {f"k{i}" for i in range(7)} | {"rare"}
+    for r in est.values():
+        assert r.cms_est >= r.true_cnt
+    # determinism: two builds of the sketch agree cell-for-cell
+    t1 = {(r.i, r.bucket): r.cnt for r in cms_table(df, F.col("k")).collect()}
+    t2 = {(r.i, r.bucket): r.cnt for r in cms_table(df.repartition(5), F.col("k")).collect()}
+    assert t1 == t2
