@@ -172,3 +172,49 @@ def test_window_survives_bench_force(spark):
     assert "Window" in _plan(forced)
     # while count() alone would prune it (documented Catalyst behavior)
     assert "Window" not in _plan(df.groupBy().count())
+
+
+def test_q4b_enrichment_dim_broadcasts(spark):
+    from securities_pricing_data_pipeline_spark.queries.serving import (
+        q4b_sector_contribution,
+    )
+
+    plan = _plan(q4b_sector_contribution(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_drawdown_reuses_symbol_partitioning(spark):
+    # the running-peak window and the per-symbol max both key on symbol:
+    # the aggregate must reuse the window's exchange, not add a second one
+    from securities_pricing_data_pipeline_spark.queries import bars
+    from securities_pricing_data_pipeline_spark.queries.serving import q12_max_drawdown
+
+    bars._SILVER_CACHE.clear()
+    spark.catalog.clearCache()
+    plan = _plan(q12_max_drawdown(spark, SF))
+    # one exchange for the silver groupBy, one for the symbol window; the
+    # drawdown aggregate rides the window's partitioning
+    assert plan.count(") Exchange") <= 2
+
+
+def test_q14_pairs_bounded_and_no_cartesian(spark):
+    from securities_pricing_data_pipeline_spark.queries.serving import q14_top_corr_pairs
+
+    plan = _plan(q14_top_corr_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the date-keyed self-join must broadcast the top-k-filtered side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_build_is_one_aggregate(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import cms_table
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+
+    li = load(spark, SF, "lineitem")
+    plan = _plan(cms_table(li, F.col("l_partkey")))
+    # explode + partial agg + ONE exchange on (i, bucket) + final agg
+    assert plan.count(") Exchange") == 1
+    assert ") Generate" in plan  # the explode
