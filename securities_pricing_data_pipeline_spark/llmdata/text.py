@@ -326,3 +326,53 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         top_count.cast("int").alias("top_bigram_count"),
         (F.lit(2.0) * top_count / n).alias("top_bigram_frac"),
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM eval-hygiene op): for each
+    training document, count word n-gram shingles that also appear in the
+    benchmark corpus, and the contamination fraction. Docs with overlap
+    get dropped or flagged before pretraining.
+
+    Shape: the benchmark's DISTINCT shingle set is dim-sized (eval suites
+    are tiny next to a corpus), so the overlap count is one explode + one
+    broadcast semi-style join + one re-aggregate keyed on doc id — the
+    training side shuffles only (id, shingle) pairs and only for shingles
+    that could match (the broadcast join filters map-side). At 100 TB the
+    explode dominates; no pair enumeration ever happens.
+    """
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import shingles
+
+    doc_sh = shingles(df, text_col=text_col, n=n).select(
+        F.col(id_col), F.size("shingles").alias("n_shingles"), "shingles"
+    )
+    bench_sh = (
+        shingles(benchmark, text_col=text_col, n=n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    exploded = doc_sh.select(F.col(id_col), "n_shingles", F.explode("shingles").alias("sh"))
+    hits = (
+        exploded.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        doc_sh.select(id_col, "n_shingles")
+        .join(hits.select(id_col, "n_contaminated"), id_col, "left")
+        .select(
+            id_col,
+            F.col("n_shingles").cast("int").alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("int").alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contaminated_frac"),
+        )
+    )

@@ -296,6 +296,17 @@ def sketch_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(li, F.col("l_orderkey"), p=8)
 
 
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the corpus: docs 0–4 stand in as the
+    eval set; every document reports how many of its distinct 3-gram
+    shingles collide with the benchmark's shingle set."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return decontaminate(docs, bench, n=3)
+
+
 def sketch_cms_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable count-min sketch heavy hitters: top-10 partkeys by
     lineitem frequency with their CMS estimates (d=4, w=256) — estimate ≥
@@ -318,6 +329,7 @@ QUERIES = {
     "strings_fuzzy_match": strings_fuzzy_match,
     "sketch_hll_orderkeys": sketch_hll_orderkeys,
     "sketch_cms_partkeys": sketch_cms_partkeys,
+    "text_decontaminate": text_decontaminate,
     "emb_norm_stats": emb_norm_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -577,6 +589,31 @@ FROM documents
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "sketch_hll_orderkeys": hll_oracle_sql("lineitem", "l_orderkey", p=8),
     "sketch_cms_partkeys": cms_oracle_sql("lineitem", "l_partkey", k=10, d=4, w=256),
+    "text_decontaminate": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN [array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)]
+                     ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+), bench AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id < 5
+), hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_contaminated
+  FROM sh s JOIN bench USING (g) GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(c.n_shingles AS INT) AS n_shingles,
+       CAST(COALESCE(h.n_contaminated, 0) AS INT) AS n_contaminated,
+       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / c.n_shingles AS contaminated_frac
+FROM cnt c LEFT JOIN hits h USING (doc_id)
+""",
     "emb_norm_stats": """
 WITH g AS (
   SELECT label,

@@ -387,6 +387,58 @@ def q13_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter(n >= 10).select("symbol", "n_days", beta.alias("beta"))
 
 
+def q15_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (simple-moving-average variant): per symbol-day,
+    100·ΣGain/(ΣGain+ΣLoss) over the trailing 14 closes-deltas.
+
+    Price deltas, gains, and losses stay EXACT decimals end-to-end (close
+    is DECIMAL(18,4); lag/subtract/greatest/window-sum are all
+    decimal-exact). The final ratio is defined as an exact integer floor
+    division at 1e-8 resolution — decimal→double casts round differently
+    by one ulp across engines, so the query semantic itself is the scaled
+    integer quotient. One symbol-keyed window shuffle; the two stacked
+    windows (lag + rolling sums) share it.
+    """
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    w14 = w.rowsBetween(-13, 0)
+    delta = F.col("close") - F.lag("close").over(w)
+    zero = F.lit(0).cast("decimal(18,4)")
+    d = (
+        b.select("symbol", "trade_date", delta.alias("delta"))
+        .filter(F.col("delta").isNotNull())
+        .select(
+            "symbol",
+            "trade_date",
+            F.greatest("delta", zero).alias("gain"),
+            F.greatest(-F.col("delta"), zero).alias("loss"),
+        )
+    )
+    out = d.select(
+        "symbol",
+        "trade_date",
+        F.count("*").over(w14).alias("n_obs"),
+        F.sum("gain").over(w14).alias("sg"),
+        F.sum("loss").over(w14).alias("sl"),
+    )
+    # sg/sl have scale 4, so sg*10000 is an exact integer; RSI is then the
+    # exact bigint quotient (100e8·g) DIV (g+l), re-scaled to double.
+    scaled = (
+        out.filter(F.col("n_obs") >= 14)
+        .select(
+            "symbol",
+            "trade_date",
+            (F.col("sg") * 10000).cast("long").alias("g_units"),
+            ((F.col("sg") + F.col("sl")) * 10000).cast("long").alias("d_units"),
+        )
+        .filter(F.col("d_units") > 0)
+    )
+    rsi = F.expr("CAST(100000000 AS BIGINT) * g_units DIV d_units").cast(
+        "double"
+    ) / F.lit(1000000.0)
+    return scaled.select("symbol", "trade_date", rsi.alias("rsi_14"))
+
+
 def q14_top_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-correlated instrument pairs (the pairs-trading screen): Pearson
     correlation of daily returns between the top-20 symbols by total
@@ -482,6 +534,7 @@ QUERIES = {
     "q12_max_drawdown": q12_max_drawdown,
     "q13_beta": q13_beta,
     "q14_top_corr_pairs": q14_top_corr_pairs,
+    "q15_rsi": q15_rsi,
     "flagship_liquidity_top20": flagship,
 }
 
@@ -656,6 +709,33 @@ FROM pk GROUP BY symbol
 SELECT symbol, n_days,
        (srm - sr * sm / n_days) / NULLIF(smm - sm * sm / n_days, 0) AS beta
 FROM agg WHERE n_days >= 10
+""",
+    "q15_rsi": BARS_SQL
+    + """
+, d AS (
+  SELECT symbol, trade_date,
+         greatest(close - lag(close) OVER w, CAST(0 AS DECIMAL(18,4))) AS gain,
+         greatest(-(close - lag(close) OVER w), CAST(0 AS DECIMAL(18,4))) AS loss
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+  QUALIFY (close - lag(close) OVER w) IS NOT NULL
+), roll AS (
+  SELECT symbol, trade_date,
+         COUNT(*) OVER w14 AS n_obs,
+         SUM(gain) OVER w14 AS sg,
+         SUM(loss) OVER w14 AS sl
+  FROM d
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), scaled AS (
+  SELECT symbol, trade_date,
+         CAST(sg * 10000 AS BIGINT) AS g_units,
+         CAST((sg + sl) * 10000 AS BIGINT) AS d_units
+  FROM roll WHERE n_obs >= 14
+)
+SELECT symbol, trade_date,
+       CAST(100000000 * g_units // d_units AS DOUBLE) / 1000000.0 AS rsi_14
+FROM scaled WHERE d_units > 0
 """,
     "q14_top_corr_pairs": BARS_SQL
     + RET_SQL

@@ -22,11 +22,12 @@ keeps the whole plan in WholeStageCodegen:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from securities_pricing_data_pipeline_spark.queries.helpers import (
     davg,
+    dec,
     dsum,
     load,
     sql_davg,

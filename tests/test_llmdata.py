@@ -559,3 +559,22 @@ def test_cms_overestimates_and_reproduces(spark):
     t1 = {(r.i, r.bucket): r.cnt for r in cms_table(df, F.col("k")).collect()}
     t2 = {(r.i, r.bucket): r.cnt for r in cms_table(df.repartition(5), F.col("k")).collect()}
     assert t1 == t2
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # benchmark
+            (2, "alpha beta gamma zeta eta theta"),  # shares 'alpha beta gamma'
+            (3, "totally different words entirely here"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter("doc_id = 1")
+    out = {r.doc_id: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert out[1].contaminated_frac == 1.0  # benchmark contaminates itself
+    assert out[2].n_shingles == 4 and out[2].n_contaminated == 1
+    assert abs(out[2].contaminated_frac - 0.25) < 1e-12
+    assert out[3].n_contaminated == 0 and out[3].contaminated_frac == 0.0
