@@ -241,8 +241,292 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped cheapest-supplier lookup (partsupp reshaped onto lineitem:
+    the testdata has no partsupp table, so observed line cost per
+    part×supplier stands in for ps_supplycost). Per-part argmin is a
+    row_number window over the part key — the window shuffle reuses the
+    aggregate's (partkey) partitioning so Catalyst plans ONE exchange for
+    both. Costs stay exact decimals through the argmin so the tie-break
+    (cost, suppkey) can never flip between engines."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    cost = (
+        li.join(part.select("p_partkey", "p_brand"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "p_brand", "l_suppkey")
+        .agg(F.sum(dec(F.col("l_extendedprice"), 2)).alias("cost_dec"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("cost_dec", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(supp, best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            "p_brand",
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.col("cost_dec").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("supply_cost"), "part_key")
+        .limit(20)
+    )
+
+
+def tpch_q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped order-priority check (no l_commitdate/l_receiptdate in the
+    testdata, so "late" = shipped >30 days after order date). The EXISTS
+    decorrelates to a left-semi join with a non-equi residual; only
+    (orderkey, two dates) travel through the shuffle."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-07-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate.cast("date") > F.date_add(orders.o_orderdate.cast("date"), 30)),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("order_priority")
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped national market share: NATION_3 suppliers' slice of ASIA's
+    ECONOMY-part revenue by year. region/nation broadcast; customer /
+    supplier / orders shuffle on their keys; the share is one conditional
+    aggregate — numerator and denominator come out of the same pass, and
+    the only double division happens on exact decimal sums."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cnk"))
+    cust = load(spark, sf_dir, "customer").join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cnk"), "left_semi"
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") <= F.lit("1997-12-31").cast("date"))
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    nat_rev = F.when(F.col("supp_nation") == "NATION_3", _revenue()).otherwise(F.lit(0.0))
+    return (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp.select("s_suppkey", "supp_nation"), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(
+            dsum(nat_rev, 4).alias("nation_revenue"),
+            dsum(_revenue(), 4).alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped product-type profit by nation and year (no ps_supplycost
+    in the testdata; cost proxy = 10% of retail price × quantity). One
+    five-way join, profit snapped at scale 6 (price 2 × disc 2 digits →
+    4; 0.1·retail·qty → 5), single aggregate over ~25×year groups."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = _revenue() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part.select("p_partkey", "p_retailprice"), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+        )
+        .agg(dsum(amount, 6).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped customer order-count histogram: left join so zero-order
+    customers survive, count per customer, then a second (tiny) aggregate
+    over the counts. All-integer arithmetic — no float parity concerns.
+    The custkey aggregate reuses the join's shuffle partitioning."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped top supplier: quarterly revenue per supplier, keep those
+    equal to the max. The max is a 1-row aggregate broadcast back over the
+    per-supplier revenues; equality compares EXACT decimals (cast to
+    double only in the output), so ties are engine-stable."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(dec(_revenue(), 4)).alias("rev_dec"))
+    mx = rev.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        rev.join(F.broadcast(mx), rev.rev_dec == F.col("max_dec"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("supp_key")
+    )
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped small-lot revenue: lines of one brand whose quantity is
+    under 20% of that part's average. The correlated AVG decorrelates to a
+    per-part aggregate joined back on partkey; the threshold comparison is
+    all-bigint (qty < 0.2·sum/cnt ⇔ 100·5·qty·cnt < 100·sum) so no
+    rounding can flip a row. Output divides one exact sum by 7.0."""
+    li = load(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    qty_units = (F.col("l_quantity") * 100).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
+        F.sum(qty_units).alias("sq_units"), F.count("*").alias("cq")
+    )
+    lines = li.join(brand_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
+    return (
+        lines.join(per_part, lines.l_partkey == F.col("agg_pk"))
+        .filter(qty_units * 5 * F.col("cq") < F.col("sq_units"))
+        .agg(
+            (dsum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped large-volume orders: orders whose total quantity exceeds
+    300. The HAVING pre-aggregates lineitem on orderkey BEFORE any join —
+    at 100 TB the filter passes ~1e-3 of orders, so the join probes a tiny
+    build side (AQE demotes to broadcast)."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_ok"))
+        .agg(F.sum(dec(F.col("l_quantity"), 2)).alias("sq"))
+        .filter(F.col("sq") > 300)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == F.col("big_ok"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("cust_name"),
+            F.col("c_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("sq").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), "order_key")
+        .limit(100)
+    )
+
+
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped disjunctive predicate revenue: three brand/size/quantity
+    clauses OR-ed over a lineitem⋈part join. Catalyst extracts the common
+    p_partkey equi-condition so the join stays hash-based with the residual
+    OR as a post-join filter; the partkey filter union pushes to the part
+    scan."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#5") & (F.col("p_size").between(1, 15)) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#14") & (F.col("p_size").between(1, 25)) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 35)) & q.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(dsum(_revenue(), 4).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped sales-opportunity scan: above-average-balance customers
+    with no orders, summarized per nation. The global average is a 1-row
+    broadcast; the no-orders test is a left-anti join shuffling only
+    custkeys. acctbal carries 2 decimal digits → scale-2 snap."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal"), 2).alias("avg_bal")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            dsum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("nation_key")
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q4_priority_late": tpch_q4_priority_late,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_product_profit": tpch_q9_product_profit,
+    "tpch_q13_order_count_distribution": tpch_q13_order_count_distribution,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+    "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,
+    "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
+    "tpch_q22_idle_customers": tpch_q22_idle_customers,
     "tpch_q7_nation_trade": tpch_q7_nation_trade,
     "tpch_q14_promo_share": tpch_q14_promo_share,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -347,3 +631,151 @@ ORDER BY revenue DESC, cust_key
 LIMIT 20
 """,
 }
+
+ORACLES.update(
+    {
+        "tpch_q2_min_cost_supplier": """
+WITH cost AS (
+  SELECT l_partkey, p_brand, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS cost_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size <= 10
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY cost_dec, l_suppkey) AS rn
+  FROM cost
+)
+SELECT l_partkey AS part_key, p_brand, s_name AS supp_name,
+       n_name AS nation, CAST(cost_dec AS DOUBLE) AS supply_cost
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE rn = 1
+ORDER BY supply_cost DESC, part_key
+LIMIT 20
+""",
+        "tpch_q4_priority_late": """
+SELECT o_orderpriority AS order_priority, COUNT(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+  )
+GROUP BY 1 ORDER BY 1
+""",
+        "tpch_q8_market_share": f"""
+WITH flat AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+         n2.n_name AS supp_nation,
+         {_REVENUE_SQL} AS rev
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+)
+SELECT o_year,
+       {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0.0 END", 4)}
+         AS nation_revenue,
+       {sql_dsum('rev', 4)} AS total_revenue,
+       ({sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0.0 END", 4)}
+        / {sql_dsum('rev', 4)}) AS mkt_share
+FROM flat GROUP BY o_year ORDER BY o_year
+""",
+        "tpch_q9_product_profit": f"""
+SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+       {sql_dsum(_REVENUE_SQL + ' - 0.1 * p_retailprice * l_quantity', 6)}
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+""",
+        "tpch_q13_order_count_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+        "tpch_q15_top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST({_REVENUE_SQL} AS DECIMAL(38,4))) AS rev_dec
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS supp_key, s_name AS supp_name,
+       CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+ORDER BY supp_key
+""",
+        "tpch_q17_small_quantity_revenue": f"""
+WITH per_part AS (
+  SELECT l_partkey AS agg_pk,
+         SUM(CAST(l_quantity * 100 AS BIGINT)) AS sq_units,
+         COUNT(*) AS cq
+  FROM lineitem GROUP BY 1
+)
+SELECT {sql_dsum('l_extendedprice', 2)} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN per_part ON l_partkey = agg_pk
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+  AND CAST(l_quantity * 100 AS BIGINT) * 5 * cq < sq_units
+""",
+        "tpch_q18_large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey AS big_ok, SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sq
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 300
+)
+SELECT c_name AS cust_name, c_custkey AS cust_key, o_orderkey AS order_key,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice AS total_price, CAST(sq AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = big_ok
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, order_key
+LIMIT 100
+""",
+        "tpch_q19_disjunctive_revenue": f"""
+SELECT {sql_dsum(_REVENUE_SQL, 4)} AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+        "tpch_q22_idle_customers": f"""
+WITH avg_bal AS (
+  SELECT {sql_davg('c_acctbal', 2)} AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS nation_key, COUNT(*) AS n_custs,
+       {sql_dsum('c_acctbal', 2)} AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1 ORDER BY 1
+""",
+    }
+)
