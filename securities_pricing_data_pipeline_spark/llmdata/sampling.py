@@ -46,3 +46,22 @@ def sample_fraction(df: DataFrame, id_col: str = "doc_id", pct: int = 10) -> Dat
     """Keep a stable pct% sample: the filter is a pure expression, so it
     pushes into the scan and composes with partition pruning."""
     return df.filter(hash_bucket(F.col(id_col)) < pct)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    default_pct: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: each stratum keeps its own pct
+    of rows, decided by the stable hash bucket of the row id — the
+    standard up/down-sampling move for balancing a training mix (e.g.
+    keep 80% of English, 10% of everything else). Pure narrow filter:
+    pushes into the scan, no shuffle, reproducible on any layout."""
+    b = hash_bucket(F.col(id_col))
+    rate = F.lit(default_pct)
+    for key, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(pct)).otherwise(rate)
+    return df.filter(b < rate)

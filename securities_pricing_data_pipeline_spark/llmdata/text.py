@@ -376,3 +376,90 @@ def decontaminate(
             ).alias("contaminated_frac"),
         )
     )
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by total occurrences, with
+    document frequency. The canonical explode→aggregate: partial map-side
+    combine collapses the token stream before the single shuffle on the
+    token key; top-k compiles to TakeOrderedAndProject. DF uses
+    count(DISTINCT doc) inside the same aggregate — at 100 TB swap for the
+    HLL sketch in ``llmdata.sketch`` if exactness isn't required."""
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k distinctive terms per document by TF-IDF, with a RATIONAL idf
+    (idf_scaled = 10^4·N DIV df) instead of log — bit-exact in integer
+    arithmetic on any engine, same ranking monotonicity in df as log-idf.
+    Bounds: idf_scaled ≤ 10^4·N ≈ 10^13 at N=10^9 docs; score = tf·idf
+    stays under 2^63 for tf ≤ 10^5. Two shuffles: (doc,term) TF aggregate,
+    then the per-doc rank window on doc — the term-DF aggregate reuses the
+    TF result, and N is a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_corpus"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score_scaled",
+            F.expr("tf * (CAST(10000 AS BIGINT) * n_corpus DIV df)"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_scaled"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            "score_scaled",
+            F.col("rn").cast("int").alias("rnk"),
+        )
+    )
+
+
+def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style quality-filter funnel in ONE pass: per-rule reject counts
+    plus the survivor count, all conditional aggregates over integer
+    signals (no ratios — thresholds are cross-multiplied so every
+    comparison is int-exact cross-engine). Rules (public C4/Gopher
+    heuristics): <5 tokens; mean word length >12 chars; alphabetic
+    characters <50%; zero English stopwords."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    n_chars = F.length(F.col(text_col))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    too_short = n_tokens < 5
+    long_words = n_chars_nospace > 12 * n_tokens
+    low_alpha = 2 * n_alpha < n_chars
+    no_stop = n_stop == 0
+    kept = ~too_short & ~long_words & ~low_alpha & ~no_stop
+    cnt = lambda c, name: F.sum(c.cast("long")).alias(name)  # noqa: E731
+    return df.agg(
+        F.count("*").alias("n_total"),
+        cnt(too_short, "n_too_short"),
+        cnt(long_words, "n_long_words"),
+        cnt(low_alpha, "n_low_alpha"),
+        cnt(no_stop, "n_no_stopword"),
+        cnt(kept, "n_kept"),
+    )

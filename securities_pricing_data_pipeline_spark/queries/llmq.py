@@ -307,6 +307,44 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=3)
 
 
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens with occurrence and document
+    frequency — the classic explode→aggregate wordcount at corpus scale."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import vocab_topk
+
+    return vocab_topk(load(spark, sf_dir, "documents"), k=100)
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by rational-idf TF-IDF."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass C4-style quality-filter funnel over the corpus."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import filter_funnel
+
+    return filter_funnel(load(spark, sf_dir, "documents"))
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sampling (keep 80% en / 50% de /
+    10% other), summarized per stratum."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import (
+        stratified_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", {"en": 80, "de": 50}, default_pct=10)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+        .orderBy("lang")
+    )
+
+
 def sketch_cms_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable count-min sketch heavy hitters: top-10 partkeys by
     lineitem frequency with their CMS estimates (d=4, w=256) — estimate ≥
@@ -330,6 +368,10 @@ QUERIES = {
     "sketch_hll_orderkeys": sketch_hll_orderkeys,
     "sketch_cms_partkeys": sketch_cms_partkeys,
     "text_decontaminate": text_decontaminate,
+    "text_vocab_topk": text_vocab_topk,
+    "text_tfidf_topterms": text_tfidf_topterms,
+    "corpus_filter_funnel": corpus_filter_funnel,
+    "sample_stratified": sample_stratified,
     "emb_norm_stats": emb_norm_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -892,3 +934,74 @@ FROM documents
 GROUP BY source
 """,
 }
+
+ORACLES.update(
+    {
+        "text_vocab_topk": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+""",
+        "text_tfidf_topterms": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * (CAST(10000 AS BIGINT) * (SELECT COUNT(*) FROM documents) // d.df)
+           AS score_scaled
+  FROM tf t JOIN dfreq d USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_scaled DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
+       score_scaled, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+        "corpus_filter_funnel": r"""
+WITH sig AS (
+  SELECT len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nospace,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS n_stop
+  FROM documents
+)
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       CAST(SUM(CASE WHEN n_nospace > 12 * n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_long_words,
+       CAST(SUM(CASE WHEN 2 * n_alpha < n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_low_alpha,
+       CAST(SUM(CASE WHEN n_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_stopword,
+       CAST(SUM(CASE WHEN n_tokens >= 5 AND n_nospace <= 12 * n_tokens
+                      AND 2 * n_alpha >= n_chars AND n_stop > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM sig
+""",
+        "sample_stratified": """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM b
+WHERE bucket < (CASE WHEN lang = 'en' THEN 80
+                     WHEN lang = 'de' THEN 50
+                     ELSE 10 END)
+GROUP BY 1 ORDER BY 1
+""",
+    }
+)
