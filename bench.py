@@ -50,11 +50,17 @@ BENCH_QUERIES = [
     "asof_event_bars",
     "events_retention",
     "events_funnel",
+    "q15_rsi",
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
     "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q13_order_count_distribution",
+    "tpch_q18_large_volume_customers",
     "w_cumulative_revenue",
     "topk_parts_per_brand",
     "pivot_segment_status",
@@ -73,6 +79,11 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_token_count_bpe",
     "text_sentiment",
+    "text_vocab_topk",
+    "text_tfidf_topterms",
+    "text_decontaminate",
+    "corpus_filter_funnel",
+    "sample_stratified",
     "dq_profile_lineitem",
     "multimodal_frame_sample",
 ]

@@ -578,3 +578,79 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out[2].n_shingles == 4 and out[2].n_contaminated == 1
     assert abs(out[2].contaminated_frac - 0.25) < 1e-12
     assert out[3].n_contaminated == 0 and out[3].contaminated_frac == 0.0
+
+
+def test_vocab_topk_counts_and_docfreq(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        ["doc_id", "text"],
+    )
+    rows = {r.token: r for r in vocab_topk(df, k=2).collect()}
+    assert set(rows) == {"apple", "banana"}  # top-2 by occurrences
+    assert rows["apple"].n_occurrences == 3 and rows["apple"].n_docs == 2
+    assert rows["banana"].n_occurrences == 2 and rows["banana"].n_docs == 2
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common other"),
+            (3, "common other"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc_id, r.rnk): r for r in tfidf_top_terms(df, k=2).collect()}
+    # doc 1: 'rare' (df=1) must outrank 'common' (df=3) despite lower tf
+    assert out[(1, 1)].term == "rare"
+    assert out[(1, 2)].term == "common"
+    # scaled idf is exact integer arithmetic: 10^4 * 3 docs DIV df
+    assert out[(1, 1)].score_scaled == 1 * (10000 * 3 // 1)
+    assert out[(1, 2)].score_scaled == 2 * (10000 * 3 // 3)
+
+
+def test_filter_funnel_rules(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import filter_funnel
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog"),  # kept
+            (2, "tiny doc"),  # too short
+            (3, "supercalifragilistic antidisestablishmentarian extraordinarily incomprehensibilities pneumonoultramicroscopic"),  # long words + no stopword
+            (4, "1234 5678 9012 3456 7890 !!!! ???? %%%%"),  # low alpha + no stopword
+        ],
+        ["doc_id", "text"],
+    )
+    r = filter_funnel(df).collect()[0]
+    assert r.n_total == 4
+    assert r.n_too_short == 1
+    assert r.n_long_words == 1
+    assert r.n_low_alpha == 1
+    assert r.n_no_stopword == 3  # docs 2, 3, 4 all lack English stopwords
+    assert r.n_kept == 1
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = stratified_sample(df, "lang", {"en": 100, "zh": 0}, default_pct=10)
+    langs = {r.lang for r in kept.collect()}
+    assert langs == {"en"}  # zh fully dropped, en fully kept
+    assert kept.count() == 200
+    # determinism under repartition: same rows survive
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(7), "lang", {"en": 100, "zh": 0}, default_pct=10
+        ).collect()
+    )
+    assert a == b
