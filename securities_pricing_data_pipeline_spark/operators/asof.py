@@ -76,3 +76,83 @@ def asof_join_backward(
         F.col("__c_t").alias("asof_time"),
     )
     return out
+
+
+def asof_join_backward_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str] | None = None,
+    tolerance_days: int | None = None,
+) -> DataFrame:
+    """Backward as-of with a staleness bound (pandas ``merge_asof
+    tolerance`` semantics): matches older than ``tolerance_days`` are
+    nulled, the left row survives. Same single-shuffle cost as the plain
+    backward join — the tolerance is a post-carry projection."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(key) | {right_time}]
+    value_cols = list(value_cols)
+    out = asof_join_backward(left, right, key, left_time, right_time, value_cols)
+    if tolerance_days is None:
+        return out
+    stale = F.datediff(F.col(left_time), F.col("asof_time")) > tolerance_days
+    keep = [c for c in out.columns if c not in set(value_cols) | {"asof_time"}]
+    return out.select(
+        *keep,
+        *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in value_cols],
+        F.when(stale, F.lit(None)).otherwise(F.col("asof_time")).alias("asof_time"),
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Forward inclusive as-of join: for each left row, the right row with
+    the smallest ``right_time >= left_time`` within ``key`` — the mirror
+    of the backward union-and-window plan (``first(..., ignorenulls)``
+    over the forward frame). Same cost: one key shuffle + per-key sort."""
+    key = list(key)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(key) | {right_time}]
+    value_cols = list(value_cols)
+
+    lt = left.select(
+        *key,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_t"),
+    )
+    rt = right.select(
+        *key,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_time).alias("__r_t"),
+    )
+    # left rows sort before right rows at equal time, and the frame starts
+    # at the current row → a right row at the same instant matches
+    w = (
+        Window.partitionBy(*key)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = lt.unionByName(rt).select(
+        "*",
+        *[F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in value_cols],
+        F.first("__r_t", ignorenulls=True).over(w).alias("__c_t"),
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        *[F.col(f"__c_{c}").alias(c) for c in value_cols],
+        F.col("__c_t").alias("asof_time"),
+    )

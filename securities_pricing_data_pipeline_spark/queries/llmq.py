@@ -201,6 +201,59 @@ def asof_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared left side for the as-of family: events mapped onto a
+    deterministic in-range (symbol, event_date)."""
+    ev = load(spark, sf_dir, "events")
+    micros = F.expr("ts div 1000")
+    offset = (F.dayofmonth(F.timestamp_micros(micros)) * 73 + F.col("user_id") * 7) % 2400
+    return ev.select(
+        "event_id",
+        F.concat(F.lit("P"), (F.col("user_id") % 200).cast("string")).alias("symbol"),
+        F.date_add(F.lit("1995-01-01").cast("date"), offset.cast("int")).alias("event_date"),
+    )
+
+
+def asof_event_bars_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event aligned to the NEXT bar of its symbol
+    at-or-after the event date (fill-forward's mirror, used for
+    next-quote execution semantics)."""
+    from securities_pricing_data_pipeline_spark.operators.asof import asof_join_forward
+
+    left = _asof_events(spark, sf_dir)
+    b = bars_silver(spark, sf_dir).select(
+        "symbol", "trade_date", F.col("close").cast("double").alias("close")
+    )
+    joined = asof_join_forward(
+        left, b, key=["symbol"], left_time="event_date", right_time="trade_date",
+        value_cols=["close"],
+    )
+    return joined.filter(F.col("asof_time").isNotNull()).select(
+        "event_id", "symbol", "event_date", F.col("asof_time").alias("bar_date"), "close"
+    )
+
+
+def asof_event_bars_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 7-day staleness bound: stale matches null out
+    but the event row survives (merge_asof tolerance semantics)."""
+    from securities_pricing_data_pipeline_spark.operators.asof import (
+        asof_join_backward_tolerance,
+    )
+
+    left = _asof_events(spark, sf_dir)
+    b = bars_silver(spark, sf_dir).select(
+        "symbol", "trade_date", F.col("close").cast("double").alias("close")
+    )
+    joined = asof_join_backward_tolerance(
+        left, b, key=["symbol"], left_time="event_date", right_time="trade_date",
+        value_cols=["close"], tolerance_days=7,
+    )
+    return joined.select(
+        "event_id", "symbol", "event_date",
+        F.col("asof_time").alias("bar_date"), "close",
+    )
+
+
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline ending: MinHash-LSH pairs → connected
     components → one canonical doc (the cluster-min id) per cluster.
@@ -393,6 +446,8 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "asof_event_bars": asof_event_bars,
+    "asof_event_bars_fwd": asof_event_bars_fwd,
+    "asof_event_bars_tol": asof_event_bars_tol,
 }
 
 # integer-grid dot product (parity with llmdata/similarity.py: snap each
@@ -1002,6 +1057,40 @@ WHERE bucket < (CASE WHEN lang = 'en' THEN 80
                      WHEN lang = 'de' THEN 50
                      ELSE 10 END)
 GROUP BY 1 ORDER BY 1
+""",
+    }
+)
+
+_ASOF_EV_SQL = """
+, ev AS (
+  SELECT event_id,
+         'P' || CAST(user_id % 200 AS VARCHAR) AS symbol,
+         DATE '1995-01-01'
+           + CAST((EXTRACT(DAY FROM ts) * 73 + user_id * 7) % 2400 AS INT) AS event_date
+  FROM events
+)
+"""
+
+ORACLES.update(
+    {
+        "asof_event_bars_fwd": BARS_SQL
+        + _ASOF_EV_SQL
+        + """
+SELECT e.event_id, e.symbol, e.event_date, b.trade_date AS bar_date,
+       CAST(b.close AS DOUBLE) AS close
+FROM ev e ASOF JOIN bars b
+  ON e.symbol = b.symbol AND e.event_date <= b.trade_date
+""",
+        "asof_event_bars_tol": BARS_SQL
+        + _ASOF_EV_SQL
+        + """
+SELECT e.event_id, e.symbol, e.event_date,
+       CASE WHEN e.event_date - b.trade_date > 7 THEN NULL
+            ELSE b.trade_date END AS bar_date,
+       CASE WHEN e.event_date - b.trade_date > 7 THEN NULL
+            ELSE CAST(b.close AS DOUBLE) END AS close
+FROM ev e ASOF LEFT JOIN bars b
+  ON e.symbol = b.symbol AND e.event_date >= b.trade_date
 """,
     }
 )

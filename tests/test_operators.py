@@ -178,3 +178,44 @@ def test_backfill_source_distributed(spark):
     rows = df.collect()
     assert len(rows) == 4  # 2 weekdays × 2 symbols
     assert {str(r.trade_date) for r in rows} == {"2026-01-05", "2026-01-06"}
+
+
+def test_asof_forward_picks_next_at_or_after(spark):
+    from securities_pricing_data_pipeline_spark.operators.asof import asof_join_forward
+    import datetime as dt
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [("A", d(2020, 1, 5)), ("A", d(2020, 1, 10)), ("B", d(2020, 1, 1))],
+        ["sym", "t"],
+    )
+    right = spark.createDataFrame(
+        [("A", d(2020, 1, 5), 1.0), ("A", d(2020, 1, 12), 2.0), ("B", d(2019, 12, 31), 9.0)],
+        ["sym", "rt", "px"],
+    )
+    out = {(r.sym, r.t): r for r in asof_join_forward(
+        left, right, key=["sym"], left_time="t", right_time="rt"
+    ).collect()}
+    assert out[("A", d(2020, 1, 5))].px == 1.0  # inclusive: same-day match
+    assert out[("A", d(2020, 1, 10))].px == 2.0  # next future bar
+    assert out[("B", d(2020, 1, 1))].px is None  # nothing at-or-after
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from securities_pricing_data_pipeline_spark.operators.asof import (
+        asof_join_backward_tolerance,
+    )
+    import datetime as dt
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [("A", d(2020, 1, 10)), ("A", d(2020, 2, 1))], ["sym", "t"]
+    )
+    right = spark.createDataFrame([("A", d(2020, 1, 8), 5.0)], ["sym", "rt", "px"])
+    out = {r.t: r for r in asof_join_backward_tolerance(
+        left, right, key=["sym"], left_time="t", right_time="rt", tolerance_days=7
+    ).collect()}
+    assert out[d(2020, 1, 10)].px == 5.0  # 2 days old: fresh
+    assert out[d(2020, 2, 1)].px is None  # 24 days old: nulled, row kept
+    assert out[d(2020, 2, 1)].asof_time is None
+    assert len(out) == 2
