@@ -203,3 +203,144 @@ FROM (SELECT p.k AS k, p.true_cnt,
 JOIN cms c ON c.i = s.i AND c.bucket = s.bucket
 GROUP BY 1, 2
 """
+
+
+def bloom_words(df: DataFrame, key: Column, k: int = 3, m_bits: int = 4096) -> DataFrame:
+    """Portable Bloom filter (Bloom 1970): ``m_bits`` bits packed into
+    32-bit words (word = pos DIV 32, mask = 1 << (pos % 32) — 32-bit words
+    so no engine ever shifts into a sign bit), positions from the same
+    md5-derived hash family as the HLL/CMS (hash of ``'i:' || key``).
+
+    Build cost: one explode (k rows per input) + one hash aggregate with
+    ``bit_or`` — map-side combine collapses to ≤ m_bits/32 rows per
+    partition, so the exchange carries kilobytes at any scale. Mergeable
+    by word-wise OR."""
+    ks = key.cast("string")
+    pos = F.explode(
+        F.array(
+            *[
+                (portable_hash60(F.concat(F.lit(f"{i}:"), ks)) % F.lit(m_bits)).alias("p")
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_probe_summary(
+    build: DataFrame,
+    build_key: Column,
+    probes: DataFrame,
+    probe_key: Column,
+    k: int = 3,
+    m_bits: int = 4096,
+) -> DataFrame:
+    """Membership probe with ground truth: one row — probe count, Bloom
+    'maybe' count, exact present count, and false positives (maybe −
+    present; never negative: Bloom has no false negatives). The filter
+    (≤ m_bits/32 rows) broadcasts onto the probe side; the exact check is
+    a distinct-key semi-style left join kept here to EXPOSE the FP rate —
+    production reads the sketch alone."""
+    bloom = bloom_words(build, build_key, k=k, m_bits=m_bits)
+    pk = probe_key.cast("string")
+    pr = probes.select(pk.alias("pkey")).distinct()
+    pos = pr.select(
+        "pkey",
+        F.explode(
+            F.array(
+                *[
+                    (portable_hash60(F.concat(F.lit(f"{i}:"), F.col("pkey"))) % F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        "pkey",
+        (F.col("pos") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+    )
+    hits = (
+        pos.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "pkey",
+            ((F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))) == F.col("mask"))
+            .cast("int")
+            .alias("bit_set"),
+        )
+        .groupBy("pkey")
+        .agg((F.sum("bit_set") == k).cast("int").alias("maybe"))
+    )
+    present = build.select(build_key.cast("string").alias("pkey")).distinct().withColumn(
+        "is_present", F.lit(1)
+    )
+    flagged = hits.join(present, "pkey", "left").select(
+        "maybe", F.coalesce("is_present", F.lit(0)).alias("is_present")
+    )
+    return flagged.agg(
+        F.count("*").alias("n_probes"),
+        F.sum("maybe").alias("n_maybe"),
+        F.sum("is_present").alias("n_present"),
+        F.sum(
+            (F.col("maybe").cast("int") - F.col("is_present")).cast("long")
+        ).alias("n_false_positives"),
+    )
+
+
+def bloom_oracle_sql(
+    build_table: str,
+    build_key: str,
+    probe_table: str,
+    probe_key: str,
+    k: int = 3,
+    m_bits: int = 4096,
+) -> str:
+    """DuckDB twin of :func:`bloom_probe_summary` — same hash family,
+    same 32-bit word packing."""
+    def hsh(expr: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(di.i AS VARCHAR) || ':' || "
+            f"{expr}), 1, 15)) AS BIGINT) % {m_bits}"
+        )
+
+    return f"""
+WITH depths AS (
+  SELECT unnest(range({k})) AS i
+), bloom AS (
+  SELECT pos // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM (
+    SELECT {hsh(f"CAST(b.{build_key} AS VARCHAR)")} AS pos
+    FROM {build_table} b, depths di
+  )
+  GROUP BY 1
+), probes AS (
+  SELECT DISTINCT CAST({probe_key} AS VARCHAR) AS pkey FROM {probe_table}
+), ppos AS (
+  SELECT p.pkey, {hsh("p.pkey")} AS pos
+  FROM probes p, depths di
+), hits AS (
+  SELECT pkey,
+         CAST(CASE WHEN SUM(CASE WHEN (COALESCE(bl.bits, 0) & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)))
+                                      = (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                                 THEN 1 ELSE 0 END) = {k}
+                   THEN 1 ELSE 0 END AS INT) AS maybe
+  FROM (SELECT pkey, pos, pos // 32 AS word FROM ppos) pp
+  LEFT JOIN bloom bl USING (word)
+  GROUP BY pkey
+), truth AS (
+  SELECT DISTINCT CAST({build_key} AS VARCHAR) AS pkey, 1 AS is_present
+  FROM {build_table}
+)
+SELECT COUNT(*) AS n_probes,
+       CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+       CAST(SUM(COALESCE(is_present, 0)) AS BIGINT) AS n_present,
+       CAST(SUM(maybe - COALESCE(is_present, 0)) AS BIGINT) AS n_false_positives
+FROM hits LEFT JOIN truth USING (pkey)
+"""

@@ -209,7 +209,61 @@ def cond_agg_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic CRM/warehouse scoring query): per
+    customer recency (days since last order, vs the corpus max date),
+    frequency (order count), monetary (exact decimal spend), each scored
+    into quintiles, plus a champion/loyal/at-risk/other label.
+
+    Shape: one custkey aggregate, then three ntile windows over the
+    REDUCED per-customer frame. The ntile orderings all end in custkey so
+    quintile boundaries are engine-stable. The windows are unpartitioned —
+    fine post-reduction at dashboard scale; at 10^9 customers compute
+    quintile boundaries via approx_percentile and broadcast-join them
+    instead (documented scale path)."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(dec(F.col("o_totalprice"), 2)).alias("monetary_dec"),
+    )
+    max_date = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_date"))
+    scored = (
+        per_cust.join(F.broadcast(max_date))
+        .withColumn("recency_days", F.datediff("max_date", "last_order"))
+        .withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.col("recency_days"), F.col("cust_key"))),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.col("cust_key"))),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy(F.desc("monetary_dec"), F.col("cust_key"))),
+        )
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("f_score") <= 2, "loyal")
+        .when(F.col("r_score") >= 4, "at_risk")
+        .otherwise("other")
+    )
+    return scored.select(
+        "cust_key",
+        "recency_days",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        seg.alias("segment"),
+    )
+
+
 QUERIES = {
+    "rfm_customer_segments": rfm_customer_segments,
     "w_cumulative_revenue": w_cumulative_revenue,
     "topk_parts_per_brand": topk_parts_per_brand,
     "ntile_customer_deciles": ntile_customer_deciles,
@@ -323,3 +377,34 @@ FROM lineitem
 GROUP BY l_returnflag
 """,
 }
+
+ORACLES["rfm_customer_segments"] = """
+WITH per_cust AS (
+  SELECT o_custkey AS cust_key,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS monetary_dec
+  FROM orders GROUP BY 1
+), mx AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders
+), scored AS (
+  SELECT cust_key,
+         date_diff('day', last_order, max_date) AS recency_days,
+         frequency, monetary_dec,
+         ntile(5) OVER (ORDER BY date_diff('day', last_order, max_date), cust_key) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, cust_key) AS f_score,
+         ntile(5) OVER (ORDER BY monetary_dec DESC, cust_key) AS m_score
+  FROM per_cust, mx
+)
+SELECT cust_key, recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary_dec AS DOUBLE) AS monetary,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+            WHEN f_score <= 2 THEN 'loyal'
+            WHEN r_score >= 4 THEN 'at_risk'
+            ELSE 'other' END AS segment
+FROM scored
+"""

@@ -360,6 +360,21 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=3)
 
 
+def sketch_bloom_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom membership: build the filter over orders' custkeys,
+    probe every customer, report maybe/present/false-positive counts —
+    the join-pruning sketch (ship the filter, skip the shuffle)."""
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+        bloom_probe_summary,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return bloom_probe_summary(
+        orders, F.col("o_custkey"), cust, F.col("c_custkey"), k=3, m_bits=4096
+    )
+
+
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-100 tokens with occurrence and document
     frequency — the classic explode→aggregate wordcount at corpus scale."""
@@ -420,6 +435,7 @@ QUERIES = {
     "strings_fuzzy_match": strings_fuzzy_match,
     "sketch_hll_orderkeys": sketch_hll_orderkeys,
     "sketch_cms_partkeys": sketch_cms_partkeys,
+    "sketch_bloom_custkeys": sketch_bloom_custkeys,
     "text_decontaminate": text_decontaminate,
     "text_vocab_topk": text_vocab_topk,
     "text_tfidf_topterms": text_tfidf_topterms,
@@ -1093,4 +1109,10 @@ FROM ev e ASOF LEFT JOIN bars b
   ON e.symbol = b.symbol AND e.event_date >= b.trade_date
 """,
     }
+)
+
+from securities_pricing_data_pipeline_spark.llmdata.sketch import bloom_oracle_sql  # noqa: E402
+
+ORACLES["sketch_bloom_custkeys"] = bloom_oracle_sql(
+    "orders", "o_custkey", "customer", "c_custkey", k=3, m_bits=4096
 )

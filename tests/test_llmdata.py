@@ -654,3 +654,23 @@ def test_stratified_sample_rates_and_determinism(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_bloom_no_false_negatives_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+        bloom_probe_summary,
+    )
+
+    build = spark.createDataFrame([(i,) for i in range(0, 200)], ["k"])
+    probes = spark.createDataFrame([(i,) for i in range(0, 400)], ["k"])
+    r = bloom_probe_summary(build, F.col("k"), probes, F.col("k"), k=3, m_bits=2048).collect()[0]
+    assert r.n_probes == 400
+    assert r.n_present == 200
+    assert r.n_maybe >= 200  # every present key must hit (no false negatives)
+    assert r.n_false_positives == r.n_maybe - 200 >= 0
+    # layout-independent: same summary after repartition
+    r2 = bloom_probe_summary(
+        build.repartition(7), F.col("k"), probes.repartition(3), F.col("k"), k=3, m_bits=2048
+    ).collect()[0]
+    assert r == r2
