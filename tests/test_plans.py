@@ -218,3 +218,64 @@ def test_cms_build_is_one_aggregate(spark):
     # explode + partial agg + ONE exchange on (i, bucket) + final agg
     assert plan.count(") Exchange") == 1
     assert ") Generate" in plan  # the explode
+
+
+def test_tpch_q2_argmin_window_reuses_aggregate_shuffle(spark):
+    """The per-part argmin (row_number over partkey) must reuse the
+    (partkey, suppkey) aggregate's exchange — one extra shuffle for the
+    window would double the network cost of the whole query."""
+    from securities_pricing_data_pipeline_spark.queries.tpch import (
+        tpch_q2_min_cost_supplier,
+    )
+
+    import re
+
+    plan = _plan(tpch_q2_min_cost_supplier(spark, SF))
+    assert "CartesianProduct" not in plan
+    # ≤2 shuffle exchanges: the lineitem⋈part join distribution and the
+    # shared aggregate/window partitioning (matches tools/plan_lint.py)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+
+
+def test_q15_rsi_single_symbol_shuffle(spark):
+    """All three stacked windows (lag + two rolling sums) partition on
+    symbol — Catalyst must plan exactly one hashpartitioning exchange."""
+    import re
+
+    from securities_pricing_data_pipeline_spark.queries import bars
+    from securities_pricing_data_pipeline_spark.queries.serving import q15_rsi
+
+    bars._SILVER_CACHE.clear()
+    spark.catalog.clearCache()
+    plan = _plan(q15_rsi(spark, SF))
+    # exactly 2 shuffles: the silver-bars aggregate and ONE symbol window
+    # partitioning shared by lag + both rolling sums
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+    assert len(re.findall(r"hashpartitioning\(symbol", plan)) >= 1
+
+
+def test_bloom_filter_broadcasts_onto_probes(spark):
+    """The built filter (≤ m_bits/32 rows) must broadcast — a shuffle
+    join here would defeat the point of the sketch."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        sketch_bloom_custkeys,
+    )
+
+    plan = _plan(sketch_bloom_custkeys(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_corpus_count_broadcasts(spark):
+    """N (the 1-row corpus count) joins via broadcast nested loop — the
+    only acceptable BNL shape (1-row side); the tf/df joins must stay
+    hash-based."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        text_tfidf_topterms,
+    )
+
+    import re
+
+    plan = _plan(text_tfidf_topterms(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
