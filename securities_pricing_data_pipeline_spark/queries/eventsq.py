@@ -222,3 +222,44 @@ SELECT COUNT(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END) AS n_view,
 FROM s3
 """,
 }
+
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day active users. Rolling COUNT(DISTINCT) has no
+    windowed form, so WAU uses the contribution trick: each distinct
+    (user, day) row contributes to the 7 report days it keeps the user
+    active for (explode a 7-day sequence), then one distinct + count per
+    report day. Exact, two shuffles, and — unlike a self-join — the blowup
+    is a fixed ×7 regardless of data size. Report days are restricted to
+    days with activity (inner join with DAU)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day")
+    user_days = ev.select(day, "user_id").distinct()
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = (
+        user_days.select(
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return dau.join(contrib, "day").select("day", "dau", "wau").orderBy("day")
+
+
+QUERIES["events_dau_wau"] = events_dau_wau
+ORACLES["events_dau_wau"] = """
+WITH user_days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM user_days GROUP BY 1
+), contrib AS (
+  SELECT DISTINCT CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS day,
+         user_id
+  FROM user_days
+), wau AS (
+  SELECT day, COUNT(*) AS wau FROM contrib GROUP BY 1
+)
+SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day
+"""
