@@ -515,6 +515,184 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped important-stock scan (no partsupp in the testdata, so
+    per-part "stock value" is the observed revenue shipped by suppliers of
+    one nation). The HAVING threshold is a scalar subquery over the SAME
+    filtered set — decorrelated to a 1-row aggregate broadcast over the
+    per-part frame, so the fact table is read and aggregated ONCE and the
+    second aggregate reduces the already-tiny per-part frame. The
+    comparison (value·1000 > total) stays in exact decimals end-to-end —
+    no double rounding can flip a part across the threshold."""
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum(dec(_revenue(), 4)).alias("value_dec")
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec") * 1000 > F.col("total_dec"))
+        .select("part_key", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "part_key")
+    )
+
+
+def tpch_q12_late_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped shipping-quality check (no l_shipmode/receiptdate in the
+    testdata: line status stands in for ship mode, "late" = shipped >30
+    days after order date). The orders⋈lineitem join shuffles on orderkey;
+    both conditional counts come out of ONE pass (map-side partials over 2
+    groups), the canonical CASE-WHEN pivot the reference delegates to
+    Snowflake dashboards."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 30)
+        )
+        .groupBy(F.col("l_linestatus").alias("line_status"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("line_status")
+    )
+
+
+def tpch_q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped supplier diversity count (lineitem is the part↔supplier
+    link in lieu of partsupp; negative account balance stands in for the
+    complaints exclusion). The exclusion is a broadcast anti-join (the
+    excluded set is tiny by construction); COUNT(DISTINCT) shuffles only
+    the already-distinct (brand,type,size,suppkey) quads after a partial
+    distinct — exact and engine-stable, no approximation."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    links = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        links.groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("part_type"),
+            F.col("p_size").alias("part_size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "part_type", "part_size")
+    )
+
+
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped part-promotion shortlist (no partsupp availability, so
+    the "excess stock" test is shipped-quantity > a fixed lot size). A
+    chain of semi-joins — name-filtered parts gate lineitem, the per
+    (supplier,part) quantity aggregate gates suppliers, the nation gates
+    the output — so only keys ever shuffle and no payload column travels
+    beyond its own stage. Quantity sums compare as exact decimals."""
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    shipped = (
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec(F.col("l_quantity"), 2)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(F.col("s_suppkey").alias("supp_key"), F.col("s_name").alias("supp_name"))
+        .orderBy("supp_name")
+    )
+
+
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped blame assignment: suppliers of one nation whose line was
+    the ONLY late one (ship >60 days after order) on a multi-supplier
+    finished order. The EXISTS / NOT EXISTS pair decorrelates to a
+    left-semi and a left-anti self-join on the (orderkey, suppkey, late)
+    projection — all three legs shuffle on orderkey and carry two longs
+    and a boolean, never lineitem payload. The distinct co-supplier frames
+    keep the semi/anti build sides minimal at 100 TB."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    ords = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        ).alias("late"),
+    )
+    co = ords.select(
+        F.col("l_orderkey").alias("co_ok"), F.col("l_suppkey").alias("co_sk")
+    ).distinct()
+    co_late = (
+        ords.filter("late")
+        .select(F.col("l_orderkey").alias("cl_ok"), F.col("l_suppkey").alias("cl_sk"))
+        .distinct()
+    )
+    l1 = ords.filter("late")
+    l1 = l1.join(
+        co,
+        (l1.l_orderkey == co.co_ok) & (l1.l_suppkey != co.co_sk),
+        "left_semi",
+    )
+    l1 = l1.join(
+        co_late,
+        (l1.l_orderkey == co_late.cl_ok) & (l1.l_suppkey != co_late.cl_sk),
+        "left_anti",
+    )
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return (
+        l1.join(supp, l1.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "supp_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
@@ -533,6 +711,11 @@ QUERIES = {
     "tpch_q5_regional_revenue": tpch_q5_regional_revenue,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q11_important_parts": tpch_q11_important_parts,
+    "tpch_q12_late_priority_classes": tpch_q12_late_priority_classes,
+    "tpch_q16_supplier_count_by_part": tpch_q16_supplier_count_by_part,
+    "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+    "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
 }
 
 ORACLES = {
@@ -634,6 +817,82 @@ LIMIT 20
 
 ORACLES.update(
     {
+        "tpch_q11_important_parts": f"""
+WITH per_part AS (
+  SELECT l_partkey AS part_key,
+         SUM(CAST({_REVENUE_SQL} AS DECIMAL(38,4))) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3')
+  GROUP BY 1
+)
+SELECT part_key, CAST(value_dec AS DOUBLE) AS part_value
+FROM per_part
+WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM per_part)
+ORDER BY part_value DESC, part_key
+""",
+        "tpch_q12_late_priority_classes": """
+SELECT l_linestatus AS line_status,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) >  CAST(o_orderdate AS DATE) + 30
+GROUP BY 1 ORDER BY 1
+""",
+        "tpch_q16_supplier_count_by_part": """
+SELECT p_brand AS brand, p_type AS part_type, p_size AS part_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, brand, part_type, part_size
+""",
+        "tpch_q20_promotion_suppliers": """
+SELECT s_suppkey AS supp_key, s_name AS supp_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 50)
+ORDER BY supp_name
+""",
+        "tpch_q21_waiting_suppliers": """
+WITH ords AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60 AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name AS supp_name, COUNT(*) AS numwait
+FROM ords l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l1.late
+  AND n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM ords l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ords l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY 1
+ORDER BY numwait DESC, supp_name
+LIMIT 20
+""",
         "tpch_q2_min_cost_supplier": """
 WITH cost AS (
   SELECT l_partkey, p_brand, l_suppkey,
