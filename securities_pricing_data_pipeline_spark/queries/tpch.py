@@ -519,11 +519,13 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11-shaped important-stock scan (no partsupp in the testdata, so
     per-part "stock value" is the observed revenue shipped by suppliers of
     one nation). The HAVING threshold is a scalar subquery over the SAME
-    filtered set — decorrelated to a 1-row aggregate broadcast over the
-    per-part frame, so the fact table is read and aggregated ONCE and the
-    second aggregate reduces the already-tiny per-part frame. The
-    comparison (value·1000 > total) stays in exact decimals end-to-end —
-    no double rounding can flip a part across the threshold."""
+    filtered set — expressed as an unpartitioned window SUM over the
+    per-part aggregate so the fact table is scanned and aggregated ONCE
+    (a 1-row-aggregate + broadcast formulation plans the whole lineitem
+    subtree twice; the window pass touches only #parts narrow rows, a few
+    MB even at 100 TB). The comparison (value·1000 > total) stays in
+    exact decimals end-to-end — no double rounding can flip a part
+    across the threshold."""
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     supp = load(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
@@ -534,9 +536,9 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
         F.sum(dec(_revenue(), 4)).alias("value_dec")
     )
-    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    total = F.sum("value_dec").over(Window.partitionBy())
     return (
-        per_part.join(F.broadcast(total))
+        per_part.withColumn("total_dec", total)
         .filter(F.col("value_dec") * 1000 > F.col("total_dec"))
         .select("part_key", F.col("value_dec").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), "part_key")
@@ -828,8 +830,8 @@ WITH per_part AS (
   GROUP BY 1
 )
 SELECT part_key, CAST(value_dec AS DOUBLE) AS part_value
-FROM per_part
-WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM per_part)
+FROM (SELECT part_key, value_dec, SUM(value_dec) OVER () AS total_dec FROM per_part)
+WHERE value_dec * 1000 > total_dec
 ORDER BY part_value DESC, part_key
 """,
         "tpch_q12_late_priority_classes": """

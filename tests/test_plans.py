@@ -279,3 +279,39 @@ def test_tfidf_corpus_count_broadcasts(spark):
     plan = _plan(text_tfidf_topterms(spark, SF))
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_tpch_q21_self_joins_stay_hash_based(spark):
+    """The EXISTS / NOT EXISTS pair must decorrelate to hash semi/anti
+    joins on the orderkey equi-condition (suppkey inequality as residual)
+    — a nested-loop fallback would be quadratic in order size at scale."""
+    from securities_pricing_data_pipeline_spark.queries.tpch import tpch_q21_waiting_suppliers
+
+    plan = _plan(tpch_q21_waiting_suppliers(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q11_threshold_is_single_row_broadcast(spark):
+    """The HAVING total must come from re-aggregating the per-part frame
+    (1-row broadcast), never a second scan+join of lineitem."""
+    from securities_pricing_data_pipeline_spark.queries.tpch import tpch_q11_important_parts
+
+    plan = _plan(tpch_q11_important_parts(spark, SF))
+    # lineitem is scanned exactly once
+    assert sum("lineitem.parquet" in ln for ln in plan.splitlines() if "Location" in ln) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_exclusion_broadcasts_and_q20_name_filter_pushes(spark):
+    from securities_pricing_data_pipeline_spark.queries.tpch import (
+        tpch_q16_supplier_count_by_part,
+        tpch_q20_promotion_suppliers,
+    )
+
+    plan16 = _plan(tpch_q16_supplier_count_by_part(spark, SF))
+    assert "LeftAnti" in plan16 and "BroadcastHashJoin" in plan16
+    plan20 = _plan(tpch_q20_promotion_suppliers(spark, SF))
+    pushed = [ln for ln in plan20.splitlines() if "PushedFilters" in ln and "p_name" in ln]
+    assert any("StringStartsWith" in ln for ln in pushed)
