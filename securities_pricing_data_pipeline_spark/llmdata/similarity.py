@@ -454,3 +454,85 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 20,
+    n_sub: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization codes: split each vector into ``n_sub``
+    contiguous subvectors and replace each with the id of its nearest
+    codeword — the standard ANN compression step (an IVF-PQ index stores
+    these codes instead of raw floats, ~dim·4/n_sub bytes → n_sub bytes).
+
+    Codebook: per subspace, the slices of the ``n_codes`` lowest-id
+    vectors (the same reproducible-init convention as ``ivf_topk`` /
+    ``kmeans_centroids`` — swap in trained centroids for production
+    recall). Assignment distance is squared L2 folded on the 1e-13
+    integer grid, so the argmin compares exact longs and can never flip
+    between engines; ties break to the lowest codeword id.
+
+    Scale posture: the codebook (n_sub·n_codes rows) broadcasts; each
+    vector expands to n_sub slice rows joined map-side; the argmin
+    aggregate shuffles on (vec_id, m) and the code assembly on vec_id —
+    two exchanges total, both carrying only (id, m, code, dist) narrow
+    rows. No pairwise blowup anywhere.
+    """
+    sub = dim // n_sub
+    spark = corpus.sparkSession
+
+    def slices(prefix: str):
+        return F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col(vec_col).cast("array<double>"), m * sub + 1, sub).alias(
+                            prefix
+                        ),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+        )
+
+    codebook = (
+        corpus.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("cid"), vec_col)
+        .select("cid", slices("cvec"))
+    )
+    sliced = corpus.select(F.col(id_col), slices("sub"))
+
+    d = F.zip_with(
+        F.col("sub"),
+        F.col("cvec"),
+        lambda x, y: F.round((x - y) * (x - y) * F.lit(_SCALE)).cast("long"),
+    )
+    dist = F.aggregate(d, F.lit(0).cast("long"), lambda acc, p: acc + p)
+
+    best = (
+        sliced.join(F.broadcast(codebook), "m")
+        .select(id_col, "m", dist.alias("dist_units"), "cid")
+        .groupBy(id_col, "m")
+        .agg(F.min(F.struct("dist_units", "cid")).alias("best"))
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("m", F.col("best")))).alias("parts"))
+        .select(
+            id_col,
+            F.concat_ws(
+                "-", F.transform("parts", lambda s: s["best"]["cid"].cast("string"))
+            ).alias("pq_code"),
+            (
+                F.aggregate(
+                    "parts", F.lit(0).cast("long"), lambda acc, s: acc + s["best"]["dist_units"]
+                ).cast("double")
+                / F.lit(_SCALE)
+            ).alias("qerr"),
+        )
+    )

@@ -27,6 +27,7 @@ from securities_pricing_data_pipeline_spark.llmdata.similarity import (
     embedding_near_dups,
     ivf_topk,
     lsh_topk,
+    pq_codes,
     random_planes,
 )
 from securities_pricing_data_pipeline_spark.llmdata.sampling import split_assign
@@ -126,6 +127,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression pass over the embeddings table
+    (see llmdata.similarity.pq_codes): 20-dim float vectors → 4 codeword
+    ids + the exact grid-unit quantization error."""
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_codes(emb, dim=20, n_sub=4, n_codes=16)
 
 
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,6 +451,7 @@ QUERIES = {
     "corpus_filter_funnel": corpus_filter_funnel,
     "sample_stratified": sample_stratified,
     "emb_norm_stats": emb_norm_stats,
+    "emb_pq_codes": emb_pq_codes,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -726,6 +736,31 @@ SELECT c.doc_id,
        CAST(COALESCE(h.n_contaminated, 0) AS INT) AS n_contaminated,
        CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / c.n_shingles AS contaminated_frac
 FROM cnt c LEFT JOIN hits h USING (doc_id)
+""",
+    "emb_pq_codes": """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), ms AS (
+  SELECT unnest([0, 1, 2, 3]) AS m
+), sub AS (
+  SELECT vec_id, m, vec[m*5+1 : m*5+5] AS sv FROM v, ms
+), cb AS (
+  SELECT vec_id AS cid, m, vec[m*5+1 : m*5+5] AS cvec FROM v, ms WHERE vec_id < 16
+), dist AS (
+  SELECT s.vec_id, s.m, c.cid,
+         list_sum(list_transform(list_zip(s.sv, c.cvec),
+           p -> CAST(round((p[1] - p[2]) * (p[1] - p[2]) * 1e13) AS BIGINT))) AS dist_units
+  FROM sub s JOIN cb c ON s.m = c.m
+), best AS (
+  SELECT vec_id, m, cid, dist_units,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_units, cid) AS rn
+  FROM dist
+)
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       CAST(SUM(dist_units) AS DOUBLE) / 1e13 AS qerr
+FROM best WHERE rn = 1
+GROUP BY vec_id
 """,
     "emb_norm_stats": """
 WITH g AS (

@@ -439,6 +439,49 @@ def q15_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select("symbol", "trade_date", rsi.alias("rsi_14"))
 
 
+def q16_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol OLS price trend (closed-form linear regression of close
+    on calendar day): slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²).
+
+    Exactness: x is the day offset from 1998-01-01 (|x| ≤ ~1500, integer);
+    y is the close in scale-2 integer units (exact — bars close carries 2
+    decimal digits). Every moment sum is then a BIGINT — order-independent
+    and overflow-safe by unit budget (n·Σxy ≲ 1e17 at full date range) —
+    so both engines hold identical integers and the final num/den double
+    division is a single correct rounding. This is the same moments
+    discipline as q13_beta but with NO floats anywhere before the last
+    divide.
+
+    Plan: one hash aggregate over the silver, map-side partials; the
+    closed form avoids any window or second pass. At 100 TB the shuffle
+    carries 5 longs per symbol."""
+    b = bars_silver(spark, sf_dir)
+    x = F.datediff(F.col("trade_date"), F.lit("1998-01-01").cast("date")).cast("long")
+    y = (F.col("close") * 100).cast("long")
+    agg = b.groupBy("symbol").agg(
+        F.count("*").alias("n_days"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n_days")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den / 100.0
+    intercept = (F.col("sy").cast("double") / 100.0 - slope * F.col("sx")) / n
+    return (
+        agg.filter(n >= 30)
+        .select(
+            "symbol",
+            "n_days",
+            slope.alias("slope_per_day"),
+            intercept.alias("price_at_epoch"),
+        )
+        .orderBy("symbol")
+    )
+
+
 def q14_top_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-correlated instrument pairs (the pairs-trading screen): Pearson
     correlation of daily returns between the top-20 symbols by total
@@ -535,6 +578,7 @@ QUERIES = {
     "q13_beta": q13_beta,
     "q14_top_corr_pairs": q14_top_corr_pairs,
     "q15_rsi": q15_rsi,
+    "q16_trend_slope": q16_trend_slope,
     "flagship_liquidity_top20": flagship,
 }
 
@@ -709,6 +753,26 @@ FROM pk GROUP BY symbol
 SELECT symbol, n_days,
        (srm - sr * sm / n_days) / NULLIF(smm - sm * sm / n_days, 0) AS beta
 FROM agg WHERE n_days >= 10
+""",
+    "q16_trend_slope": BARS_SQL
+    + """
+, m AS (
+  SELECT symbol, COUNT(*) AS n_days,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM (SELECT symbol,
+               CAST(date_diff('day', DATE '1998-01-01', trade_date) AS BIGINT) AS x,
+               CAST(close * 100 AS BIGINT) AS y
+        FROM bars)
+  GROUP BY symbol
+), s AS (
+  SELECT symbol, n_days, sx, sy,
+         CAST(n_days * sxy - sx * sy AS DOUBLE)
+           / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_day
+  FROM m WHERE n_days >= 30
+)
+SELECT symbol, n_days, slope_per_day,
+       (CAST(sy AS DOUBLE) / 100.0 - slope_per_day * sx) / n_days AS price_at_epoch
+FROM s ORDER BY symbol
 """,
     "q15_rsi": BARS_SQL
     + """

@@ -674,3 +674,24 @@ def test_bloom_no_false_negatives_and_determinism(spark):
         build.repartition(7), F.col("k"), probes.repartition(3), F.col("k"), k=3, m_bits=2048
     ).collect()[0]
     assert r == r2
+
+
+def test_pq_codes_identity_and_determinism(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import pq_codes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_codes(emb, dim=20, n_sub=4, n_codes=16)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == emb.count()
+    # a codebook vector quantizes to itself in every subspace, error 0
+    for cid in (0, 7, 15):
+        assert rows[cid].pq_code == "-".join([str(cid)] * 4)
+        assert rows[cid].qerr == 0.0
+    # codes are 4 ids in [0, 16)
+    for r in rows.values():
+        parts = [int(p) for p in r.pq_code.split("-")]
+        assert len(parts) == 4 and all(0 <= p < 16 for p in parts)
+        assert r.qerr >= 0.0
+    # layout-independent
+    again = {r.vec_id: r for r in pq_codes(emb.repartition(7), dim=20, n_sub=4, n_codes=16).collect()}
+    assert rows == again
