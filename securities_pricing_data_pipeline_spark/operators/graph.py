@@ -1,0 +1,78 @@
+"""Distributed graph analytics over DataFrame edge lists.
+
+The engine already ships one iterative graph operator — connected
+components for dedup clustering (``llmdata.dedup.connected_components``,
+min-label propagation). This module adds PageRank-style power iteration,
+the other workhorse for corpus/link analysis (seed-quality propagation a
+la Common Crawl harmonic centrality, supplier/entity importance ranks).
+
+Design (Spark-first, no GraphX/RDDs):
+  * edges live in a DataFrame ``(src, dst)``; out-degrees are joined on
+    once and the (edges ⋈ degree) frame is localCheckpoint-ed so the
+    per-iteration plan stays flat (same escape hatch as
+    ``connected_components`` — without it each iteration re-plans the
+    whole upstream lineage);
+  * each iteration is one shuffle: messages (rank/degree per edge) are
+    decimal-snapped at scale 12 — exact, order-independent partial
+    aggregation per the ``queries.helpers`` discipline, which is what
+    makes a 5-iteration float fixpoint bit-reproducible across engines —
+    then summed per destination and folded into
+    ``teleport + damping·Σ``;
+  * ranks stay a DataFrame of (node, rank) — never collected; the only
+    driver-side scalar is N (node count), needed in the teleport term.
+
+Scale: per iteration the shuffle carries (node, decimal) pairs — edge
+count × 16 bytes — and the rank frame is node count rows. Supplier
+co-supply edges are bounded per order (≤ lines²), so the edge list grows
+linearly with the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from securities_pricing_data_pipeline_spark.queries.helpers import dec
+
+#: decimal snap scale for per-edge contributions (rank ≤ 1, so grid units
+#: ≤ 1e12 — exact long arithmetic inside the decimal sum in both engines)
+CONTRIB_SCALE = 12
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns (node, rank) for every node with at least one outgoing edge
+    (on a symmetrized graph — e.g. co-occurrence — that is every node).
+    Fixed ``iters`` rather than convergence-tested: the driver-side
+    convergence check would add a count per iteration, and downstream
+    consumers (top-k ranking) want deterministic cost. Dangling-node mass
+    is not redistributed (nodes here always have out-edges).
+    """
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    # one flat, materialized (src, dst, deg) frame reused every iteration
+    ed = edges.join(deg, src).localCheckpoint(eager=True)
+    nodes = deg.select(F.col(src).alias("node"))
+    n_nodes = nodes.count()
+    teleport = (1.0 - damping) / n_nodes  # same literals as the oracle SQL
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iters):
+        msgs = ed.join(ranks, ed[src] == ranks.node).select(
+            F.col(dst).alias("node"),
+            dec(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
+        )
+        recv = msgs.groupBy("node").agg(F.sum("c").cast("double").alias("s"))
+        ranks = nodes.join(recv, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

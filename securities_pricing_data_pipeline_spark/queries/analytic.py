@@ -262,7 +262,71 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier centrality: PageRank (5 iterations, d=0.85) over the
+    co-supply graph — suppliers are linked when they ship lines of the
+    same order. The edge list is linear in the fact table (order size is
+    bounded, so per-order pairs are a constant factor), degrees join once
+    and each iteration is a single (node, decimal-contribution) shuffle —
+    see ``operators.graph.pagerank`` for the bit-reproducibility
+    discipline. Top-25 by rank with a key tie-break."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    from securities_pricing_data_pipeline_spark.operators.graph import pagerank
+
+    pr = pagerank(edges, iters=5, damping=0.85)
+    return (
+        pr.select(F.col("node").alias("supp_key"), "rank")
+        .orderBy(F.desc("rank"), "supp_key")
+        .limit(25)
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    head = """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.sk AS src, b.sk AS dst
+  FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk <> b.sk
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), nn AS (
+  SELECT COUNT(*) AS n FROM deg
+), it0 AS (
+  SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+)"""
+    its = ""
+    for i in range(1, iters + 1):
+        its += f""", it{i} AS (
+  SELECT d.src AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * COALESCE(CAST(s.s AS DOUBLE), 0.0) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS node, SUM(CAST(r.rank / g.deg AS DECIMAL(38,12))) AS s
+    FROM edges e JOIN deg g ON e.src = g.src JOIN it{i - 1} r ON e.src = r.node
+    GROUP BY e.dst
+  ) s ON d.src = s.node
+)"""
+    return (
+        head
+        + its
+        + f"""
+SELECT node AS supp_key, rank FROM it{iters}
+ORDER BY rank DESC, supp_key LIMIT 25
+"""
+    )
+
+
 QUERIES = {
+    "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "rfm_customer_segments": rfm_customer_segments,
     "w_cumulative_revenue": w_cumulative_revenue,
     "topk_parts_per_brand": topk_parts_per_brand,
@@ -275,6 +339,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_pagerank_suppliers": _pagerank_oracle_sql(5),
     "setop_churned_customers": """
 WITH churned AS (
   SELECT o_custkey FROM orders

@@ -219,3 +219,23 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert out[d(2020, 2, 1)].px is None  # 24 days old: nulled, row kept
     assert out[d(2020, 2, 1)].asof_time is None
     assert len(out) == 2
+
+
+def test_pagerank_star_graph_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from securities_pricing_data_pipeline_spark.operators.graph import pagerank
+
+    # star: hub 0 <-> spokes 1..6 (symmetrized edge list)
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(i, 0) for i in range(1, 7)], ["src", "dst"]
+    )
+    r = {row.node: row.rank for row in pagerank(edges, iters=5).collect()}
+    assert len(r) == 7
+    # hub collects all spoke mass, spokes are symmetric
+    assert all(abs(r[i] - r[1]) < 1e-12 for i in range(2, 7))
+    assert r[0] > 2 * r[1]
+    # probability mass is conserved (no dangling nodes)
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    # layout-independent
+    r2 = {row.node: row.rank for row in pagerank(edges.repartition(5), iters=5).collect()}
+    assert r == r2
