@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "sample_stratified",
     "dq_profile_lineitem",
     "multimodal_frame_sample",
+    "events_dau_wau",
+    "q16_trend_slope",
+    "tpch_q11_important_parts",
+    "tpch_q21_waiting_suppliers",
+    "emb_pq_codes",
+    "graph_pagerank_suppliers",
 ]
 
 
