@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_silver
 from securities_pricing_data_pipeline_spark.queries.helpers import (
     dec,
     dsum,
@@ -262,6 +263,54 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hist_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of extended price (40 buckets over [0, 120k]) —
+    the profiling primitive behind every dashboard distribution panel.
+    Bucketing is exact integer arithmetic (floor of price·100 units DIV
+    width units), so bucket membership can never flip between engines;
+    one hash aggregate with map-side combine, output is 40 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    width_units = 3000 * 100  # 3k-wide buckets in scale-2 price units
+    bucket = F.least(
+        F.expr(f"CAST((CAST(l_extendedprice * 100 AS BIGINT)) DIV {width_units} AS INT)"),
+        F.lit(39),
+    )
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_lines"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 3000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 3000.0).alias("hi"),
+            "n_lines",
+        )
+        .orderBy("bucket")
+    )
+
+
+def w_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based window statistics per symbol: percent_rank and cume_dist
+    of each day's close within the symbol's history, plus the first/last
+    close over the full partition frame. All four are rank/count ratios or
+    endpoint picks — no float accumulation, so cross-engine parity is
+    structural. The single window shuffle keys on symbol; at 100 TB the
+    input is the (already-reduced) silver, not raw fact rows."""
+    b = bars_silver(spark, sf_dir).filter(F.col("symbol").isin("P1", "P2", "P3"))
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    close_d = F.col("close").cast("double")
+    return b.select(
+        "symbol",
+        "trade_date",
+        close_d.alias("close"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.first(close_d).over(wf).alias("first_close"),
+        F.last(close_d).over(wf).alias("last_close"),
+    ).orderBy("symbol", "trade_date")
+
+
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier centrality: PageRank (5 iterations, d=0.85) over the
     co-supply graph — suppliers are linked when they ship lines of the
@@ -327,6 +376,8 @@ ORDER BY rank DESC, supp_key LIMIT 25
 
 QUERIES = {
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
+    "hist_price_buckets": hist_price_buckets,
+    "w_price_position": w_price_position,
     "rfm_customer_segments": rfm_customer_segments,
     "w_cumulative_revenue": w_cumulative_revenue,
     "topk_parts_per_brand": topk_parts_per_brand,
@@ -340,6 +391,25 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank_suppliers": _pagerank_oracle_sql(5),
+    "hist_price_buckets": """
+SELECT bucket, bucket * 3000.0 AS lo, (bucket + 1) * 3000.0 AS hi,
+       COUNT(*) AS n_lines
+FROM (SELECT least(CAST(CAST(l_extendedprice * 100 AS BIGINT) // 300000 AS INT), 39) AS bucket
+      FROM lineitem)
+GROUP BY bucket ORDER BY bucket
+""",
+    "w_price_position": BARS_SQL + """
+SELECT symbol, trade_date, CAST(close AS DOUBLE) AS close,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist,
+       first_value(CAST(close AS DOUBLE)) OVER wf AS first_close,
+       last_value(CAST(close AS DOUBLE)) OVER wf AS last_close
+FROM bars WHERE symbol IN ('P1', 'P2', 'P3')
+WINDOW w AS (PARTITION BY symbol ORDER BY trade_date),
+       wf AS (PARTITION BY symbol ORDER BY trade_date
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY symbol, trade_date
+""",
     "setop_churned_customers": """
 WITH churned AS (
   SELECT o_custkey FROM orders

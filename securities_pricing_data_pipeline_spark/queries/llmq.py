@@ -5,7 +5,7 @@ extension over events×bars."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from securities_pricing_data_pipeline_spark.llmdata.dedup import (
@@ -127,6 +127,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval lists (exact brute-force
+    cosine top-5 and hyperplane-LSH top-5): the standard way to merge
+    rankings from heterogeneous retrievers. Scores are Σ 1/(60+rank)
+    folded on an integer grid (round(1e12/(60+r)) as BIGINT) — rank is a
+    small int, so both engines compute the identical correctly-rounded
+    quotient and the sum is exact; the fused ordering can never diverge.
+    Plan: both retrievers share the embeddings scan; fusion itself is one
+    (query, neighbor) aggregate plus a per-query rank window."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id", "rank")
+    ls = lsh_topk(emb, q, k=5).select("query_id", "neighbor_id", "rank")
+    u = bf.unionByName(ls)
+    units = F.round(F.lit(1e12) / (F.lit(60.0) + F.col("rank"))).cast("long")
+    scored = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum(units).alias("rrf_units"),
+        F.count("*").cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_units"), "neighbor_id")
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("rrf_units").cast("double") / F.lit(1e12)).alias("rrf_score"),
+            "n_lists",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )
 
 
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,6 +485,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "emb_norm_stats": emb_norm_stats,
     "emb_pq_codes": emb_pq_codes,
+    "sim_rrf_fusion": sim_rrf_fusion,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -1151,3 +1185,28 @@ from securities_pricing_data_pipeline_spark.llmdata.sketch import bloom_oracle_s
 ORACLES["sketch_bloom_custkeys"] = bloom_oracle_sql(
     "orders", "o_custkey", "customer", "c_custkey", k=3, m_bits=4096
 )
+
+
+ORACLES["sim_rrf_fusion"] = f"""
+WITH bf AS (SELECT * FROM ({ORACLES["sim_bruteforce_topk"]})),
+lsh AS (SELECT * FROM ({_lsh_topk_oracle_sql()})),
+u AS (
+  SELECT query_id, neighbor_id, rank FROM bf
+  UNION ALL
+  SELECT query_id, neighbor_id, rank FROM lsh
+), scored AS (
+  SELECT query_id, neighbor_id,
+         SUM(CAST(round(1e12 / (60.0 + rank)) AS BIGINT)) AS rrf_units,
+         CAST(COUNT(*) AS INT) AS n_lists
+  FROM u GROUP BY 1, 2
+), fused AS (
+  SELECT query_id, neighbor_id, rrf_units, n_lists,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_units DESC, neighbor_id) AS fused_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       CAST(rrf_units AS DOUBLE) / 1e12 AS rrf_score,
+       n_lists, CAST(fused_rank AS INT) AS fused_rank
+FROM fused WHERE fused_rank <= 5
+"""
