@@ -463,3 +463,49 @@ def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
         cnt(no_stop, "n_no_stopword"),
         cnt(kept, "n_kept"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    width: int = 40,
+    stride: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / context-window prep
+    step): split each document into whitespace tokens and emit windows of
+    ``width`` tokens every ``stride`` — the final window may be short, and
+    a document shorter than one window yields exactly one chunk.
+
+    Implemented as a Spark 4 Python UDTF applied via LATERAL join — this
+    is the engine's demonstration of the table-function surface (one input
+    row → many output rows with their own schema). The UDTF is
+    Arrow-batched; it is still a Python-path operator, so the built-in
+    alternative (``sequence`` + ``transform`` + ``posexplode`` — all
+    JVM-side) is what the 100 TB hot path should use. The UDTF earns its
+    place where chunking logic outgrows expressions (tokenizer libraries,
+    sentence boundaries, layout-aware splits) — exactly the cases the
+    lateral-join plumbing here is shaped for. Chunking itself is
+    embarrassingly parallel: no shuffle at all, rows expand in place.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class DocChunker:
+        def eval(self, text: str):
+            toks = (text or "").split()
+            n = len(toks)
+            extra = max(0, -(-(n - width) // stride)) if n > width else 0
+            for i in range(extra + 1):
+                seg = toks[i * stride : min(i * stride + width, n)]
+                yield i, " ".join(seg), len(seg)
+
+    spark = docs.sparkSession
+    spark.udtf.register("doc_chunks", DocChunker)
+    docs.select(id_col, text_col).createOrReplaceTempView("_chunk_input")
+    return spark.sql(
+        f"""
+        SELECT i.{id_col}, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM _chunk_input i, LATERAL doc_chunks(i.{text_col}) c
+        """
+    )

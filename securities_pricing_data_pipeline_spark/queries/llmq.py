@@ -37,6 +37,7 @@ from securities_pricing_data_pipeline_spark.llmdata.sketch import (
 )
 from securities_pricing_data_pipeline_spark.llmdata.text import (
     BPE_SPLIT_RE,
+    chunk_documents,
     fingerprint_md5,
     lang_id,
     fuzzy_name_match,
@@ -127,6 +128,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 40-token windows every 20 tokens per document via the
+    Spark 4 Python UDTF lateral join (see llmdata.text.chunk_documents)."""
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, width=40, stride=20)
 
 
 def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +494,7 @@ QUERIES = {
     "emb_norm_stats": emb_norm_stats,
     "emb_pq_codes": emb_pq_codes,
     "sim_rrf_fusion": sim_rrf_fusion,
+    "text_chunk_windows": text_chunk_windows,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -1209,4 +1218,24 @@ SELECT query_id, neighbor_id,
        CAST(rrf_units AS DOUBLE) / 1e12 AS rrf_score,
        n_lists, CAST(fused_rank AS INT) AS fused_rank
 FROM fused WHERE fused_rank <= 5
+"""
+
+
+ORACLES["text_chunk_windows"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), n AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(greatest(n - 40, 0) / 20.0) AS BIGINT) + 1),
+           i -> struct_pack(
+             idx := i,
+             txt := array_to_string(t[i*20+1 : least(i*20+40, n)], ' ')))) AS c
+  FROM n
+)
+SELECT doc_id, CAST(c.idx AS INT) AS chunk_idx, c.txt AS chunk_text,
+       CAST(len(string_split(c.txt, ' ')) AS INT) AS n_tokens
+FROM chunks
 """

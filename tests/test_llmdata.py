@@ -695,3 +695,22 @@ def test_pq_codes_identity_and_determinism(spark):
     # layout-independent
     again = {r.vec_id: r for r in pq_codes(emb.repartition(7), dim=20, n_sub=4, n_codes=16).collect()}
     assert rows == again
+
+
+def test_chunk_documents_window_boundaries(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),   # shorter than one window
+            (2, " ".join(f"w{i}" for i in range(40))),   # exactly one window
+            (3, " ".join(f"w{i}" for i in range(61))),   # full, full-overlap, short tail
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, width=40, stride=20)
+    rows = sorted((r.doc_id, r.chunk_idx, r.n_tokens) for r in out.collect())
+    assert rows == [(1, 0, 10), (2, 0, 40), (3, 0, 40), (3, 1, 40), (3, 2, 21)]
+    # stride overlap: chunk 1 of doc 3 starts at token 20
+    c31 = out.filter("doc_id = 3 AND chunk_idx = 1").collect()[0].chunk_text
+    assert c31.startswith("w20 ") and c31.endswith(" w59")
