@@ -69,6 +69,31 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType surface: ``parse_json`` once into a variant
+    column, then typed path extraction with ``variant_get`` /
+    ``try_variant_get`` — the open-schema alternative to
+    ``get_json_object`` string re-parsing (variant stores a parsed binary
+    encoding, so repeated field reads skip the JSON tokenizer; at silver
+    scale you parse once at write and every gold read is a cheap path
+    probe). Missing paths surface as NULLs via try_variant_get, counted
+    per event type."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    missing = F.try_variant_get(v, "$.retries", "long")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("total_k"),
+            F.count("m").alias("n_with_retries"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day retention without a self-join: dedup to (user, day) —
     map-side combine shrinks this to |users|×|days| rows — then a per-user
@@ -139,6 +164,7 @@ QUERIES = {
     "events_hourly_stats": events_hourly_stats,
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
+    "events_variant_props": events_variant_props,
     "events_retention": events_retention,
     "events_funnel": events_funnel,
 }
@@ -173,6 +199,12 @@ SELECT user_id, CAST(session_id AS INT) AS session_id,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY 1, 2
+""",
+    "events_variant_props": """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS total_k,
+       COUNT(CAST(props->>'retries' AS BIGINT)) AS n_with_retries
+FROM events GROUP BY 1 ORDER BY 1
 """,
     "events_json_props": """
 SELECT event_type,

@@ -99,3 +99,66 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas variant (Spark 4 stateful-processor API):
+# per-user running totals with explicit typed ValueState. Compared to
+# applyInPandasWithState above, the processor object owns named state
+# handles (value/list/map + timers) instead of one opaque tuple — this is
+# the API new stateful operators should target.
+# ---------------------------------------------------------------------------
+
+TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """events(user_id long, value double, ...) → one updated
+    (user_id, n_events, total_value) row per user per microbatch.
+
+    State: a single typed ValueState row per user — memory bounded by
+    distinct users, not event history; at cluster scale state lives in
+    the state store (RocksDB is REQUIRED for this operator — set
+    spark.sql.streaming.stateStore.providerClass to
+    RocksDBStateStoreProvider) keyed by the shuffle partitioning, so the
+    operator scales out with partitions.
+
+    Runtime requirement: transformWithState's driver/worker control
+    channel is protobuf-serialized — ``google.protobuf`` must be
+    installed (it is not in this test container, so the accompanying
+    test import-skips; the operator itself is complete).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, val DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, val = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                val += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, val))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [val]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 import datetime as dt
 import sys
 
+import pytest
+
 from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
@@ -252,3 +254,66 @@ def test_sessionize_stream(spark, tmp_path):
     # event arrived in the same batch
     closed = {(r.user_id, r.n_events, r.total_value) for r in got}
     assert (7, 2, 3.0) in closed
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Two microbatches through the Spark 4 stateful-processor API: state
+    carries across batches, per-user totals match the batch aggregate.
+
+    transformWithState's control channel is protobuf-serialized; skip
+    when google.protobuf is not importable (this container ships no
+    protobuf and installs are off-limits)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import datetime as dt
+
+    from securities_pricing_data_pipeline_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = "user_id long, event_time timestamp, value double"
+    src = str(tmp_path / "twstate_src")
+    b1 = [
+        (1, dt.datetime(2026, 1, 1, 10, 0), 1.5),
+        (1, dt.datetime(2026, 1, 1, 10, 1), 2.5),
+        (2, dt.datetime(2026, 1, 1, 10, 2), 10.0),
+    ]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "twstate_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            running_totals_stream(stream)
+            .writeStream.format("memory")
+            .queryName("tw_totals")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM tw_totals").collect()
+        }
+
+    got = run_once()
+    assert got == {1: (2, 4.0), 2: (1, 10.0)}
+
+    # batch 2 arrives: state must accumulate, not reset
+    b2 = [(1, dt.datetime(2026, 1, 1, 11, 0), 6.0), (3, dt.datetime(2026, 1, 1, 11, 1), 7.0)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    try:
+        got2 = run_once()
+        assert got2[1] == (3, 10.0)
+        assert got2[3] == (1, 7.0)
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
