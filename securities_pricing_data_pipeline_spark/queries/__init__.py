@@ -86,6 +86,16 @@ _PRIORITY = [
     "tpch_q1_pricing_summary",
     "pivot_segment_status",
     "sql_exists_late_ship",
+    # positions 51+: newest family representatives, first of the long tail
+    # (checked next if the driver's per-round cap exceeds 50)
+    "graph_pagerank_suppliers",
+    "emb_pq_codes",
+    "sim_rrf_fusion",
+    "text_chunk_windows",
+    "q16_trend_slope",
+    "events_variant_props",
+    "tpch_q21_waiting_suppliers",
+    "hist_price_buckets",
 ]
 
 _ALL_QUERIES = {}
