@@ -263,6 +263,29 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_ohlc_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape of the OHLC silver via the built-in ``unpivot``
+    (melt): 4 price columns become (field, price) rows — the inverse of
+    pivot, an Expand node with NO shuffle (rows multiply in place), which
+    is the right plan at any scale. Restricted to 3 symbols so the long
+    output stays a spot-check surface."""
+    b = bars_silver(spark, sf_dir).filter(F.col("symbol").isin("P1", "P2", "P3"))
+    wide = b.select(
+        "symbol",
+        "trade_date",
+        F.col("open").cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("close").cast("double").alias("close"),
+    )
+    return wide.unpivot(
+        ids=["symbol", "trade_date"],
+        values=["open", "high", "low", "close"],
+        variableColumnName="field",
+        valueColumnName="price",
+    ).orderBy("symbol", "trade_date", "field")
+
+
 def hist_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of extended price (40 buckets over [0, 120k]) —
     the profiling primitive behind every dashboard distribution panel.
@@ -377,6 +400,7 @@ ORDER BY rank DESC, supp_key LIMIT 25
 QUERIES = {
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "hist_price_buckets": hist_price_buckets,
+    "unpivot_ohlc_long": unpivot_ohlc_long,
     "w_price_position": w_price_position,
     "rfm_customer_segments": rfm_customer_segments,
     "w_cumulative_revenue": w_cumulative_revenue,
@@ -391,6 +415,20 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank_suppliers": _pagerank_oracle_sql(5),
+    "unpivot_ohlc_long": BARS_SQL + """
+, wide AS (
+  SELECT symbol, trade_date,
+         CAST(open AS DOUBLE) AS open, CAST(high AS DOUBLE) AS high,
+         CAST(low AS DOUBLE) AS low, CAST(close AS DOUBLE) AS close
+  FROM bars WHERE symbol IN ('P1', 'P2', 'P3')
+)
+SELECT symbol, trade_date, field, price FROM (
+  SELECT symbol, trade_date, 'open' AS field, open AS price FROM wide
+  UNION ALL SELECT symbol, trade_date, 'high', high FROM wide
+  UNION ALL SELECT symbol, trade_date, 'low', low FROM wide
+  UNION ALL SELECT symbol, trade_date, 'close', close FROM wide
+) ORDER BY symbol, trade_date, field
+""",
     "hist_price_buckets": """
 SELECT bucket, bucket * 3000.0 AS lo, (bucket + 1) * 3000.0 AS hi,
        COUNT(*) AS n_lines

@@ -53,6 +53,35 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the BUILT-IN ``session_window``
+    aggregate (the lag-cumsum formulation above predates it; both ship so
+    the plans can be compared — session_window is one hash aggregate with
+    session merging inside the state manager, no window function at all,
+    and is the same operator Structured Streaming uses for streaming
+    sessions). Semantics delta vs the lag variant: a gap EQUAL to the
+    threshold starts a new session (windows are half-open
+    [start, last+gap)); timestamps are micros here (nanos div 1000), so
+    the oracle mirrors >= on micros."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ev_time", F.expr("timestamp_micros(ts div 1000)")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ev_time", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start_epoch"),
+            F.col("sw.end").cast("long").alias("session_end_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured surface: extract a typed field from the ``props``
     JSON string per row (``get_json_object`` — JVM-side JSON path eval,
@@ -163,6 +192,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_hourly_stats": events_hourly_stats,
     "events_sessionize": events_sessionize,
+    "events_session_window": events_session_window,
     "events_json_props": events_json_props,
     "events_variant_props": events_variant_props,
     "events_retention": events_retention,
@@ -199,6 +229,28 @@ SELECT user_id, CAST(session_id AS INT) AS session_id,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY 1, 2
+""",
+    "events_session_window": """
+WITH m AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS mts, value FROM events
+), flagged AS (
+  SELECT user_id, mts, value,
+         CASE WHEN mts - lag(mts) OVER w >= 1800000000 OR lag(mts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM m
+  WINDOW w AS (PARTITION BY user_id ORDER BY mts)
+), sess AS (
+  SELECT user_id, mts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY mts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(mts) // 1000000 AS session_start_epoch,
+       (MAX(mts) + 1800000000) // 1000000 AS session_end_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, sid
 """,
     "events_variant_props": """
 SELECT event_type, COUNT(*) AS n_events,
