@@ -82,3 +82,26 @@ def dq_profile(df: DataFrame, columns: list[str]) -> DataFrame:
     return wide.select(F.explode(F.array(*metrics)).alias("s")).select(
         "s.column", "s.metric", "s.value"
     )
+
+
+def observe_write_metrics(df: DataFrame, name: str = "write_metrics"):
+    """Attach free write-path metrics via the Observation API: row count,
+    null-volume count, and negative-close count are computed BY the write
+    action itself (an accumulator piggybacking on whatever job consumes
+    ``df``) — zero extra scans, unlike the reference's count-statement-
+    per-metric pattern (`dags/sql/8. new_row_count.sql`) and unlike
+    ``dq_profile`` which is its own aggregate job. Read ``obs.get`` only
+    AFTER an action has run over the returned frame.
+
+    Returns (observed_df, observation).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("volume").isNull().cast("long")).alias("n_null_volume"),
+        F.sum((F.col("close") < 0).cast("long")).alias("n_neg_close"),
+    )
+    return observed, obs

@@ -32,6 +32,7 @@ re-running a date leaves every layer byte-identical (tested).
 from __future__ import annotations
 
 import datetime as dt
+import logging
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +55,7 @@ from securities_pricing_data_pipeline_spark.operators.merge import (
 from securities_pricing_data_pipeline_spark.operators.quality import (
     NEGATIVE_VOLUME,
     existence_gate,
+    observe_write_metrics,
     split_rejects,
 )
 from securities_pricing_data_pipeline_spark.operators.surrogate_keys import assign_ids, next_id
@@ -114,7 +116,11 @@ def build_silver(
     core_rows = deduped.select(
         "trade_date", "symbol", "open", "high", "low", "close", "volume"
     ).withColumn("load_ts", F.current_timestamp())
+    # metrics ride the write job itself (Observation accumulators) —
+    # no second scan, unlike the reference's per-metric COUNT statements
+    core_rows, write_obs = observe_write_metrics(core_rows, "silver_write")
     upsert_partitions(spark, core_rows, wh.silver, keys=["symbol", "trade_date"])
+    logging.getLogger(__name__).info("silver write metrics: %s", write_obs.get)
 
     # insert-only reject audit (first reject wins, 4.:24-45)
     reject_rows = rejects.select(

@@ -239,3 +239,24 @@ def test_pagerank_star_graph_and_determinism(spark):
     # layout-independent
     r2 = {row.node: row.rank for row in pagerank(edges.repartition(5), iters=5).collect()}
     assert r == r2
+
+
+def test_observe_write_metrics_rides_the_action(spark, tmp_path):
+    import datetime as dt
+
+    from securities_pricing_data_pipeline_spark.operators.quality import (
+        observe_write_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (dt.date(2026, 1, 5), "AAA", 10.0, 100),
+            (dt.date(2026, 1, 5), "BBB", -1.0, None),
+            (dt.date(2026, 1, 5), "CCC", 5.0, 7),
+        ],
+        "trade_date date, symbol string, close double, volume long",
+    )
+    observed, obs = observe_write_metrics(df, "t_write")
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got == {"n_rows": 3, "n_null_volume": 1, "n_neg_close": 1}
