@@ -482,6 +482,102 @@ def q16_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each symbol's price
+    band (low/mid/high by fixed close thresholds) becomes effective-dated
+    rows — change points detected with lag, closed with lead (open rows
+    keep a NULL effective_to). The canonical SCD2 derivation: two stacked
+    windows on the SAME (symbol, trade_date) ordering share one shuffle,
+    and the change-point filter collapses the frame to |band changes|
+    before the second window. All comparisons are on exact decimals,
+    dates, and strings — no float anywhere."""
+    b = bars_silver(spark, sf_dir)
+    band = (
+        F.when(F.col("close") < 1000, "low")
+        .when(F.col("close") < 10000, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    marked = b.select("symbol", "trade_date", band.alias("band")).withColumn(
+        "prev_band", F.lag("band").over(w)
+    )
+    changes = marked.filter(
+        F.col("prev_band").isNull() | (F.col("band") != F.col("prev_band"))
+    )
+    w2 = Window.partitionBy("symbol").orderBy("trade_date")
+    return changes.select(
+        "symbol",
+        "band",
+        F.col("trade_date").alias("effective_from"),
+        F.date_sub(F.lead("trade_date").over(w2), 1).alias("effective_to"),
+    ).orderBy("symbol", "effective_from")
+
+
+def islands_trading_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE calendar trading days
+    per symbol via the date-minus-row_number trick (consecutive days share
+    one island key). Two aggregates after one window — the window and the
+    island aggregate both key on symbol, so Catalyst reuses the exchange.
+    Everything is int/date arithmetic; ties on streak length break to the
+    earliest start."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    grp = F.date_sub(F.col("trade_date"), F.row_number().over(w))
+    islands = (
+        b.select("symbol", "trade_date")
+        .withColumn("island", grp)
+        .groupBy("symbol", "island")
+        .agg(
+            F.count("*").alias("streak_days"),
+            F.min("trade_date").alias("streak_start"),
+            F.max("trade_date").alias("streak_end"),
+        )
+    )
+    w_best = Window.partitionBy("symbol").orderBy(
+        F.desc("streak_days"), "streak_start"
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("symbol", "streak_days", "streak_start", "streak_end")
+        .orderBy("symbol")
+    )
+
+
+def pattern_down_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-pattern detection (the MATCH_RECOGNIZE-shaped ask):
+    per symbol, the longest run of consecutive down days and how many
+    days sit at depth ≥3 of a down run. Run ids come from the classic
+    row_number-difference trick over the down-day subsequence; both
+    windows and the aggregate share the symbol shuffle. Down/up is an
+    exact decimal comparison (close < prev close), never a float
+    return."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    d = b.select(
+        "symbol",
+        "trade_date",
+        (F.col("close") < F.lag("close").over(w)).alias("down"),
+    ).withColumn("rn", F.row_number().over(w))
+    downs = d.filter(F.col("down"))
+    w_runs = Window.partitionBy("symbol").orderBy("rn")
+    runs = (
+        downs.withColumn("run_key", F.col("rn") - F.row_number().over(w_runs))
+        .groupBy("symbol", "run_key")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy("symbol")
+        .agg(
+            F.max("run_len").cast("int").alias("max_down_streak"),
+            F.sum(F.greatest(F.col("run_len") - 2, F.lit(0)))
+            .cast("long")
+            .alias("n_days_depth3plus"),
+        )
+        .orderBy("symbol")
+    )
+
+
 def q14_top_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-correlated instrument pairs (the pairs-trading screen): Pearson
     correlation of daily returns between the top-20 symbols by total
@@ -579,6 +675,9 @@ QUERIES = {
     "q14_top_corr_pairs": q14_top_corr_pairs,
     "q15_rsi": q15_rsi,
     "q16_trend_slope": q16_trend_slope,
+    "scd2_price_bands": scd2_price_bands,
+    "islands_trading_streaks": islands_trading_streaks,
+    "pattern_down_streaks": pattern_down_streaks,
     "flagship_liquidity_top20": flagship,
 }
 
@@ -753,6 +852,63 @@ FROM pk GROUP BY symbol
 SELECT symbol, n_days,
        (srm - sr * sm / n_days) / NULLIF(smm - sm * sm / n_days, 0) AS beta
 FROM agg WHERE n_days >= 10
+""",
+    "scd2_price_bands": BARS_SQL + """
+, banded AS (
+  SELECT symbol, trade_date,
+         CASE WHEN close < 1000 THEN 'low'
+              WHEN close < 10000 THEN 'mid'
+              ELSE 'high' END AS band
+  FROM bars
+), marked AS (
+  SELECT symbol, trade_date, band,
+         lag(band) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_band
+  FROM banded
+), changes AS (
+  SELECT symbol, trade_date, band FROM marked
+  WHERE prev_band IS NULL OR band <> prev_band
+)
+SELECT symbol, band, trade_date AS effective_from,
+       lead(trade_date) OVER (PARTITION BY symbol ORDER BY trade_date)
+         - INTERVAL 1 DAY AS effective_to
+FROM changes
+ORDER BY symbol, effective_from
+""",
+    "islands_trading_streaks": BARS_SQL + """
+, isl AS (
+  SELECT symbol,
+         trade_date - CAST(row_number() OVER (PARTITION BY symbol ORDER BY trade_date) AS INT) AS island,
+         COUNT(*) OVER () AS _dummy, trade_date
+  FROM bars
+), grouped AS (
+  SELECT symbol, island, COUNT(*) AS streak_days,
+         MIN(trade_date) AS streak_start, MAX(trade_date) AS streak_end
+  FROM isl GROUP BY 1, 2
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol
+                               ORDER BY streak_days DESC, streak_start) AS rn
+  FROM grouped
+)
+SELECT symbol, streak_days, streak_start, streak_end
+FROM best WHERE rn = 1 ORDER BY symbol
+""",
+    "pattern_down_streaks": BARS_SQL + """
+, d AS (
+  SELECT symbol, trade_date,
+         close < lag(close) OVER w AS down,
+         row_number() OVER w AS rn
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+), runs AS (
+  SELECT symbol,
+         rn - row_number() OVER (PARTITION BY symbol ORDER BY rn) AS run_key,
+         COUNT(*) OVER () AS _dummy
+  FROM d WHERE down
+), rl AS (
+  SELECT symbol, run_key, COUNT(*) AS run_len FROM runs GROUP BY 1, 2
+)
+SELECT symbol, CAST(MAX(run_len) AS INT) AS max_down_streak,
+       CAST(SUM(greatest(run_len - 2, 0)) AS BIGINT) AS n_days_depth3plus
+FROM rl GROUP BY symbol ORDER BY symbol
 """,
     "q16_trend_slope": BARS_SQL
     + """
