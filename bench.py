@@ -92,6 +92,16 @@ BENCH_QUERIES = [
     "tpch_q21_waiting_suppliers",
     "emb_pq_codes",
     "graph_pagerank_suppliers",
+    "sim_rrf_fusion",
+    "text_chunk_windows",
+    "events_variant_props",
+    "events_session_window",
+    "scd2_price_bands",
+    "islands_trading_streaks",
+    "pattern_down_streaks",
+    "hist_price_buckets",
+    "unpivot_ohlc_long",
+    "w_price_position",
 ]
 
 
