@@ -263,6 +263,78 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hier_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels (ratio_to_report): each
+    nation's order revenue as a share of its region and of the world.
+    One exact-decimal aggregate per nation, then two unpartitioned /
+    region-partitioned window sums over the 25-row frame — the windows
+    cost nothing because the hierarchy rollup happens AFTER the fact
+    table has been reduced. Shares divide exact decimals in double."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum(dec(F.col("o_totalprice"), 2)).alias("rev_dec"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "rev_dec",
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "region",
+        "nation",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w_region).cast("double")
+            * 100.0
+        ).alias("pct_of_region"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w_all).cast("double")
+            * 100.0
+        ).alias("pct_of_world"),
+    ).orderBy("region", "nation")
+
+
+def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per symbol: median close, median absolute
+    deviation (exact interpolated percentiles — closes are scale-2
+    decimals, so the midpoint interpolation a+(b−a)·0.5 is the same
+    double in both engines), and how many days sit beyond 5·MAD. Two
+    symbol-keyed aggregates; the deviation pass re-joins the 1-row-per-
+    symbol medians broadcast-style, so the fact shuffle happens once."""
+    b = bars_silver(spark, sf_dir)
+    closes = b.select("symbol", F.col("close").cast("double").alias("c"))
+    med = closes.groupBy("symbol").agg(
+        F.percentile(F.col("c"), F.lit(0.5)).alias("med_close"),
+        F.count("*").alias("n_days"),
+    )
+    dev = closes.join(med, "symbol").select(
+        "symbol", "med_close", "n_days", F.abs(F.col("c") - F.col("med_close")).alias("ad")
+    )
+    mad = dev.groupBy("symbol").agg(F.percentile(F.col("ad"), F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(mad, "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.first("med_close").alias("med_close"),
+            F.first("mad").alias("mad"),
+            F.sum((F.col("ad") > 5 * F.col("mad")).cast("long")).alias("n_outliers"),
+        )
+        .orderBy("symbol")
+    )
+
+
 def unpivot_ohlc_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape of the OHLC silver via the built-in ``unpivot``
     (melt): 4 price columns become (field, price) rows — the inverse of
@@ -401,6 +473,8 @@ QUERIES = {
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "hist_price_buckets": hist_price_buckets,
     "unpivot_ohlc_long": unpivot_ohlc_long,
+    "hier_revenue_shares": hier_revenue_shares,
+    "mad_price_outliers": mad_price_outliers,
     "w_price_position": w_price_position,
     "rfm_customer_segments": rfm_customer_segments,
     "w_cumulative_revenue": w_cumulative_revenue,
@@ -415,6 +489,41 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank_suppliers": _pagerank_oracle_sql(5),
+    "hier_revenue_shares": """
+WITH per_nation AS (
+  SELECT r_name AS region, n_name AS nation,
+         SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS rev_dec
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE) * 100.0 AS pct_of_region,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(SUM(rev_dec) OVER () AS DOUBLE) * 100.0 AS pct_of_world
+FROM per_nation ORDER BY region, nation
+""",
+    "mad_price_outliers": BARS_SQL + """
+, closes AS (
+  SELECT symbol, CAST(close AS DOUBLE) AS c FROM bars
+), med AS (
+  SELECT symbol, quantile_cont(c, 0.5) AS med_close, COUNT(*) AS n_days
+  FROM closes GROUP BY symbol
+), dev AS (
+  SELECT c.symbol, m.med_close, m.n_days, abs(c.c - m.med_close) AS ad
+  FROM closes c JOIN med m ON c.symbol = m.symbol
+), mad AS (
+  SELECT symbol, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY symbol
+)
+SELECT d.symbol, CAST(MIN(d.n_days) AS BIGINT) AS n_days,
+       MIN(d.med_close) AS med_close, MIN(a.mad) AS mad,
+       CAST(SUM(CASE WHEN d.ad > 5 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a ON d.symbol = a.symbol
+GROUP BY d.symbol ORDER BY d.symbol
+""",
     "unpivot_ohlc_long": BARS_SQL + """
 , wide AS (
   SELECT symbol, trade_date,
