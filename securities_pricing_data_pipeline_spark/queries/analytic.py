@@ -263,6 +263,46 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nest_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document assembly: nest each order's lines into a sorted array of
+    structs (the JSON-export / feature-list shape). collect_list is
+    order-nondeterministic under shuffles, so the array is array_sort-ed
+    on the (linenumber) struct head — that makes the nested value itself
+    deterministic, which is the contract that matters when the nested
+    column feeds training examples. Serialized to a canonical string for
+    the cross-engine hash; one shuffle on orderkey. Restricted to one
+    ship month to keep the spot-check surface small."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    lines = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").cast("int").alias("ln"),
+            F.col("l_partkey").cast("long").alias("pk"),
+            (F.col("l_quantity") * 100).cast("long").alias("qty_units"),
+        ).alias("line"),
+    )
+    nested = lines.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+        F.array_sort(F.collect_list("line")).alias("lines")
+    )
+    as_str = F.concat_ws(
+        ";",
+        F.transform(
+            "lines",
+            lambda s: F.concat_ws(
+                ":", s["ln"].cast("string"), s["pk"].cast("string"), s["qty_units"].cast("string")
+            ),
+        ),
+    )
+    return nested.select(
+        "order_key",
+        F.size("lines").alias("n_lines"),
+        as_str.alias("lines_doc"),
+    ).orderBy("order_key")
+
+
 def hier_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent at two hierarchy levels (ratio_to_report): each
     nation's order revenue as a share of its region and of the world.
@@ -474,6 +514,7 @@ QUERIES = {
     "hist_price_buckets": hist_price_buckets,
     "unpivot_ohlc_long": unpivot_ohlc_long,
     "hier_revenue_shares": hier_revenue_shares,
+    "nest_order_lines": nest_order_lines,
     "mad_price_outliers": mad_price_outliers,
     "w_price_position": w_price_position,
     "rfm_customer_segments": rfm_customer_segments,
@@ -489,6 +530,22 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank_suppliers": _pagerank_oracle_sql(5),
+    "nest_order_lines": """
+WITH lines AS (
+  SELECT l_orderkey,
+         CAST(l_linenumber AS INT) AS ln,
+         CAST(l_partkey AS BIGINT) AS pk,
+         CAST(l_quantity * 100 AS BIGINT) AS qty_units
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-03-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1997-04-01'
+)
+SELECT l_orderkey AS order_key,
+       CAST(COUNT(*) AS INT) AS n_lines,
+       string_agg(CAST(ln AS VARCHAR) || ':' || CAST(pk AS VARCHAR) || ':'
+                  || CAST(qty_units AS VARCHAR), ';' ORDER BY ln, pk, qty_units) AS lines_doc
+FROM lines GROUP BY l_orderkey ORDER BY order_key
+""",
     "hier_revenue_shares": """
 WITH per_nation AS (
   SELECT r_name AS region, n_name AS nation,
