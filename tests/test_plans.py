@@ -315,3 +315,33 @@ def test_tpch_q16_exclusion_broadcasts_and_q20_name_filter_pushes(spark):
     plan20 = _plan(tpch_q20_promotion_suppliers(spark, SF))
     pushed = [ln for ln in plan20.splitlines() if "PushedFilters" in ln and "p_name" in ln]
     assert any("StringStartsWith" in ln for ln in pushed)
+
+
+def test_scd2_windows_share_symbol_shuffle(spark):
+    """lag + lead both key on (symbol, trade_date): Catalyst must plan ONE
+    symbol exchange feeding both windows, not two."""
+    import re
+
+    from securities_pricing_data_pipeline_spark.queries import bars
+    from securities_pricing_data_pipeline_spark.queries.serving import scd2_price_bands
+
+    bars._SILVER_CACHE.clear()
+    plan = _plan(scd2_price_bands(spark, SF))
+    n_sym_exchanges = len(re.findall(r"hashpartitioning\(symbol#\d+, \d+\)", plan))
+    assert n_sym_exchanges == 1
+
+
+def test_pq_codes_two_narrow_exchanges_no_pairs(spark):
+    from securities_pricing_data_pipeline_spark.queries.llmq import emb_pq_codes
+
+    plan = _plan(emb_pq_codes(spark, SF))
+    assert "CartesianProduct" not in plan
+    # codebook joins map-side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rrf_fusion_no_unbounded_pair_blowup(spark):
+    from securities_pricing_data_pipeline_spark.queries.llmq import sim_rrf_fusion
+
+    plan = _plan(sim_rrf_fusion(spark, SF))
+    assert "CartesianProduct" not in plan
