@@ -85,8 +85,41 @@ def sql_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(SQL_SCALAR_SUBQUERY_ABOVE_AVG)
 
 
+SQL_WINDOW_RUNNING_SHARE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS rev_dec
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(o_orderdate AS DATE) <  DATE '1997-04-01'
+  GROUP BY 1
+)
+SELECT order_date,
+       CAST(rev_dec AS DOUBLE) AS day_revenue,
+       CAST(SUM(rev_dec) OVER (ORDER BY order_date
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_revenue,
+       CAST(SUM(rev_dec) OVER (ORDER BY order_date
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE)
+         / CAST(SUM(rev_dec) OVER () AS DOUBLE) * 100.0 AS running_pct
+FROM daily
+ORDER BY order_date
+"""
+
+
+def sql_window_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI window-function text (running total + percent-of-final over a
+    quarter's daily revenue) run verbatim on both engines — pins window
+    frame and ordering dialect compatibility. The windows sit on the
+    ~90-row pre-aggregated frame, so the unpartitioned ordering is free."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_WINDOW_RUNNING_SHARE)
+
+
 QUERIES = {
     "sql_exists_late_ship": sql_exists_late_ship,
+    "sql_window_running_share": sql_window_running_share,
     "sql_in_having_large_orders": sql_in_having_large_orders,
     "sql_scalar_subquery_above_avg": sql_scalar_subquery_above_avg,
 }
@@ -94,6 +127,7 @@ QUERIES = {
 # the oracle IS the same SQL text — DuckDB runs it over identical views
 ORACLES = {
     "sql_exists_late_ship": SQL_EXISTS_LATE_SHIP,
+    "sql_window_running_share": SQL_WINDOW_RUNNING_SHARE,
     "sql_in_having_large_orders": SQL_IN_HAVING_LARGE_ORDERS,
     "sql_scalar_subquery_above_avg": SQL_SCALAR_SUBQUERY_ABOVE_AVG,
 }
