@@ -334,7 +334,32 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_profile(li, ["l_orderkey", "l_returnflag", "l_quantity"])
 
 
+def ri_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: fact rows whose foreign keys miss
+    their dimension — the check a warehouse runs before trusting joins.
+    Three broadcast/shuffle anti-joins counted in ONE pass via left joins
+    + conditional counts (an anti-join per constraint would scan the fact
+    three times); dims project only their key column. On clean testdata
+    all counts are 0 — the query IS the assertion."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("fk_ok"))
+    part = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("fk_pk"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("fk_sk"))
+    j = (
+        li.join(orders, li.l_orderkey == F.col("fk_ok"), "left")
+        .join(F.broadcast(part), li.l_partkey == F.col("fk_pk"), "left")
+        .join(F.broadcast(supp), li.l_suppkey == F.col("fk_sk"), "left")
+    )
+    return j.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("fk_ok").isNull().cast("long")).alias("n_orphan_orderkey"),
+        F.sum(F.col("fk_pk").isNull().cast("long")).alias("n_orphan_partkey"),
+        F.sum(F.col("fk_sk").isNull().cast("long")).alias("n_orphan_suppkey"),
+    )
+
+
 QUERIES = {
+    "ri_orphan_lineitems": ri_orphan_lineitems,
     "p1_typed_projection": p1_typed_projection,
     "p2_date_filter": p2_date_filter,
     "p3_reject_split": p3_reject_split,
@@ -359,6 +384,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ri_orphan_lineitems": """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_orderkey,
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_partkey,
+       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_suppkey
+FROM lineitem l
+LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+LEFT JOIN part p     ON l.l_partkey = p.p_partkey
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+""",
     "dq_profile_lineitem": """
 WITH w AS (
   SELECT COUNT(*) AS n_rows,

@@ -578,6 +578,75 @@ def pattern_down_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: each symbol's last close as-of 1997-06-30
+    vs as-of 1997-12-31, classified added / removed / changed / unchanged
+    — the shape of a warehouse change-data feed when the source only
+    offers snapshots. One full-outer join on the (already per-symbol
+    reduced) as-of frames; payload comparison on exact decimals. At
+    100 TB both sides reduce before the join, so the join input is
+    |symbols| rows."""
+    b = bars_silver(spark, sf_dir)
+
+    def as_of(cutoff: str):
+        w = Window.partitionBy("symbol").orderBy(F.desc("trade_date"))
+        return (
+            b.filter(F.col("trade_date") <= F.lit(cutoff).cast("date"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("symbol", F.col("close").alias("close"))
+        )
+
+    old = as_of("1997-06-30").select(F.col("symbol").alias("o_sym"), F.col("close").alias("o_close"))
+    new = as_of("1997-12-31").select(F.col("symbol").alias("n_sym"), F.col("close").alias("n_close"))
+    j = old.join(new, old.o_sym == new.n_sym, "full_outer")
+    status = (
+        F.when(F.col("o_sym").isNull(), "added")
+        .when(F.col("n_sym").isNull(), "removed")
+        .when(F.col("o_close") != F.col("n_close"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_symbols"))
+        .orderBy("status")
+    )
+
+
+def pit_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (the feature-store correctness
+    shape): July-1997 bars joined to the SCD2 band history at THEIR OWN
+    trade date — effective_from ≤ d AND (effective_to IS NULL OR
+    d ≤ effective_to) — never the current value (that would leak the
+    future). The non-equi range condition rides a symbol equi-join, so
+    the plan is a hash join with a residual filter, not a nested loop;
+    at 100 TB the SCD2 side is dimension-sized (|band changes|). Output
+    aggregates to band counts for a compact contract."""
+    b = bars_silver(spark, sf_dir).filter(
+        (F.col("trade_date") >= F.lit("1997-07-01").cast("date"))
+        & (F.col("trade_date") < F.lit("1997-08-01").cast("date"))
+    ).select("symbol", "trade_date")
+    hist = scd2_price_bands(spark, sf_dir).select(
+        F.col("symbol").alias("h_sym"), "band", "effective_from", "effective_to"
+    )
+    j = b.join(
+        hist,
+        (F.col("symbol") == F.col("h_sym"))
+        & (F.col("effective_from") <= F.col("trade_date"))
+        & (F.col("effective_to").isNull() | (F.col("trade_date") <= F.col("effective_to"))),
+        "inner",
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count("*").alias("n_bar_days"),
+            F.countDistinct("symbol").alias("n_symbols"),
+        )
+        .orderBy("band")
+    )
+
+
 def q14_top_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-correlated instrument pairs (the pairs-trading screen): Pearson
     correlation of daily returns between the top-20 symbols by total
@@ -676,6 +745,8 @@ QUERIES = {
     "q15_rsi": q15_rsi,
     "q16_trend_slope": q16_trend_slope,
     "scd2_price_bands": scd2_price_bands,
+    "snapshot_diff_positions": snapshot_diff_positions,
+    "pit_band_lookup": pit_band_lookup,
     "islands_trading_streaks": islands_trading_streaks,
     "pattern_down_streaks": pattern_down_streaks,
     "flagship_liquidity_top20": flagship,
@@ -852,6 +923,53 @@ FROM pk GROUP BY symbol
 SELECT symbol, n_days,
        (srm - sr * sm / n_days) / NULLIF(smm - sm * sm / n_days, 0) AS beta
 FROM agg WHERE n_days >= 10
+""",
+    "snapshot_diff_positions": BARS_SQL + """
+, old AS (
+  SELECT symbol AS o_sym, close AS o_close FROM (
+    SELECT symbol, close, row_number() OVER (PARTITION BY symbol ORDER BY trade_date DESC) AS rn
+    FROM bars WHERE trade_date <= DATE '1997-06-30') WHERE rn = 1
+), new AS (
+  SELECT symbol AS n_sym, close AS n_close FROM (
+    SELECT symbol, close, row_number() OVER (PARTITION BY symbol ORDER BY trade_date DESC) AS rn
+    FROM bars WHERE trade_date <= DATE '1997-12-31') WHERE rn = 1
+)
+SELECT CASE WHEN o_sym IS NULL THEN 'added'
+            WHEN n_sym IS NULL THEN 'removed'
+            WHEN o_close <> n_close THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n_symbols
+FROM old FULL OUTER JOIN new ON o_sym = n_sym
+GROUP BY 1 ORDER BY 1
+""",
+    "pit_band_lookup": BARS_SQL + """
+, banded AS (
+  SELECT symbol, trade_date,
+         CASE WHEN close < 1000 THEN 'low'
+              WHEN close < 10000 THEN 'mid'
+              ELSE 'high' END AS band
+  FROM bars
+), marked AS (
+  SELECT symbol, trade_date, band,
+         lag(band) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_band
+  FROM banded
+), changes AS (
+  SELECT symbol, trade_date, band FROM marked
+  WHERE prev_band IS NULL OR band <> prev_band
+), hist AS (
+  SELECT symbol AS h_sym, band, trade_date AS effective_from,
+         lead(trade_date) OVER (PARTITION BY symbol ORDER BY trade_date)
+           - INTERVAL 1 DAY AS effective_to
+  FROM changes
+), july AS (
+  SELECT symbol, trade_date FROM bars
+  WHERE trade_date >= DATE '1997-07-01' AND trade_date < DATE '1997-08-01'
+)
+SELECT band, COUNT(*) AS n_bar_days, CAST(COUNT(DISTINCT symbol) AS BIGINT) AS n_symbols
+FROM july JOIN hist ON symbol = h_sym
+  AND effective_from <= trade_date
+  AND (effective_to IS NULL OR trade_date <= effective_to)
+GROUP BY band ORDER BY band
 """,
     "scd2_price_bands": BARS_SQL + """
 , banded AS (
