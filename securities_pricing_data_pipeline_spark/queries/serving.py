@@ -578,6 +578,43 @@ def pattern_down_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ar1_close_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol lag-1 autoregression slope of close (the mean-reversion
+    screen): φ = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) over consecutive-day
+    (prev, cur) close pairs. Same all-integer moments discipline as
+    q16_trend_slope — closes become scale-2 BIGINT units via one lag
+    window, every sum is exact, and the single final division is the
+    only float op. One symbol shuffle shared by the lag window and the
+    moment aggregate."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    units = (F.col("close") * 100).cast("long")
+    pairs = (
+        b.select("symbol", "trade_date", units.alias("y"))
+        .withColumn("x", F.lag("y").over(w))
+        .filter(F.col("x").isNotNull())
+    )
+    # per-row products fit a long (≤1e14), but n·Σxy reaches ~1e20 at the
+    # full price range — moment sums and the closed-form combination run
+    # in DECIMAL(38,0) (exact, like DuckDB's int128 HUGEINT sums)
+    d0 = "decimal(38,0)"
+    agg = pairs.groupBy("symbol").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").cast(d0).alias("sx"),
+        F.sum("y").cast(d0).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d0)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d0)).alias("sxx"),
+    )
+    n = F.col("n_pairs").cast(d0)
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.filter((F.col("n_pairs") >= 30) & (den != 0))
+        .select("symbol", "n_pairs", (num.cast("double") / den.cast("double")).alias("ar1_phi"))
+        .orderBy("symbol")
+    )
+
+
 def snapshot_diff_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style snapshot diff: each symbol's last close as-of 1997-06-30
     vs as-of 1997-12-31, classified added / removed / changed / unchanged
@@ -746,6 +783,7 @@ QUERIES = {
     "q16_trend_slope": q16_trend_slope,
     "scd2_price_bands": scd2_price_bands,
     "snapshot_diff_positions": snapshot_diff_positions,
+    "ar1_close_autocorr": ar1_close_autocorr,
     "pit_band_lookup": pit_band_lookup,
     "islands_trading_streaks": islands_trading_streaks,
     "pattern_down_streaks": pattern_down_streaks,
@@ -923,6 +961,25 @@ FROM pk GROUP BY symbol
 SELECT symbol, n_days,
        (srm - sr * sm / n_days) / NULLIF(smm - sm * sm / n_days, 0) AS beta
 FROM agg WHERE n_days >= 10
+""",
+    "ar1_close_autocorr": BARS_SQL + """
+, pairs AS (
+  SELECT symbol,
+         lag(CAST(close * 100 AS BIGINT)) OVER (PARTITION BY symbol ORDER BY trade_date) AS x,
+         CAST(close * 100 AS BIGINT) AS y
+  FROM bars
+  QUALIFY x IS NOT NULL
+), m AS (
+  SELECT symbol, COUNT(*) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pairs GROUP BY symbol
+)
+SELECT symbol, n_pairs,
+       CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+         / CAST(n_pairs * sxx - sx * sx AS DOUBLE) AS ar1_phi
+FROM m
+WHERE n_pairs >= 30 AND (n_pairs * sxx - sx * sx) <> 0
+ORDER BY symbol
 """,
     "snapshot_diff_positions": BARS_SQL + """
 , old AS (
