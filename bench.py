@@ -102,6 +102,14 @@ BENCH_QUERIES = [
     "hist_price_buckets",
     "unpivot_ohlc_long",
     "w_price_position",
+    "ar1_close_autocorr",
+    "nest_order_lines",
+    "hier_revenue_shares",
+    "mad_price_outliers",
+    "sql_window_running_share",
+    "snapshot_diff_positions",
+    "pit_band_lookup",
+    "ri_orphan_lineitems",
 ]
 
 
