@@ -117,8 +117,42 @@ def sql_window_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_WINDOW_RUNNING_SHARE)
 
 
+SQL_RECURSIVE_REACHABILITY = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+), reach(sk, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS sk, 0 AS depth
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.sk
+  WHERE r.depth < 2
+)
+SELECT sk AS supp_key, CAST(MIN(depth) AS INT) AS min_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM reach
+GROUP BY sk
+ORDER BY min_depth, supp_key
+"""
+
+
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (WITH RECURSIVE ... UNION ALL): two-hop BFS
+    over the co-supply graph from supplier 1, min reach depth + path
+    multiplicity per supplier. Spark supports only UNION ALL recursion
+    (no distinct-union fixpoints yet), so the frontier is depth-bounded
+    and deduped in the outer aggregate — the shape to use until
+    UNION-distinct lands. Identical text runs on DuckDB. The iterative
+    DataFrame twin with per-iteration dedup is operators/graph.pagerank /
+    llmdata.dedup.connected_components."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_RECURSIVE_REACHABILITY)
+
+
 QUERIES = {
     "sql_exists_late_ship": sql_exists_late_ship,
+    "sql_recursive_reachability": sql_recursive_reachability,
     "sql_window_running_share": sql_window_running_share,
     "sql_in_having_large_orders": sql_in_having_large_orders,
     "sql_scalar_subquery_above_avg": sql_scalar_subquery_above_avg,
@@ -128,6 +162,7 @@ QUERIES = {
 ORACLES = {
     "sql_exists_late_ship": SQL_EXISTS_LATE_SHIP,
     "sql_window_running_share": SQL_WINDOW_RUNNING_SHARE,
+    "sql_recursive_reachability": SQL_RECURSIVE_REACHABILITY,
     "sql_in_having_large_orders": SQL_IN_HAVING_LARGE_ORDERS,
     "sql_scalar_subquery_above_avg": SQL_SCALAR_SUBQUERY_ABOVE_AVG,
 }
