@@ -260,3 +260,32 @@ def test_observe_write_metrics_rides_the_action(spark, tmp_path):
     observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
     got = obs.get
     assert got == {"n_rows": 3, "n_null_volume": 1, "n_neg_close": 1}
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from securities_pricing_data_pipeline_spark.operators.maintenance import (
+        compact_parquet,
+        dir_bytes,
+    )
+
+    path = str(tmp_path / "smallfiles")
+    df = spark.range(0, 20000).selectExpr("id", "id % 7 AS k", "CAST(id AS STRING) AS s")
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    import os
+
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 30
+    before = spark.read.parquet(path)
+    before_sum = before.groupBy().sum("id").collect()[0][0]
+
+    n_after = compact_parquet(spark, path, target_bytes=dir_bytes(path))
+    assert n_after < n_before and n_after <= 2
+
+    after = spark.read.parquet(path)
+    assert after.count() == 20000
+    assert after.groupBy().sum("id").collect()[0][0] == before_sum
+
+    # sorted compaction clusters files on the key
+    n_sorted = compact_parquet(spark, path, target_bytes=dir_bytes(path) // 3, sort_cols=["id"])
+    assert spark.read.parquet(path).count() == 20000
+    assert n_sorted >= 2
