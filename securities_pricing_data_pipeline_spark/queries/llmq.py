@@ -137,6 +137,40 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, width=40, stride=20)
 
 
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix allocation: given fixed per-source weights and a total
+    token budget, compute each source's requested allocation, what is
+    actually available, the shortfall, and the sampling fraction a
+    downstream deterministic-hash sampler should use. The arithmetic
+    stays exact: token counts are integer sums, requested = floor of
+    weight·budget in integer micro-units, and the published fraction is
+    a single integer÷integer double division — so the plan is
+    bit-identical across engines. One aggregate over documents, then
+    arithmetic on a 3-row frame."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(toks).alias("avail_tokens")
+    )
+    budget = 20_000  # total training tokens to draw
+    weights = F.create_map(
+        F.lit("src0"), F.lit(60), F.lit("src1"), F.lit(30), F.lit("src2"), F.lit(10)
+    )
+    w = F.coalesce(weights[F.col("source")], F.lit(0)).cast("long")
+    requested = (F.lit(budget) * w / 100).cast("long")
+    take = F.least(requested, F.col("avail_tokens"))
+    return per_source.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        w.cast("int").alias("weight_pct"),
+        requested.alias("requested_tokens"),
+        take.alias("planned_tokens"),
+        (requested - take).alias("shortfall_tokens"),
+        (take.cast("double") / F.col("avail_tokens")).alias("sample_fraction"),
+    ).orderBy("source")
+
+
 def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two retrieval lists (exact brute-force
     cosine top-5 and hyperplane-LSH top-5): the standard way to merge
@@ -494,6 +528,7 @@ QUERIES = {
     "emb_norm_stats": emb_norm_stats,
     "emb_pq_codes": emb_pq_codes,
     "sim_rrf_fusion": sim_rrf_fusion,
+    "corpus_mix_plan": corpus_mix_plan,
     "text_chunk_windows": text_chunk_windows,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1238,4 +1273,27 @@ WITH toks AS (
 SELECT doc_id, CAST(c.idx AS INT) AS chunk_idx, c.txt AS chunk_text,
        CAST(len(string_split(c.txt, ' ')) AS INT) AS n_tokens
 FROM chunks
+"""
+
+
+ORACLES["corpus_mix_plan"] = r"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT *,
+         CASE source WHEN 'src0' THEN 60 WHEN 'src1' THEN 30
+                     WHEN 'src2' THEN 10 ELSE 0 END AS w
+  FROM per_source
+)
+SELECT source, n_docs, avail_tokens,
+       CAST(w AS INT) AS weight_pct,
+       CAST(20000 * w // 100 AS BIGINT) AS requested_tokens,
+       least(CAST(20000 * w // 100 AS BIGINT), avail_tokens) AS planned_tokens,
+       CAST(20000 * w // 100 AS BIGINT)
+         - least(CAST(20000 * w // 100 AS BIGINT), avail_tokens) AS shortfall_tokens,
+       CAST(least(CAST(20000 * w // 100 AS BIGINT), avail_tokens) AS DOUBLE)
+         / avail_tokens AS sample_fraction
+FROM weighted ORDER BY source
 """
