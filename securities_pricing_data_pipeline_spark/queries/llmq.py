@@ -137,6 +137,35 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, width=40, stride=20)
 
 
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline evaluation: score the MinHash-LSH candidate pairs
+    against exact n-gram-Jaccard ground truth (threshold 0.8) — the
+    precision/recall readout a curator checks before trusting an
+    approximate dedup pass at corpus scale (where exact all-pairs is
+    unaffordable; here the testdata is small enough to compute truth).
+    Both pair sets come from the engine's own operators; the join is on
+    the (id_a, id_b) canonical pair key. Counts are ints; the two ratios
+    are single int÷int divisions — engine-stable."""
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, n=3, threshold=0.5, portable=True).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("id_a", "id_b")
+    hit = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_hit = hit.agg(F.count("*").alias("n_hits"))
+    return (
+        n_cand.join(n_truth)
+        .join(n_hit)
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias("precision"),
+            (F.col("n_hits").cast("double") / F.col("n_true_pairs")).alias("recall"),
+        )
+    )
+
+
 def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix allocation: given fixed per-source weights and a total
     token budget, compute each source's requested allocation, what is
@@ -529,6 +558,7 @@ QUERIES = {
     "emb_pq_codes": emb_pq_codes,
     "sim_rrf_fusion": sim_rrf_fusion,
     "corpus_mix_plan": corpus_mix_plan,
+    "dedup_minhash_eval": dedup_minhash_eval,
     "text_chunk_windows": text_chunk_windows,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1296,4 +1326,19 @@ SELECT source, n_docs, avail_tokens,
        CAST(least(CAST(20000 * w // 100 AS BIGINT), avail_tokens) AS DOUBLE)
          / avail_tokens AS sample_fraction
 FROM weighted ORDER BY source
+"""
+
+
+ORACLES["dedup_minhash_eval"] = f"""
+WITH cand AS (SELECT id_a, id_b FROM ({ORACLES["dedup_minhash_lsh"]})),
+truth AS (SELECT id_a, id_b FROM ({ORACLES["dedup_ngram_jaccard"]})),
+hit AS (SELECT * FROM cand WHERE EXISTS (
+  SELECT 1 FROM truth t WHERE t.id_a = cand.id_a AND t.id_b = cand.id_b))
+SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       (SELECT COUNT(*) FROM hit) AS n_hits,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM cand) AS precision,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM truth) AS recall
 """
