@@ -123,25 +123,32 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches, one full scan
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Per-query fault isolation (VERDICT r3 item 3): one broken query must
+    # never zero out the round's perf signal — record its error and go on.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = queries[name](spark, sf_dir)
+            df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "sum_sec_headline_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "sum_sec_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+        out["n_errors"] = len(errors)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

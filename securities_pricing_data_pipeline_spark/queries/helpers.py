@@ -28,13 +28,44 @@ from pyspark.sql import types as T
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # testdata `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark
-    # rejects unless nanosAsLong is on. The conf is runtime-settable, so pin
-    # it here (idempotent) rather than relying on the session factory — query
-    # callables must work on ANY SparkSession, including the correctness
-    # driver's vanilla one, not just session.get_spark()'s.
+    # Query callables must work on ANY SparkSession, including the
+    # correctness driver's vanilla one, not just session.get_spark()'s —
+    # so every session-sensitive pin is (idempotently) applied here too.
+    #
+    # nanosAsLong: some generations of the testdata write `events.ts` as
+    # parquet INT64 TIMESTAMP(NANOS), which Spark rejects unless this conf
+    # is on (it then loads as epoch-nanos long).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # UTC: date extraction from timestamps (to_date, dayofmonth, window)
+    # must agree with the DuckDB oracle, which treats naive timestamps
+    # as-is; pinning the session zone makes Spark's LTZ math equivalent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Engine contract: ``events.ts`` is epoch-nanos BIGINT, whatever the
+    file's physical type. The driver's testdata has shipped both INT64
+    TIMESTAMP(NANOS) (loads as long via nanosAsLong) and plain
+    ``timestamp[us]`` (loads as TIMESTAMP_NTZ / TIMESTAMP) between rounds;
+    adapt on dtype so every downstream query keeps the documented
+    epoch-nanos arithmetic unchanged on ANY generation of the file.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "timestamp_ntz":
+        # timezone-free: wall-clock micros since the naive epoch — exactly
+        # DuckDB's epoch_us(ts) on the same naive value.
+        micros = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        df = df.withColumn("ts", (micros * F.lit(1000)).cast("long"))
+    elif dtype == "timestamp":
+        # instant-typed: unix_micros is timezone-independent.
+        df = df.withColumn("ts", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
+    return df
 
 
 def dec(c: Column, scale: int) -> Column:

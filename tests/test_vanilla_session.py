@@ -1,23 +1,25 @@
-"""Harness-session independence (VERDICT r2 item 2).
+"""Harness-session independence + events.ts physical-type adaptivity.
 
 The correctness driver builds its own plain SparkSession — none of the
 factory pins in session.py apply there. Every query callable must therefore
-be self-sufficient: in round 2, nine events-reading queries died with
-PARQUET_TYPE_ILLEGAL because `spark.sql.legacy.parquet.nanosAsLong` lived
-only in the factory. These tests strip the conf back to its vanilla default
-and assert (a) the raw read really does fail without the conf — so the test
-cannot silently rot — and (b) the query path heals itself via helpers.load().
+be self-sufficient (round 2: nine events queries died because
+``nanosAsLong`` lived only in the factory). And the driver's testdata has
+shipped ``events.ts`` as BOTH parquet INT64 TIMESTAMP(NANOS) (rounds 1-2)
+and plain ``timestamp[us]`` (round 3+) — so ``helpers.load()`` must yield
+the engine's epoch-nanos-long contract for EITHER physical encoding, on a
+vanilla session. A tiny nanos-typed fixture file keeps the legacy path
+from rotting now that the driver files are micros-typed.
 """
 
 from __future__ import annotations
 
 import pytest
-from pyspark.sql.utils import AnalysisException
 
 from securities_pricing_data_pipeline_spark.queries.eventsq import (
     events_funnel,
     events_hourly_stats,
 )
+from securities_pricing_data_pipeline_spark.queries.helpers import load
 from securities_pricing_data_pipeline_spark.queries.relational import a4_dedup_latest
 
 _CONF = "spark.sql.legacy.parquet.nanosAsLong"
@@ -31,11 +33,52 @@ def vanilla_conf(spark):
     spark.conf.set(_CONF, "true")
 
 
-def test_raw_events_read_fails_without_conf(vanilla_conf, sf_dir):
+@pytest.fixture(scope="module")
+def nanos_events_dir(tmp_path_factory):
+    """events.parquet with the LEGACY physical type: INT64 TIMESTAMP(NANOS)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nanos_events")
+    ts_ns = [1_700_000_000_000_000_000 + i * 61_000_000_000 for i in range(6)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array(ts_ns, pa.timestamp("ns")),
+            "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "event_type": pa.array(["view"] * 6),
+            "value": pa.array([float(i) for i in range(6)], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * 6),
+        }
+    )
+    # version>=2.6 preserves nanosecond timestamps as TIMESTAMP(NANOS)
+    pq.write_table(table, d / "events.parquet", version="2.6", coerce_timestamps=None)
+    assert str(pq.read_schema(d / "events.parquet").field("ts").type) == "timestamp[ns]"
+    return str(d), ts_ns
+
+
+def test_load_adapts_micros_driver_file(vanilla_conf, sf_dir):
+    """Driver file (timestamp[us]) → epoch-nanos long, matching pyarrow truth."""
+    import pyarrow.parquet as pq
+
     spark = vanilla_conf
-    assert spark.conf.get(_CONF) == "false"
-    with pytest.raises(AnalysisException, match="PARQUET_TYPE_ILLEGAL"):
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    df = load(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "bigint"
+    got = {r.event_id: r.ts for r in df.orderBy("event_id").limit(5).collect()}
+    truth = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts"]).to_pandas()
+    truth = truth.sort_values("event_id").head(5)
+    for eid, t in zip(truth.event_id, truth.ts):
+        assert got[eid] == t.value  # pandas Timestamp.value is epoch nanos
+
+
+def test_load_adapts_nanos_legacy_file(vanilla_conf, nanos_events_dir):
+    """Legacy file (TIMESTAMP(NANOS)) → same epoch-nanos long contract."""
+    spark = vanilla_conf
+    d, ts_ns = nanos_events_dir
+    df = load(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "bigint"
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    assert got == ts_ns
 
 
 def test_events_queries_heal_on_vanilla_session(vanilla_conf, sf_dir):
