@@ -41,30 +41,68 @@ def existence_gate(df: DataFrame, what: str = "load") -> None:
         raise EmptyLoadError(f"existence gate failed: {what} produced 0 rows")
 
 
-def dq_profile(df: DataFrame, columns: list[str]) -> DataFrame:
-    """Declarative data-quality profile: one aggregate pass computes, for
-    every requested column, null count, distinct count, and min/max (as
-    strings, type-agnostic). The generalization of the reference's ad-hoc
-    count gates — ONE job regardless of how many columns are profiled
-    (reference runs one statement per metric). Output is long-form
-    (column, metric, value) so downstream gates can assert on rows.
+#: auto mode flips from exact count_distinct to the HLL sketch once the
+#: profile asks for more than this many distinct columns. Each exact
+#: multi-distinct agg adds one Expand replica of every scanned row
+#: (n distinct aggs → (n+1)× rows through the shuffle), so the crossover
+#: is early by design — 2 keeps narrow ad-hoc gates exact while any real
+#: profile takes the sketch path.
+DQ_EXACT_MAX_COLS = 2
 
-    Scale note: count_distinct per column shares the same shuffle via
-    Spark's multi-distinct Expand rewrite; for very wide profiles switch
-    to approx_count_distinct (one pass, no Expand) and a rows-only check.
+
+def dq_profile(
+    df: DataFrame,
+    columns: list[str],
+    distinct_mode: str = "auto",
+    hll_p: int = 8,
+) -> DataFrame:
+    """Declarative data-quality profile: for every requested column, null
+    count, distinct count (exact or sketched — see below), and min/max
+    (as strings, type-agnostic). The generalization of the reference's
+    ad-hoc count gates (reference runs one statement per metric). Output
+    is long-form (column, metric, value) so downstream gates can assert
+    on rows.
+
+    ``distinct_mode``:
+
+    * ``"exact"`` — ``count_distinct`` per column in one aggregate.
+      Catalyst's multi-distinct rewrite Expands the scan (n distinct
+      aggs → (n+1)× rows into the shuffle) and shuffles every distinct
+      value; fine for narrow profiles, the dominant cost for wide ones
+      (the one >2× mover in the round-3 bench audit).
+    * ``"approx"`` — the portable HLL sketch (``llmdata/sketch.py``) per
+      column, metric name ``distinct_est``. Two Expand-free passes: a
+      plain agg for nulls/min/max, and one explode(#cols)→register agg
+      whose map-side combine collapses to ≤ #cols·2^p rows per partition
+      — at 100 TB the distinct shuffle carries kilobytes instead of every
+      distinct value. Bit-reproducible cross-engine (md5-derived hash,
+      integer registers, floored estimate), so the DuckDB oracle still
+      value-matches — approximate ≠ unverifiable.
+    * ``"auto"`` (default) — exact for ≤ ``DQ_EXACT_MAX_COLS`` columns,
+      approx above.
     """
+    if distinct_mode == "auto":
+        distinct_mode = "exact" if len(columns) <= DQ_EXACT_MAX_COLS else "approx"
+    if distinct_mode not in ("exact", "approx"):
+        raise ValueError(f"distinct_mode must be exact|approx|auto, got {distinct_mode!r}")
+
     aggs = [F.count("*").alias("__n_rows")]
     for c in columns:
         aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
             F.min(F.col(c).cast("string")).alias(f"{c}__min"),
             F.max(F.col(c).cast("string")).alias(f"{c}__max"),
         ]
+        if distinct_mode == "exact":
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
     wide = df.agg(*aggs)
+
+    base_metrics = ("nulls", "distinct", "min", "max") if distinct_mode == "exact" else (
+        "nulls", "min", "max"
+    )
     metrics = []
     for c in columns:
-        for m in ("nulls", "distinct", "min", "max"):
+        for m in base_metrics:
             metrics.append(
                 F.struct(
                     F.lit(c).alias("column"),
@@ -79,9 +117,113 @@ def dq_profile(df: DataFrame, columns: list[str]) -> DataFrame:
             F.col("__n_rows").cast("string").alias("value"),
         )
     )
-    return wide.select(F.explode(F.array(*metrics)).alias("s")).select(
+    out = wide.select(F.explode(F.array(*metrics)).alias("s")).select(
         "s.column", "s.metric", "s.value"
     )
+    if distinct_mode == "approx":
+        out = out.unionByName(_hll_distinct_by_column(df, columns, p=hll_p))
+    return out
+
+
+def _hll_distinct_by_column(df: DataFrame, columns: list[str], p: int = 8) -> DataFrame:
+    """Per-column portable-HLL distinct estimates in ONE pass, long-form
+    ``(column, 'distinct_est', value)``. Same integer pipeline as
+    ``llmdata.sketch.hll_estimate`` (md5-derived 60-bit hash, bucket =
+    low ``p`` bits, register = max leading-zero rank, exact-integer
+    Σ 2^-M), vectorized over columns by exploding one
+    (column, bucket, rho) struct per non-null value. NULLs are skipped,
+    matching ``count_distinct`` semantics. The estimate is floored to
+    BIGINT before stringification so the only float step (one IEEE double
+    division) can never produce engine-dependent decimal text.
+    """
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import portable_hash60
+
+    m = 1 << p
+    wbits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    structs = []
+    for c in columns:
+        h = portable_hash60(F.col(c).cast("string"))
+        w = F.shiftright(h, p)
+        rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+            F.lit(wbits + 1) - F.length(F.bin(w))
+        )
+        structs.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.lit(c).alias("column"),
+                    (h % F.lit(m)).alias("bucket"),
+                    rho.alias("rho"),
+                ),
+            )
+        )
+    regs = (
+        df.select(F.explode(F.array(*structs)).alias("s"))
+        .where(F.col("s").isNotNull())
+        .groupBy(F.col("s.column").alias("column"), F.col("s.bucket").alias("bucket"))
+        .agg(F.max("s.rho").alias("M"))
+    )
+    # same shift-count clamp as sketch.hll_estimate (see comment there)
+    agg = regs.groupBy("column").agg(
+        F.count("*").alias("n_seen"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), greatest({wbits} - M, 0))")).alias(
+            "s_seen"
+        ),
+    )
+    s_scaled = F.col("s_seen") + (F.lit(m) - F.col("n_seen")) * F.lit(1 << wbits).cast(
+        "long"
+    )
+    est = F.lit(alpha * m * m * float(1 << wbits)) / s_scaled.cast("double")
+    return agg.select(
+        "column",
+        F.lit("distinct_est").alias("metric"),
+        F.floor(est).cast("long").cast("string").alias("value"),
+    )
+
+
+def dq_profile_hll_oracle_sql(table: str, columns: list[str], p: int = 8) -> str:
+    """DuckDB twin of ``dq_profile(..., distinct_mode='approx')`` — the
+    same two passes emitted as SQL text, so the sketched profile stays
+    value-level-verifiable."""
+    m = 1 << p
+    wbits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = repr(alpha * m * m * float(1 << wbits))
+
+    nd_rows = []
+    for c in columns:
+        nd_rows += [
+            f"SELECT '{c}' AS \"column\", 'nulls' AS metric, "
+            f"CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS VARCHAR) AS value "
+            f"FROM {table}",
+            f"SELECT '{c}', 'min', MIN(CAST({c} AS VARCHAR)) FROM {table}",
+            f"SELECT '{c}', 'max', MAX(CAST({c} AS VARCHAR)) FROM {table}",
+        ]
+    nd_rows.append(f"SELECT '*', 'n_rows', CAST(COUNT(*) AS VARCHAR) FROM {table}")
+
+    hll_rows = []
+    for c in columns:
+        hll_rows.append(f"""
+SELECT '{c}' AS "column", 'distinct_est' AS metric,
+       CAST(CAST(FLOOR({scale} / CAST(
+         s_seen + ({m} - n_seen) * (CAST(1 AS BIGINT) << {wbits}) AS DOUBLE
+       )) AS BIGINT) AS VARCHAR) AS value
+FROM (
+  SELECT COUNT(*) AS n_seen,
+         CAST(SUM(CAST(1 AS BIGINT) << greatest({wbits} - M, 0)) AS BIGINT) AS s_seen
+  FROM (
+    SELECT hv % {m} AS bucket,
+           MAX(CASE WHEN (hv >> {p}) = 0 THEN {wbits + 1}
+                    ELSE {wbits + 1} - length(bin(hv >> {p})) END) AS M
+    FROM (
+      SELECT CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM {table} WHERE {c} IS NOT NULL
+    ) GROUP BY 1
+  )
+)""")
+    return "\nUNION ALL ".join(nd_rows + hll_rows)
 
 
 def observe_write_metrics(df: DataFrame, name: str = "write_metrics"):

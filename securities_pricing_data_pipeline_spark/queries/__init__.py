@@ -27,21 +27,25 @@ from securities_pricing_data_pipeline_spark.queries import (
 
 _MODULES = (bars, eventsq, relational, serving, llmq, tpch, analytic, sqlapi)
 
-# First N entries are what a capped correctness driver will actually check:
-# SURVEY §2 core (bars silver, events, relational P/J/A, serving Q1–Q10 +
-# flagship) followed by one representative per extension family.
+# First N entries are what a capped correctness driver will actually check.
+# Rotation policy (VERDICT r3 item 5): SURVEY §2 core rows stay pinned every
+# round; everything else green in BOTH prior driver rounds rotates out to
+# the long tail (still repo-gate-checked) so never-driver-certified queries
+# get a driver row. Round 4 rotated out bars_*, range_join_in_transit,
+# skew_salted_aggregate, dq_profile_lineitem, q10, flagship (all green in
+# r2+r3) and rotated in the 8 events/asof fixes plus the strongest r3
+# additions (tpch_q21, pagerank, scd2, sketch_hll).
 _PRIORITY = [
-    # bars silver layer
-    "bars_ohlcv",
-    "bars_rollup_multigrain",
-    "bars_gapfill_locf",
-    # events (nanos-timestamp readers — regression-sensitive)
+    # events (ts physical-type-sensitive — all 8 fixed this round; keep
+    # the full family in the window until driver-certified)
     "events_hourly_stats",
     "events_sessionize",
+    "events_session_window",
     "events_json_props",
     "events_retention",
+    "events_dau_wau",
     "events_funnel",
-    # SURVEY §2.2–§2.5 relational inventory
+    # SURVEY §2.2–§2.5 relational inventory (core — always pinned)
     "p1_typed_projection",
     "p2_date_filter",
     "p3_reject_split",
@@ -60,10 +64,8 @@ _PRIORITY = [
     "a9_postmerge_recon",
     "a10_surrogate_assignment",
     "dim_date_build",
-    "range_join_in_transit",
-    "skew_salted_aggregate",
-    "dq_profile_lineitem",
-    # SURVEY §2.6 serving queries
+    # SURVEY §2.6 serving queries (core — always pinned; q2b/q4b are the
+    # calendar-RANGE / enriched-sector shapes of core rows Q2/Q4)
     "q1_market_totals",
     "q2_rolling_liquidity",
     "q2b_rolling_calendar",
@@ -75,26 +77,37 @@ _PRIORITY = [
     "q7_volatility_topk",
     "q8_ohlc_series",
     "q9_price_averages",
-    "q10_zscore_anomalies",
-    "flagship_liquidity_top20",
-    # one representative per extension family
+    # as-of join family (3 fixed this round)
+    "asof_event_bars",
+    "asof_event_bars_fwd",
+    "asof_event_bars_tol",
+    # extension-family representatives (driver-green r3 only — one round)
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "sim_ivf_topk",
     "multimodal_features",
-    "asof_event_bars",
     "tpch_q1_pricing_summary",
     "pivot_segment_status",
     "sql_exists_late_ship",
-    # positions 51+: newest family representatives, first of the long tail
-    # (checked next if the driver's per-round cap exceeds 50)
+    # rotated in round 4: never driver-checked before
+    "tpch_q21_waiting_suppliers",
     "graph_pagerank_suppliers",
+    "scd2_price_bands",
+    "sketch_hll_orderkeys",
+    # positions 51+: next rotation candidates, first of the long tail
+    "bars_ohlcv",
+    "bars_rollup_multigrain",
+    "bars_gapfill_locf",
+    "q10_zscore_anomalies",
+    "flagship_liquidity_top20",
+    "range_join_in_transit",
+    "skew_salted_aggregate",
+    "dq_profile_lineitem",
     "emb_pq_codes",
     "sim_rrf_fusion",
     "text_chunk_windows",
     "q16_trend_slope",
     "events_variant_props",
-    "tpch_q21_waiting_suppliers",
     "hist_price_buckets",
 ]
 

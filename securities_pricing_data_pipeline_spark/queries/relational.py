@@ -325,13 +325,29 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ_COLS = ["l_orderkey", "l_returnflag", "l_quantity"]
+
+
 def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative DQ profile (generalized P5/A1 gates): null/distinct/
-    min/max for three columns + row count, all in ONE aggregate job."""
+    """Declarative DQ profile (generalized P5/A1 gates): null/min/max per
+    column + row count + distinct estimates. Three distinct columns is
+    above ``DQ_EXACT_MAX_COLS``, so auto mode takes the portable-HLL
+    sketch path — no Expand, kilobyte distinct shuffle, still value-level
+    oracle-checked (the sketch is bit-reproducible in DuckDB)."""
     from securities_pricing_data_pipeline_spark.operators.quality import dq_profile
 
     li = load(spark, sf_dir, "lineitem")
-    return dq_profile(li, ["l_orderkey", "l_returnflag", "l_quantity"])
+    return dq_profile(li, _DQ_COLS)
+
+
+def dq_profile_lineitem_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode option of the same profile: one aggregate job whose
+    multi-``count_distinct`` Expand is the documented cost — kept
+    registered so the exact path stays oracle-checked."""
+    from securities_pricing_data_pipeline_spark.operators.quality import dq_profile
+
+    li = load(spark, sf_dir, "lineitem")
+    return dq_profile(li, _DQ_COLS, distinct_mode="exact")
 
 
 def ri_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,9 +397,17 @@ QUERIES = {
     "range_join_in_transit": range_join_in_transit,
     "skew_salted_aggregate": skew_salted_aggregate,
     "dq_profile_lineitem": dq_profile_lineitem,
+    "dq_profile_lineitem_exact": dq_profile_lineitem_exact,
 }
 
+from securities_pricing_data_pipeline_spark.operators.quality import (  # noqa: E402
+    dq_profile_hll_oracle_sql,
+)
+
 ORACLES = {
+    # sketched profile: DuckDB reproduces the HLL registers bit-for-bit,
+    # so even the approximate default stays value-level-checked.
+    "dq_profile_lineitem": dq_profile_hll_oracle_sql("lineitem", _DQ_COLS),
     "ri_orphan_lineitems": """
 SELECT COUNT(*) AS n_lines,
        CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_orderkey,
@@ -394,7 +418,7 @@ LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
 LEFT JOIN part p     ON l.l_partkey = p.p_partkey
 LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
 """,
-    "dq_profile_lineitem": """
+    "dq_profile_lineitem_exact": """
 WITH w AS (
   SELECT COUNT(*) AS n_rows,
          COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS ok_nulls,
