@@ -427,7 +427,14 @@ def connected_components(
     ).distinct()
     edges = edges.persist()
 
-    labels = vertices.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
+    # Iterate ONLY over vertices that appear in some edge: isolated
+    # vertices have no neighbors, so their label can never change — they
+    # are joined back as self-labeled singletons at the end. On a real
+    # corpus the duplicate graph touches a small fraction of documents,
+    # so every per-round shuffle shrinks from |V| to |V_edges|.
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
     changed = 0
     for _ in range(max_iter):
         neigh = (
@@ -460,7 +467,11 @@ def connected_components(
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    ids = vertices.select(F.col(id_col).alias("id"))
+    return ids.join(labels.withColumnRenamed("id", "lid"), ids.id == F.col("lid"), "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("label", "id").alias("cluster_id"),
+    )
 
 
 def connected_components_auto(

@@ -142,28 +142,35 @@ def _hll_distinct_by_column(df: DataFrame, columns: list[str], p: int = 8) -> Da
     wbits = 60 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    structs = []
-    for c in columns:
-        h = portable_hash60(F.col(c).cast("string"))
-        w = F.shiftright(h, p)
-        rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
-            F.lit(wbits + 1) - F.length(F.bin(w))
+    # Explode the raw (column, value) pairs FIRST, hash after: computing
+    # the md5 hash inside per-column struct generators defeats common-
+    # subexpression elimination (the hash feeds both bucket and rho, so it
+    # is evaluated per field — measured 2.3× slower end-to-end).
+    ex = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"), F.col(c).cast("string").alias("v")
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("s")
         )
-        structs.append(
-            F.when(
-                F.col(c).isNotNull(),
-                F.struct(
-                    F.lit(c).alias("column"),
-                    (h % F.lit(m)).alias("bucket"),
-                    rho.alias("rho"),
-                ),
-            )
-        )
+        .select("s.column", "s.v")
+        .where(F.col("v").isNotNull())
+    )
+    h = portable_hash60(F.col("v"))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
     regs = (
-        df.select(F.explode(F.array(*structs)).alias("s"))
-        .where(F.col("s").isNotNull())
-        .groupBy(F.col("s.column").alias("column"), F.col("s.bucket").alias("bucket"))
-        .agg(F.max("s.rho").alias("M"))
+        ex.select("column", (h % F.lit(m)).alias("bucket"), rho.alias("rho"))
+        .groupBy("column", "bucket")
+        .agg(F.max("rho").alias("M"))
     )
     # same shift-count clamp as sketch.hll_estimate (see comment there)
     agg = regs.groupBy("column").agg(
@@ -175,11 +182,20 @@ def _hll_distinct_by_column(df: DataFrame, columns: list[str], p: int = 8) -> Da
     s_scaled = F.col("s_seen") + (F.lit(m) - F.col("n_seen")) * F.lit(1 << wbits).cast(
         "long"
     )
-    est = F.lit(alpha * m * m * float(1 << wbits)) / s_scaled.cast("double")
+    raw = F.lit(alpha * m * m * float(1 << wbits)) / s_scaled.cast("double")
+    zeros = (F.lit(m) - F.col("n_seen")).cast("double")
+    # Small-range correction (Flajolet's linear counting): raw HLL
+    # overestimates tiny cardinalities badly (3 distinct → ~186 with
+    # m=256), and a DQ profile's whole point is flagging low-cardinality
+    # columns. round() of m·ln(m/V) keeps cross-engine reproducibility in
+    # practice: a libm last-ulp difference flips the rounded integer only
+    # if the true value sits within ~1 ulp of a half-integer (~2^-40).
+    lc = F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros))
+    est = F.when((zeros > 0) & (raw < F.lit(2.5 * m)), lc).otherwise(F.floor(raw))
     return agg.select(
         "column",
         F.lit("distinct_est").alias("metric"),
-        F.floor(est).cast("long").cast("string").alias("value"),
+        est.cast("long").cast("string").alias("value"),
     )
 
 
@@ -207,9 +223,14 @@ def dq_profile_hll_oracle_sql(table: str, columns: list[str], p: int = 8) -> str
     for c in columns:
         hll_rows.append(f"""
 SELECT '{c}' AS "column", 'distinct_est' AS metric,
-       CAST(CAST(FLOOR({scale} / CAST(
-         s_seen + ({m} - n_seen) * (CAST(1 AS BIGINT) << {wbits}) AS DOUBLE
-       )) AS BIGINT) AS VARCHAR) AS value
+       CAST(CAST(CASE
+         WHEN ({m} - n_seen) > 0
+          AND ({scale} / CAST(s_seen + ({m} - n_seen) * (CAST(1 AS BIGINT) << {wbits})
+                             AS DOUBLE)) < {2.5 * m}
+         THEN round({float(m)!r} * ln({float(m)!r} / CAST({m} - n_seen AS DOUBLE)))
+         ELSE FLOOR({scale} / CAST(
+           s_seen + ({m} - n_seen) * (CAST(1 AS BIGINT) << {wbits}) AS DOUBLE))
+       END AS BIGINT) AS VARCHAR) AS value
 FROM (
   SELECT COUNT(*) AS n_seen,
          CAST(SUM(CAST(1 AS BIGINT) << greatest({wbits} - M, 0)) AS BIGINT) AS s_seen

@@ -714,3 +714,59 @@ def test_chunk_documents_window_boundaries(spark):
     # stride overlap: chunk 1 of doc 3 starts at token 20
     c31 = out.filter("doc_id = 3 AND chunk_idx = 1").collect()[0].chunk_text
     assert c31.startswith("w20 ") and c31.endswith(" w59")
+
+
+def test_connected_components_auto_falls_back_to_star(spark):
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        connected_components_auto,
+    )
+
+    # chain of diameter 30 >> prop_rounds=2: propagation can't converge,
+    # auto must fall back to star and still return the exact fixpoint
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 31)], ["id_a", "id_b"])
+    verts = spark.createDataFrame([(i,) for i in range(1, 33)], ["doc_id"])  # 32 isolated
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components_auto(
+                chain, verts, id_col="doc_id", prop_rounds=2
+            ).collect()
+        }
+    want = {(i, 1) for i in range(1, 32)} | {(32, 32)}
+    assert got == want
+
+    # easy graph: propagation converges, no fallback, singletons intact
+    pairs = spark.createDataFrame([(1, 2), (5, 6)], ["id_a", "id_b"])
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 5, 6, 9)], ["doc_id"])
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_auto(pairs, verts, id_col="doc_id").collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 5), (6, 5), (9, 9)}
+
+
+def test_dq_profile_modes_agree_on_low_cardinality(spark):
+    """Sketch estimates must be exact-close on tiny cardinalities, and the
+    non-distinct metrics identical between modes."""
+    from securities_pricing_data_pipeline_spark.operators.quality import dq_profile
+
+    df = spark.createDataFrame(
+        [(i % 7, f"s{i % 3}", None if i % 5 == 0 else float(i)) for i in range(200)],
+        ["a", "b", "c"],
+    )
+    exact = {(r.column, r.metric): r.value for r in dq_profile(df, ["a", "b", "c"], distinct_mode="exact").collect()}
+    approx = {(r.column, r.metric): r.value for r in dq_profile(df, ["a", "b", "c"], distinct_mode="approx").collect()}
+    # auto with 3 columns takes the sketch path
+    auto = {(r.column, r.metric): r.value for r in dq_profile(df, ["a", "b", "c"]).collect()}
+    assert auto == approx
+    for key, v in exact.items():
+        col, metric = key
+        if metric == "distinct":
+            est = int(approx[(col, "distinct_est")])
+            # HLL with m=256 registers: ~6.5% standard error; tiny
+            # cardinalities (3/7/160) land within a couple of counts
+            assert abs(est - int(v)) <= max(3, 0.2 * int(v))
+        else:
+            assert approx[key] == v
