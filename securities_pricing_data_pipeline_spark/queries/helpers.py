@@ -43,6 +43,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _normalize_event_ts(df)
+    if name in _DATEISH:
+        df = _normalize_dateish(df, _DATEISH[name])
+    return df
+
+
+# Engine contract: date-like driver columns load as TIMESTAMP_NTZ (the
+# current physical encoding, naive timestamp[us]). If a future testdata
+# generation ships them as date32 or instant timestamps instead, adapt
+# here — same drift-insurance posture as events.ts.
+_DATEISH = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate", "l_commitdate", "l_receiptdate"],
+}
+
+
+def _normalize_dateish(df: DataFrame, cols: list[str]) -> DataFrame:
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) in ("date", "timestamp"):
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
     return df
 
 

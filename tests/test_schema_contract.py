@@ -79,3 +79,29 @@ def test_table_loads_with_contract_types(spark, sf_dir, table):
         assert dtypes[col] == want, f"{table}.{col}: {dtypes[col]} != contract {want}"
     # and the file is actually readable end to end, not just its footer
     assert df.limit(1).count() >= 0
+
+
+def test_load_adapts_date32_orders(spark, tmp_path):
+    """Drift insurance: a future orders.parquet shipping o_orderdate as
+    date32 (or an instant timestamp) must still load to the engine's
+    TIMESTAMP_NTZ contract."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d0 = datetime.date(1995, 3, 14)
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([10, 20], pa.int64()),
+            "o_orderdate": pa.array([d0, d0.replace(day=15)], pa.date32()),
+            "o_totalprice": pa.array([1.5, 2.5], pa.float64()),
+            "o_orderstatus": pa.array(["O", "F"]),
+        }
+    )
+    pq.write_table(table, tmp_path / "orders.parquet")
+    df = load(spark, str(tmp_path), "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp_ntz"
+    got = sorted(r.o_orderdate for r in df.collect())
+    assert got[0] == datetime.datetime(1995, 3, 14)
