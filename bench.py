@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     "snapshot_diff_positions",
     "pit_band_lookup",
     "ri_orphan_lineitems",
+    "dedup_lsh_bucket_audit",
+    "text_segment_dedup",
+    "export_shard_plan",
+    "dq_profile_lineitem_exact",
 ]
 
 

@@ -65,3 +65,31 @@ def stratified_sample(
     for key, pct in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == key, F.lit(pct)).otherwise(rate)
     return df.filter(b < rate)
+
+
+def shard_plan(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding for training-data export:
+    every document gets a shard in [0, n_shards) and a position within
+    the shard, both derived from independent keyed hashes of its id — a
+    reproducible global permutation WITHOUT a global sort. Each shard's
+    ordering is a within-partition sort after one hash shuffle
+    (``repartition(shard)`` + local sort on a cluster writer), so shards
+    build embarrassingly parallel at any corpus size; no stage ever sees
+    a total order. Ties (hash collisions) break on the id, keeping the
+    permutation a function of ids alone — stable across runs, engines,
+    and partition layouts.
+    """
+    from pyspark.sql import Window
+
+    shard = (portable_hash60(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))) % n_shards).cast("int")
+    order = portable_hash60(F.concat(F.lit("order:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("ord", id_col)
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), order.alias("ord"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

@@ -509,3 +509,55 @@ def chunk_documents(
         FROM _chunk_input i, LATERAL doc_chunks(i.{text_col}) c
         """
     )
+
+
+def segment_dedup_stats(
+    df: DataFrame,
+    width: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document segment-level duplication stats — the CCNet/C4
+    boilerplate-removal signal (CCNet dedups at the *paragraph/line*
+    level before any doc-level pass; with no newline structure in the
+    corpus, a segment is a fixed non-overlapping ``width``-token window,
+    tail included).
+
+    Per document: total segments, segments whose text also appears in at
+    least one OTHER document, and the duplicated fraction — the score a
+    curator thresholds to drop template-heavy documents.
+
+    Dataflow (all JVM expressions): tokenize → ``sequence``/``transform``
+    → one ``posexplode`` to (doc, segment) rows → md5 the segment so the
+    document-frequency shuffle carries 32-byte digests, never segment
+    text → groupBy digest for distinct-doc counts → hash-join back (both
+    sides already partitioned by digest) → per-doc aggregate. Two
+    digest-keyed shuffles total, independent of document size.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    nseg = F.ceil(n / F.lit(width)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(nseg - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+    ex = df.select(F.col(id_col).alias("id"), F.explode(segs).alias("seg")).select(
+        "id", F.md5(F.col("seg")).alias("h")
+    )
+    freq = ex.groupBy("h").agg(F.count_distinct("id").alias("df"))
+    per_doc = (
+        ex.join(freq, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup_segments"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        F.col("n_segments").cast("int").alias("n_segments"),
+        F.col("n_dup_segments").cast("long").alias("n_dup_segments"),
+        (F.col("n_dup_segments").cast("double") / F.col("n_segments").cast("double")).alias(
+            "dup_segment_frac"
+        ),
+    )

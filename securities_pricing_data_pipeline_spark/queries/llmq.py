@@ -461,6 +461,26 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document segment duplication stats (see
+    llmdata.text.segment_dedup_stats): 10-token non-overlapping segments,
+    per-doc duplicated fraction."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import segment_dedup_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return segment_dedup_stats(docs, width=10)
+
+
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment for training
+    export (see llmdata.sampling.shard_plan): 8 shards, hash-derived
+    within-shard order, no global sort anywhere."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import shard_plan
+
+    docs = load(spark, sf_dir, "documents")
+    return shard_plan(docs, n_shards=8)
+
+
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return normalize_text(docs)
@@ -604,6 +624,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_lsh_bucket_audit": dedup_lsh_bucket_audit,
+    "text_segment_dedup": text_segment_dedup,
+    "export_shard_plan": export_shard_plan,
     "dedup_cluster_star": dedup_cluster_star,
     "text_normalize": text_normalize,
     "sample_split": sample_split,
@@ -1446,4 +1468,43 @@ SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
          / (SELECT COUNT(*) FROM cand) AS precision,
        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
          / (SELECT COUNT(*) FROM truth) AS recall
+"""
+
+
+ORACLES["text_segment_dedup"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), nn AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+), segs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, greatest(CAST(ceil(n / 10.0) AS BIGINT), 1)),
+           i -> array_to_string(t[i*10+1 : i*10+10], ' '))) AS seg
+  FROM nn
+), freq AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS INT) AS n_segments,
+       CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_segment_frac
+FROM segs s JOIN freq f USING (seg)
+GROUP BY 1
+"""
+
+ORACLES["export_shard_plan"] = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 8 AS INT) AS shard,
+         CAST(('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT)
+         AS pos
+FROM h
 """

@@ -770,3 +770,49 @@ def test_dq_profile_modes_agree_on_low_cardinality(spark):
             assert abs(est - int(v)) <= max(3, 0.2 * int(v))
         else:
             assert approx[key] == v
+
+
+def test_segment_dedup_stats_flags_cross_doc_segments(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import segment_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),      # [a b c][x y z]
+            (2, "a b c q r s"),      # [a b c][q r s] — shares one segment with doc 1
+            (3, "u v w"),            # single unique (short) segment
+            (4, "a b c a b c"),      # same segment twice WITHIN one doc…
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in segment_dedup_stats(docs, width=3).collect()}
+    assert (rows[1].n_segments, rows[1].n_dup_segments) == (2, 1)
+    assert (rows[2].n_segments, rows[2].n_dup_segments) == (2, 1)
+    assert (rows[3].n_segments, rows[3].n_dup_segments) == (1, 0)
+    # …which still counts as duplicated (it appears in docs 1/2 too) —
+    # both occurrences are flagged
+    assert (rows[4].n_segments, rows[4].n_dup_segments) == (2, 2)
+    assert rows[1].dup_segment_frac == 0.5
+    # doc-internal-only repetition is NOT cross-doc duplication
+    solo = spark.createDataFrame([(9, "p q r p q r")], ["doc_id", "text"])
+    r9 = segment_dedup_stats(solo, width=3).collect()[0]
+    assert (r9.n_segments, r9.n_dup_segments) == (2, 0)
+
+
+def test_shard_plan_deterministic_and_dense(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import shard_plan
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out = shard_plan(docs, n_shards=4).collect()
+    assert len(out) == 200
+    assert {r.shard for r in out} <= set(range(4))
+    # positions are dense 0..k-1 within every shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    # layout-independent: same permutation from a different partitioning
+    again = shard_plan(docs.repartition(13), n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
