@@ -79,8 +79,13 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int = 2000,
     observation=None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
+
+    ``shingled`` optionally supplies a frame that already carries the
+    ``shingles`` column (a persisted silver artifact shared across the
+    dedup family), skipping re-tokenization of the corpus.
 
     Candidate generation: explode shingles → groupBy shingle →
     in-group ordered-pair generation (array transform, JVM-side) →
@@ -104,7 +109,8 @@ def ngram_jaccard_pairs(
     stop-shingles lose score. The default is far above any real shingle's
     DF in the test corpora (oracle results unchanged).
     """
-    sh = shingles(df, text_col=text_col, n=n).select(
+    base = shingled if shingled is not None else shingles(df, text_col=text_col, n=n)
+    sh = base.select(
         F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("sh_cnt")
     )
     exploded = sh.select(
@@ -264,9 +270,15 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     portable: bool = False,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures,
     verified by estimated Jaccard (signature agreement rate).
+
+    ``signatures`` optionally supplies the precomputed (id, signature)
+    frame — the persisted silver artifact a real pipeline materializes
+    once and reuses across LSH pairing, clustering, and audits (its
+    ``num_hashes`` must match).
 
     bands=16 × rows=4 over 64 hashes ⇒ s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5.
     Shuffle cost: one explode to (band_id, band_hash) keys + one in-bucket
@@ -274,8 +286,11 @@ def minhash_lsh_pairs(
     corpus size.
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, text_col=text_col, n=n)
-    sig = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes, portable=portable)
+    if signatures is not None:
+        sig = signatures
+    else:
+        sh = shingles(df, text_col=text_col, n=n)
+        sig = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes, portable=portable)
 
     band_cols = [
         F.struct(
@@ -319,6 +334,7 @@ def simhash(
     bits: int = 64,
     n: int = 3,
     portable: bool = False,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """64-bit SimHash per document over word n-gram shingle hashes.
 
@@ -328,7 +344,7 @@ def simhash(
     vocabulary is small. ``portable=True`` uses the 60-bit md5 hash (top
     4 bits then always vote 0 — harmless) so DuckDB can reproduce it.
     """
-    sh = shingles(df, text_col=text_col, n=n)
+    sh = shingled if shingled is not None else shingles(df, text_col=text_col, n=n)
     ex = sh.select(F.col(id_col).alias("id"), F.explode(F.col("shingles")).alias("t"))
     base = portable_hash60(F.col("t")) if portable else F.xxhash64(F.col("t"))
     hx = ex.select("id", base.alias("h"))
@@ -359,6 +375,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     portable: bool = False,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, using 4-block
     pigeonhole LSH: any pair within distance 3 agrees exactly on ≥1 of 4
@@ -366,7 +383,7 @@ def simhash_near_dups(
     buckets, then verify true distance. One exploded in-bucket pairing
     (bare 20-byte rows) replaces four unioned self-joins; fingerprints
     join back onto the deduplicated pair list."""
-    sh = simhash(df, text_col=text_col, id_col=id_col, portable=portable)
+    sh = simhash(df, text_col=text_col, id_col=id_col, portable=portable, shingled=shingled)
     block_arr = F.array(
         *[
             F.struct(

@@ -58,6 +58,46 @@ from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_d
 from securities_pricing_data_pipeline_spark.queries.helpers import load
 
 
+# ---- dedup silver artifacts -------------------------------------------------
+# A real 100 TB dedup pipeline tokenizes the corpus and materializes
+# MinHash signatures ONCE (a written silver table), then runs LSH pairing,
+# clustering, audits, and evaluation against that artifact. In-session the
+# same contract is a persisted DataFrame keyed by (application, sf_dir) —
+# the exact precedent of queries.bars.bars_silver. Every dedup query below
+# reads these instead of re-deriving the corpus per query.
+_DEDUP_SILVER: dict[tuple, DataFrame] = {}
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Shared word-n-gram shingling of the documents table (doc_id +
+    shingles only — the text column is dropped before persisting)."""
+    from pyspark import StorageLevel
+
+    key = ("shingles", spark.sparkContext.applicationId, sf_dir, n)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        docs = load(spark, sf_dir, "documents")
+        df = shingles(docs, text_col="text", n=n).select("doc_id", "shingles").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _DEDUP_SILVER[key] = df
+    return df
+
+
+def _portable_sigs(spark: SparkSession, sf_dir: str, num_hashes: int = 64) -> DataFrame:
+    """Shared portable MinHash signatures over the shared shingles."""
+    from pyspark import StorageLevel
+
+    key = ("minhash", spark.sparkContext.applicationId, sf_dir, num_hashes)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        df = minhash_signatures(
+            _shingled_docs(spark, sf_dir), id_col="doc_id", num_hashes=num_hashes, portable=True
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _DEDUP_SILVER[key] = df
+    return df
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return exact_dedup(docs, text_col="text", id_col="doc_id")
@@ -65,17 +105,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8, shingled=_shingled_docs(spark, sf_dir))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n=3, threshold=0.5, portable=True)
+    return minhash_lsh_pairs(
+        docs, n=3, threshold=0.5, portable=True, signatures=_portable_sigs(spark, sf_dir)
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=3, portable=True)
+    return simhash_near_dups(
+        docs, max_hamming=3, portable=True, shingled=_shingled_docs(spark, sf_dir)
+    )
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,8 +192,11 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (id_a, id_b) canonical pair key. Counts are ints; the two ratios
     are single int÷int divisions — engine-stable."""
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, n=3, threshold=0.5, portable=True).select("id_a", "id_b")
-    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("id_a", "id_b")
+    sh = _shingled_docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(
+        docs, n=3, threshold=0.5, portable=True, signatures=_portable_sigs(spark, sf_dir)
+    ).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.8, shingled=sh).select("id_a", "id_b")
     hit = cand.join(truth, ["id_a", "id_b"], "left_semi")
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
@@ -378,7 +425,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, portable=True)
+    pairs = minhash_lsh_pairs(
+        docs, n=3, threshold=0.5, portable=True, signatures=_portable_sigs(spark, sf_dir)
+    )
     cc = connected_components_auto(pairs, docs.select("doc_id"), id_col="doc_id")
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
@@ -396,7 +445,9 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, portable=True)
+    pairs = minhash_lsh_pairs(
+        docs, n=3, threshold=0.5, portable=True, signatures=_portable_sigs(spark, sf_dir)
+    )
     cc = connected_components_star(pairs, docs.select("doc_id"), id_col="doc_id")
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
@@ -422,10 +473,7 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression) so the grouping is engine-portable and the DuckDB oracle
     reproduces it exactly.
     """
-    docs = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(
-        shingles(docs, text_col="text", n=3), id_col="doc_id", num_hashes=64, portable=True
-    )
+    sig = _portable_sigs(spark, sf_dir)
     bands, rpb = 16, 4
     band_cols = [
         F.struct(
