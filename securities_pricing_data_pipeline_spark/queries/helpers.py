@@ -45,6 +45,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _normalize_event_ts(df)
     if name in _DATEISH:
         df = _normalize_dateish(df, _DATEISH[name])
+    if name == "embeddings" and dict(df.dtypes).get("embedding") == "array<double>":
+        # contract: array<float> (the current physical encoding); adapt a
+        # future float64 generation the same way as the other drift guards
+        df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
     return df
 
 

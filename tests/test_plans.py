@@ -345,3 +345,23 @@ def test_rrf_fusion_no_unbounded_pair_blowup(spark):
 
     plan = _plan(sim_rrf_fusion(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_no_cartesian_and_digest_keyed(spark):
+    from securities_pricing_data_pipeline_spark.queries.llmq import text_segment_dedup
+
+    plan = _plan(text_segment_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the document-frequency shuffle carries md5 digests, never segment text
+    assert "md5" in plan
+
+
+def test_shard_plan_no_global_sort(spark):
+    from securities_pricing_data_pipeline_spark.queries.llmq import export_shard_plan
+
+    plan = _plan(export_shard_plan(spark, SF))
+    # the window partitions by shard: per-shard local sort after one hash
+    # exchange — a global (rangepartitioning) sort must never appear
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan

@@ -105,3 +105,22 @@ def test_load_adapts_date32_orders(spark, tmp_path):
     assert dict(df.dtypes)["o_orderdate"] == "timestamp_ntz"
     got = sorted(r.o_orderdate for r in df.collect())
     assert got[0] == datetime.datetime(1995, 3, 14)
+
+
+def test_load_adapts_float64_embeddings(spark, tmp_path):
+    """Drift insurance: embeddings shipping as array<double> must load to
+    the engine's array<float> contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[0.1, 0.2], [0.3, 0.4]], pa.list_(pa.float64())),
+            "label": pa.array([0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(table, tmp_path / "embeddings.parquet")
+    df = load(spark, str(tmp_path), "embeddings")
+    assert dict(df.dtypes)["embedding"] == "array<float>"
+    assert df.count() == 2
