@@ -350,6 +350,20 @@ def dq_profile_lineitem_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_profile(li, _DQ_COLS, distinct_mode="exact")
 
 
+def layout_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout plan for the fact table (see operators.layout):
+    interleave ship-date days with part key, derive target file ids from
+    the curve's high bits, and report each file's row count + bounding
+    box over BOTH dimensions — the min/max statistics that let either a
+    date predicate or a part predicate prune files after an
+    ``OPTIMIZE ZORDER``-style rewrite."""
+    from securities_pricing_data_pipeline_spark.operators.layout import zorder_file_plan
+
+    li = load(spark, sf_dir, "lineitem")
+    days = F.datediff(F.col("l_shipdate").cast("date"), F.to_date(F.lit("1992-01-01")))
+    return zorder_file_plan(li, days, F.col("l_partkey"), bits=16, file_shift=18)
+
+
 def ri_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: fact rows whose foreign keys miss
     their dimension — the check a warehouse runs before trusting joins.
@@ -398,13 +412,23 @@ QUERIES = {
     "skew_salted_aggregate": skew_salted_aggregate,
     "dq_profile_lineitem": dq_profile_lineitem,
     "dq_profile_lineitem_exact": dq_profile_lineitem_exact,
+    "layout_zorder_plan": layout_zorder_plan,
 }
 
+from securities_pricing_data_pipeline_spark.operators.layout import (  # noqa: E402
+    zorder_oracle_sql,
+)
 from securities_pricing_data_pipeline_spark.operators.quality import (  # noqa: E402
     dq_profile_hll_oracle_sql,
 )
 
 ORACLES = {
+    "layout_zorder_plan": zorder_oracle_sql(
+        "lineitem",
+        "datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))",
+        "l_partkey",
+        file_shift=18,
+    ),
     # sketched profile: DuckDB reproduces the HLL registers bit-for-bit,
     # so even the approximate default stays value-level-checked.
     "dq_profile_lineitem": dq_profile_hll_oracle_sql("lineitem", _DQ_COLS),

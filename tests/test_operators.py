@@ -289,3 +289,39 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     n_sorted = compact_parquet(spark, path, target_bytes=dir_bytes(path) // 3, sort_cols=["id"])
     assert spark.read.parquet(path).count() == 20000
     assert n_sorted >= 2
+
+
+def test_zorder_interleave_matches_reference(spark):
+    from securities_pricing_data_pipeline_spark.operators.layout import z_value
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535, 70000) for y in (0, 3, 64, 65535)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", z_value(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in rows:
+        # values beyond 16 bits are masked, matching the documented contract
+        assert got[(x, y)] == morton(x & 0xFFFF, y & 0xFFFF)
+
+
+def test_zorder_file_plan_boxes_cover_and_partition(spark):
+    from securities_pricing_data_pipeline_spark.operators.layout import zorder_file_plan
+
+    df = spark.createDataFrame(
+        [(d, k) for d in range(0, 512, 7) for k in range(0, 512, 13)], "d long, k long"
+    )
+    plan = zorder_file_plan(df, F.col("d"), F.col("k"), bits=16, file_shift=12).collect()
+    assert sum(r.n_rows for r in plan) == df.count()
+    for r in plan:
+        assert 0 <= r.x_min <= r.x_max < 512 and 0 <= r.y_min <= r.y_max < 512
+    # the z-curve gives each file a bounded tile: a 2^12-cell tile spans
+    # at most 2^6 distinct values per dimension
+    for r in plan:
+        assert r.x_max - r.x_min < 64 and r.y_max - r.y_min < 64
