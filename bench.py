@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "text_segment_dedup",
     "export_shard_plan",
     "dq_profile_lineitem_exact",
+    "dedup_incremental_minhash",
+    "layout_zorder_plan",
 ]
 
 

@@ -327,6 +327,79 @@ def minhash_lsh_pairs(
     return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
 
 
+def minhash_lsh_pairs_cross(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: candidate pairs BETWEEN two
+    signature sets — a new batch probed against the existing corpus
+    index — never within either set. This is the daily shape of a
+    production crawl pipeline: the corpus signatures are a standing
+    silver artifact; each increment only pays its own signatures plus a
+    banded equi-join against the index.
+
+    Banding matches :func:`minhash_lsh_pairs` (``bands`` bands of
+    ``num_hashes//bands`` rows; bucket key = the raw band slice, so any
+    engine reproduces it). The join is a plain equi-join on
+    (band, bucket): each side shuffles once on the band key, and a
+    verified estimated-Jaccard filter prunes the candidates. Degenerate
+    buckets multiply new×old members; the same ``max_bucket``-style cap
+    as :func:`candidate_pairs_in_buckets` applies if a corpus develops
+    boilerplate bands (not needed on the test corpora).
+    """
+    rpb = num_hashes // bands
+
+    def banded(sig: DataFrame, idname: str) -> DataFrame:
+        cols = [
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("signature")[i * rpb + j].cast("string")
+                        for j in range(rpb)
+                    ],
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+        return sig.select(
+            F.col("id").alias(idname), F.explode(F.array(*cols)).alias("bb")
+        ).select(idname, F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+
+    cand = (
+        banded(sig_new, "new_id")
+        .join(banded(sig_old, "old_id"), ["band", "key"])
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    withsigs = (
+        cand.join(
+            sig_new.select(F.col("id"), F.col("signature").alias("sig_a")),
+            cand.new_id == F.col("id"),
+        )
+        .drop("id")
+        .join(
+            sig_old.select(F.col("id"), F.col("signature").alias("sig_b")),
+            cand.old_id == F.col("id"),
+        )
+        .drop("id")
+    )
+    est = withsigs.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "new_id", "old_id", "est_jaccard"
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

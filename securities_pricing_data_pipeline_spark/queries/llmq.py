@@ -509,6 +509,26 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment-vs-corpus near-dup detection (see
+    llmdata.dedup.minhash_lsh_pairs_cross): a deterministic 20% hash
+    slice of the documents plays the 'new batch', the remaining 80% the
+    standing corpus index; output is the new docs' near-dup matches into
+    the corpus — the rows a crawl pipeline drops before appending."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        minhash_lsh_pairs_cross,
+        portable_hash60,
+    )
+
+    sig = _portable_sigs(spark, sf_dir)
+    is_new = (
+        portable_hash60(F.concat(F.lit("inc:"), F.col("id").cast("string"))) % 5 == 0
+    )
+    return minhash_lsh_pairs_cross(
+        sig.filter(is_new), sig.filter(~is_new), threshold=0.5
+    )
+
+
 def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-document segment duplication stats (see
     llmdata.text.segment_dedup_stats): 10-token non-overlapping segments,
@@ -674,6 +694,7 @@ QUERIES = {
     "dedup_lsh_bucket_audit": dedup_lsh_bucket_audit,
     "text_segment_dedup": text_segment_dedup,
     "export_shard_plan": export_shard_plan,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_cluster_star": dedup_cluster_star,
     "text_normalize": text_normalize,
     "sample_split": sample_split,
@@ -777,6 +798,43 @@ WITH {_SHINGLES_CTE}, hs AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(({agree}) AS DOUBLE) / {float(num_hashes)} AS est_jaccard
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+WHERE CAST(({agree}) AS DOUBLE) / {float(num_hashes)} >= {threshold}
+"""
+
+
+def _incremental_minhash_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """Replicates dedup_incremental_minhash: same signature pipeline and
+    band rule as _minhash_oracle_sql, but candidates only BETWEEN the
+    20% 'new' hash slice and the 80% 'corpus' remainder."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import _MERSENNE, minhash_params
+
+    params = minhash_params(num_hashes)
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE}) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.m{i * rpb + j} = b.m{i * rpb + j}" for j in range(rpb)) + ")"
+        for i in range(bands)
+    )
+    agree = " + ".join(f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(num_hashes))
+    inc_expr = "'inc:' || CAST(doc_id AS VARCHAR)"
+    newpred = f"({_phash_sql(inc_expr)} % 5 = 0)"
+    return f"""
+WITH {_SHINGLES_CTE}, hs AS (
+  SELECT doc_id, {_phash_sql('g')} % {_MERSENNE} AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+), tagged AS (
+  SELECT *, {newpred} AS is_new FROM sig
+)
+SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+       CAST(({agree}) AS DOUBLE) / {float(num_hashes)} AS est_jaccard
+FROM tagged a JOIN tagged b ON a.is_new AND NOT b.is_new AND ({band_eq})
 WHERE CAST(({agree}) AS DOUBLE) / {float(num_hashes)} >= {threshold}
 """
 
@@ -1154,6 +1212,7 @@ GROUP BY id
 """,
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_lsh_bucket_audit": _lsh_bucket_audit_oracle_sql(),
+    "dedup_incremental_minhash": _incremental_minhash_oracle_sql(),
     # identical fixpoint contract: the star variant must reproduce the
     # canonical clustering bit-for-bit
     "dedup_cluster_star": f"""

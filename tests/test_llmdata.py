@@ -816,3 +816,22 @@ def test_shard_plan_deterministic_and_dense(spark):
     assert {(r.doc_id, r.shard, r.pos) for r in again} == {
         (r.doc_id, r.shard, r.pos) for r in out
     }
+
+
+def test_minhash_cross_set_pairs_only_between_sets(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        minhash_lsh_pairs_cross,
+        minhash_signatures,
+        shingles,
+    )
+
+    # docs 1/2 identical, 3 near, 4 unrelated; new = {1}, old = {2,3,4}
+    sig = minhash_signatures(shingles(_docs(spark)), portable=True)
+    new = sig.filter(F.col("id") == 1)
+    old = sig.filter(F.col("id") != 1)
+    got = {(r.new_id, r.old_id): r.est_jaccard for r in minhash_lsh_pairs_cross(new, old).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert all(k[0] == 1 for k in got)          # left side only from the new set
+    assert (1, 4) not in got                    # unrelated never matches
+    # empty new batch → empty result, no failure
+    assert minhash_lsh_pairs_cross(sig.filter(F.col("id") < 0), old).count() == 0
