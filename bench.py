@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "dq_profile_lineitem_exact",
     "dedup_incremental_minhash",
     "layout_zorder_plan",
+    "sim_ivf_recall_eval",
 ]
 
 

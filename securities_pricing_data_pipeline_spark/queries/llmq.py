@@ -509,6 +509,33 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality audit: recall@k of the IVF index against exact
+    brute-force ground truth on the same query set — the number a
+    retrieval pipeline checks before trusting an approximate index at
+    corpus scale (where brute force is unaffordable; here the testdata
+    is small enough to compute truth). One row: query count, k, hits,
+    recall@k. Counts are ints; the ratio is one int÷int division —
+    engine-stable."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    t = truth.agg(
+        F.count_distinct("query_id").alias("n_queries"), F.count("*").alias("n_true")
+    )
+    h = hits.agg(F.count("*").alias("n_hits"))
+    return t.crossJoin(h).select(
+        "n_queries",
+        F.lit(5).alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall_at_k"),
+    )
+
+
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Increment-vs-corpus near-dup detection (see
     llmdata.dedup.minhash_lsh_pairs_cross): a deterministic 20% hash
@@ -695,6 +722,7 @@ QUERIES = {
     "text_segment_dedup": text_segment_dedup,
     "export_shard_plan": export_shard_plan,
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    "sim_ivf_recall_eval": sim_ivf_recall_eval,
     "dedup_cluster_star": dedup_cluster_star,
     "text_normalize": text_normalize,
     "sample_split": sample_split,
@@ -1519,6 +1547,22 @@ SELECT query_id, neighbor_id,
 FROM fused WHERE fused_rank <= 5
 """
 
+
+ORACLES["sim_ivf_recall_eval"] = f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({ORACLES["sim_bruteforce_topk"]})),
+iv AS (SELECT query_id, neighbor_id FROM ({ORACLES["sim_ivf_topk"]})),
+t AS (
+  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         COUNT(*) AS n_true
+  FROM bf
+), h AS (
+  SELECT COUNT(*) AS n_hits
+  FROM (SELECT query_id, neighbor_id FROM iv INTERSECT SELECT query_id, neighbor_id FROM bf)
+)
+SELECT t.n_queries, CAST(5 AS INT) AS k, CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits AS DOUBLE) / t.n_true AS recall_at_k
+FROM t, h
+"""
 
 ORACLES["text_chunk_windows"] = r"""
 WITH toks AS (
