@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "dedup_incremental_minhash",
     "layout_zorder_plan",
     "sim_ivf_recall_eval",
+    "dedup_cluster_size_hist",
+    "dedup_source_overlap",
 ]
 
 

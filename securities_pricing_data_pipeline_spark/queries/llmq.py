@@ -556,6 +556,43 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shrink readout: the distribution of near-dup cluster sizes
+    (1 = unique doc) plus how many docs each size bucket removes
+    (size − 1 non-canonical copies per cluster). The first number a
+    curator checks after a dedup pass: total removable docs = Σ
+    n_docs_removed."""
+    cc = dedup_cluster_canonical(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * (F.col("cluster_size") - 1)).cast("long").alias("n_docs_removed"),
+    )
+
+
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: near-dup pair counts by the
+    (source, source) of their endpoints, unordered (source_a ≤ source_b).
+    At corpus scale this is the report that shows WHICH feeds duplicate
+    each other (e.g. a crawl re-ingesting a curated set); the doc→source
+    dim broadcasts onto the id-only pair list."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, threshold=0.5, portable=True, signatures=_portable_sigs(spark, sf_dir)
+    ).select("id_a", "id_b")
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    tagged = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    return (
+        tagged.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-document segment duplication stats (see
     llmdata.text.segment_dedup_stats): 10-token non-overlapping segments,
@@ -723,6 +760,8 @@ QUERIES = {
     "export_shard_plan": export_shard_plan,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "sim_ivf_recall_eval": sim_ivf_recall_eval,
+    "dedup_cluster_size_hist": dedup_cluster_size_hist,
+    "dedup_source_overlap": dedup_source_overlap,
     "dedup_cluster_star": dedup_cluster_star,
     "text_normalize": text_normalize,
     "sample_split": sample_split,
@@ -1658,4 +1697,23 @@ SELECT doc_id, shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT)
          AS pos
 FROM h
+"""
+
+
+ORACLES["dedup_cluster_size_hist"] = f"""
+WITH cc AS (SELECT * FROM ({ORACLES["dedup_cluster_canonical"]})),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1)
+SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+       CAST(COUNT(*) * (sz - 1) AS BIGINT) AS n_docs_removed
+FROM sizes GROUP BY sz
+"""
+
+ORACLES["dedup_source_overlap"] = f"""
+WITH p AS (SELECT id_a, id_b FROM ({_minhash_oracle_sql()}))
+SELECT least(d1.source, d2.source) AS source_a,
+       greatest(d1.source, d2.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM p JOIN documents d1 ON p.id_a = d1.doc_id
+       JOIN documents d2 ON p.id_b = d2.doc_id
+GROUP BY 1, 2
 """
