@@ -94,7 +94,17 @@ _PRIORITY = [
     "graph_pagerank_suppliers",
     "scd2_price_bands",
     "sketch_hll_orderkeys",
-    # positions 51+: next rotation candidates, first of the long tail
+    # positions 51+: next rotation candidates, first of the long tail —
+    # round-4 additions (never driver-checked) lead the overflow window
+    "dedup_incremental_minhash",
+    "layout_zorder_plan",
+    "text_segment_dedup",
+    "export_shard_plan",
+    "sim_ivf_recall_eval",
+    "dedup_lsh_bucket_audit",
+    "dedup_cluster_size_hist",
+    "dedup_source_overlap",
+    "dq_profile_lineitem_exact",
     "bars_ohlcv",
     "bars_rollup_multigrain",
     "bars_gapfill_locf",
