@@ -45,6 +45,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -54,6 +55,12 @@ def pagerank(
     convergence check would add a count per iteration, and downstream
     consumers (top-k ranking) want deterministic cost. Dangling-node mass
     is not redistributed (nodes here always have out-edges).
+
+    ``symmetric=True`` asserts every edge has its reverse (co-occurrence
+    graphs): then every node with out-edges also receives messages, so
+    the per-iteration left-join that re-attaches silent nodes is
+    provably a no-op and is skipped — one fewer join per iteration,
+    identical results on graphs that honor the contract.
     """
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     # one flat, materialized (src, dst, deg) frame reused every iteration
@@ -69,10 +76,16 @@ def pagerank(
             dec(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
         )
         recv = msgs.groupBy("node").agg(F.sum("c").cast("double").alias("s"))
-        ranks = nodes.join(recv, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        if symmetric:
+            ranks = recv.select(
+                "node",
+                (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("rank"),
+            )
+        else:
+            ranks = nodes.join(recv, "node", "left").select(
+                "node",
+                (
+                    F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
     return ranks

@@ -465,7 +465,8 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from securities_pricing_data_pipeline_spark.operators.graph import pagerank
 
-    pr = pagerank(edges, iters=5, damping=0.85)
+    # the co-supply graph is symmetric by construction (a↔b share an order)
+    pr = pagerank(edges, iters=5, damping=0.85, symmetric=True)
     return (
         pr.select(F.col("node").alias("supp_key"), "rank")
         .orderBy(F.desc("rank"), "supp_key")
