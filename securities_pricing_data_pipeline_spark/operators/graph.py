@@ -38,6 +38,13 @@ from securities_pricing_data_pipeline_spark.queries.helpers import dec
 #: ≤ 1e12 — exact long arithmetic inside the decimal sum in both engines)
 CONTRIB_SCALE = 12
 
+#: below this node count the (node, rank) / (node, deg) frames are
+#: broadcast into the per-iteration edge join instead of shuffling the
+#: edge list — 5M nodes × 16 B ≈ 80 MB, comfortably within executor
+#: memory on any production profile. Above it, fall back to shuffle
+#: joins (web-scale graphs).
+BROADCAST_NODE_LIMIT = 5_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -62,16 +69,39 @@ def pagerank(
     provably a no-op and is skipped — one fewer join per iteration,
     identical results on graphs that honor the contract.
     """
+    # materialize the edge list exactly once — degrees, node count, and
+    # every iteration all derive from this one frame, so nothing upstream
+    # (often an expensive pair-generation self-join) is ever recomputed
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
-    # one flat, materialized (src, dst, deg) frame reused every iteration
-    ed = edges.join(deg, src).localCheckpoint(eager=True)
+    n_nodes = deg.count()
+    # node-keyed frames are n_nodes rows of 16 bytes: when that is
+    # dim-small (supplier/entity graphs), broadcast them into the edge
+    # join so the edge list never shuffles after its one materialization
+    # — each iteration is then map-side join + one message aggregation.
+    small = n_nodes <= BROADCAST_NODE_LIMIT
+    bcast = F.broadcast if small else (lambda df: df)
+    if small:
+        # deg is tiny: pin it once and join map-side per iteration
+        deg = deg.localCheckpoint(eager=True)
+        ed = edges.join(F.broadcast(deg), src)
+    else:
+        # web-scale node sets: one flat, materialized (src, dst, deg)
+        # frame reused every iteration (shuffle joins thereafter)
+        ed = edges.join(deg, src).localCheckpoint(eager=True)
     nodes = deg.select(F.col(src).alias("node"))
-    n_nodes = nodes.count()
     teleport = (1.0 - damping) / n_nodes  # same literals as the oracle SQL
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(iters):
-        msgs = ed.join(ranks, ed[src] == ranks.node).select(
+    for i in range(iters):
+        if small and i > 0:
+            # flatten the iterative lineage: ranks is n_nodes rows, so an
+            # eager materialization per iteration is O(nodes) cheap and
+            # keeps every iteration's job a single flat
+            # scan(ed) ⋈ broadcast(ranks) → partial-agg plan instead of a
+            # chain of nested broadcast exchanges.
+            ranks = ranks.localCheckpoint(eager=True)
+        msgs = ed.join(bcast(ranks), ed[src] == ranks.node).select(
             F.col(dst).alias("node"),
             dec(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
         )
