@@ -98,21 +98,76 @@ def _portable_sigs(spark: SparkSession, sf_dir: str, num_hashes: int = 64) -> Da
     return df
 
 
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash-LSH near-dup pair list (n=3, threshold 0.5,
+    portable hashes over the shared signatures) — the materialized
+    output of the pairing stage, reused by clustering, evaluation, and
+    the source-overlap / cluster-size reports. At corpus scale this is
+    the written pair table every downstream dedup consumer reads."""
+    from pyspark import StorageLevel
+
+    key = ("lsh_pairs", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        docs = load(spark, sf_dir, "documents")
+        df = minhash_lsh_pairs(
+            docs, n=3, threshold=0.5, portable=True,
+            signatures=_portable_sigs(spark, sf_dir),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _DEDUP_SILVER[key] = df
+    return df
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact n-gram Jaccard pair list (n=3, threshold 0.8) — the
+    ground-truth artifact: reported by ``dedup_ngram_jaccard`` and read
+    again as the truth set by ``dedup_minhash_eval``."""
+    from pyspark import StorageLevel
+
+    key = ("jaccard_pairs", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        docs = load(spark, sf_dir, "documents")
+        df = ngram_jaccard_pairs(
+            docs, n=3, threshold=0.8, shingled=_shingled_docs(spark, sf_dir)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _DEDUP_SILVER[key] = df
+    return df
+
+
+def _cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, cluster_id) map: connected components over the
+    shared pair list. Iterative label propagation re-runs from scratch
+    per caller otherwise — the cluster map is the single most expensive
+    dedup artifact, and every report downstream of clustering reads it."""
+    from pyspark import StorageLevel
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        connected_components_auto,
+    )
+
+    key = ("cc", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        docs = load(spark, sf_dir, "documents")
+        df = connected_components_auto(
+            _lsh_pairs(spark, sf_dir), docs.select("doc_id"), id_col="doc_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _DEDUP_SILVER[key] = df
+    return df
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return exact_dedup(docs, text_col="text", id_col="doc_id")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.8, shingled=_shingled_docs(spark, sf_dir))
+    return _jaccard_pairs(spark, sf_dir)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, n=3, threshold=0.5, portable=True, signatures=_portable_sigs(spark, sf_dir)
-    )
+    return _lsh_pairs(spark, sf_dir)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,12 +246,8 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both pair sets come from the engine's own operators; the join is on
     the (id_a, id_b) canonical pair key. Counts are ints; the two ratios
     are single int÷int divisions — engine-stable."""
-    docs = load(spark, sf_dir, "documents")
-    sh = _shingled_docs(spark, sf_dir)
-    cand = minhash_lsh_pairs(
-        docs, n=3, threshold=0.5, portable=True, signatures=_portable_sigs(spark, sf_dir)
-    ).select("id_a", "id_b")
-    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.8, shingled=sh).select("id_a", "id_b")
+    cand = _lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    truth = _jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     hit = cand.join(truth, ["id_a", "id_b"], "left_semi")
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
@@ -420,15 +471,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → one canonical doc (the cluster-min id) per cluster.
     This is the step that actually shrinks a corpus: keep rows where
     ``is_canonical``."""
-    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
-        connected_components_auto,
-    )
-
-    docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, n=3, threshold=0.5, portable=True, signatures=_portable_sigs(spark, sf_dir)
-    )
-    cc = connected_components_auto(pairs, docs.select("doc_id"), id_col="doc_id")
+    cc = _cc_clusters(spark, sf_dir)
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
     )
@@ -445,10 +488,9 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, n=3, threshold=0.5, portable=True, signatures=_portable_sigs(spark, sf_dir)
+    cc = connected_components_star(
+        _lsh_pairs(spark, sf_dir), docs.select("doc_id"), id_col="doc_id"
     )
-    cc = connected_components_star(pairs, docs.select("doc_id"), id_col="doc_id")
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
     )
@@ -577,9 +619,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     each other (e.g. a crawl re-ingesting a curated set); the doc→source
     dim broadcasts onto the id-only pair list."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = minhash_lsh_pairs(
-        docs, n=3, threshold=0.5, portable=True, signatures=_portable_sigs(spark, sf_dir)
-    ).select("id_a", "id_b")
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
     sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
     tagged = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
