@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "sim_ivf_recall_eval",
     "dedup_cluster_size_hist",
     "dedup_source_overlap",
+    "stream_events_hourly",
+    "stream_events_dedup_keys",
+    "stream_events_sessionize",
 ]
 
 

@@ -22,19 +22,22 @@ from securities_pricing_data_pipeline_spark.queries import (
     relational,
     serving,
     sqlapi,
+    streamq,
     tpch,
 )
 
-_MODULES = (bars, eventsq, relational, serving, llmq, tpch, analytic, sqlapi)
+_MODULES = (bars, eventsq, relational, serving, llmq, tpch, analytic, sqlapi, streamq)
 
 # First N entries are what a capped correctness driver will actually check.
 # Rotation policy (VERDICT r3 item 5): SURVEY §2 core rows stay pinned every
 # round; everything else green in BOTH prior driver rounds rotates out to
 # the long tail (still repo-gate-checked) so never-driver-certified queries
-# get a driver row. Round 4 rotated out bars_*, range_join_in_transit,
-# skew_salted_aggregate, dq_profile_lineitem, q10, flagship (all green in
-# r2+r3) and rotated in the 8 events/asof fixes plus the strongest r3
-# additions (tpch_q21, pagerank, scd2, sketch_hll).
+# get a driver row. Round 5: the events/asof families stay (red in the r3
+# driver, fixed r4 — they need a second certified round); the r3-certified
+# extension reps (dedup_minhash_lsh, dedup_embedding_cosine, sim_ivf_topk,
+# multimodal_features, tpch_q1, pivot_segment_status, sql_exists_late_ship)
+# rotate out; rotated in: the 3 NEW streaming-executed gate queries and the
+# never-driver-checked round-4 tail additions.
 _PRIORITY = [
     # events (ts physical-type-sensitive — all 8 fixed this round; keep
     # the full family in the window until driver-certified)
@@ -81,7 +84,28 @@ _PRIORITY = [
     "asof_event_bars",
     "asof_event_bars_fwd",
     "asof_event_bars_tol",
-    # extension-family representatives (driver-green r3 only — one round)
+    # driver-green r4 only — keep for a second certified round
+    "tpch_q21_waiting_suppliers",
+    "graph_pagerank_suppliers",
+    "scd2_price_bands",
+    "sketch_hll_orderkeys",
+    # rotated in round 5: streaming-executed gate queries (NEW) and the
+    # round-4 tail additions that have never had a driver row
+    "stream_events_hourly",
+    "stream_events_dedup_keys",
+    "stream_events_sessionize",
+    "layout_zorder_plan",
+    "text_segment_dedup",
+    "export_shard_plan",
+    "sim_ivf_recall_eval",
+    "dedup_lsh_bucket_audit",
+    # positions 51+: next rotation candidates, first of the long tail —
+    # never-driver-checked round-4/5 additions lead the overflow window
+    "dedup_cluster_size_hist",
+    "dedup_source_overlap",
+    "dedup_incremental_minhash",
+    "dq_profile_lineitem_exact",
+    # r3-certified reps rotated out this round (repo-gate still checks)
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "sim_ivf_topk",
@@ -89,22 +113,6 @@ _PRIORITY = [
     "tpch_q1_pricing_summary",
     "pivot_segment_status",
     "sql_exists_late_ship",
-    # rotated in round 4: never driver-checked before
-    "tpch_q21_waiting_suppliers",
-    "graph_pagerank_suppliers",
-    "scd2_price_bands",
-    "sketch_hll_orderkeys",
-    # positions 51+: next rotation candidates, first of the long tail —
-    # round-4 additions (never driver-checked) lead the overflow window
-    "dedup_incremental_minhash",
-    "layout_zorder_plan",
-    "text_segment_dedup",
-    "export_shard_plan",
-    "sim_ivf_recall_eval",
-    "dedup_lsh_bucket_audit",
-    "dedup_cluster_size_hist",
-    "dedup_source_overlap",
-    "dq_profile_lineitem_exact",
     "bars_ohlcv",
     "bars_rollup_multigrain",
     "bars_gapfill_locf",

@@ -1,0 +1,225 @@
+"""Streaming-executed gate queries: Structured Streaming in the
+correctness gate, not just in pytest.
+
+Each query here actually RUNS a streaming job — file-source
+``readStream`` over the driver's events table, ``availableNow`` trigger,
+memory sink — and returns the drained sink as a batch DataFrame, so the
+driver's DuckDB oracle comparison value-checks real streaming execution:
+watermarked windowed aggregation, watermarked stream dedup, and the
+custom ``applyInPandasWithState`` sessionization operator.
+
+Determinism contract (what makes a streaming run hash-comparable):
+  * ``availableNow`` over the single-file parquet source drains in one
+    micro-batch, so arrival order can't split sessions or windows across
+    batches;
+  * emitted columns are restricted to values that are arrival-order
+    independent — window/group keys, exact counts, decimal-snapped sums,
+    minute-floored session boundaries (the stateful operator keeps epoch
+    floats in its state tuple: exact to ~0.4 µs, so second-level floors
+    are razor-edge but minute-level floors are safe);
+  * the sessionize oracle models the operator's actual emission rule —
+    with one drained trigger and no timeout batch, only sessions CLOSED
+    by a later event emit, i.e. every session except each user's last.
+
+Scale posture: the same code paths run unbounded — the file source
+becomes a notification-based source, ``availableNow`` becomes a
+continuous trigger, the memory sink becomes a real sink; watermarks
+bound all state (see streaming.ingest / streaming.stateful docstrings).
+
+Reference scope note: the reference pipeline is strictly daily batch
+(``dags/get_securities_data.py:40``); streaming is an extension family —
+these gate entries exist so the extension is value-verified, not just
+unit-tested.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from securities_pricing_data_pipeline_spark.queries.helpers import _normalize_event_ts
+
+#: gap used by the batch/stream sessionize twins (streaming.stateful)
+_GAP_NS = 1_800_000_000_000
+
+_mem_ids = itertools.count()
+
+
+def _mem_name(tag: str) -> str:
+    return f"gate_{tag}_{next(_mem_ids)}"
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frame over events.parquet with the engine's ts contract
+    (epoch-nanos long, any physical encoding) plus an ``event_time``
+    timestamp column — the streaming twin of ``helpers.load``."""
+    # same session pins as helpers.load (idempotent; the gate may run on
+    # the driver's vanilla session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema  # footer-only
+    # the file source wants a directory: scan sf_dir, glob to the one file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = _normalize_event_ts(stream)
+    return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(df: DataFrame, tag: str, output_mode: str, stop_when_drained: bool = False) -> str:
+    name = _mem_name(tag)
+    spark = df.sparkSession
+    # state-store instances scale with shuffle partitions and each pays
+    # per-batch commit overhead; a single-drain gate query over one file
+    # wants few, fat state partitions. (A live deployment sizes this to
+    # the cluster instead — state partitioning is fixed at first start.)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    if stop_when_drained:
+        # ProcessingTimeTimeout state keeps availableNow scheduling empty
+        # micro-batches to fire future timeouts, so the query never
+        # self-terminates. The gate wants exactly the data batches: wait
+        # until all input is consumed (a trailing zero-input batch after
+        # at least one data batch), then stop the query.
+        import time
+
+        while q.isActive:
+            progs = q.recentProgress
+            if (
+                progs
+                and any(p["numInputRows"] > 0 for p in progs)
+                and progs[-1]["numInputRows"] == 0
+            ):
+                break
+            time.sleep(0.2)
+        q.stop()
+    q.awaitTermination()
+    return name
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate executed AS A STREAM
+    (streaming.ingest.windowed_event_stats_stream), drained with
+    availableNow into a memory sink. Shares its oracle semantics with the
+    batch twin ``events_hourly_stats``: identical totals because the sum
+    is decimal-snapped (order-independent) and the single-batch drain
+    means the watermark never drops rows."""
+    from securities_pricing_data_pipeline_spark.streaming.ingest import (
+        windowed_event_stats_stream,
+    )
+
+    out = windowed_event_stats_stream(
+        _event_stream(spark, sf_dir), watermark="90 days"
+    )
+    name = _drain(out, "hourly", "complete")
+    return spark.table(name).select(
+        "window_start_epoch", "event_type", "n_events", "total_value"
+    )
+
+
+def stream_events_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (dropDuplicatesWithinWatermark) over
+    (user_id, event_type), projected to the key set — which rows survive
+    keep-first dedup depends on arrival order, but the KEY SET is exactly
+    the distinct keys, so the gate hashes that. Oracle: SELECT DISTINCT."""
+    from securities_pricing_data_pipeline_spark.streaming.ingest import (
+        dedup_event_stream,
+    )
+
+    dd = dedup_event_stream(
+        _event_stream(spark, sf_dir).select("user_id", "event_type", "event_time"),
+        keys=["user_id", "event_type"],
+        watermark="90 days",
+    )
+    name = _drain(dd.select("user_id", "event_type"), "dedupkeys", "append")
+    return spark.table(name).select("user_id", "event_type")
+
+
+def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState gap
+    sessionization, streaming.stateful.sessionize_stream) executed as a
+    stream and value-checked end-to-end. Emission rule under one drained
+    trigger: a session emits iff a LATER event of the same user closed it
+    — each user's final (still-open) session stays in state and never
+    reaches the sink. Emitted columns are the arrival-order-independent
+    ones: user id, minute-floored session start, exact event count."""
+    from securities_pricing_data_pipeline_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    sess = sessionize_stream(
+        _event_stream(spark, sf_dir).select("user_id", "event_time", "value")
+    )
+    name = _drain(sess, "sessionize", "append", stop_when_drained=True)
+    return spark.table(name).select(
+        "user_id",
+        (F.floor(F.unix_timestamp("session_start") / 60) * 60)
+        .cast("long")
+        .alias("session_start_min_epoch"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+QUERIES = {
+    "stream_events_hourly": stream_events_hourly,
+    "stream_events_dedup_keys": stream_events_dedup_keys,
+    "stream_events_sessionize": stream_events_sessionize,
+}
+
+ORACLES = {
+    # identical to the batch twin events_hourly_stats' oracle
+    "stream_events_hourly": """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         AS window_start_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    "stream_events_dedup_keys": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    # sessions closed by a later event = all sessions except each user's
+    # last; session boundaries floored to the minute (see module doc)
+    "stream_events_sessionize": f"""
+WITH flagged AS (
+  SELECT user_id, epoch_ns(ts) AS tns,
+         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+                OVER (PARTITION BY user_id ORDER BY ts) > {_GAP_NS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, tns,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY tns
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id,
+         MIN(tns) AS start_ns, COUNT(*) AS n_events
+  FROM numbered GROUP BY 1, 2
+)
+SELECT s.user_id,
+       CAST(floor(s.start_ns / 60000000000) * 60 AS BIGINT)
+         AS session_start_min_epoch,
+       CAST(s.n_events AS BIGINT) AS n_events
+FROM sess s
+JOIN (SELECT user_id, MAX(session_id) AS max_sid FROM sess GROUP BY 1) m
+  ON s.user_id = m.user_id AND s.session_id < m.max_sid
+""",
+}

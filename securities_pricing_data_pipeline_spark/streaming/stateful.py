@@ -79,8 +79,11 @@ def sessionize_fn(
         yield pd.DataFrame(
             {
                 "user_id": [c[0] for c in closed],
-                "session_start": [pd.Timestamp(c[1], unit="s") for c in closed],
-                "session_end": [pd.Timestamp(c[2], unit="s") for c in closed],
+                # floor to micros: Spark timestamps are µs; float-seconds
+                # epochs round-trip through pandas at ns resolution and a
+                # lossy ns→µs cast is an Arrow error, not a truncation
+                "session_start": [pd.Timestamp(c[1], unit="s").floor("us") for c in closed],
+                "session_end": [pd.Timestamp(c[2], unit="s").floor("us") for c in closed],
                 "n_events": [c[3] for c in closed],
                 "total_value": [c[4] for c in closed],
             }
