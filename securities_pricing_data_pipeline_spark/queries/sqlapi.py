@@ -150,8 +150,37 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_RECURSIVE_REACHABILITY)
 
 
+SQL_LATERAL_TOPK_ORDERS = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey <= 200
+ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+def sql_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with per-row ORDER BY + LIMIT —
+    each customer's top-2 orders by price. Spark 4 decorrelates the
+    lateral into rank-filtered windows with map-side ``WindowGroupLimit``
+    pushdown (partial top-k before the exchange) plus a broadcast join —
+    not a per-row nested loop — so the shape scales like the windowed
+    top-k-per-group DataFrame twin (``topk_parts_per_brand``); identical
+    ANSI text runs on DuckDB. Pins the LATERAL dialect surface the other
+    subquery forms don't touch."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_LATERAL_TOPK_ORDERS)
+
+
 QUERIES = {
     "sql_exists_late_ship": sql_exists_late_ship,
+    "sql_lateral_topk_orders": sql_lateral_topk_orders,
     "sql_recursive_reachability": sql_recursive_reachability,
     "sql_window_running_share": sql_window_running_share,
     "sql_in_having_large_orders": sql_in_having_large_orders,
@@ -161,6 +190,7 @@ QUERIES = {
 # the oracle IS the same SQL text — DuckDB runs it over identical views
 ORACLES = {
     "sql_exists_late_ship": SQL_EXISTS_LATE_SHIP,
+    "sql_lateral_topk_orders": SQL_LATERAL_TOPK_ORDERS,
     "sql_window_running_share": SQL_WINDOW_RUNNING_SHARE,
     "sql_recursive_reachability": SQL_RECURSIVE_REACHABILITY,
     "sql_in_having_large_orders": SQL_IN_HAVING_LARGE_ORDERS,
