@@ -69,6 +69,98 @@ def hll_estimate(df: DataFrame, key: Column, p: int = 8) -> DataFrame:
     )
 
 
+def hll_grouped_registers(
+    df: DataFrame, key: Column, groups: list[str], p: int = 8
+) -> DataFrame:
+    """Per-group HLL register tables: (groups..., bucket, M).
+
+    This is the MERGEABLE form — the property that makes sketches work at
+    100 TB: registers built per partition-of-the-data (per day, per
+    source, per shard) are tiny (≤2^p rows each), can be persisted as a
+    sketch table, and re-aggregate to any coarser grain with a plain
+    ``max`` — no raw-data re-scan, ever (see :func:`hll_merge_estimate`).
+    """
+    m = 1 << p
+    wbits = 60 - p
+    h = portable_hash60(key.cast("string"))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*groups, (h % F.lit(m)).alias("bucket"), rho.alias("rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_merge_estimate(
+    regs: DataFrame, merge_groups: list[str], p: int = 8
+) -> DataFrame:
+    """Merge finer-grain register tables to ``merge_groups`` grain (bucket-
+    wise ``max``) and fold each merged register set to its estimate —
+    same integer pipeline as :func:`hll_estimate`, per group."""
+    m = 1 << p
+    wbits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    merged = regs.groupBy(*merge_groups, "bucket").agg(F.max("M").alias("M"))
+    agg = merged.groupBy(*merge_groups).agg(
+        F.count("*").alias("n_buckets_seen"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), greatest({wbits} - M, 0))")
+        ).alias("s_seen"),
+    )
+    zeros = F.lit(m) - F.col("n_buckets_seen")
+    s_scaled = F.col("s_seen") + zeros * F.lit(1 << wbits).cast("long")
+    est = F.lit(alpha * m * m * float(1 << wbits)) / s_scaled.cast("double")
+    return agg.select(
+        *merge_groups,
+        s_scaled.cast("long").alias("s_scaled"),
+        est.alias("hll_estimate"),
+    )
+
+
+def hll_merge_oracle_sql(
+    table: str,
+    key_expr: str,
+    fine_expr: str,
+    merge_expr: str,
+    merge_name: str = "mg",
+    p: int = 8,
+) -> str:
+    """DuckDB twin of grouped registers → merged estimate: build
+    registers at (``merge_expr``, ``fine_expr``) grain, merge to
+    ``merge_expr`` with a bucket-wise max, fold to the estimate."""
+    m = 1 << p
+    wbits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+WITH h AS (
+  SELECT {merge_expr} AS mg, {fine_expr} AS fg,
+         CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM {table}
+), regs AS (
+  SELECT mg, fg, hv % {m} AS bucket,
+         MAX(CASE WHEN (hv >> {p}) = 0 THEN {wbits + 1}
+                  ELSE {wbits + 1} - length(bin(hv >> {p})) END) AS M
+  FROM h GROUP BY 1, 2, 3
+), merged AS (
+  SELECT mg, bucket, MAX(M) AS M FROM regs GROUP BY 1, 2
+), agg AS (
+  SELECT mg, COUNT(*) AS n_buckets_seen,
+         CAST(SUM(CAST(1 AS BIGINT) << greatest({wbits} - M, 0)) AS BIGINT) AS s_seen
+  FROM merged GROUP BY 1
+)
+SELECT mg AS {merge_name},
+       CAST(s_seen + ({m} - n_buckets_seen) * (CAST(1 AS BIGINT) << {wbits}) AS BIGINT)
+         AS s_scaled,
+       {alpha * m * m * float(1 << wbits)!r} / CAST(
+         s_seen + ({m} - n_buckets_seen) * (CAST(1 AS BIGINT) << {wbits}) AS DOUBLE)
+         AS hll_estimate
+FROM agg
+"""
+
+
 def hll_oracle_sql(table: str, key_expr: str, p: int = 8) -> str:
     """DuckDB twin of :func:`hll_estimate` — literally the same integer
     pipeline, emitted as SQL text."""

@@ -34,6 +34,7 @@ from securities_pricing_data_pipeline_spark.llmdata.similarity import (
 from securities_pricing_data_pipeline_spark.llmdata.sampling import split_assign
 from securities_pricing_data_pipeline_spark.llmdata.sketch import (
     cms_oracle_sql,
+    hll_merge_oracle_sql,
     hll_oracle_sql,
 )
 from securities_pricing_data_pipeline_spark.llmdata.text import (
@@ -717,6 +718,29 @@ def sketch_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(li, F.col("l_orderkey"), p=8)
 
 
+def sketch_hll_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY demo — the property that makes sketches the
+    100 TB answer to distinct counts: per-(week, day) HLL register tables
+    (≤256 rows each, persistable as a sketch table) re-aggregate to
+    weekly distinct-customer estimates with a bucket-wise max — no
+    raw-data re-scan. Emits one row per order-week with the merged
+    register sum and estimate; bit-reproducible in DuckDB."""
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+        hll_grouped_registers,
+        hll_merge_estimate,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("week_start"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        "o_custkey",
+    )
+    regs = hll_grouped_registers(o, F.col("o_custkey"), ["week_start", "day"], p=8)
+    return hll_merge_estimate(regs, ["week_start"], p=8)
+
+
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over the corpus: docs 0–4 stand in as the
     eval set; every document reports how many of its distinct 3-gram
@@ -809,6 +833,7 @@ QUERIES = {
     "text_sentiment": text_sentiment,
     "strings_fuzzy_match": strings_fuzzy_match,
     "sketch_hll_orderkeys": sketch_hll_orderkeys,
+    "sketch_hll_weekly_merge": sketch_hll_weekly_merge,
     "sketch_cms_partkeys": sketch_cms_partkeys,
     "sketch_bloom_custkeys": sketch_bloom_custkeys,
     "text_decontaminate": text_decontaminate,
@@ -1158,6 +1183,14 @@ FROM documents
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "sketch_hll_orderkeys": hll_oracle_sql("lineitem", "l_orderkey", p=8),
+    "sketch_hll_weekly_merge": hll_merge_oracle_sql(
+        "orders",
+        "o_custkey",
+        fine_expr="CAST(o_orderdate AS DATE)",
+        merge_expr="CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)",
+        merge_name="week_start",
+        p=8,
+    ),
     "sketch_cms_partkeys": cms_oracle_sql("lineitem", "l_partkey", k=10, d=4, w=256),
     "text_decontaminate": """
 WITH toks AS (

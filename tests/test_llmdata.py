@@ -363,6 +363,28 @@ def test_hll_estimate_within_error_bound(spark):
     assert row.m == 256
 
 
+def test_hll_merge_equals_direct_build(spark):
+    """The mergeability contract: registers built per fine group and
+    merged with a bucket-wise max must produce EXACTLY the estimate of
+    registers built directly at the coarse grain."""
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+        hll_estimate,
+        hll_grouped_registers,
+        hll_merge_estimate,
+    )
+
+    rows = [(f"g{i % 2}", f"d{i % 6}", i % 500) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["grp", "day", "k"])
+    regs = hll_grouped_registers(df, F.col("k"), ["grp", "day"], p=8)
+    merged = {
+        r.grp: (r.s_scaled, r.hll_estimate)
+        for r in hll_merge_estimate(regs, ["grp"], p=8).collect()
+    }
+    for g in ("g0", "g1"):
+        direct = hll_estimate(df.filter(F.col("grp") == g), F.col("k"), p=8).collect()[0]
+        assert merged[g] == (direct.s_scaled, direct.hll_estimate)
+
+
 def test_bucket_cap_drops_degenerate_buckets(spark):
     from pyspark.sql import Observation
 
