@@ -268,3 +268,38 @@ def observe_write_metrics(df: DataFrame, name: str = "write_metrics"):
         F.sum((F.col("close") < 0).cast("long")).alias("n_neg_close"),
     )
     return observed, obs
+
+
+def dq_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Declarative expectation suite: ``rules`` maps rule name → boolean
+    Column that must hold for every row. One aggregate pass computes all
+    rules simultaneously (conditional sums, no per-rule scan — the
+    generalization of the reference's one-COUNT-per-metric checks,
+    `dags/sql/2. check_loaded.sql` / `8. new_row_count.sql`), then
+    unpivots to one row per rule: (rule, n_rows, n_violations, pass_rate).
+
+    NULL predicate results count as violations (a rule that can't be
+    evaluated didn't pass) — the contract that makes `x <= y` rules catch
+    null keys too. At 100 TB this is one map-side-combining scan whose
+    output is rules-count rows; pass_rate is a single int÷int division,
+    engine-stable.
+    """
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(f"v_{i}")
+        for i, cond in enumerate(rules.values())
+    ]
+    one = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', v_{i}" for i, n in enumerate(names))
+    return one.select(
+        F.expr(f"stack({len(names)}, {stack}) AS (rule, n_violations)"),
+        "n_rows",
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (
+            (F.col("n_rows") - F.col("n_violations")).cast("double")
+            / F.col("n_rows")
+        ).alias("pass_rate"),
+    )

@@ -350,6 +350,28 @@ def dq_profile_lineitem_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_profile(li, _DQ_COLS, distinct_mode="exact")
 
 
+def dq_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over the fact table (see
+    operators.quality.dq_expectations): five rules — positive quantity,
+    non-negative price, discount in [0,1], tax in [0,1], non-null
+    order key — ALL evaluated in one conditional-sum scan, unpivoted to
+    one row per rule with violation count and pass rate."""
+    from securities_pricing_data_pipeline_spark.operators.quality import dq_expectations
+
+    li = load(spark, sf_dir, "lineitem")
+    return dq_expectations(
+        li,
+        {
+            "quantity_positive": F.col("l_quantity") > 0,
+            "price_non_negative": F.col("l_extendedprice") >= 0,
+            "discount_in_unit_range": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 1),
+            "tax_in_unit_range": (F.col("l_tax") >= 0) & (F.col("l_tax") <= 1),
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        },
+    )
+
+
 def layout_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout plan for the fact table (see operators.layout):
     interleave ship-date days with part key, derive target file ids from
@@ -411,6 +433,7 @@ QUERIES = {
     "range_join_in_transit": range_join_in_transit,
     "skew_salted_aggregate": skew_salted_aggregate,
     "dq_profile_lineitem": dq_profile_lineitem,
+    "dq_expectations_lineitem": dq_expectations_lineitem,
     "dq_profile_lineitem_exact": dq_profile_lineitem_exact,
     "layout_zorder_plan": layout_zorder_plan,
 }
@@ -432,6 +455,26 @@ ORACLES = {
     # sketched profile: DuckDB reproduces the HLL registers bit-for-bit,
     # so even the approximate default stays value-level-checked.
     "dq_profile_lineitem": dq_profile_hll_oracle_sql("lineitem", _DQ_COLS),
+    "dq_expectations_lineitem": """
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS v0,
+         SUM(CASE WHEN NOT COALESCE(l_extendedprice >= 0, FALSE) THEN 1 ELSE 0 END) AS v1,
+         SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) AS v2,
+         SUM(CASE WHEN NOT COALESCE(l_tax >= 0 AND l_tax <= 1, FALSE) THEN 1 ELSE 0 END) AS v3,
+         SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v4
+  FROM lineitem
+)
+SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_rows - n_violations AS DOUBLE) / n_rows AS pass_rate
+FROM (
+  SELECT n_rows, 'quantity_positive' AS rule, v0 AS n_violations FROM agg
+  UNION ALL SELECT n_rows, 'price_non_negative', v1 FROM agg
+  UNION ALL SELECT n_rows, 'discount_in_unit_range', v2 FROM agg
+  UNION ALL SELECT n_rows, 'tax_in_unit_range', v3 FROM agg
+  UNION ALL SELECT n_rows, 'orderkey_not_null', v4 FROM agg
+)
+""",
     "ri_orphan_lineitems": """
 SELECT COUNT(*) AS n_lines,
        CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_orderkey,
