@@ -615,6 +615,45 @@ def ar1_close_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incr_symbol_totals_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (see
+    operators.incremental.merge_partial_aggs): per-symbol gold totals
+    maintained as (standing aggregate over history < 2001) ⊕ (delta
+    aggregate over the 2001 increment) — merged with the count/sum/min/
+    max partial algebra, no history re-scan. The oracle recomputes the
+    SAME totals from scratch over all of history, so the gate proves
+    merged == full-recompute exactly. At 100 TB the merge join is
+    |symbols| ⋈ |delta symbols| — broadcast-sized both sides."""
+    from securities_pricing_data_pipeline_spark.operators.incremental import (
+        merge_partial_aggs,
+    )
+
+    b = bars_silver(spark, sf_dir)
+    cutoff = F.lit("2001-01-01").cast("date")
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.groupBy("symbol").agg(
+            F.count("*").alias("n_days"),
+            F.sum("volume").alias("total_volume"),
+            F.max("high").alias("max_high"),
+            F.min("low").alias("min_low"),
+        )
+
+    merged = merge_partial_aggs(
+        part(b.filter(F.col("trade_date") < cutoff)),
+        part(b.filter(F.col("trade_date") >= cutoff)),
+        ["symbol"],
+        {"n_days": "sum", "total_volume": "sum", "max_high": "max", "min_low": "min"},
+    )
+    return merged.select(
+        "symbol",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("total_volume").cast("long").alias("total_volume"),
+        F.col("max_high").cast("double").alias("max_high"),
+        F.col("min_low").cast("double").alias("min_low"),
+    )
+
+
 def snapshot_diff_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style snapshot diff: each symbol's last close as-of 1997-06-30
     vs as-of 1997-12-31, classified added / removed / changed / unchanged
@@ -782,6 +821,7 @@ QUERIES = {
     "q15_rsi": q15_rsi,
     "q16_trend_slope": q16_trend_slope,
     "scd2_price_bands": scd2_price_bands,
+    "incr_symbol_totals_update": incr_symbol_totals_update,
     "snapshot_diff_positions": snapshot_diff_positions,
     "ar1_close_autocorr": ar1_close_autocorr,
     "pit_band_lookup": pit_band_lookup,
@@ -980,6 +1020,17 @@ SELECT symbol, n_pairs,
 FROM m
 WHERE n_pairs >= 30 AND (n_pairs * sxx - sx * sx) <> 0
 ORDER BY symbol
+""",
+    # full recompute over ALL history — the gate proves the incremental
+    # merge reproduces this exactly
+    "incr_symbol_totals_update": BARS_SQL + """
+SELECT symbol,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(volume) AS BIGINT) AS total_volume,
+       CAST(MAX(high) AS DOUBLE) AS max_high,
+       CAST(MIN(low) AS DOUBLE) AS min_low
+FROM bars
+GROUP BY symbol
 """,
     "snapshot_diff_positions": BARS_SQL + """
 , old AS (

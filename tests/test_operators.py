@@ -325,3 +325,37 @@ def test_zorder_file_plan_boxes_cover_and_partition(spark):
     # at most 2^6 distinct values per dimension
     for r in plan:
         assert r.x_max - r.x_min < 64 and r.y_max - r.y_min < 64
+
+
+def test_merge_partial_aggs_full_outer_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from securities_pricing_data_pipeline_spark.operators.incremental import (
+        merge_partial_aggs,
+    )
+
+    old = spark.createDataFrame(
+        [("a", 2, 10, 5.0, 1.0), ("b", 1, 7, 3.0, 3.0)],
+        "k string, n long, s long, mx double, mn double",
+    )
+    delta = spark.createDataFrame(
+        [("a", 1, 4, 9.0, 0.5), ("c", 3, 1, 2.0, 2.0)],
+        "k string, n long, s long, mx double, mn double",
+    )
+    got = {
+        r.k: (r.n, r.s, r.mx, r.mn)
+        for r in merge_partial_aggs(
+            old, delta, ["k"], {"n": "sum", "s": "sum", "mx": "max", "mn": "min"}
+        ).collect()
+    }
+    assert got == {
+        "a": (3, 14, 9.0, 0.5),   # merged both sides
+        "b": (1, 7, 3.0, 3.0),    # old-only passes through
+        "c": (3, 1, 2.0, 2.0),    # delta-only passes through
+    }
+
+    # unmergeable kinds refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_partial_aggs(old, delta, ["k"], {"n": "median"}).collect()
