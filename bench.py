@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     "stream_events_hourly",
     "stream_events_dedup_keys",
     "stream_events_sessionize",
+    "stream_events_interval_join",
+    "sql_lateral_topk_orders",
+    "sketch_hll_weekly_merge",
+    "dq_expectations_lineitem",
+    "incr_symbol_totals_update",
 ]
 
 

@@ -101,6 +101,11 @@ _PRIORITY = [
     "dedup_lsh_bucket_audit",
     # positions 51+: next rotation candidates, first of the long tail —
     # never-driver-checked round-4/5 additions lead the overflow window
+    "stream_events_interval_join",
+    "sql_lateral_topk_orders",
+    "sketch_hll_weekly_merge",
+    "dq_expectations_lineitem",
+    "incr_symbol_totals_update",
     "dedup_cluster_size_hist",
     "dedup_source_overlap",
     "dedup_incremental_minhash",

@@ -150,6 +150,41 @@ def stream_events_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "event_type")
 
 
+def stream_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition executed as a
+    real dual-stream job (streaming.ingest.join_events_quotes_stream —
+    the ONLY stream-stream formulation whose state is bounded: both sides
+    watermarked, join condition bounds event-time distance, Spark evicts
+    unjoinable rows). Clicks pair with same-user views from the trailing
+    30 minutes; the inner-join result SET is arrival-order independent,
+    and all emitted values ride the exact integer/double path (epoch
+    micros, raw value) — no float re-derivation anywhere."""
+    from securities_pricing_data_pipeline_spark.streaming.ingest import (
+        join_events_quotes_stream,
+    )
+
+    ev = _event_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("symbol"), "event_time"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("symbol"),
+        F.col("event_time").alias("quote_time"),
+        F.col("value").alias("price"),
+    )
+    joined = join_events_quotes_stream(
+        clicks, views, max_delay_minutes=30, watermark="90 days"
+    )
+    name = _drain(joined, "ivjoin", "append")
+    return spark.table(name).select(
+        F.col("event_id").alias("click_id"),
+        F.col("symbol").alias("user_id"),
+        F.unix_micros("event_time").alias("click_us"),
+        F.unix_micros("quote_time").alias("view_us"),
+        F.col("price").alias("view_value"),
+    )
+
+
 def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful operator (applyInPandasWithState gap
     sessionization, streaming.stateful.sessionize_stream) executed as a
@@ -178,6 +213,7 @@ def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
     "stream_events_dedup_keys": stream_events_dedup_keys,
+    "stream_events_interval_join": stream_events_interval_join,
     "stream_events_sessionize": stream_events_sessionize,
 }
 
@@ -194,6 +230,17 @@ GROUP BY 1, 2
 """,
     "stream_events_dedup_keys": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+    "stream_events_interval_join": """
+SELECT a.event_id AS click_id,
+       a.user_id,
+       epoch_us(a.ts) AS click_us,
+       epoch_us(b.ts) AS view_us,
+       b.value AS view_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts
 """,
     # sessions closed by a later event = all sessions except each user's
     # last; session boundaries floored to the minute (see module doc)
