@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "sketch_hll_weekly_merge",
     "dq_expectations_lineitem",
     "incr_symbol_totals_update",
+    "quantile_sketch_close",
 ]
 
 

@@ -436,3 +436,116 @@ SELECT COUNT(*) AS n_probes,
        CAST(SUM(maybe - COALESCE(is_present, 0)) AS BIGINT) AS n_false_positives
 FROM hits LEFT JOIN truth USING (pkey)
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: the mergeable answer to percentiles at scale.
+# Exact percentiles need a full sort (or a per-group collect); a fixed-grid
+# histogram needs ONE hash aggregate whose map-side combine reduces every
+# partition to <= n_buckets rows per group, merges by addition (same
+# algebra as operators.incremental), and answers any quantile from the
+# cumulative counts with error bounded by one bucket width. All arithmetic
+# is engine-stable: the bucket index is floor(val/width) on doubles with a
+# binary-exact width, counts are integers, and the estimate is the bucket
+# lower edge (no interpolation, no float accumulation).
+# ---------------------------------------------------------------------------
+
+
+def quantile_histogram(
+    df: DataFrame,
+    val: Column,
+    groups: list[str],
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-group fixed-grid bucket counts: (groups..., bucket, cnt).
+
+    Mergeable by addition across finer partitions (days, shards) — the
+    histogram twin of :func:`hll_grouped_registers`. Values outside
+    [lo, hi) clamp to the edge buckets.
+    """
+    width = (hi - lo) / n_buckets
+    b = F.floor((val.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+    return (
+        df.select(*groups, b.alias("bucket"))
+        .groupBy(*groups, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    groups: list[str],
+    qs: dict[str, float],
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Fold per-group histograms to quantile estimates: for each named
+    quantile, the lower edge of the first bucket whose cumulative count
+    reaches q·n. One window over ≤``n_buckets`` rows per group, then one
+    conditional min per quantile."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_buckets
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*groups))
+    )
+    aggs = [F.max("n").cast("long").alias("n_values")] + [
+        (
+            F.lit(lo)
+            + F.min(
+                F.when(F.col("cum") >= F.lit(q) * F.col("n"), F.col("bucket"))
+            ).cast("double")
+            * F.lit(width)
+        ).alias(name)
+        for name, q in qs.items()
+    ]
+    return c.groupBy(*groups).agg(*aggs)
+
+
+def quantile_histogram_oracle_sql(
+    table_expr: str,
+    val_expr: str,
+    group_expr: str,
+    group_name: str,
+    qs: dict[str, float],
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+) -> str:
+    """DuckDB twin: identical bucket/cumulative/threshold arithmetic."""
+    width = (hi - lo) / n_buckets
+    q_cols = ",\n       ".join(
+        f"{lo!r} + CAST(MIN(CASE WHEN cum >= {q!r} * n THEN bucket END) AS DOUBLE)"
+        f" * {width!r} AS {name}"
+        for name, q in qs.items()
+    )
+    return f"""
+WITH pts AS (
+  SELECT {group_expr} AS g,
+         least(greatest(CAST(floor((CAST({val_expr} AS DOUBLE) - {lo!r}) / {width!r})
+                        AS INT), 0), {n_buckets - 1}) AS bucket
+  FROM {table_expr}
+), hist AS (
+  SELECT g, bucket, COUNT(*) AS cnt FROM pts GROUP BY 1, 2
+), c AS (
+  SELECT g, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM hist
+)
+SELECT g AS {group_name},
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       {q_cols}
+FROM c
+GROUP BY g
+"""

@@ -106,6 +106,7 @@ _PRIORITY = [
     "sketch_hll_weekly_merge",
     "dq_expectations_lineitem",
     "incr_symbol_totals_update",
+    "quantile_sketch_close",
     "dedup_cluster_size_hist",
     "dedup_source_overlap",
     "dedup_incremental_minhash",

@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+    quantile_histogram_oracle_sql,
+)
 from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_df, bars_silver
 from securities_pricing_data_pipeline_spark.queries.helpers import dec, load
 
@@ -654,6 +657,39 @@ def incr_symbol_totals_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed close-price domain for the quantile histogram sketch — covers the
+#: testdata's derived price range with binary-exact bucket width
+#: (120000/256 = 468.75)
+_QH_LO, _QH_HI, _QH_BUCKETS = 0.0, 120000.0, 256
+
+
+def quantile_sketch_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable percentile scale-path (see llmdata.sketch
+    quantile_histogram): per-symbol p50/p95/p99 of close from a 256-bucket
+    fixed-grid histogram — ONE hash aggregate (map-side combine reduces
+    every partition to ≤256 rows/symbol), histograms merge by addition
+    across shards/days, estimate = first bucket whose cumulative count
+    reaches q·n (error ≤ one bucket width). The exact-sort alternative is
+    ``percentile_quantity_exact``; this is what replaces it at 100 TB."""
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+        quantile_histogram,
+        quantiles_from_histogram,
+    )
+
+    b = bars_silver(spark, sf_dir)
+    hist = quantile_histogram(
+        b, F.col("close"), ["symbol"], _QH_LO, _QH_HI, _QH_BUCKETS
+    )
+    return quantiles_from_histogram(
+        hist,
+        ["symbol"],
+        {"p50_est": 0.5, "p95_est": 0.95, "p99_est": 0.99},
+        _QH_LO,
+        _QH_HI,
+        _QH_BUCKETS,
+    )
+
+
 def snapshot_diff_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style snapshot diff: each symbol's last close as-of 1997-06-30
     vs as-of 1997-12-31, classified added / removed / changed / unchanged
@@ -822,6 +858,7 @@ QUERIES = {
     "q16_trend_slope": q16_trend_slope,
     "scd2_price_bands": scd2_price_bands,
     "incr_symbol_totals_update": incr_symbol_totals_update,
+    "quantile_sketch_close": quantile_sketch_close,
     "snapshot_diff_positions": snapshot_diff_positions,
     "ar1_close_autocorr": ar1_close_autocorr,
     "pit_band_lookup": pit_band_lookup,
@@ -1021,6 +1058,16 @@ FROM m
 WHERE n_pairs >= 30 AND (n_pairs * sxx - sx * sx) <> 0
 ORDER BY symbol
 """,
+    "quantile_sketch_close": quantile_histogram_oracle_sql(
+        table_expr=f"({BARS_SQL} SELECT * FROM bars)",
+        val_expr="close",
+        group_expr="symbol",
+        group_name="symbol",
+        qs={"p50_est": 0.5, "p95_est": 0.95, "p99_est": 0.99},
+        lo=0.0,
+        hi=120000.0,
+        n_buckets=256,
+    ),
     # full recompute over ALL history — the gate proves the incremental
     # merge reproduces this exactly
     "incr_symbol_totals_update": BARS_SQL + """

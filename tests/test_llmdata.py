@@ -857,3 +857,31 @@ def test_minhash_cross_set_pairs_only_between_sets(spark):
     assert (1, 4) not in got                    # unrelated never matches
     # empty new batch → empty result, no failure
     assert minhash_lsh_pairs_cross(sig.filter(F.col("id") < 0), old).count() == 0
+
+
+def test_quantile_histogram_within_one_bucket_of_exact(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+        quantile_histogram,
+        quantiles_from_histogram,
+    )
+
+    vals = [(("g"), float(i)) for i in range(1, 1001)]  # 1..1000
+    df = spark.createDataFrame(vals, ["g", "v"])
+    lo, hi, nb = 0.0, 1024.0, 256  # width 4.0
+    hist = quantile_histogram(df, F.col("v"), ["g"], lo, hi, nb)
+    row = quantiles_from_histogram(
+        hist, ["g"], {"p50": 0.5, "p99": 0.99}, lo, hi, nb
+    ).collect()[0]
+    assert row.n_values == 1000
+    assert abs(row.p50 - 500.0) <= 4.0
+    assert abs(row.p99 - 990.0) <= 4.0
+    # merge-by-addition: two halves' histograms summed == full histogram
+    h1 = quantile_histogram(df.filter(F.col("v") <= 500), F.col("v"), ["g"], lo, hi, nb)
+    h2 = quantile_histogram(df.filter(F.col("v") > 500), F.col("v"), ["g"], lo, hi, nb)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("g", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = quantiles_from_histogram(merged, ["g"], {"p50": 0.5}, lo, hi, nb).collect()[0]
+    assert got.p50 == row.p50 and got.n_values == 1000
