@@ -28,6 +28,10 @@ BENCH_QUERIES = [
     "bars_ohlcv",
     "bars_rollup_multigrain",
     "bars_gapfill_locf",
+    "bars_gapfill_interp",
+    "q17_twap",
+    "q18_rolling_median",
+    "corpus_drift_kl",
     "range_join_in_transit",
     "q1_market_totals",
     "q2_rolling_liquidity",

@@ -93,3 +93,61 @@ def shard_plan(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+) -> DataFrame:
+    """Train-vs-holdout categorical drift monitor: the standard pre-flight
+    check that a hash split didn't skew the corpus mix (and, run between
+    two corpus VERSIONS, the drift alarm for a refreshed crawl). Rows are
+    assigned train/holdout by the same stable md5 bucket as
+    :func:`split_assign`; each stratum cell gets its additive-smoothed
+    share in both groups and its forward-KL contribution
+    ``p_train · ln(p_train / p_holdout)`` — sum over cells = KL(train‖holdout),
+    finite under Laplace (+1) smoothing even for cells absent on one side.
+
+    Plan shape: one hash aggregate over (grp, cells), a distinct over the
+    cell spine, and broadcast joins of three tiny frames (cells × 2 rows,
+    2-row totals, 1-row cell count) — the full scan is read ONCE and
+    everything after it is cell-cardinality-sized, so at 100 TB the cost
+    is the scan, not the drift math.
+    """
+    grp = F.when(hash_bucket(F.col(id_col)) < train_pct, F.lit("train")).otherwise(
+        F.lit("holdout")
+    )
+    tagged = df.select(*strata_cols, grp.alias("grp"))
+    cells = tagged.groupBy("grp", *strata_cols).agg(F.count("*").alias("cnt"))
+    spine = df.select(*strata_cols).distinct()
+    grps = df.sparkSession.createDataFrame([("train",), ("holdout",)], "grp string")
+    full = spine.crossJoin(F.broadcast(grps))
+    counts = full.join(F.broadcast(cells), ["grp", *strata_cols], "left").na.fill({"cnt": 0})
+    totals = tagged.groupBy("grp").agg(F.count("*").alias("tot"))
+    ncells = spine.agg(F.count("*").alias("n_cells"))
+    p = (F.col("cnt") + 1).cast("double") / (F.col("tot") + F.col("n_cells")).cast("double")
+    probs = (
+        counts.join(F.broadcast(totals), "grp")
+        .crossJoin(F.broadcast(ncells))
+        .select("grp", *strata_cols, "cnt", p.alias("p"))
+    )
+    tr = probs.filter(F.col("grp") == "train").select(
+        *strata_cols, F.col("cnt").alias("n_train"), F.col("p").alias("p_train")
+    )
+    ho = probs.filter(F.col("grp") == "holdout").select(
+        *strata_cols, F.col("cnt").alias("n_holdout"), F.col("p").alias("p_holdout")
+    )
+    # ln() is the one op here that is NOT bit-identical across engines
+    # (libm last-ULP differences), so the KL term is snapped to a
+    # decimal(20,14) grid — far coarser than the 1-ULP noise, far finer
+    # than any drift signal anyone acts on.
+    kl = (
+        (F.col("p_train") * F.log(F.col("p_train") / F.col("p_holdout")))
+        .cast("decimal(20,14)")
+        .cast("double")
+    )
+    return tr.join(ho, strata_cols).select(
+        *strata_cols, "n_train", "n_holdout", "p_train", "p_holdout", kl.alias("kl_term")
+    )

@@ -187,10 +187,61 @@ def q_bars_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bars_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + LINEAR INTERPOLATION — the second of the two
+    canonical series-alignment fills (LOCF above; Timescale exposes the
+    pair as ``locf()``/``interpolate()``). Each missing day gets
+    ``prev + (next - prev) · elapsed/span`` between its bracketing
+    observations.
+
+    Both brackets come from frame-bounded window functions on the same
+    sort — ``last(ignorenulls)`` over unbounded-preceding for the previous
+    observation, ``first(ignorenulls)`` over current-to-unbounded-following
+    for the next — so the whole fill is two window passes over one
+    per-symbol sort, no self-join against the observation set. The spine
+    spans each symbol's own [min, max] observed dates, so interior rows
+    always have both brackets (edge rows are themselves observed).
+
+    Parity note: the interpolation arithmetic is written in the exact same
+    operation order as the DuckDB oracle (single fused
+    ``prev + (next-prev)·(elapsed/span)`` over IEEE doubles), which makes
+    the comparison bit-exact, not approximately-equal."""
+    b = bars_df(spark, sf_dir, partkeys=[3, 7, 11, 19]).select("symbol", "trade_date", "close")
+    rng = b.groupBy("symbol").agg(
+        F.min("trade_date").alias("d0"), F.max("trade_date").alias("d1")
+    )
+    spine = rng.select(
+        "symbol",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("trade_date"),
+    )
+    joined = spine.join(b, ["symbol", "trade_date"], "left")
+    w_prev = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs = F.col("close").isNotNull()
+    prev_close = F.last(F.col("close").cast("double"), ignorenulls=True).over(w_prev)
+    prev_date = F.last(F.when(obs, F.col("trade_date")), ignorenulls=True).over(w_prev)
+    next_close = F.first(F.col("close").cast("double"), ignorenulls=True).over(w_next)
+    next_date = F.first(F.when(obs, F.col("trade_date")), ignorenulls=True).over(w_next)
+    elapsed = F.datediff(F.col("trade_date"), prev_date).cast("double")
+    span = F.datediff(next_date, prev_date).cast("double")
+    interp = prev_close + (next_close - prev_close) * (elapsed / span)
+    return joined.select(
+        "symbol",
+        "trade_date",
+        F.when(obs, F.col("close").cast("double")).otherwise(interp).alias("close_interp"),
+        obs.alias("is_observed"),
+    )
+
+
 QUERIES = {
     "bars_ohlcv": q_bars,
     "bars_rollup_multigrain": q_bars_rollup,
     "bars_gapfill_locf": q_bars_gapfill,
+    "bars_gapfill_interp": q_bars_gapfill_interp,
 }
 
 ORACLES = {
@@ -219,6 +270,49 @@ SELECT symbol, trade_date,
                ROWS UNBOUNDED PRECEDING) AS close_filled,
        close IS NOT NULL AS is_observed
 FROM j
+""",
+    "bars_gapfill_interp": """
+WITH fbars AS (
+  SELECT 'P' || CAST(l_partkey AS VARCHAR) AS symbol,
+         CAST(l_shipdate AS DATE) AS trade_date,
+         CAST(arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber) AS DECIMAL(18,4)) AS close
+  FROM lineitem
+  WHERE l_partkey IN (3, 7, 11, 19)
+  GROUP BY 1, 2
+), rng AS (
+  SELECT symbol, MIN(trade_date) AS d0, MAX(trade_date) AS d1 FROM fbars GROUP BY symbol
+), spine AS (
+  SELECT symbol,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS trade_date
+  FROM rng
+), j AS (
+  SELECT s.symbol, s.trade_date, b.close
+  FROM spine s LEFT JOIN fbars b USING (symbol, trade_date)
+), bracketed AS (
+  SELECT symbol, trade_date, close,
+         last_value(CAST(close AS DOUBLE) IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY trade_date
+                 ROWS UNBOUNDED PRECEDING) AS prev_close,
+         last_value(CASE WHEN close IS NOT NULL THEN trade_date END IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY trade_date
+                 ROWS UNBOUNDED PRECEDING) AS prev_date,
+         first_value(CAST(close AS DOUBLE) IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_close,
+         first_value(CASE WHEN close IS NOT NULL THEN trade_date END IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_date
+  FROM j
+)
+SELECT symbol, trade_date,
+       CASE WHEN close IS NOT NULL THEN CAST(close AS DOUBLE)
+            ELSE prev_close + (next_close - prev_close)
+                 * (CAST(date_diff('day', prev_date, trade_date) AS DOUBLE)
+                    / CAST(date_diff('day', prev_date, next_date) AS DOUBLE))
+       END AS close_interp,
+       close IS NOT NULL AS is_observed
+FROM bracketed
 """,
     "bars_ohlcv": BARS_SQL
     + """

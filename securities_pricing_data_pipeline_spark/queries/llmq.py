@@ -667,6 +667,18 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-skew / corpus-drift monitor: per-(source, lang) smoothed
+    shares in the train vs holdout hash split and the forward-KL
+    contribution of each cell (llmdata.sampling.distribution_drift)."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import (
+        distribution_drift,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return distribution_drift(docs, ["source", "lang"])
+
+
 def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return pack_greedy(docs, budget_tokens=4096)
@@ -829,6 +841,7 @@ QUERIES = {
     "dedup_cluster_star": dedup_cluster_star,
     "text_normalize": text_normalize,
     "sample_split": sample_split,
+    "corpus_drift_kl": corpus_drift_kl,
     "text_pack_bins": text_pack_bins,
     "text_sentiment": text_sentiment,
     "strings_fuzzy_match": strings_fuzzy_match,
@@ -1286,6 +1299,39 @@ GROUP BY doc_id
 """.format(
         lex_values=", ".join(f"('{w}', {p})" for w, p in SENTIMENT_LEXICON)
     ),
+    "corpus_drift_kl": """
+WITH tagged AS (
+  SELECT source, lang,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 100 < 80
+              THEN 'train' ELSE 'holdout' END AS grp
+  FROM documents
+), spine AS (
+  SELECT DISTINCT source, lang FROM documents
+), grps AS (
+  SELECT 'train' AS grp UNION ALL SELECT 'holdout'
+), cells AS (
+  SELECT grp, source, lang, COUNT(*) AS cnt FROM tagged GROUP BY 1, 2, 3
+), counts AS (
+  SELECT g.grp, s.source, s.lang, COALESCE(c.cnt, 0) AS cnt
+  FROM spine s CROSS JOIN grps g
+  LEFT JOIN cells c ON c.grp = g.grp AND c.source = s.source AND c.lang = s.lang
+), totals AS (
+  SELECT grp, COUNT(*) AS tot FROM tagged GROUP BY 1
+), nc AS (
+  SELECT COUNT(*) AS n_cells FROM spine
+), probs AS (
+  SELECT grp, source, lang, cnt,
+         CAST(cnt + 1 AS DOUBLE) / CAST(tot + n_cells AS DOUBLE) AS p
+  FROM counts JOIN totals USING (grp) CROSS JOIN nc
+)
+SELECT t.source, t.lang,
+       t.cnt AS n_train, h.cnt AS n_holdout,
+       t.p AS p_train, h.p AS p_holdout,
+       CAST(CAST(t.p * ln(t.p / h.p) AS DECIMAL(20,14)) AS DOUBLE) AS kl_term
+FROM probs t JOIN probs h ON t.source = h.source AND t.lang = h.lang
+WHERE t.grp = 'train' AND h.grp = 'holdout'
+""",
     "sample_split": """
 WITH b AS (
   SELECT n_chars,

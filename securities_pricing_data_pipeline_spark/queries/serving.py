@@ -485,6 +485,81 @@ def q16_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol TWAP (time-weighted average price): each bar's close is
+    weighted by the number of calendar days it was the standing price —
+    the gap to the next observed bar (last bar weighs 1 day). For sparse
+    instruments this differs materially from the naive mean, which
+    over-weights bursts of consecutive trading days.
+
+    Exactness: close carries 2 decimal digits → scale-2 integer cents;
+    day gaps are small ints; both sums are BIGINTs (order-independent,
+    overflow-safe: cents ≲ 1e7 × dt ≲ 2.5e3 × rows), so the only float op
+    is the final division — one correct rounding, bit-identical across
+    engines.
+
+    Plan: the lead() gap needs one per-symbol sort (shuffle on symbol),
+    then a hash aggregate over the same partitioning — Catalyst reuses the
+    exchange, so at 100 TB this is ONE shuffle of the silver, and the
+    aggregate output is a symbol-sized frame."""
+    b = bars_silver(spark, sf_dir).select("symbol", "trade_date", "close")
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    dt = F.coalesce(
+        F.datediff(F.lead("trade_date", 1).over(w), F.col("trade_date")), F.lit(1)
+    ).cast("long")
+    cents = (F.col("close") * 100).cast("long")
+    seq = b.select("symbol", (cents * dt).alias("wc"), dt.alias("dt"))
+    agg = seq.groupBy("symbol").agg(
+        F.sum("wc").alias("swc"),
+        F.sum("dt").alias("sdt"),
+        F.count("*").alias("n_days"),
+    )
+    twap = F.col("swc").cast("double") / F.col("sdt").cast("double") / 100.0
+    return agg.select("symbol", "n_days", twap.alias("twap")).orderBy("symbol")
+
+
+def q18_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 30-row rolling MEDIAN of close per symbol — the robust
+    counterpart to q2's rolling mean (a median line ignores the single-day
+    spikes that drag a mean). Spark's exact ``percentile`` runs as a
+    window aggregate over the trailing frame; no approx sketch, no
+    self-join.
+
+    Exactness: closes carry 2 decimals, so every interpolated median has
+    ≤ 3 significant decimals (midpoint of two scale-2 values); snapping
+    the result to the decimal(18,4) grid collapses both engines' float
+    interpolation to the same number.
+
+    Scale note: an exact sliding percentile re-sorts each frame (O(w log w)
+    per row, w = 30 — trivial). For wide frames at 100 TB the scale path is
+    the mergeable histogram sketch in ``llmdata.sketch`` (see
+    ``quantile_sketch_close``); this query is the exact-window member of
+    that pair."""
+    b = bars_silver(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    med = (
+        F.percentile(F.col("close").cast("double"), F.lit(0.5))
+        .over(w)
+        .cast("decimal(18,4)")
+        .cast("double")
+    )
+    n_in_frame = F.count("*").over(w)
+    return (
+        b.select(
+            "symbol",
+            "trade_date",
+            F.col("close").cast("double").alias("close"),
+            med.alias("median_30d"),
+            n_in_frame.alias("n_in_frame"),
+        )
+        .filter(F.col("n_in_frame") >= 15)
+    )
+
+
 def scd2_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 history build: each symbol's price
     band (low/mid/high by fixed close thresholds) becomes effective-dated
@@ -856,6 +931,8 @@ QUERIES = {
     "q14_top_corr_pairs": q14_top_corr_pairs,
     "q15_rsi": q15_rsi,
     "q16_trend_slope": q16_trend_slope,
+    "q17_twap": q17_twap,
+    "q18_rolling_median": q18_rolling_median,
     "scd2_price_bands": scd2_price_bands,
     "incr_symbol_totals_update": incr_symbol_totals_update,
     "quantile_sketch_close": quantile_sketch_close,
@@ -868,6 +945,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q17_twap": BARS_SQL
+    + """
+, seq AS (
+  SELECT symbol,
+         CAST(close * 100 AS BIGINT) AS cents,
+         CAST(COALESCE(date_diff('day', trade_date,
+                                 lead(trade_date) OVER (PARTITION BY symbol
+                                                        ORDER BY trade_date)),
+                       1) AS BIGINT) AS dt
+  FROM bars
+)
+SELECT symbol, COUNT(*) AS n_days,
+       CAST(SUM(cents * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) / 100.0 AS twap
+FROM seq
+GROUP BY symbol
+ORDER BY symbol
+""",
+    "q18_rolling_median": BARS_SQL
+    + """
+, med AS (
+  SELECT symbol, trade_date,
+         CAST(close AS DOUBLE) AS close,
+         CAST(CAST(median(CAST(close AS DOUBLE))
+                     OVER (PARTITION BY symbol ORDER BY trade_date
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(18,4)) AS DOUBLE) AS median_30d,
+         COUNT(*) OVER (PARTITION BY symbol ORDER BY trade_date
+                        ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_in_frame
+  FROM bars
+)
+SELECT * FROM med WHERE n_in_frame >= 15
+""",
     "q10_zscore_anomalies": BARS_SQL
     + """
 , stats AS (
