@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "bars_gapfill_interp",
     "q17_twap",
     "q18_rolling_median",
+    "asof_pairs_spread",
     "corpus_drift_kl",
     "range_join_in_transit",
     "q1_market_totals",

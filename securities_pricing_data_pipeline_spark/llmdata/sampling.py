@@ -110,22 +110,28 @@ def distribution_drift(
     ``p_train · ln(p_train / p_holdout)`` — sum over cells = KL(train‖holdout),
     finite under Laplace (+1) smoothing even for cells absent on one side.
 
-    Plan shape: one hash aggregate over (grp, cells), a distinct over the
-    cell spine, and broadcast joins of three tiny frames (cells × 2 rows,
-    2-row totals, 1-row cell count) — the full scan is read ONCE and
-    everything after it is cell-cardinality-sized, so at 100 TB the cost
-    is the scan, not the drift math.
+    Plan shape: ONE hash aggregate over the scan produces the (grp, cell)
+    count frame; it is materialized once (``localCheckpoint`` — it's
+    cell-cardinality-sized) and the spine, per-group totals, and cell
+    count are all re-aggregated FROM it, so at 100 TB the cost is the
+    single scan, not the drift math. (Deriving those from ``df`` directly
+    reads the Spark plan tree's scan once PER DERIVATION — Catalyst does
+    not share subplans across DataFrame reuse.)
     """
     grp = F.when(hash_bucket(F.col(id_col)) < train_pct, F.lit("train")).otherwise(
         F.lit("holdout")
     )
     tagged = df.select(*strata_cols, grp.alias("grp"))
-    cells = tagged.groupBy("grp", *strata_cols).agg(F.count("*").alias("cnt"))
-    spine = df.select(*strata_cols).distinct()
+    cells = (
+        tagged.groupBy("grp", *strata_cols)
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    spine = cells.select(*strata_cols).distinct()
     grps = df.sparkSession.createDataFrame([("train",), ("holdout",)], "grp string")
     full = spine.crossJoin(F.broadcast(grps))
     counts = full.join(F.broadcast(cells), ["grp", *strata_cols], "left").na.fill({"cnt": 0})
-    totals = tagged.groupBy("grp").agg(F.count("*").alias("tot"))
+    totals = cells.groupBy("grp").agg(F.sum("cnt").alias("tot"))
     ncells = spine.agg(F.count("*").alias("n_cells"))
     p = (F.col("cnt") + 1).cast("double") / (F.col("tot") + F.col("n_cells")).cast("double")
     probs = (
@@ -148,6 +154,6 @@ def distribution_drift(
         .cast("decimal(20,14)")
         .cast("double")
     )
-    return tr.join(ho, strata_cols).select(
+    return tr.join(F.broadcast(ho), strata_cols).select(
         *strata_cols, "n_train", "n_holdout", "p_train", "p_holdout", kl.alias("kl_term")
     )

@@ -101,6 +101,11 @@ _PRIORITY = [
     "dedup_lsh_bucket_audit",
     # positions 51+: next rotation candidates, first of the long tail —
     # never-driver-checked round-4/5 additions lead the overflow window
+    "bars_gapfill_interp",
+    "q17_twap",
+    "q18_rolling_median",
+    "corpus_drift_kl",
+    "asof_pairs_spread",
     "stream_events_interval_join",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",

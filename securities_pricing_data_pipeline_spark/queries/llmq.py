@@ -467,6 +467,46 @@ def asof_event_bars_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading spread via bars→bars as-of alignment: two sparse
+    price series per pair (P3/P7, P11/P19) rarely print on the same
+    calendar day, so leg B is aligned to each leg-A bar with a backward
+    as-of join — the same ``operators.asof`` union-and-window operator the
+    event family uses, here proving series-to-series generality. The
+    oracle runs DuckDB's NATIVE ``ASOF LEFT JOIN``, pinning our
+    formulation to an independent reference implementation of the
+    semantics (backward, inclusive, unmatched-left preserved).
+
+    Spread arithmetic stays on the decimal(18,4) grid (exact subtraction)
+    and casts to double only on output. One shuffle on pair_id + a
+    per-pair sort — no range-condition cross product."""
+    from securities_pricing_data_pipeline_spark.operators.asof import asof_join_backward
+
+    b = bars_df(spark, sf_dir, partkeys=[3, 7, 11, 19]).select(
+        "symbol", "trade_date", "close"
+    )
+    pair_a = F.when(F.col("symbol") == "P3", 3).when(F.col("symbol") == "P11", 11)
+    pair_b = F.when(F.col("symbol") == "P7", 3).when(F.col("symbol") == "P19", 11)
+    leg_a = b.filter(F.col("symbol").isin("P3", "P11")).select(
+        pair_a.alias("pair_id"), "trade_date", F.col("close").alias("close_a")
+    )
+    leg_b = b.filter(F.col("symbol").isin("P7", "P19")).select(
+        pair_b.alias("pair_id"), "trade_date", F.col("close").alias("close_b")
+    )
+    joined = asof_join_backward(
+        leg_a, leg_b, key=["pair_id"], left_time="trade_date",
+        right_time="trade_date", value_cols=["close_b"],
+    )
+    return joined.select(
+        "pair_id",
+        "trade_date",
+        F.col("close_a").cast("double").alias("close_a"),
+        F.col("close_b").cast("double").alias("close_b"),
+        F.col("asof_time").alias("b_date"),
+        (F.col("close_a") - F.col("close_b")).cast("double").alias("spread"),
+    )
+
+
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline ending: MinHash-LSH pairs → connected
     components → one canonical doc (the cluster-min id) per cluster.
@@ -880,6 +920,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "asof_event_bars": asof_event_bars,
+    "asof_pairs_spread": asof_pairs_spread,
     "asof_event_bars_fwd": asof_event_bars_fwd,
     "asof_event_bars_tol": asof_event_bars_tol,
 }
@@ -1494,6 +1535,31 @@ SELECT doc_id AS asset_id, 'image' AS media_type,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        md5(text) AS digest
 FROM documents
+""",
+    "asof_pairs_spread": """
+WITH fbars AS (
+  SELECT 'P' || CAST(l_partkey AS VARCHAR) AS symbol,
+         CAST(l_shipdate AS DATE) AS trade_date,
+         CAST(arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber) AS DECIMAL(18,4)) AS close
+  FROM lineitem
+  WHERE l_partkey IN (3, 7, 11, 19)
+  GROUP BY 1, 2
+), leg_a AS (
+  SELECT CASE symbol WHEN 'P3' THEN 3 WHEN 'P11' THEN 11 END AS pair_id,
+         trade_date, close AS close_a
+  FROM fbars WHERE symbol IN ('P3', 'P11')
+), leg_b AS (
+  SELECT CASE symbol WHEN 'P7' THEN 3 WHEN 'P19' THEN 11 END AS pair_id,
+         trade_date, close AS close_b
+  FROM fbars WHERE symbol IN ('P7', 'P19')
+)
+SELECT a.pair_id, a.trade_date,
+       CAST(a.close_a AS DOUBLE) AS close_a,
+       CAST(b.close_b AS DOUBLE) AS close_b,
+       b.trade_date AS b_date,
+       CAST(a.close_a - b.close_b AS DOUBLE) AS spread
+FROM leg_a a ASOF LEFT JOIN leg_b b
+  ON a.pair_id = b.pair_id AND a.trade_date >= b.trade_date
 """,
     "asof_event_bars": BARS_SQL
     + """
