@@ -365,3 +365,39 @@ def test_shard_plan_no_global_sort(spark):
     # exchange — a global (rangepartitioning) sort must never appear
     assert "rangepartitioning" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_asof_pairs_one_shuffle_no_range_join(spark):
+    from securities_pricing_data_pipeline_spark.queries.llmq import asof_pairs_spread
+
+    plan = _plan(asof_pairs_spread(spark, SF))
+    # the union-and-window as-of must never degrade to a range-condition
+    # join (per-key cross product)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # alignment itself is windowed: exactly one Window over the union
+    assert plan.count("Window") >= 1
+
+
+def test_distribution_drift_scans_source_once(spark):
+    from securities_pricing_data_pipeline_spark.queries.llmq import corpus_drift_kl
+
+    df = corpus_drift_kl(spark, SF)
+    plan = _plan(df)
+    # everything downstream of the (checkpointed) cell aggregate is
+    # cell-sized: the documents parquet must not appear in the final plan
+    # at all — its single scan happened inside the checkpoint job
+    assert "documents.parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_twap_reuses_symbol_partitioning(spark):
+    from securities_pricing_data_pipeline_spark.queries.serving import q17_twap
+
+    plan = _plan(q17_twap(spark, SF))
+    # lead() sorts per symbol, the aggregate groups by symbol: Catalyst
+    # must reuse the window's hash partitioning, not re-exchange between
+    # the window and the aggregate (the silver itself arrives through the
+    # shared in-memory materialization)
+    post_silver = plan.split("InMemoryTableScan")[0]
+    assert post_silver.count("Exchange") <= 2
