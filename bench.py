@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "asof_event_bars",
     "events_retention",
     "events_funnel",
+    "events_window_funnel",
+    "events_cohort_retention",
     "q15_rsi",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",

@@ -106,6 +106,8 @@ _PRIORITY = [
     "q18_rolling_median",
     "corpus_drift_kl",
     "asof_pairs_spread",
+    "events_window_funnel",
+    "events_cohort_retention",
     "stream_events_interval_join",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",

@@ -189,6 +189,107 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: window-funnel completion bound: the whole chain must finish within 7
+#: days of step 1 (epoch-nanos, matching the ts contract)
+_FUNNEL_WINDOW_NS = 7 * 86_400_000_000_000
+
+
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded window funnel (ClickHouse ``windowFunnel`` shape):
+    per user, the deepest view→click→purchase level reached where every
+    later step lands AFTER the previous step and WITHIN 7 days of step 1
+    — then a histogram of users per level. The unbounded variant is
+    ``events_funnel``; the bound is what product analytics actually asks
+    ("converted within a week"), and it changes the algebra: each stage's
+    conditional MIN gains the step-1 deadline predicate.
+
+    Same one-shuffle shape as the unbounded funnel: three chained
+    conditional-MIN windows on one user partitioning, a per-user
+    collapse reusing that partitioning, then a ≤4-row histogram."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    deadline = F.col("t_view") + F.lit(_FUNNEL_WINDOW_NS)
+    s1 = ev.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view"))
+                & (F.col("ts") <= deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click"))
+                & (F.col("ts") <= deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    level = (
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .when(F.col("t_view").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        per_user.select(level.alias("level"))
+        .groupBy("level")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("level")
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention MATRIX (cohort week x weeks-since-signup), the
+    product-analytics complement to day-over-day ``events_retention``:
+    users are anchored to the week of their first ``signup`` event, every
+    (user, active-week) pair comes from ONE distinct over the event scan
+    (map-side combine shrinks it to |users|x|weeks|), and the matrix cell
+    is the share of the cohort active at that offset.
+
+    Shape: two aggregates over the scan (first-signup per user; distinct
+    user-week), one user-keyed join, one (cohort, offset) aggregate, and
+    a broadcast of the tiny per-cohort sizes — no self-join of the event
+    table against itself per offset (the naive formulation shuffles the
+    fact table once PER matrix column)."""
+    ev = load(spark, sf_dir, "events")
+    week = F.expr("ts div 604800000000000").cast("long")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = ev.select("user_id", week.alias("week")).distinct()
+    cells = (
+        active.join(signup, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = signup.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias("pct_active"),
+    )
+
+
 QUERIES = {
     "events_hourly_stats": events_hourly_stats,
     "events_sessionize": events_sessionize,
@@ -197,6 +298,8 @@ QUERIES = {
     "events_variant_props": events_variant_props,
     "events_retention": events_retention,
     "events_funnel": events_funnel,
+    "events_window_funnel": events_window_funnel,
+    "events_cohort_retention": events_cohort_retention,
 }
 
 ORACLES = {
@@ -283,6 +386,57 @@ SELECT day AS day_epoch_days,
        CAST(SUM(retained) AS BIGINT) AS retained_users
 FROM seq
 GROUP BY day
+""",
+    "events_cohort_retention": """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 604800000000000 AS week FROM events
+), signup AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, week FROM ev
+), cells AS (
+  SELECT s.cohort_week, a.week - s.cohort_week AS week_offset,
+         COUNT(*) AS n_active
+  FROM active a JOIN signup s USING (user_id)
+  WHERE a.week >= s.cohort_week
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS n_cohort FROM signup GROUP BY 1
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, z.n_cohort,
+       CAST(c.n_active AS DOUBLE) / CAST(z.n_cohort AS DOUBLE) AS pct_active
+FROM cells c JOIN sizes z USING (cohort_week)
+""",
+    "events_window_funnel": """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+), w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN tns END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM ev
+), w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND tns > t1
+                      AND tns <= t1 + 604800000000000 THEN tns END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1
+), w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tns > t2
+                      AND tns <= t1 + 604800000000000 THEN tns END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2
+), per_user AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM w3 GROUP BY 1
+)
+SELECT CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1
+            ELSE 0 END AS level,
+       COUNT(*) AS n_users
+FROM per_user
+GROUP BY 1
+ORDER BY 1
 """,
     "events_funnel": """
 WITH s1 AS (
