@@ -401,3 +401,15 @@ def test_twap_reuses_symbol_partitioning(spark):
     # shared in-memory materialization)
     post_silver = plan.split("InMemoryTableScan")[0]
     assert post_silver.count("Exchange") <= 2
+
+
+def test_bench_list_matches_registry():
+    """Every bench name must resolve (a typo'd entry silently shrinks the
+    perf signal — names are filtered, not validated, in bench.main)."""
+    import __spark_entry__ as entry_mod
+    from bench import BENCH_QUERIES
+
+    registered = set(entry_mod.queries())
+    missing = [n for n in BENCH_QUERIES if n not in registered]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert len(set(BENCH_QUERIES)) == len(BENCH_QUERIES), "duplicate bench names"

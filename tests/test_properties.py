@@ -193,3 +193,83 @@ def test_rollup_grains_match_direct_aggregation(spark, bars):
         )
         for r in direct.collect():
             assert got[(r.symbol, grain, r[col])] == (r.open, r.close, r.volume)
+
+
+# ---------------------------------------------------------------------------
+# Differential SQL fuzz: the SAME ANSI SQL text must agree between Spark SQL
+# and DuckDB on the shared subset the oracle gate relies on (grouped
+# aggregates, filters, integer sums, min/max, HAVING). Catches semantic
+# deltas (null ordering, numeric typing, count semantics) OUTSIDE the
+# curated query registry.
+# ---------------------------------------------------------------------------
+
+# the driver's lineitem carries 11 columns (no shipmode/shipinstruct/comment)
+_GROUPS = st.sampled_from(["l_returnflag", "l_linestatus"])
+_MEASURES = st.sampled_from(["l_quantity", "l_partkey", "l_linenumber"])
+_PRICE = st.sampled_from(["l_extendedprice", "l_discount", "l_tax"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    g=_GROUPS,
+    m=_MEASURES,
+    p=_PRICE,
+    k=st.integers(min_value=1, max_value=50),
+    having=st.integers(min_value=0, max_value=100),
+)
+def test_ansi_sql_subset_matches_duckdb(spark, g, m, p, k, having):
+    from tools.check_oracle import duck_run, normalize
+
+    sf = "/root/testdata/sf0.001"
+    sql = f"""
+        SELECT {g} AS grp,
+               COUNT(*) AS n,
+               CAST(SUM(CAST({m} AS BIGINT)) AS BIGINT) AS s,
+               MIN({p}) AS mn,
+               MAX({p}) AS mx
+        FROM lineitem
+        WHERE l_quantity <= {k}
+        GROUP BY {g}
+        HAVING COUNT(*) > {having}
+    """
+    spark.read.parquet(f"{sf}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    sdf = spark.sql(sql).toPandas()
+    ddf = duck_run(sf, sql)
+    scols, srows = normalize(sdf)
+    dcols, drows = normalize(ddf)
+    assert scols == dcols
+    assert srows == drows
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    g=_GROUPS,
+    m=_MEASURES,
+    k=st.integers(min_value=5, max_value=50),
+    n=st.integers(min_value=1, max_value=25),
+)
+def test_ansi_topn_with_dates_matches_duckdb(spark, g, m, k, n):
+    """Top-N + date bucketing on the same SQL text: LIMIT comparisons are
+    only meaningful when the ordering is total, so the ORDER BY ends in
+    the (unique) group/date pair — the same tie-break discipline every
+    registry query follows."""
+    from tools.check_oracle import duck_run, normalize
+
+    sf = "/root/testdata/sf0.001"
+    sql = f"""
+        SELECT {g} AS grp,
+               CAST(l_shipdate AS DATE) AS d,
+               CAST(SUM(CAST({m} AS BIGINT)) AS BIGINT) AS s
+        FROM lineitem
+        WHERE l_quantity <= {k}
+        GROUP BY 1, 2
+        ORDER BY s DESC, grp, d
+        LIMIT {n}
+    """
+    spark.read.parquet(f"{sf}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    sdf = spark.sql(sql).toPandas()
+    ddf = duck_run(sf, sql)
+    scols, srows = normalize(sdf)
+    dcols, drows = normalize(ddf)
+    assert scols == dcols
+    assert srows == drows
