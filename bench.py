@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "q12_max_drawdown",
     "q13_beta",
     "q14_top_corr_pairs",
+    "sim_dimsum_cosine",
     "flagship_liquidity_top20",
     "j2_star_join",
     "a4_dedup_latest",

@@ -108,6 +108,7 @@ _PRIORITY = [
     "asof_pairs_spread",
     "events_window_funnel",
     "events_cohort_retention",
+    "sim_dimsum_cosine",
     "stream_events_interval_join",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",

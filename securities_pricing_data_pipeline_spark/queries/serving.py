@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from securities_pricing_data_pipeline_spark.llmdata.sketch import (
     quantile_histogram_oracle_sql,
@@ -560,6 +561,118 @@ def q18_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DIMSUM oversampling constant — deliberately small so the sampling
+#: actually bites on this data (typical return-norm products ~0.1-1.0)
+_DIMSUM_GAMMA = 0.05
+_TWO60 = 1152921504606846976.0  # 2^60, the portable-hash domain size
+
+
+def sim_dimsum_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMSUM sampled all-pairs cosine similarity (Zadeh & Goel,
+    "Dimension Independent Similarity Computation", 2013 — the algorithm
+    behind Spark MLlib ``RowMatrix.columnSimilarities``): the scale path
+    ``q14_top_corr_pairs`` promises for UN-bounded pair screens. Each
+    co-present day's product term survives with probability
+    ``p_ij = min(1, γ/(‖cᵢ‖‖cⱼ‖))`` and is reweighted by ``1/p_ij``, so
+    high-norm (already well-estimated) pairs are heavily subsampled while
+    the estimator stays unbiased; shuffle volume becomes O(γ · pairs)
+    instead of O(co-days · pairs).
+
+    Two deliberate deviations from the MLlib implementation, both for the
+    correctness gate: the sampling coin is a DETERMINISTIC md5-derived
+    uniform in [0,1) (``portable_hash60 / 2^60`` of (day, pair) — rand()
+    would break cross-engine and retry reproducibility), and every dot
+    term snaps to an integer 1e-12 grid (``floor(t*1e12)`` as BIGINT —
+    decimal casts of full-entropy doubles round differently across
+    engines at high scale, floor of an exact-rounded product does not)
+    so the sampled AND exact dots sum order-independently. The query emits both, plus |error|, so
+    the estimator quality is part of the checked result. sqrt/division
+    are IEEE exact-rounded (unlike ln), so norms match bit-for-bit.
+
+    Plan: returns → one norm aggregate (symbol-sized, broadcast back) →
+    date-keyed equi-self-join (never cartesian) → one pair aggregate."""
+    b = bars_df(spark, sf_dir, partkeys=list(range(1, 61))).select(
+        "symbol", "trade_date", "close"
+    )
+    r = _returns(b).filter(F.col("ret").isNotNull()).select("symbol", "trade_date", "ret")
+    # full-entropy doubles snap to an INTEGER grid (floor(v*1e12) as long):
+    # decimal casts of such doubles round differently across engines at
+    # high scales, but floor of an exact-rounded product is bit-identical,
+    # and the BIGINT sum is order-independent by construction
+    norms = r.groupBy("symbol").agg(
+        F.sqrt(
+            F.sum(F.floor(F.col("ret") * F.col("ret") * F.lit(1e12))).cast("double")
+            / F.lit(1e12)
+        ).alias("nrm")
+    )
+    x, y = r.alias("x"), r.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.trade_date") == F.col("y.trade_date"))
+        & (F.col("x.symbol") < F.col("y.symbol")),
+    ).select(
+        F.col("x.symbol").alias("sym_a"),
+        F.col("y.symbol").alias("sym_b"),
+        F.col("x.trade_date").alias("d"),
+        F.col("x.ret").alias("ra"),
+        F.col("y.ret").alias("rb"),
+    )
+    nx = norms.select(F.col("symbol").alias("sym_a"), F.col("nrm").alias("na"))
+    ny = norms.select(F.col("symbol").alias("sym_b"), F.col("nrm").alias("nb"))
+    probed = (
+        pairs.join(F.broadcast(nx), "sym_a")
+        .join(F.broadcast(ny), "sym_b")
+        .withColumn(
+            "pr", F.least(F.lit(1.0), F.lit(_DIMSUM_GAMMA) / (F.col("na") * F.col("nb")))
+        )
+        .withColumn(
+            "u",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("d").cast("string"), F.col("sym_a"), F.col("sym_b")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(_TWO60),
+        )
+    )
+    t_full = F.floor(F.col("ra") * F.col("rb") * F.lit(1e12))
+    t_samp = F.when(
+        F.col("u") < F.col("pr"),
+        F.floor((F.col("ra") * F.col("rb") / F.col("pr")) * F.lit(1e12)),
+    )
+    agg = probed.groupBy("sym_a", "sym_b").agg(
+        F.count("*").alias("n_days"),
+        F.count(t_samp).alias("n_sampled"),
+        (F.sum(t_full).cast("double") / F.lit(1e12)).alias("exact_dot"),
+        F.coalesce(
+            F.sum(t_samp).cast("double") / F.lit(1e12), F.lit(0.0)
+        ).alias("est_dot"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    exact_cos = F.col("exact_dot") / (F.col("na") * F.col("nb"))
+    est_cos = F.col("est_dot") / (F.col("na") * F.col("nb"))
+    return agg.select(
+        "sym_a",
+        "sym_b",
+        "n_days",
+        "n_sampled",
+        exact_cos.alias("exact_cos"),
+        est_cos.alias("est_cos"),
+        F.abs(est_cos - exact_cos).alias("abs_err"),
+    )
+
+
 def scd2_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 history build: each symbol's price
     band (low/mid/high by fixed close thresholds) becomes effective-dated
@@ -843,7 +956,8 @@ def q14_top_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair enumeration only ever sees the top-k liquid symbols (k² pairs,
     constant), never the full universe, and the date-keyed self-join
     broadcasts the (tiny, top-k-filtered) build side. An unbounded
-    all-pairs correlation at 100 TB needs DIMSUM-style sampling instead;
+    all-pairs correlation at 100 TB needs DIMSUM-style sampling instead
+    (implemented: ``sim_dimsum_cosine``);
     this query is the exact screen over the liquid set. Moment sums follow
     the helpers.py snap discipline (noisy-double products, grid units
     ≲1e12) so both engines agree bit-for-bit.
@@ -933,6 +1047,7 @@ QUERIES = {
     "q16_trend_slope": q16_trend_slope,
     "q17_twap": q17_twap,
     "q18_rolling_median": q18_rolling_median,
+    "sim_dimsum_cosine": sim_dimsum_cosine,
     "scd2_price_bands": scd2_price_bands,
     "incr_symbol_totals_update": incr_symbol_totals_update,
     "quantile_sketch_close": quantile_sketch_close,
@@ -945,6 +1060,59 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sim_dimsum_cosine": """
+WITH fbars AS (
+  SELECT 'P' || CAST(l_partkey AS VARCHAR) AS symbol,
+         CAST(l_shipdate AS DATE) AS trade_date,
+         CAST(arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber) AS DECIMAL(18,4)) AS close
+  FROM lineitem
+  WHERE l_partkey BETWEEN 1 AND 60
+  GROUP BY 1, 2
+), rets AS (
+  SELECT symbol, trade_date,
+         CAST(close AS DOUBLE) / lag(CAST(close AS DOUBLE))
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM fbars
+), r AS (
+  SELECT * FROM rets WHERE ret IS NOT NULL
+), norms AS (
+  SELECT symbol,
+         sqrt(CAST(SUM(CAST(floor(ret * ret * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+  FROM r GROUP BY 1
+), pairs AS (
+  SELECT x.symbol AS sym_a, y.symbol AS sym_b, x.trade_date AS d,
+         x.ret AS ra, y.ret AS rb
+  FROM r x JOIN r y
+    ON x.trade_date = y.trade_date AND x.symbol < y.symbol
+), probed AS (
+  SELECT p.*, nx.nrm AS na, ny.nrm AS nb,
+         LEAST(1.0, 0.05 / (nx.nrm * ny.nrm)) AS pr,
+         CAST(CAST(('0x' || substr(md5(CAST(p.d AS VARCHAR) || '|' || p.sym_a || '|' || p.sym_b), 1, 15)) AS BIGINT) AS DOUBLE)
+           / 1152921504606846976.0 AS u
+  FROM pairs p
+  JOIN norms nx ON p.sym_a = nx.symbol
+  JOIN norms ny ON p.sym_b = ny.symbol
+), terms AS (
+  SELECT sym_a, sym_b, na, nb,
+         CAST(floor(ra * rb * 1e12) AS BIGINT) AS t_full,
+         CASE WHEN u < pr
+              THEN CAST(floor((ra * rb / pr) * 1e12) AS BIGINT) END AS t_samp
+  FROM probed
+), agg AS (
+  SELECT sym_a, sym_b,
+         COUNT(*) AS n_days,
+         COUNT(t_samp) AS n_sampled,
+         CAST(SUM(t_full) AS DOUBLE) / 1e12 AS exact_dot,
+         COALESCE(CAST(SUM(t_samp) AS DOUBLE) / 1e12, 0.0) AS est_dot,
+         MAX(na) AS na, MAX(nb) AS nb
+  FROM terms GROUP BY 1, 2
+)
+SELECT sym_a, sym_b, n_days, n_sampled,
+       exact_dot / (na * nb) AS exact_cos,
+       est_dot / (na * nb) AS est_cos,
+       abs(est_dot / (na * nb) - exact_dot / (na * nb)) AS abs_err
+FROM agg
+""",
     "q17_twap": BARS_SQL
     + """
 , seq AS (

@@ -413,3 +413,14 @@ def test_bench_list_matches_registry():
     missing = [n for n in BENCH_QUERIES if n not in registered]
     assert not missing, f"bench names not in registry: {missing}"
     assert len(set(BENCH_QUERIES)) == len(BENCH_QUERIES), "duplicate bench names"
+
+
+def test_dimsum_joins_are_keyed_never_cartesian(spark):
+    from securities_pricing_data_pipeline_spark.queries.serving import sim_dimsum_cosine
+
+    plan = _plan(sim_dimsum_cosine(spark, SF))
+    # the pair generation is a date-keyed equi-self-join with a < residual,
+    # and norms attach via broadcast — no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
