@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "text_decontaminate",
     "corpus_filter_funnel",
     "sample_stratified",
+    "sample_weighted_docs",
     "dq_profile_lineitem",
     "multimodal_frame_sample",
     "events_dau_wau",

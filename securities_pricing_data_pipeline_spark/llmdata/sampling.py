@@ -157,3 +157,39 @@ def distribution_drift(
     return tr.join(F.broadcast(ho), strata_cols).select(
         *strata_cols, "n_train", "n_holdout", "p_train", "p_holdout", kl.alias("kl_term")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006): each row draws a deterministic uniform
+    ``u`` from its id hash and ranks by ``ln(u)/w`` — the top-k of that
+    key is exactly a weight-proportional sample without replacement. The
+    temperature-sampling primitive for corpus mixing (w = tokens^T), in
+    one pass with NO per-stratum state.
+
+    Scale shape: the key is a narrow projection; top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort). The
+    deterministic hash coin keeps re-runs, retries, and engines agreed
+    on the SAME sample — rand() would give a different corpus per run.
+    (ln() is libm, not exact-rounded; a boundary rank could flip between
+    engines only if two keys collide within ~1 ulp — with hash-dense
+    uniforms the gap is ~1/n, so the gate safely hash-compares the
+    selected id set.)"""
+    u = (
+        (portable_hash60(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))) + 1)
+        .cast("double")
+        / F.lit(1152921504606846976.0)  # 2^60 → u ∈ (0, 1]
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"), id_col)
+        .limit(k)
+        .drop("__wkey")
+    )

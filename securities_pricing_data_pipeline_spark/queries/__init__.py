@@ -109,6 +109,7 @@ _PRIORITY = [
     "events_window_funnel",
     "events_cohort_retention",
     "sim_dimsum_cosine",
+    "sample_weighted_docs",
     "stream_events_interval_join",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",

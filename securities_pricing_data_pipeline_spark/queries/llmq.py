@@ -707,6 +707,16 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted-without-replacement sample of 200 documents,
+    weight = n_chars (llmdata.sampling.weighted_sample — the
+    corpus-mixing / temperature-sampling primitive)."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    return weighted_sample(docs, k=200, weight_col="n_chars")
+
+
 def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-skew / corpus-drift monitor: per-(source, lang) smoothed
     shares in the train vs holdout hash split and the forward-KL
@@ -882,6 +892,7 @@ QUERIES = {
     "text_normalize": text_normalize,
     "sample_split": sample_split,
     "corpus_drift_kl": corpus_drift_kl,
+    "sample_weighted_docs": sample_weighted_docs,
     "text_pack_bins": text_pack_bins,
     "text_sentiment": text_sentiment,
     "strings_fuzzy_match": strings_fuzzy_match,
@@ -1340,6 +1351,19 @@ GROUP BY doc_id
 """.format(
         lex_values=", ".join(f"('{w}', {p})" for w, p in SENTIMENT_LEXICON)
     ),
+    "sample_weighted_docs": """
+WITH keyed AS (
+  SELECT doc_id, source, lang, n_chars,
+         ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+            / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS wkey
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, source, lang, n_chars
+FROM keyed
+ORDER BY wkey DESC, doc_id
+LIMIT 200
+""",
     "corpus_drift_kl": """
 WITH tagged AS (
   SELECT source, lang,
