@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "stream_events_interval_join",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",
+    "sketch_hll_intersection",
     "dq_expectations_lineitem",
     "incr_symbol_totals_update",
     "quantile_sketch_close",

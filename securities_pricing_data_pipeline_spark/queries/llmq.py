@@ -717,6 +717,55 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=200, weight_col="n_chars")
 
 
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA: estimate the customer overlap between the 1996
+    and 1997 order cohorts by inclusion-exclusion over mergeable register
+    tables — est(A∩B) = est(A) + est(B) − est(A∪B), where the union
+    estimate comes from a bucket-wise MAX of the two register sets (no
+    raw re-scan; the defining property of the portable HLL in
+    llmdata.sketch). The exact intersection (distinct-set semi-join) is
+    emitted alongside so the estimator error is part of the checked
+    result. Every register is integer-exact, so both engines produce the
+    identical estimate bit-for-bit."""
+    from securities_pricing_data_pipeline_spark.llmdata.sketch import (
+        hll_grouped_registers,
+        hll_merge_estimate,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    seg = o.filter(yr.isin(1996, 1997)).select(yr.alias("yr"), "o_custkey")
+    # registers are <= 2*256 rows: checkpoint once so the per-year fold,
+    # the union fold, and nothing else re-scans orders
+    regs = hll_grouped_registers(seg, F.col("o_custkey"), ["yr"]).localCheckpoint(
+        eager=True
+    )
+    per = hll_merge_estimate(regs, ["yr"])
+    wide = per.agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("hll_estimate"))).alias("est_1996"),
+        F.max(F.when(F.col("yr") == 1997, F.col("hll_estimate"))).alias("est_1997"),
+    )
+    uni = hll_merge_estimate(regs, []).select(F.col("hll_estimate").alias("est_union"))
+    c96 = seg.filter(F.col("yr") == 1996).select("o_custkey").distinct()
+    c97 = seg.filter(F.col("yr") == 1997).select("o_custkey").distinct()
+    exact = c96.join(c97, "o_custkey", "left_semi").agg(
+        F.count("*").alias("exact_intersection")
+    )
+    return (
+        wide.crossJoin(uni)
+        .crossJoin(exact)
+        .select(
+            "est_1996",
+            "est_1997",
+            "est_union",
+            (F.col("est_1996") + F.col("est_1997") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            "exact_intersection",
+        )
+    )
+
+
 def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-skew / corpus-drift monitor: per-(source, lang) smoothed
     shares in the train vs holdout hash split and the forward-KL
@@ -893,6 +942,7 @@ QUERIES = {
     "sample_split": sample_split,
     "corpus_drift_kl": corpus_drift_kl,
     "sample_weighted_docs": sample_weighted_docs,
+    "sketch_hll_intersection": sketch_hll_intersection,
     "text_pack_bins": text_pack_bins,
     "text_sentiment": text_sentiment,
     "strings_fuzzy_match": strings_fuzzy_match,
@@ -1351,6 +1401,48 @@ GROUP BY doc_id
 """.format(
         lex_values=", ".join(f"('{w}', {p})" for w, p in SENTIMENT_LEXICON)
     ),
+    "sketch_hll_intersection": """
+WITH seg AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS yr, o_custkey FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+), h AS (
+  SELECT yr, CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM seg
+), regs AS (
+  SELECT yr, hv % 256 AS bucket,
+         MAX(CASE WHEN (hv >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin(hv >> 8)) END) AS M
+  FROM h GROUP BY 1, 2
+), per AS (
+  SELECT yr, COUNT(*) AS nb,
+         CAST(SUM(CAST(1 AS BIGINT) << greatest(52 - M, 0)) AS BIGINT) AS s_seen
+  FROM regs GROUP BY 1
+), perest AS (
+  SELECT yr, 2.1199665124534482e+20 / CAST(s_seen + (256 - nb) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS est
+  FROM per
+), uregs AS (
+  SELECT bucket, MAX(M) AS M FROM regs GROUP BY 1
+), uni AS (
+  SELECT COUNT(*) AS nb,
+         CAST(SUM(CAST(1 AS BIGINT) << greatest(52 - M, 0)) AS BIGINT) AS s_seen
+  FROM uregs
+), uniest AS (
+  SELECT 2.1199665124534482e+20 / CAST(s_seen + (256 - nb) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS est_union
+  FROM uni
+), exact AS (
+  SELECT COUNT(*) AS exact_intersection FROM (
+    SELECT o_custkey FROM seg WHERE yr = 1996
+    INTERSECT
+    SELECT o_custkey FROM seg WHERE yr = 1997
+  ) t
+)
+SELECT e96.est AS est_1996, e97.est AS est_1997, u.est_union,
+       e96.est + e97.est - u.est_union AS est_intersection,
+       exact.exact_intersection
+FROM (SELECT est FROM perest WHERE yr = 1996) e96,
+     (SELECT est FROM perest WHERE yr = 1997) e97,
+     uniest u, exact
+""",
     "sample_weighted_docs": """
 WITH keyed AS (
   SELECT doc_id, source, lang, n_chars,
