@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_window_funnel",
     "events_cohort_retention",
+    "events_markov_transitions",
     "q15_rsi",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
@@ -71,6 +72,7 @@ BENCH_QUERIES = [
     "tpch_q18_large_volume_customers",
     "w_cumulative_revenue",
     "topk_parts_per_brand",
+    "basket_part_pairs",
     "pivot_segment_status",
     "cube_priority_status",
     "percentile_quantity_exact",

@@ -110,6 +110,8 @@ _PRIORITY = [
     "events_cohort_retention",
     "sim_dimsum_cosine",
     "sample_weighted_docs",
+    "basket_part_pairs",
+    "events_markov_transitions",
     "stream_events_interval_join",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",

@@ -510,7 +510,34 @@ ORDER BY rank DESC, supp_key LIMIT 25
     )
 
 
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the A-priori k=2 pass): parts that ship
+    together in the same order, top-25 by co-occurrence support with a
+    deterministic tie-break. The pair generation is an ORDER-KEYED
+    self-join — blowup is bounded by lines-per-order² (≤ 49 here, a
+    per-basket constant at any corpus size), never corpus-quadratic; the
+    shuffle key is the order key, so at 100 TB this is one fact-table
+    shuffle plus a pair-keyed count whose map-side partials collapse the
+    long tail."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
 QUERIES = {
+    "basket_part_pairs": basket_part_pairs,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "hist_price_buckets": hist_price_buckets,
     "unpivot_ohlc_long": unpivot_ohlc_long,
@@ -530,6 +557,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "basket_part_pairs": """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY support DESC, part_a, part_b
+LIMIT 25
+""",
     "graph_pagerank_suppliers": _pagerank_oracle_sql(5),
     "nest_order_lines": """
 WITH lines AS (

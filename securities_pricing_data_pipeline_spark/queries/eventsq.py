@@ -290,6 +290,31 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    stream: P(next = to | current = from), estimated from consecutive
+    event pairs (lead() on one user-keyed sort — the same single shuffle
+    the sessionizers use). The row-normalizing totals are transition-
+    matrix-sized (|types|²→|types|), so they broadcast back; the division
+    is the only float op and both engines compute it identically."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    trans = (
+        ev.withColumn("to_type", nxt)
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+
+
 QUERIES = {
     "events_hourly_stats": events_hourly_stats,
     "events_sessionize": events_sessionize,
@@ -300,6 +325,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_window_funnel": events_window_funnel,
     "events_cohort_retention": events_cohort_retention,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 ORACLES = {
@@ -386,6 +412,22 @@ SELECT day AS day_epoch_days,
        CAST(SUM(retained) AS BIGINT) AS retained_users
 FROM seq
 GROUP BY day
+""",
+    "events_markov_transitions": """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+), totals AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(t.n AS DOUBLE) / CAST(z.tot AS DOUBLE) AS p
+FROM trans t JOIN totals z USING (from_type)
 """,
     "events_cohort_retention": """
 WITH ev AS (
