@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "q12_max_drawdown",
     "q13_beta",
     "q14_top_corr_pairs",
+    "gini_volume_concentration",
     "sim_dimsum_cosine",
     "flagship_liquidity_top20",
     "j2_star_join",
@@ -59,6 +60,7 @@ BENCH_QUERIES = [
     "events_window_funnel",
     "events_cohort_retention",
     "events_markov_transitions",
+    "events_km_survival",
     "q15_rsi",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",

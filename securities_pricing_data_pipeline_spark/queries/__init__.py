@@ -112,6 +112,8 @@ _PRIORITY = [
     "sample_weighted_docs",
     "basket_part_pairs",
     "events_markov_transitions",
+    "events_km_survival",
+    "gini_volume_concentration",
     "stream_events_interval_join",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",

@@ -315,6 +315,65 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: censoring horizon: users whose last event is within this of the corpus
+#: end are "still alive" (censored), not churned
+_KM_CENSOR_NS = 7 * 86_400_000_000_000
+
+
+def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (first event → last
+    event, churned iff the last event precedes the corpus end by more
+    than 7 days; later last-events are right-CENSORED — the defining
+    feature that makes this K-M rather than a plain duration histogram).
+
+    All risk-set math is integer (durations in whole days, counts), so
+    n_at_risk and n_churned hash-compare exactly. The survival product
+    ∏(1 − dᵢ/nᵢ) is computed as exp(Σ ln(·)) under one cumulative window
+    over the (tiny, duration-grained) life table and snapped to a 1e-12
+    decimal grid — ln/exp are libm (not exact-rounded), the snap absorbs
+    their last-ULP spread, same discipline as the drift monitor.
+
+    Shape: one per-user aggregate over the scan, then every later step is
+    life-table-sized (≤ max-duration rows)."""
+    ev = load(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    pu = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.expr("(t1 - t0) div 86400000000000").cast("long").alias("duration_days"),
+        (F.col("t1") < F.col("gmax") - F.lit(_KM_CENSOR_NS)).cast("int").alias("churned"),
+    )
+    total = pu.agg(F.count("*").alias("n_total"))
+    life = pu.groupBy("duration_days").agg(
+        F.count("*").alias("n_ending"),
+        F.sum("churned").alias("n_churned"),
+    )
+    w_prev = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = life.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        F.col("n_total") - F.coalesce(F.sum("n_ending").over(w_prev), F.lit(0)),
+    )
+    log_term = F.log(
+        F.lit(1.0)
+        - F.col("n_churned").cast("double") / F.col("n_at_risk").cast("double")
+    )
+    survival = (
+        F.exp(F.sum(log_term).over(w_cum)).cast("decimal(20,12)").cast("double")
+    )
+    return risk.select(
+        "duration_days",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        survival.alias("survival"),
+    )
+
+
 QUERIES = {
     "events_hourly_stats": events_hourly_stats,
     "events_sessionize": events_sessionize,
@@ -326,6 +385,7 @@ QUERIES = {
     "events_window_funnel": events_window_funnel,
     "events_cohort_retention": events_cohort_retention,
     "events_markov_transitions": events_markov_transitions,
+    "events_km_survival": events_km_survival,
 }
 
 ORACLES = {
@@ -412,6 +472,34 @@ SELECT day AS day_epoch_days,
        CAST(SUM(retained) AS BIGINT) AS retained_users
 FROM seq
 GROUP BY day
+""",
+    "events_km_survival": """
+WITH gm AS (
+  SELECT MAX(epoch_ns(ts)) AS gmax FROM events
+), pu AS (
+  SELECT (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 86400000000000 AS duration_days,
+         CASE WHEN MAX(epoch_ns(ts)) < (SELECT gmax FROM gm) - 604800000000000 THEN 1 ELSE 0 END AS churned
+  FROM events GROUP BY user_id
+), total AS (
+  SELECT COUNT(*) AS n_total FROM pu
+), life AS (
+  SELECT duration_days, COUNT(*) AS n_ending, CAST(SUM(churned) AS BIGINT) AS n_churned
+  FROM pu GROUP BY 1
+), risk AS (
+  SELECT duration_days, n_ending, n_churned,
+         (SELECT n_total FROM total)
+           - COALESCE(SUM(n_ending) OVER (ORDER BY duration_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM life
+)
+SELECT CAST(duration_days AS BIGINT) AS duration_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       n_churned,
+       CAST(CAST(exp(SUM(ln(1.0 - CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE)))
+                     OVER (ORDER BY duration_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS DECIMAL(20,12)) AS DOUBLE) AS survival
+FROM risk
 """,
     "events_markov_transitions": """
 WITH seq AS (

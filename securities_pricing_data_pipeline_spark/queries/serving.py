@@ -673,6 +673,47 @@ def sim_dimsum_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gini_volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration metrics: the Gini coefficient of per-symbol
+    total volume (G = 2·Σ i·vᵢ / (n·Σv) − (n+1)/n over ascending vᵢ) and
+    the share of the top decile. All moments are BIGINT (rank × volume
+    products stay far under 2^63), so both engines hold identical
+    integers and the two output divisions are single correct roundings.
+
+    Shape: one symbol aggregate over the silver, one symbol-sized rank
+    window, one scalar fold — the window runs on ~|symbols| rows, post
+    reduction, which is the engine's standing rule for global windows."""
+    b = bars_silver(spark, sf_dir)
+    vol = b.groupBy("symbol").agg(F.sum("volume").cast("long").alias("v"))
+    w_asc = Window.orderBy("v", "symbol")
+    w_desc = Window.orderBy(F.desc("v"), F.desc("symbol"))
+    ranked = vol.select(
+        "v",
+        F.row_number().over(w_asc).alias("i"),
+        F.row_number().over(w_desc).alias("rd"),
+        F.count("*").over(Window.partitionBy()).alias("nn"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s0"),
+        F.sum(F.col("i") * F.col("v")).alias("s1"),
+        F.sum(
+            F.when(F.col("rd") <= F.floor(F.col("nn") / 10), F.col("v"))
+        ).alias("top_dec_v"),
+    )
+    n = F.col("n").cast("double")
+    gini = (F.lit(2.0) * F.col("s1").cast("double")) / (n * F.col("s0").cast("double")) - (
+        n + F.lit(1.0)
+    ) / n
+    top_share = F.col("top_dec_v").cast("double") / F.col("s0").cast("double")
+    return agg.select(
+        F.col("n").alias("n_symbols"),
+        F.col("s0").alias("total_volume"),
+        gini.alias("gini"),
+        top_share.alias("top_decile_share"),
+    )
+
+
 def scd2_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 history build: each symbol's price
     band (low/mid/high by fixed close thresholds) becomes effective-dated
@@ -1048,6 +1089,7 @@ QUERIES = {
     "q17_twap": q17_twap,
     "q18_rolling_median": q18_rolling_median,
     "sim_dimsum_cosine": sim_dimsum_cosine,
+    "gini_volume_concentration": gini_volume_concentration,
     "scd2_price_bands": scd2_price_bands,
     "incr_symbol_totals_update": incr_symbol_totals_update,
     "quantile_sketch_close": quantile_sketch_close,
@@ -1060,6 +1102,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gini_volume_concentration": BARS_SQL
+    + """
+, vol AS (
+  SELECT symbol, CAST(SUM(volume) AS BIGINT) AS v FROM bars GROUP BY 1
+), ranked AS (
+  SELECT v,
+         row_number() OVER (ORDER BY v, symbol) AS i,
+         row_number() OVER (ORDER BY v DESC, symbol DESC) AS rd,
+         COUNT(*) OVER () AS nn
+  FROM vol
+), agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(v) AS BIGINT) AS s0,
+         CAST(SUM(i * v) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN rd <= nn // 10 THEN v END) AS BIGINT) AS top_dec_v
+  FROM ranked
+)
+SELECT n AS n_symbols, s0 AS total_volume,
+       (2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini,
+       CAST(top_dec_v AS DOUBLE) / CAST(s0 AS DOUBLE) AS top_decile_share
+FROM agg
+""",
     "sim_dimsum_cosine": """
 WITH fbars AS (
   SELECT 'P' || CAST(l_partkey AS VARCHAR) AS symbol,
