@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "tpch_q21_waiting_suppliers",
     "emb_pq_codes",
     "graph_pagerank_suppliers",
+    "graph_triangles_suppliers",
     "sim_rrf_fusion",
     "text_chunk_windows",
     "events_variant_props",

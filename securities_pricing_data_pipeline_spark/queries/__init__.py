@@ -114,6 +114,7 @@ _PRIORITY = [
     "events_markov_transitions",
     "events_km_survival",
     "gini_volume_concentration",
+    "graph_triangles_suppliers",
     "stream_events_interval_join",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",

@@ -474,6 +474,57 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangles_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the supplier
+    co-supply graph — the third graph-analytics member next to PageRank
+    and connected components. Node-iterator formulation over ORIENTED
+    edges (u < v): a triangle u<v<w is found exactly once as
+    e(u,v) ⋈ e(v,w) ⋈ e(u,w), so the join never recounts permutations;
+    open triads are Σ C(deg,2) in pure integers. Global clustering =
+    3·triangles / triads is the one float division.
+
+    Scale shape: the oriented edge list is linear in the fact table
+    (bounded order size); the wedge join e1⋈e2 is keyed on the shared
+    vertex, so its size is Σ deg²-bounded — the standard distributed
+    triangle-count cost — and the closing ⋈ is another keyed equi-join,
+    never cartesian."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    nodes_triads = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_triads"),
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("wu"), F.col("e2.v").alias("ww")
+    )
+    tri = wedges.join(
+        e3, (F.col("wu") == F.col("e3.u")) & (F.col("ww") == F.col("e3.v"))
+    ).agg(F.count("*").alias("n_triangles"))
+    out = nodes_triads.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+    gcc = (F.lit(3.0) * F.col("n_triangles").cast("double")) / F.col("n_triads").cast(
+        "double"
+    )
+    return out.select(
+        "n_nodes", "n_edges", "n_triangles", "n_triads", gcc.alias("global_clustering")
+    )
+
+
 def _pagerank_oracle_sql(iters: int = 5) -> str:
     head = """
 WITH ls AS (
@@ -539,6 +590,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "basket_part_pairs": basket_part_pairs,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
+    "graph_triangles_suppliers": graph_triangles_suppliers,
     "hist_price_buckets": hist_price_buckets,
     "unpivot_ohlc_long": unpivot_ohlc_long,
     "hier_revenue_shares": hier_revenue_shares,
@@ -752,6 +804,33 @@ FROM lineitem
 GROUP BY l_returnflag
 """,
 }
+
+ORACLES["graph_triangles_suppliers"] = """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.sk AS u, b.sk AS v
+  FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) t GROUP BY 1
+), nt AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_triads
+  FROM deg
+), ne AS (
+  SELECT COUNT(*) AS n_edges FROM edges
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+)
+SELECT n_nodes, n_edges, n_triangles, n_triads,
+       (3.0 * CAST(n_triangles AS DOUBLE)) / CAST(n_triads AS DOUBLE) AS global_clustering
+FROM nt, ne, tri
+"""
 
 ORACLES["rfm_customer_segments"] = """
 WITH per_cust AS (
