@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "sketch_hll_weekly_merge",
     "sketch_hll_intersection",
     "dq_expectations_lineitem",
+    "dq_benford_prices",
     "incr_symbol_totals_update",
     "quantile_sketch_close",
 ]

@@ -115,6 +115,7 @@ _PRIORITY = [
     "events_km_survival",
     "gini_volume_concentration",
     "graph_triangles_suppliers",
+    "dq_benford_prices",
     "stream_events_interval_join",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",

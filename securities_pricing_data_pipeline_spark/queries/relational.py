@@ -410,6 +410,52 @@ def ri_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of l_extendedprice — the classic fraud /
+    synthetic-data screen: observed first-significant-digit shares vs the
+    Benford expectation log10(1+1/d), with each digit's chi-square
+    contribution. Digit extraction is INTEGER all the way (floor to exact
+    cents, integer→string first char — float formatting differs across
+    engines, integer formatting doesn't), and the expected shares are
+    Python-computed literals embedded in BOTH engines' queries, so every
+    float op starts from identical operands."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0))
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    benford = (
+        F.when(F.col("digit") == 1, F.lit(0.3010299956639812))
+        .when(F.col("digit") == 2, F.lit(0.17609125905568124))
+        .when(F.col("digit") == 3, F.lit(0.12493873660829992))
+        .when(F.col("digit") == 4, F.lit(0.09691001300805642))
+        .when(F.col("digit") == 5, F.lit(0.07918124604762482))
+        .when(F.col("digit") == 6, F.lit(0.06694678963061322))
+        .when(F.col("digit") == 7, F.lit(0.05799194697768673))
+        .when(F.col("digit") == 8, F.lit(0.05115252244738129))
+        .when(F.col("digit") == 9, F.lit(0.04575749056067514))
+    )
+    j = counts.crossJoin(F.broadcast(total))
+    obs_share = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    expected = F.col("n_total").cast("double") * F.col("benford_share")
+    chi2 = (F.col("n_obs").cast("double") - expected) * (
+        F.col("n_obs").cast("double") - expected
+    ) / expected
+    return (
+        j.withColumn("benford_share", benford)
+        .select(
+            "digit",
+            "n_obs",
+            obs_share.alias("obs_share"),
+            "benford_share",
+            chi2.alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
 QUERIES = {
     "ri_orphan_lineitems": ri_orphan_lineitems,
     "p1_typed_projection": p1_typed_projection,
@@ -434,6 +480,7 @@ QUERIES = {
     "skew_salted_aggregate": skew_salted_aggregate,
     "dq_profile_lineitem": dq_profile_lineitem,
     "dq_expectations_lineitem": dq_expectations_lineitem,
+    "dq_benford_prices": dq_benford_prices,
     "dq_profile_lineitem_exact": dq_profile_lineitem_exact,
     "layout_zorder_plan": layout_zorder_plan,
 }
@@ -454,6 +501,37 @@ ORACLES = {
     ),
     # sketched profile: DuckDB reproduces the HLL registers bit-for-bit,
     # so even the approximate default stays value-level-checked.
+    "dq_benford_prices": """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+), counts AS (
+  SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts
+), scored AS (
+  SELECT digit, n_obs, n_total,
+         CASE WHEN digit = 1 THEN 0.3010299956639812
+         WHEN digit = 2 THEN 0.17609125905568124
+         WHEN digit = 3 THEN 0.12493873660829992
+         WHEN digit = 4 THEN 0.09691001300805642
+         WHEN digit = 5 THEN 0.07918124604762482
+         WHEN digit = 6 THEN 0.06694678963061322
+         WHEN digit = 7 THEN 0.05799194697768673
+         WHEN digit = 8 THEN 0.05115252244738129
+         WHEN digit = 9 THEN 0.04575749056067514
+         END AS benford_share
+  FROM counts, total
+)
+SELECT digit, n_obs,
+       CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+       benford_share,
+       (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * benford_share)
+         * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * benford_share)
+         / (CAST(n_total AS DOUBLE) * benford_share) AS chi2_term
+FROM scored
+ORDER BY digit
+""",
     "dq_profile_lineitem": dq_profile_hll_oracle_sql("lineitem", _DQ_COLS),
     "dq_expectations_lineitem": """
 WITH agg AS (
