@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "w_cumulative_revenue",
     "topk_parts_per_brand",
     "basket_part_pairs",
+    "pareto_abc_parts",
     "pivot_segment_status",
     "cube_priority_status",
     "percentile_quantity_exact",

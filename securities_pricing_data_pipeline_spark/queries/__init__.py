@@ -116,6 +116,7 @@ _PRIORITY = [
     "gini_volume_concentration",
     "graph_triangles_suppliers",
     "dq_benford_prices",
+    "pareto_abc_parts",
     "stream_events_interval_join",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",

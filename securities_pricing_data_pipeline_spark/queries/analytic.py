@@ -525,6 +525,52 @@ def graph_triangles_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by revenue: rank parts by
+    descending revenue, classify by cumulative share (A ≤ 80%, B ≤ 95%,
+    C rest), report each class's size and revenue share — the standard
+    inventory-analytics cut ("which 20% of parts carry 80% of revenue").
+
+    Revenue accumulates as exact integer cents under one descending-rank
+    window (part-cardinality rows, post reduction — the global-window
+    rule), so the cumulative shares both engines compare against the
+    0.8/0.95 thresholds are bit-identical; classification can't flip."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0))
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    w_cum = Window.orderBy(F.desc("rev_cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(w_all).alias("tot_cents"),
+    )
+    share = F.col("cum_cents").cast("double") / F.col("tot_cents").cast("double")
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_cents").alias("class_cents"),
+            F.max("tot_cents").alias("tot_cents"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            (F.col("class_cents").cast("double") / F.lit(100.0)).alias("class_revenue"),
+            (
+                F.col("class_cents").cast("double") / F.col("tot_cents").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
 def _pagerank_oracle_sql(iters: int = 5) -> str:
     head = """
 WITH ls AS (
@@ -591,6 +637,7 @@ QUERIES = {
     "basket_part_pairs": basket_part_pairs,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "graph_triangles_suppliers": graph_triangles_suppliers,
+    "pareto_abc_parts": pareto_abc_parts,
     "hist_price_buckets": hist_price_buckets,
     "unpivot_ohlc_long": unpivot_ohlc_long,
     "hier_revenue_shares": hier_revenue_shares,
@@ -804,6 +851,31 @@ FROM lineitem
 GROUP BY l_returnflag
 """,
 }
+
+ORACLES["pareto_abc_parts"] = """
+WITH rev AS (
+  SELECT l_partkey, CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT rev_cents,
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+         CAST(SUM(rev_cents) OVER () AS BIGINT) AS tot_cents
+  FROM rev
+), classed AS (
+  SELECT rev_cents, tot_cents,
+         CASE WHEN CAST(cum_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE) <= 0.80 THEN 'A'
+              WHEN CAST(cum_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class, COUNT(*) AS n_parts,
+       CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS class_revenue,
+       CAST(SUM(rev_cents) AS DOUBLE) / CAST(MAX(tot_cents) AS DOUBLE) AS revenue_share
+FROM classed
+GROUP BY 1
+ORDER BY 1
+"""
 
 ORACLES["graph_triangles_suppliers"] = """
 WITH ls AS (
