@@ -1,13 +1,19 @@
 """Headline benchmark: runs the engine's query set at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full per-query JSON line {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec, ...}, "sf": ...} followed by a compact
+summary line LAST, so a bounded tail capture always ends in one small
+valid JSON object (VERDICT r5 item 1 — the ~4 KB per-query line alone
+overflowed the driver's tail window two rounds running).
 
 Each query is forced with a hash-of-every-column aggregate, not count():
 Catalyst prunes Window/Project operators that don't affect cardinality, so
 count() would time a cheaper plan than the query actually is. The hash
 fold evaluates every output column of every row and returns one scalar.
-Timings exclude session startup and the first warm-up action.
+Timings exclude session startup and the first warm-up action, and are the
+MEDIAN of $SPARK_GRAFT_BENCH_TRIALS runs (default 3) per query — r4→r5
+showed 2× per-query swings on an identical tree, so single-shot timings
+are too noisy for round-over-round comparison (VERDICT r5 item 5).
 """
 
 from __future__ import annotations
@@ -150,6 +156,7 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
     spark = get_spark("bench")
 
     queries = entry_mod.queries()
@@ -168,11 +175,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        t0 = time.perf_counter()
+        samples: list[float] = []
         try:
-            df = queries[name](spark, sf_dir)
-            df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.agg(
+                    F.max(F.xxhash64(*[F.col(c) for c in df.columns]))
+                ).collect()
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 4)
         except Exception as e:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -184,11 +197,24 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "trials": trials,
     }
     if errors:
         out["errors"] = errors
         out["n_errors"] = len(errors)
     print(json.dumps(out))
+    # Compact summary LAST: the driver keeps only the tail of stdout, and
+    # the per-query line above is ~4 KB — this line is what gets parsed.
+    summary = {
+        "metric": "sum_sec_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n": len(timings),
+        "trials": trials,
+        "n_errors": len(errors),
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
