@@ -28,79 +28,30 @@ from securities_pricing_data_pipeline_spark.queries import (
 
 _MODULES = (bars, eventsq, relational, serving, llmq, tpch, analytic, sqlapi, streamq)
 
-# First N entries are what a capped correctness driver will actually check.
-# Rotation policy (VERDICT r3 item 5): SURVEY §2 core rows stay pinned every
-# round; everything else green in BOTH prior driver rounds rotates out to
-# the long tail (still repo-gate-checked) so never-driver-certified queries
-# get a driver row. Round 5: the events/asof families stay (red in the r3
-# driver, fixed r4 — they need a second certified round); the r3-certified
-# extension reps (dedup_minhash_lsh, dedup_embedding_cosine, sim_ivf_topk,
-# multimodal_features, tpch_q1, pivot_segment_status, sql_exists_late_ship)
-# rotate out; rotated in: the 3 NEW streaming-executed gate queries and the
-# never-driver-checked round-4 tail additions.
+# First N entries are what a capped correctness driver will actually check
+# (50 per round). Rotation policy (VERDICT r3 item 5, re-ranked r5 item 2):
+# the union of driver-certified names across rounds 2-5 is 73/180; the full
+# SURVEY core is 2x-driver-certified, so round 6 shrinks the always-pinned
+# core to a 10-name canary spanning every family (projection, star join,
+# window dedup, surrogate assignment, dim build, serving Q1/Q2/Q5/Q8,
+# as-of) and fills the remaining 40 slots with never-driver-certified
+# names in registry order, led by dedup_lsh_bucket_audit (position 51 in
+# r4/r5 — missed the cap twice). Everything rotated out is still checked
+# by the full-registry repo gate (tools/check_oracle.py, ORACLE_r{N}.json).
 _PRIORITY = [
-    # events (ts physical-type-sensitive — all 8 fixed this round; keep
-    # the full family in the window until driver-certified)
-    "events_hourly_stats",
-    "events_sessionize",
-    "events_session_window",
-    "events_json_props",
-    "events_retention",
-    "events_dau_wau",
-    "events_funnel",
-    # SURVEY §2.2–§2.5 relational inventory (core — always pinned)
+    # 10-name SURVEY-core canary (2x driver-certified; pinned as smoke)
     "p1_typed_projection",
-    "p2_date_filter",
-    "p3_reject_split",
-    "p4_key_normalize",
-    "p5_existence_gate",
-    "p6_weekend_membership",
-    "j1_semi_join",
     "j2_star_join",
-    "j3_metrics_onerow",
-    "j4_insert_if_absent",
-    "a1_filtered_counts",
-    "a2_distinct_keys",
-    "a3_next_surrogate_id",
     "a4_dedup_latest",
-    "a8_premerge_estimate",
-    "a9_postmerge_recon",
     "a10_surrogate_assignment",
     "dim_date_build",
-    # SURVEY §2.6 serving queries (core — always pinned; q2b/q4b are the
-    # calendar-RANGE / enriched-sector shapes of core rows Q2/Q4)
     "q1_market_totals",
     "q2_rolling_liquidity",
-    "q2b_rolling_calendar",
-    "q3_liquidity_rank",
-    "q4_segment_contribution",
-    "q4b_sector_contribution",
     "q5_daily_returns",
-    "q6_top_volume",
-    "q7_volatility_topk",
     "q8_ohlc_series",
-    "q9_price_averages",
-    # as-of join family (3 fixed this round)
     "asof_event_bars",
-    "asof_event_bars_fwd",
-    "asof_event_bars_tol",
-    # driver-green r4 only — keep for a second certified round
-    "tpch_q21_waiting_suppliers",
-    "graph_pagerank_suppliers",
-    "scd2_price_bands",
-    "sketch_hll_orderkeys",
-    # rotated in round 5: streaming-executed gate queries (NEW) and the
-    # round-4 tail additions that have never had a driver row
-    "stream_events_hourly",
-    "stream_events_dedup_keys",
-    "stream_events_sessionize",
-    "layout_zorder_plan",
-    "text_segment_dedup",
-    "export_shard_plan",
-    "sim_ivf_recall_eval",
+    # 40 never-driver-certified names (registry order) — round 6 window
     "dedup_lsh_bucket_audit",
-    # positions 51+: next rotation candidates, first of the long tail —
-    # never-driver-checked round-4/5 additions lead the overflow window
     "bars_gapfill_interp",
     "q17_twap",
     "q18_rolling_median",
@@ -128,28 +79,50 @@ _PRIORITY = [
     "dedup_source_overlap",
     "dedup_incremental_minhash",
     "dq_profile_lineitem_exact",
-    # r3-certified reps rotated out this round (repo-gate still checks)
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "sim_ivf_topk",
-    "multimodal_features",
-    "tpch_q1_pricing_summary",
-    "pivot_segment_status",
-    "sql_exists_late_ship",
-    "bars_ohlcv",
-    "bars_rollup_multigrain",
-    "bars_gapfill_locf",
-    "q10_zscore_anomalies",
-    "flagship_liquidity_top20",
-    "range_join_in_transit",
-    "skew_salted_aggregate",
-    "dq_profile_lineitem",
     "emb_pq_codes",
     "sim_rrf_fusion",
     "text_chunk_windows",
     "q16_trend_slope",
     "events_variant_props",
     "hist_price_buckets",
+    "ri_orphan_lineitems",
+    "q11_vwap",
+    "q12_max_drawdown",
+    "q13_beta",
+    "q14_top_corr_pairs",
+    "q15_rsi",
+    # positions 51+: round-7 rotation candidates — the remaining
+    # never-driver-certified names continue in registry order
+    "snapshot_diff_positions",
+    "ar1_close_autocorr",
+    "pit_band_lookup",
+    "islands_trading_streaks",
+    "pattern_down_streaks",
+    "dedup_cluster_star",
+    "sketch_cms_partkeys",
+    "sketch_bloom_custkeys",
+    "text_decontaminate",
+    "text_vocab_topk",
+    "text_tfidf_topterms",
+    "corpus_filter_funnel",
+    "sample_stratified",
+    "corpus_mix_plan",
+    "dedup_minhash_eval",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_token_count",
+    "text_token_count_bpe",
+    "text_winnow_fingerprint",
+    "text_quality_score",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_length_quantiles",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "multimodal_frame_sample",
+    "multimodal_resize",
 ]
 
 _ALL_QUERIES = {}
