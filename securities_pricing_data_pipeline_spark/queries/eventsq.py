@@ -359,11 +359,23 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         F.col("n_total") - F.coalesce(F.sum("n_ending").over(w_prev), F.lit(0)),
     )
-    log_term = F.log(
-        F.lit(1.0)
-        - F.col("n_churned").cast("double") / F.col("n_at_risk").cast("double")
+    # Guard the ln(0) edge: a row where every at-risk user churns makes
+    # 1 − d/n = 0 — Spark's window SUM would skip the NULL ln while
+    # DuckDB raises, so both engines instead flag the row and pin
+    # survival to exactly 0.0 from that duration onward (the true K-M
+    # value once the risk set is extinguished).
+    extinct = F.col("n_churned") >= F.col("n_at_risk")
+    log_term = F.when(
+        extinct, F.lit(None).cast("double")
+    ).otherwise(
+        F.log(
+            F.lit(1.0)
+            - F.col("n_churned").cast("double") / F.col("n_at_risk").cast("double")
+        )
     )
-    survival = (
+    survival = F.when(
+        F.sum(extinct.cast("int")).over(w_cum) > 0, F.lit(0.0)
+    ).otherwise(
         F.exp(F.sum(log_term).over(w_cum)).cast("decimal(20,12)").cast("double")
     )
     return risk.select(
@@ -495,10 +507,19 @@ WITH gm AS (
 SELECT CAST(duration_days AS BIGINT) AS duration_days,
        CAST(n_at_risk AS BIGINT) AS n_at_risk,
        n_churned,
-       CAST(CAST(exp(SUM(ln(1.0 - CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE)))
+       -- ln(0) guard mirroring the Spark side: once a row extinguishes its
+       -- risk set (n_churned >= n_at_risk), survival is exactly 0.0 onward
+       CASE WHEN SUM(CASE WHEN n_churned >= n_at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY duration_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+            THEN 0.0
+            ELSE CAST(CAST(exp(SUM(CASE WHEN n_churned >= n_at_risk THEN NULL
+                                        ELSE ln(1.0 - CAST(n_churned AS DOUBLE)
+                                                / CAST(n_at_risk AS DOUBLE)) END)
                      OVER (ORDER BY duration_days
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-                 AS DECIMAL(20,12)) AS DOUBLE) AS survival
+                 AS DECIMAL(20,12)) AS DOUBLE)
+       END AS survival
 FROM risk
 """,
     "events_markov_transitions": """

@@ -55,6 +55,11 @@ def main() -> None:
         if name.startswith("stream_") or name not in queries:
             continue
         try:
+            # audit each query on a clean session: a prior query's
+            # .cache()/persist of a shared silver frame would otherwise
+            # replace this query's scan subtree with InMemoryRelation and
+            # mis-report its shuffle/python/pushdown counts (r4 audit bug)
+            spark.catalog.clearCache()
             df = queries[name](spark, sf_dir)
             explain = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")

@@ -197,12 +197,14 @@ def main() -> None:
             failures.append(f"{probe.__name__}: {type(e).__name__}: {e}")
             print(f"FAILED {failures[-1]}"[:300], file=sys.stderr)
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # label from the LIVE session, not the env-var default — a probe run
+    # under a different master must not report itself as local[32]
+    master = spark.sparkContext.master
     lines = [
         "# SCALE_PROBE — custom operators at 10–100× bench scale",
         "",
         f"Synthesized inputs (`spark.range` + deterministic hashes), "
-        f"local[{cpus}]. Bench (sf0.1) inputs are ~600k lineitem rows / 50k "
+        f"{master}. Bench (sf0.1) inputs are ~600k lineitem rows / 50k "
         "docs; these probes run the same operator code 10–100× past that "
         "so super-linear shapes have nowhere to hide. Regenerate: "
         "`python tools/scale_probe.py`.",
