@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "sample_weighted_docs",
     "dq_profile_lineitem",
     "multimodal_frame_sample",
+    "multimodal_resize_pixels",
     "events_dau_wau",
     "q16_trend_slope",
     "tpch_q11_important_parts",

@@ -2,11 +2,14 @@
 
 Media travel as opaque ``binary`` columns with typed metadata; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes never
-round-trip through Python row-by-row. The actual codec step is STUBBED
-(image/audio libraries are not in this container): ``decode_image`` raises
-``NotImplementedError`` by default, and ``extract_features`` uses a
-deterministic byte-level extractor so the Spark-side plumbing — schema,
-batching, partition sizing — is real and tested end to end.
+round-trip through Python row-by-row. ``decode_image`` is a REAL
+pure-Python/numpy codec for the two headerless-dependency formats — P6
+PPM and uncompressed 24/32-bit BMP — so decode→resize→encode is end to
+end genuine for those; every other format (JPEG/PNG/…) raises
+``NotImplementedError`` because the codec libraries aren't in this
+container, and ``resize_images`` falls back to a deterministic
+byte-truncation stand-in so the Spark-side plumbing — schema, batching,
+partition sizing — still runs on arbitrary payloads.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 should run on a layout partitioned for ~128 MB input splits; the output
@@ -17,6 +20,7 @@ binary columns to the driver.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -42,9 +46,95 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub
-    """Real decoder hook (PIL/libvips at deploy time). Stubbed here."""
-    raise NotImplementedError("image codecs are not available in this environment")
+_PPM_TOKEN = re.compile(rb"(?:\s|#[^\n]*\n)*(\d+)")
+
+
+def _ppm_tokens(buf: bytes, start: int, n: int) -> tuple[list[int], int]:
+    """Read *n* whitespace/comment-separated ASCII integers from *buf*."""
+    vals = []
+    pos = start
+    for _ in range(n):
+        m = _PPM_TOKEN.match(buf, pos)
+        if not m:
+            raise ValueError("truncated PPM header")
+        vals.append(int(m.group(1)))
+        pos = m.end()
+    return vals, pos
+
+
+def decode_image(content: bytes):
+    """Decode an image payload to an ``H×W×3`` uint8 numpy array.
+
+    Real decoders for the two formats that need no codec library:
+
+    * **P6 PPM** (binary netpbm, maxval ≤ 255, ``#`` comments allowed)
+    * **BMP**, uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER,
+      bottom-up or top-down, with the standard 4-byte row padding;
+      BGR(A) is converted to RGB
+
+    Anything else (JPEG/PNG/GIF/…) raises ``NotImplementedError`` — those
+    codecs aren't in this container; swap in PIL/libvips at deploy time.
+    Malformed payloads of a recognized format raise ``ValueError``.
+    """
+    import numpy as np
+
+    if content is None or len(content) < 2:
+        raise ValueError("empty payload")
+    if content[:2] == b"P6":
+        (maybe_wh, pos) = _ppm_tokens(content, 2, 3)
+        width, height, maxval = maybe_wh
+        if maxval > 255 or maxval <= 0 or width <= 0 or height <= 0:
+            raise ValueError(f"unsupported PPM geometry {width}x{height}/{maxval}")
+        pos += 1  # exactly one whitespace byte after maxval
+        need = width * height * 3
+        raw = content[pos : pos + need]
+        if len(raw) != need:
+            raise ValueError("truncated PPM pixel data")
+        return np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3).copy()
+    if content[:2] == b"BM":
+        if len(content) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = int.from_bytes(content[10:14], "little")
+        width = int.from_bytes(content[18:22], "little", signed=True)
+        height = int.from_bytes(content[22:26], "little", signed=True)
+        bpp = int.from_bytes(content[28:30], "little")
+        compression = int.from_bytes(content[30:34], "little")
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+        bottom_up = height > 0
+        height = abs(height)
+        if width <= 0 or height <= 0:
+            raise ValueError("bad BMP geometry")
+        nchan = bpp // 8
+        stride = (width * nchan + 3) & ~3
+        need = stride * height
+        raw = content[data_off : data_off + need]
+        if len(raw) != need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+        px = rows[:, : width * nchan].reshape(height, width, nchan)
+        if bottom_up:
+            px = px[::-1]
+        return px[:, :, 2::-1].copy()  # BGR(A) → RGB, alpha dropped
+    raise NotImplementedError("only P6 PPM and uncompressed BMP are decodable here")
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an ``H×W×3`` uint8 array as a binary P6 PPM payload."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def resize_nearest(pixels, width: int, height: int):
+    """Nearest-neighbor resample: output pixel (j, i) reads source pixel
+    (floor(j·H/height), floor(i·W/width)) — pure integer index math, so
+    the result is bit-deterministic and independently recomputable."""
+    import numpy as np
+
+    src_h, src_w = pixels.shape[0], pixels.shape[1]
+    rows = (np.arange(height) * src_h) // height
+    cols = (np.arange(width) * src_w) // width
+    return pixels[rows][:, cols]
 
 
 def extract_features(assets: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
@@ -114,25 +204,39 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Resize plumbing: payload → fixed-size thumbnail buffer.
+    """Resize each asset payload to ``width × height``.
 
-    The decode→resample→encode step needs PIL/libvips (absent here), so
-    the deterministic stand-in truncates the payload to the ``width ×
-    height`` buffer size; schema (same asset row, replaced content +
-    meta) and Arrow batching are production-shaped. ``decode_image``
-    raising NotImplementedError marks the real hook.
+    Payloads that ``decode_image`` understands (P6 PPM, uncompressed
+    24/32-bit BMP) take the REAL path: decode → nearest-neighbor
+    resample → re-encode as P6, with ``meta['codec']`` recording the
+    source format. Undecodable payloads fall back to the deterministic
+    byte-truncation stand-in (``meta['codec'] = 'raw'``) so arbitrary
+    binaries still flow through the same Arrow-batched plumbing; swap
+    the decoder for PIL/libvips at deploy time to widen format support.
     """
     import pandas as pd
 
     cap = width * height
 
+    def _one(b: bytes | None) -> tuple[bytes | None, str]:
+        if b is None:
+            return None, "raw"
+        try:
+            px = decode_image(bytes(b))
+            codec = "bmp" if bytes(b[:2]) == b"BM" else "ppm"
+            return encode_ppm(resize_nearest(px, width, height)), codec
+        except (NotImplementedError, ValueError):
+            return bytes(b[:cap]), "raw"
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["content"] = pdf["content"].map(lambda b: None if b is None else b[:cap])
-            pdf["meta"] = pdf["meta"].map(
-                lambda m: {**(m or {}), "resized": f"{width}x{height}"}
-            )
+            done = pdf["content"].map(_one)
+            pdf["content"] = done.map(lambda t: t[0])
+            pdf["meta"] = [
+                {**(m or {}), "resized": f"{width}x{height}", "codec": t[1]}
+                for m, t in zip(pdf["meta"], done)
+            ]
             yield pdf
 
     return assets.mapInPandas(_resize, ASSET_SCHEMA)

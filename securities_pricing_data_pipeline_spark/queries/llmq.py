@@ -393,6 +393,38 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image path: synthesize a valid P6 PPM per document
+    (flat color + geometry derived from doc_id, pixel bytes kept in the
+    single-byte UTF-8 range so both engines can build the payload with
+    chr/repeat), run the genuine decode → nearest-neighbor resample →
+    re-encode pipeline, and value-check the OUTPUT pixels byte-for-byte:
+    the oracle constructs the expected 16×16 P6 payload arithmetically
+    and compares octet length + md5-of-hex. This certifies the codec and
+    resampler themselves, not just the plumbing around them."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(8) + F.col("doc_id") % 16).cast("int")
+    h = (F.lit(8) + F.col("doc_id") % 11).cast("int")
+    r = (F.lit(32) + F.col("doc_id") % 96).cast("int")
+    g = (F.lit(32) + (F.col("doc_id") * 7) % 96).cast("int")
+    bl = (F.lit(32) + (F.col("doc_id") * 13) % 96).cast("int")
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    body = F.repeat(F.concat(F.char(r), F.char(g), F.char(bl)), w * h)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.concat(header, body), "UTF-8").alias("content"),
+        F.create_map(F.lit("synth"), F.lit("flat")).alias("meta"),
+    )
+    resized = resize_images(assets, width=16, height=16)
+    return resized.select(
+        "asset_id",
+        F.octet_length(F.col("content")).cast("int").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("digest"),
+        F.col("meta")["codec"].alias("codec"),
+    )
+
+
 def asof_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event is aligned to the most recent bar of its
     symbol at-or-before a deterministic in-range event date."""
@@ -980,6 +1012,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
+    "multimodal_resize_pixels": multimodal_resize_pixels,
     "asof_event_bars": asof_event_bars,
     "asof_pairs_spread": asof_pairs_spread,
     "asof_event_bars_fwd": asof_event_bars_fwd,
@@ -1295,6 +1328,28 @@ SELECT doc_id AS asset_id,
        md5(substr(hex(encode(text)), 1, 4096 * 2)) AS digest,
        '64x64' AS resized
 FROM documents
+""",
+    "multimodal_resize_pixels": """
+WITH params AS (
+  SELECT doc_id AS asset_id,
+         CAST(32 + doc_id % 96 AS INT) AS r,
+         CAST(32 + (doc_id * 7) % 96 AS INT) AS g,
+         CAST(32 + (doc_id * 13) % 96 AS INT) AS b
+  FROM documents
+), expected AS (
+  -- nearest-neighbor resize of a flat-color image is the same flat color,
+  -- so the genuine decode->resample->encode output is constructible
+  -- arithmetically: a 16x16 P6 with 256 repeats of the (r,g,b) pixel
+  SELECT asset_id,
+         'P6' || chr(10) || '16 16' || chr(10) || '255' || chr(10)
+           || repeat(chr(r) || chr(g) || chr(b), 256) AS s
+  FROM params
+)
+SELECT asset_id,
+       CAST(octet_length(encode(s)) AS INT) AS n_bytes,
+       md5(hex(encode(s))) AS digest,
+       'ppm' AS codec
+FROM expected
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "sketch_hll_orderkeys": hll_oracle_sql("lineitem", "l_orderkey", p=8),

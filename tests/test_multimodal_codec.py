@@ -1,0 +1,105 @@
+"""The real image codec path: P6 PPM / uncompressed BMP decode,
+nearest-neighbor resample, P6 re-encode — pixel-exact against a numpy
+reference on NON-flat images (the oracle query certifies flat colors;
+these tests pin the gradient/general case), plus the truncation
+fallback for undecodable payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from securities_pricing_data_pipeline_spark.llmdata.multimodal import (
+    ASSET_SCHEMA,
+    decode_image,
+    encode_ppm,
+    resize_images,
+    resize_nearest,
+)
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    j, i = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return np.stack(
+        [(j * 255 // max(h - 1, 1)), (i * 255 // max(w - 1, 1)), (j + i) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _bmp24(px: np.ndarray) -> bytes:
+    """Minimal bottom-up 24-bit BI_RGB BMP around an H×W×3 RGB array."""
+    h, w = px.shape[:2]
+    bgr = px[:, :, ::-1]
+    stride = (w * 3 + 3) & ~3
+    body = b"".join(
+        bgr[r].tobytes() + b"\x00" * (stride - w * 3) for r in range(h - 1, -1, -1)
+    )
+    return (
+        b"BM"
+        + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+        + body
+    )
+
+
+def test_ppm_roundtrip_with_comments():
+    px = _gradient(11, 7)
+    annotated = b"P6\n# a comment\n7 11\n# more\n255\n" + px.tobytes()
+    assert (decode_image(annotated) == px).all()
+    assert (decode_image(encode_ppm(px)) == px).all()
+
+
+def test_bmp_decode_matches_rgb_reference():
+    px = _gradient(5, 6)
+    out = decode_image(_bmp24(px))
+    assert out.shape == (5, 6, 3)
+    assert (out == px).all()
+
+
+def test_resize_nearest_matches_index_formula():
+    px = _gradient(13, 9)
+    out = resize_nearest(px, 4, 6)
+    ref = np.stack(
+        [[px[(j * 13) // 6, (i * 9) // 4] for i in range(4)] for j in range(6)]
+    )
+    assert (out == ref).all()
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [b"\x89PNG\r\n\x1a\n....", b"P6\n3 3\n255\nxy", b"BMshort", b""],
+)
+def test_undecodable_payloads_raise(payload):
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_image(payload)
+
+
+def test_resize_images_real_and_fallback_paths(spark):
+    px = _gradient(10, 8)
+    rows = [
+        (1, "image", bytearray(encode_ppm(px)), {"k": "ppm-src"}),
+        (2, "image", bytearray(_bmp24(px)), {"k": "bmp-src"}),
+        (3, "image", bytearray(b"not an image" * 500), {"k": "raw-src"}),
+        (4, "image", None, {}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {
+        r["asset_id"]: r
+        for r in resize_images(assets, width=5, height=4).collect()
+    }
+    expected = encode_ppm(resize_nearest(px, 5, 4))
+    for aid, codec in ((1, "ppm"), (2, "bmp")):
+        assert bytes(got[aid]["content"]) == expected
+        assert got[aid]["meta"]["codec"] == codec
+        assert got[aid]["meta"]["resized"] == "5x4"
+        assert got[aid]["meta"]["k"].endswith("-src")  # original meta kept
+    assert bytes(got[3]["content"]) == (b"not an image" * 500)[:20]
+    assert got[3]["meta"]["codec"] == "raw"
+    assert got[4]["content"] is None and got[4]["meta"]["codec"] == "raw"
