@@ -4,15 +4,22 @@ Each module exposes ``QUERIES`` (name → callable(spark, sf_dir) → DataFrame)
 and ``ORACLES`` (name → DuckDB SQL). ``__spark_entry__.py`` merges them.
 
 Ordering matters: the correctness driver checks queries in registry order
-and caps the number it runs per round (50 in round 2).  ``_PRIORITY`` pins
-the SURVEY §2 core inventory first, then one representative per extension
-family (near-dup dedup, embedding dedup, ANN, multimodal, as-of join,
-TPC-H, analytic SQL, subquery SQL) so every family lands inside the
-driver's window.  Long-tail variants follow and are still covered by
-``tools/check_oracle.py`` over the full registry.
+and caps the number it runs per round (50). The window is SELF-ADVANCING:
+a pinned canary of SURVEY §2 core names leads, and the rest of the
+registry is ordered never-driver-certified-first by reading the committed
+``CORRECTNESS_r*.json`` artifacts at import time — so each driver round
+automatically certifies fresh names without anyone editing this file
+(round 5 regressed to zero new certifications precisely because the old
+static list went stale). Names the driver certified green in any round
+sink to the tail; everything stays covered by ``tools/check_oracle.py``
+over the full registry (``ORACLE_r{N}.json``).
 """
 
 from __future__ import annotations
+
+import glob as _glob
+import json as _json
+import os as _os
 
 from securities_pricing_data_pipeline_spark.queries import (
     analytic,
@@ -28,18 +35,11 @@ from securities_pricing_data_pipeline_spark.queries import (
 
 _MODULES = (bars, eventsq, relational, serving, llmq, tpch, analytic, sqlapi, streamq)
 
-# First N entries are what a capped correctness driver will actually check
-# (50 per round). Rotation policy (VERDICT r3 item 5, re-ranked r5 item 2):
-# the union of driver-certified names across rounds 2-5 is 73/180; the full
-# SURVEY core is 2x-driver-certified, so round 6 shrinks the always-pinned
-# core to a 10-name canary spanning every family (projection, star join,
-# window dedup, surrogate assignment, dim build, serving Q1/Q2/Q5/Q8,
-# as-of) and fills the remaining 40 slots with never-driver-certified
-# names in registry order, led by dedup_lsh_bucket_audit (position 51 in
-# r4/r5 — missed the cap twice). Everything rotated out is still checked
-# by the full-registry repo gate (tools/check_oracle.py, ORACLE_r{N}.json).
-_PRIORITY = [
-    # 10-name SURVEY-core canary (2x driver-certified; pinned as smoke)
+# The always-pinned canary: SURVEY §2 core names spanning every family
+# (projection, star join, window dedup, surrogate assignment, dim build,
+# serving Q1/Q2/Q5/Q8, as-of). Each is 2x+ driver-certified; they lead the
+# window every round as a smoke set.
+_CANARY = [
     "p1_typed_projection",
     "j2_star_join",
     "a4_dedup_latest",
@@ -50,7 +50,41 @@ _PRIORITY = [
     "q5_daily_returns",
     "q8_ohlc_series",
     "asof_event_bars",
-    # 40 never-driver-certified names (registry order) — round 6 window
+]
+
+
+def _driver_certified() -> set[str]:
+    """Names certified GREEN (rows+schema+hash, no error) by any committed
+    driver correctness artifact. Reads the repo-root CORRECTNESS_r*.json
+    files next to this package; returns empty on any surprise so a
+    malformed artifact can never break the registry import."""
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    green: set[str] = set()
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                doc = _json.load(fh)
+            for name, v in doc.items():
+                if (
+                    isinstance(v, dict)
+                    and v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match")
+                    and not v.get("err")
+                ):
+                    green.add(name)
+        except (OSError, ValueError, AttributeError):
+            continue
+    return green
+
+
+# Static fallback order for the never-certified block (round-6 snapshot):
+# used only to break ties deterministically; the live order is computed
+# below from the artifacts so the window self-advances every round.
+_PRIORITY = [
+    # round-6 window tail (40 never-driver-certified as of r5)
     "dedup_lsh_bucket_audit",
     "bars_gapfill_interp",
     "q17_twap",
@@ -131,10 +165,23 @@ for _m in _MODULES:
     _ALL_QUERIES.update(_m.QUERIES)
     _ALL_ORACLES.update(_m.ORACLES)
 
-_missing = [n for n in _PRIORITY if n not in _ALL_QUERIES]
+_missing = [n for n in _CANARY + _PRIORITY if n not in _ALL_QUERIES]
 if _missing:  # fail loudly at import: a stale priority list would silently
     raise RuntimeError(f"priority queries not registered: {_missing}")
 
-QUERIES = {n: _ALL_QUERIES[n] for n in _PRIORITY}
+# Live window order: canary first, then NEVER-driver-certified names
+# (static-priority entries first for determinism, then remaining registry
+# order), then the already-certified long tail. A fresh driver artifact
+# landing in the repo root is enough to advance the window next round.
+_certified = _driver_certified()
+_rest = [n for n in _PRIORITY if n not in _CANARY]
+_rest += [n for n in _ALL_QUERIES if n not in _CANARY and n not in _rest]
+_order = (
+    _CANARY
+    + [n for n in _rest if n not in _certified]
+    + [n for n in _rest if n in _certified]
+)
+
+QUERIES = {n: _ALL_QUERIES[n] for n in _order}
 QUERIES.update((n, f) for n, f in _ALL_QUERIES.items() if n not in QUERIES)
 ORACLES = {n: _ALL_ORACLES[n] for n in QUERIES if n in _ALL_ORACLES}
