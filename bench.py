@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_semantic",
     "dedup_cluster_canonical",
     "sim_bruteforce_topk",
     "sim_lsh_topk",

@@ -306,6 +306,103 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    max_cluster: int = 2000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune only
+    WITHIN clusters — pairs in different clusters are never compared, so
+    the quadratic cost is bounded per cluster instead of corpus-wide.
+
+    Returns (cluster_id, id_a, id_b, cos_sim) for in-cluster pairs with
+    exact cosine ≥ threshold; the caller's keep-rule (SemDeDup keeps the
+    member farthest from the centroid; min-id is the reproducible
+    default) collapses pairs via the existing ``connected_components``
+    machinery.
+
+    Centroids default to the ``n_centroids`` lowest-id vectors —
+    deterministic and SQL-expressible, so the DuckDB oracle replicates
+    assignment exactly; pass ``centroids=kmeans_centroids(...)`` for
+    trained clusters at deploy time (better balance, same plan shape).
+
+    Scale shape: centroids broadcast → assignment is one map-side pass;
+    the corpus shuffles ONCE on cluster id as bare (id, cluster) rows;
+    in-cluster pair enumeration reuses ``candidate_pairs_in_buckets``
+    with its ENFORCED ``max_cluster`` cap (an over-full cluster means
+    k is too small for the corpus — grow k rather than pay k²);
+    embeddings join back onto the deduplicated pair list only. This is
+    the documented SemDeDup cost model: n/k-bounded quadratic work per
+    cluster, linear everything else."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        candidate_pairs_in_buckets,
+    )
+
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cent_vec"),
+            norm_grid(F.col(vec_col)).alias("cent_norm"),
+        )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("norm"),
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+    assigned = (
+        c.join(F.broadcast(centroids))
+        .withColumn(
+            "cent_cos",
+            cosine_with_norms(
+                F.col("vec"), F.col("cent_vec"), F.col("norm"), F.col("cent_norm")
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", "centroid_id")
+    )
+    pairs = candidate_pairs_in_buckets(assigned, ["centroid_id"], max_bucket=max_cluster)
+    cluster_of = assigned.select(F.col("id").alias("id_a"), F.col("centroid_id"))
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm_grid(F.col(vec_col)).alias("nrm"),
+    )
+    cand = (
+        pairs.join(cluster_of, "id_a")
+        .join(
+            vecs.select(
+                F.col("vid"), F.col("v").alias("vec_a"), F.col("nrm").alias("norm_a")
+            ),
+            F.col("id_a") == F.col("vid"),
+        )
+        .drop("vid")
+        .join(
+            vecs.select(
+                F.col("vid"), F.col("v").alias("vec_b"), F.col("nrm").alias("norm_b")
+            ),
+            F.col("id_b") == F.col("vid"),
+        )
+        .drop("vid")
+    )
+    return (
+        cand.withColumn(
+            "cos_sim",
+            cosine_with_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("centroid_id").alias("cluster_id"), "id_a", "id_b", "cos_sim")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

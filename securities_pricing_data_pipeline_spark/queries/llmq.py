@@ -30,6 +30,7 @@ from securities_pricing_data_pipeline_spark.llmdata.similarity import (
     lsh_topk,
     pq_codes,
     random_planes,
+    semantic_dedup_pairs,
 )
 from securities_pricing_data_pipeline_spark.llmdata.sampling import split_assign
 from securities_pricing_data_pipeline_spark.llmdata.sketch import (
@@ -181,6 +182,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, threshold=0.4)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold=0.4)
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,6 +1003,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic": dedup_semantic,
     "text_token_count": text_token_count,
     "text_token_count_bpe": text_token_count_bpe,
     "text_winnow_fingerprint": text_winnow_fingerprint,
@@ -1275,6 +1282,42 @@ WITH v AS (
 )
 SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _semantic_dedup_oracle_sql(
+    threshold: float = 0.4, n_centroids: int = 16, max_cluster: int = 2000
+) -> str:
+    """Mirror of semantic_dedup_pairs: anchor-centroid assignment (same
+    tie-break as the Spark window), the enforced cluster-size cap, and
+    the integer-grid cosine threshold."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < {n_centroids}
+), assigned AS (
+  SELECT id, centroid_id FROM (
+    SELECT v.vec_id AS id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_expr('v.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM v, cent
+  ) WHERE rn = 1
+), sized AS (
+  SELECT centroid_id FROM assigned
+  GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND {max_cluster}
+), pairs AS (
+  SELECT a.centroid_id AS cluster_id, a.id AS id_a, b.id AS id_b
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id AND a.id < b.id
+  JOIN sized s ON a.centroid_id = s.centroid_id
+)
+SELECT p.cluster_id, p.id_a, p.id_b,
+       {_cos_expr('va.vec', 'vb.vec')} AS cos_sim
+FROM pairs p
+JOIN v va ON p.id_a = va.vec_id
+JOIN v vb ON p.id_b = vb.vec_id
+WHERE {_cos_expr('va.vec', 'vb.vec')} >= {threshold}
 """
 
 
@@ -1631,6 +1674,7 @@ FROM reach
 GROUP BY id
 """,
     "dedup_embedding_cosine": _emb_near_dup_oracle_sql(),
+    "dedup_semantic": _semantic_dedup_oracle_sql(),
     "sim_lsh_topk": _lsh_topk_oracle_sql(),
     "sim_ivf_topk": _ivf_topk_oracle_sql(),
     "dedup_exact": """
