@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_semantic",
+    "dedup_semantic_keep",
     "dedup_cluster_canonical",
     "sim_bruteforce_topk",
     "sim_lsh_topk",

@@ -189,6 +189,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(emb, threshold=0.4)
 
 
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup ending: semantic in-cluster pairs → connected components
+    → one survivor (component-min id) per semantic-duplicate group.
+    ``is_kept`` marks the rows a corpus-shrink pass would retain —
+    singletons (no semantic dup) are their own component and always
+    kept, matching the SemDeDup retention contract."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        connected_components_auto,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    cc = connected_components_auto(pairs, emb.select("vec_id"), id_col="vec_id")
+    return cc.select(
+        "vec_id",
+        F.col("cluster_id").alias("group_id"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_kept"),
+    )
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return token_count(docs)
@@ -1004,6 +1024,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
+    "dedup_semantic_keep": dedup_semantic_keep,
     "text_token_count": text_token_count,
     "text_token_count_bpe": text_token_count_bpe,
     "text_winnow_fingerprint": text_winnow_fingerprint,
@@ -1675,6 +1696,24 @@ GROUP BY id
 """,
     "dedup_embedding_cosine": _emb_near_dup_oracle_sql(),
     "dedup_semantic": _semantic_dedup_oracle_sql(),
+    "dedup_semantic_keep": f"""
+WITH RECURSIVE pairs AS ({_semantic_dedup_oracle_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS vec_id, MIN(r) AS group_id,
+       (MIN(r) = id) AS is_kept
+FROM reach
+GROUP BY id
+""",
+
     "sim_lsh_topk": _lsh_topk_oracle_sql(),
     "sim_ivf_topk": _ivf_topk_oracle_sql(),
     "dedup_exact": """
