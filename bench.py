@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "sim_lsh_topk",
     "sim_ivf_topk",
     "text_quality_score",
+    "text_unigram_logppl",
     "text_fingerprint",
     "text_token_count_bpe",
     "text_sentiment",

@@ -48,6 +48,50 @@ def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def unigram_logppl(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style perplexity-proxy quality score (Wenzek et al. 2020,
+    arXiv:1911.00359): train a unigram LM on the corpus itself — one
+    token-count aggregate — and score every document by its mean token
+    negative log-likelihood. High avg_nll = rare-token-heavy text
+    (gibberish, boilerplate markup, OCR noise); the standard cheap
+    stand-in for a KenLM perplexity filter in web-corpus cleaning.
+
+    Scale shape: the vocab aggregate is one shuffle of (token) rows
+    whose Zipfian hot keys are exactly what map-side partial counts
+    absorb; the score join keys on token and AQE broadcasts the vocab
+    while it fits (cap it to top-K + OOV smoothing at web scale). Parity
+    discipline: each token's −ln p is snapped to the 1e-12 decimal grid
+    and summed exactly (order-independent), then the mean is snapped to
+    1e-9 — ln is libm in both engines, the snap absorbs last-ULP spread
+    (same contract as the K-M survival product)."""
+    from securities_pricing_data_pipeline_spark.queries.helpers import dec
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("n_total"))
+    nll = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            dec(
+                -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double")),
+                12,
+            ).alias("nll"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        (F.sum("nll").cast("double") / F.count("*"))
+        .cast("decimal(20,9)")
+        .cast("double")
+        .alias("avg_nll"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword quality signals per document."""
     toks = _tokens(text_col)

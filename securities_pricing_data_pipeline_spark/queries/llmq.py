@@ -50,6 +50,7 @@ from securities_pricing_data_pipeline_spark.llmdata.text import (
     SENTIMENT_LEXICON,
     token_count,
     token_count_bpe,
+    unigram_logppl,
     pii_scrub,
     quality_score,
     repetition_stats,
@@ -217,6 +218,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return quality_score(docs)
+
+
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return unigram_logppl(docs)
 
 
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,6 +1035,7 @@ QUERIES = {
     "text_token_count_bpe": text_token_count_bpe,
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_quality_score": text_quality_score,
+    "text_unigram_logppl": text_unigram_logppl,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition_stats": text_repetition_stats,
     "text_fingerprint": text_fingerprint,
@@ -1365,6 +1372,24 @@ WITH t AS (
 )
 SELECT DISTINCT doc_id, m AS fp
 FROM wins WHERE i <= greatest(n - 4 + 1, 1)
+""",
+    "text_unigram_logppl": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM toks
+), nll AS (
+  SELECT t.doc_id,
+         CAST(-ln(CAST(v.cnt AS DOUBLE) / (SELECT n_total FROM tot))
+              AS DECIMAL(38,12)) AS nll
+  FROM toks t JOIN vocab v USING (tok)
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       CAST(CAST(CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS DECIMAL(20,9)) AS DOUBLE) AS avg_nll
+FROM nll GROUP BY doc_id
 """,
     "text_token_count_bpe": f"""
 SELECT doc_id,
