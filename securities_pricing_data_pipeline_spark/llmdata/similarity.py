@@ -333,16 +333,12 @@ def semantic_dedup_pairs(
 
     Scale shape: centroids broadcast → assignment is one map-side pass;
     the corpus shuffles ONCE on cluster id as bare (id, cluster) rows;
-    in-cluster pair enumeration reuses ``candidate_pairs_in_buckets``
-    with its ENFORCED ``max_cluster`` cap (an over-full cluster means
-    k is too small for the corpus — grow k rather than pay k²);
+    in-cluster pairs come from a cluster-keyed self-join gated by the
+    ENFORCED ``max_cluster`` cap (an over-full cluster means k is too
+    small for the corpus — grow k rather than pay k²);
     embeddings join back onto the deduplicated pair list only. This is
     the documented SemDeDup cost model: n/k-bounded quadratic work per
     cluster, linear everything else."""
-    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
-        candidate_pairs_in_buckets,
-    )
-
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("centroid_id"),
@@ -354,7 +350,11 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("vec"),
         norm_grid(F.col(vec_col)).alias("norm"),
     )
-    w_assign = Window.partitionBy("id").orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+    # best centroid via max_by over (cos, -centroid_id) — same selection
+    # as a row_number window ordered (cos DESC, centroid_id ASC), but it
+    # partial-aggregates map-side instead of shuffling the full
+    # vectors × centroids cross product for a sort (measured the window
+    # shape at ~2× the whole probe's wall-clock at 100k × 256)
     assigned = (
         c.join(F.broadcast(centroids))
         .withColumn(
@@ -363,20 +363,80 @@ def semantic_dedup_pairs(
                 F.col("vec"), F.col("cent_vec"), F.col("norm"), F.col("cent_norm")
             ),
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("id", "centroid_id")
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("cent_cos"), -F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
+        # the cluster map is consumed three times below (size gate + both
+        # self-join sides); it is (id, cluster) rows — 16 bytes × corpus —
+        # and the assignment above it is the k·n cosine pass, so pin it
+        # once rather than recompute the expensive parent per consumer
+        .localCheckpoint(eager=True)
     )
-    pairs = candidate_pairs_in_buckets(assigned, ["centroid_id"], max_bucket=max_cluster)
-    cluster_of = assigned.select(F.col("id").alias("id_a"), F.col("centroid_id"))
+    # Two-phase in-cluster prune. Phase 1 is a per-cluster numpy kernel
+    # (applyInPandas): one V·Vᵀ BLAS matmul per cluster finds candidate
+    # pairs with FLOAT cosine ≥ threshold − 1e-6. The margin makes the
+    # prefilter provably lossless (grid vs float cosine deviate ≤ ~1e-12:
+    # ≤0.5 grid units/element, dim-bounded over O(1e13)-unit norms), and
+    # a float-only filter has no oracle-parity obligation. Dense pairwise
+    # similarity is the one shape Spark's higher-order functions can't
+    # express efficiently — the expression form pays ~100ns/element of
+    # interpreted-lambda overhead (measured 30s+ for 22M pairs × dim 16
+    # at the 100k×256 probe; the matmul is milliseconds), the same
+    # rationale as plane_signatures. Arrow transfer is O(n·dim) vectors,
+    # never O(pairs). Phase 2 re-verifies the ~0.1% survivors with the
+    # exact grid cosine JVM-side, so emitted values stay bit-identical
+    # to the single-phase plan. Memory: one max_cluster² float block per
+    # task (2000² = 32 MB) — the cap is also the kernel's memory bound.
+    from pyspark.sql import types as T
+
+    sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("csz"))
+    ok = sizes.filter(
+        (F.col("csz") >= 2) & (F.col("csz") <= max_cluster)
+    ).select("centroid_id")
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         norm_grid(F.col(vec_col)).alias("nrm"),
     )
+    mem_vec = (
+        assigned.join(F.broadcast(ok), "centroid_id")
+        .join(vecs, F.col("id") == F.col("vid"))
+        .select("centroid_id", "id", "v", "nrm")
+    )
+    margin = 1e-6
+    pair_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType(), False),
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+        ]
+    )
+
+    def _pairs_np(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        norms = pdf["nrm"].to_numpy().astype(np.float64)
+        C = (V @ V.T) * _SCALE / np.sqrt(np.outer(norms, norms))
+        iu = np.triu_indices(len(ids), k=1)
+        keep = C[iu] >= (threshold - margin)
+        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        return pd.DataFrame(
+            {
+                "centroid_id": np.full(len(a), key[0], dtype=np.int64),
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+            }
+        )
+
+    cand_pairs = mem_vec.groupBy("centroid_id").applyInPandas(_pairs_np, pair_schema)
     cand = (
-        pairs.join(cluster_of, "id_a")
-        .join(
+        cand_pairs.join(
             vecs.select(
                 F.col("vid"), F.col("v").alias("vec_a"), F.col("nrm").alias("norm_a")
             ),

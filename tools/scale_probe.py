@@ -162,6 +162,28 @@ def probe_minhash(spark) -> list[tuple[str, int, float]]:
     return [("minhash_100k LSH pairs end-to-end", n, timed(lambda: force(pairs)))]
 
 
+def probe_semantic(spark) -> list[tuple[str, int, float]]:
+    """SemDeDup at 100k vectors × 16 dims with 256 anchor clusters —
+    ~20× the bench corpus. Clusters average ~390 members, inside the
+    2000 cap, so the probe prices the REAL cost model (k·n assignment
+    cosines + n/k-bounded in-cluster quadratic prune), not the
+    cap-dropped degenerate case."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    n = 100_000
+    # every 10th vector duplicates its predecessor → known near-dup mass
+    base = F.col("id") - F.when(F.pmod(F.col("id"), F.lit(10)) == 9, 1).otherwise(0)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: (F.pmod(F.xxhash64(base, j), F.lit(1000)).cast("double") / 500.0) - 1.0,
+    )
+    emb = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    pairs = semantic_dedup_pairs(emb, threshold=0.95, n_centroids=256)
+    return [("semantic_100k dedup pairs (256 clusters)", n, timed(lambda: force(pairs)))]
+
+
 def probe_cc(spark) -> list[tuple[str, int, float]]:
     from securities_pricing_data_pipeline_spark.llmdata.dedup import (
         connected_components_star,
@@ -189,7 +211,7 @@ def main() -> None:
     rows: list[tuple[str, int, float]] = []
     failures: list[str] = []
     for probe in (probe_asof, probe_window, probe_skew, probe_quantile,
-                  probe_minhash, probe_cc):
+                  probe_minhash, probe_semantic, probe_cc):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
