@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "events_markov_transitions",
     "events_km_survival",
     "q15_rsi",
+    "q19_ewma",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",

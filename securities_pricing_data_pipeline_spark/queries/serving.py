@@ -443,6 +443,54 @@ def q15_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select("symbol", "trade_date", rsi.alias("rsi_14"))
 
 
+#: EWMA(span=10) over a 30-row trailing window, with the geometric decay
+#: weights QUANTIZED to exact 1e-6-unit int64 literals computed once here
+#: and embedded verbatim in BOTH engines' expressions — the pow() libms
+#: need never agree. _EWMA_DEN[m-1] pre-sums the first m weights so the
+#: denominator for a short leading window is also an exact literal.
+_EWMA_SPAN = 10
+_EWMA_WIN = 30
+_EWMA_R = 1.0 - 2.0 / (_EWMA_SPAN + 1)
+_EWMA_W = [round((_EWMA_R**k) * 1_000_000) for k in range(_EWMA_WIN)]
+_EWMA_DEN = [sum(_EWMA_W[: m + 1]) for m in range(_EWMA_WIN)]
+
+
+def q19_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of close (span 10, 30-row
+    trailing window, adaptive leading edge) — the classic smoothing
+    companion to the SMA/RSI family.
+
+    Exactness (q15's integer-units discipline): close is DECIMAL(18,4) →
+    ×10000 is an exact int64; decay weights are exact 1e-6-unit int64
+    LITERALS (see _EWMA_W); the weighted numerator is therefore a pure
+    int64 dot product (≤ 30 · 1e9 · 1e6 = 3e16, overflow-safe), the
+    denominator an exact literal, and the single final int/int → double
+    division is the only float op — bit-identical across engines with no
+    decimal-snap needed. Semantics: EWMA with weights quantized at 1e-6.
+
+    Plan: one symbol-keyed window shuffle; the trailing closes are
+    collected per row (≤ 30 longs), sorted by date for determinism, and
+    folded JVM-side."""
+    b = bars_silver(spark, sf_dir)
+    w30 = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-29, 0)
+    cu = (F.col("close") * 10000).cast("long")
+    lst = F.collect_list(F.struct(F.col("trade_date").alias("d"), cu.alias("c"))).over(
+        w30
+    )
+    out = b.select("symbol", "trade_date", lst.alias("lst"))
+    rev = F.reverse(F.transform(F.array_sort(F.col("lst")), lambda s: s["c"]))
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _EWMA_W])
+    den_arr = F.array(*[F.lit(d).cast("long") for d in _EWMA_DEN])
+    num = F.aggregate(
+        F.zip_with(rev, F.slice(w_arr, 1, F.size(rev)), lambda c, wt: c * wt),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = F.element_at(den_arr, F.size(rev))
+    ewma = num.cast("double") / (den * F.lit(10000).cast("long")).cast("double")
+    return out.select("symbol", "trade_date", ewma.alias("ewma_10"))
+
+
 def q16_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-symbol OLS price trend (closed-form linear regression of close
     on calendar day): slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²).
@@ -1085,6 +1133,7 @@ QUERIES = {
     "q13_beta": q13_beta,
     "q14_top_corr_pairs": q14_top_corr_pairs,
     "q15_rsi": q15_rsi,
+    "q19_ewma": q19_ewma,
     "q16_trend_slope": q16_trend_slope,
     "q17_twap": q17_twap,
     "q18_rolling_median": q18_rolling_median,
@@ -1544,6 +1593,21 @@ FROM rl GROUP BY symbol ORDER BY symbol
 SELECT symbol, n_days, slope_per_day,
        (CAST(sy AS DOUBLE) / 100.0 - slope_per_day * sx) / n_days AS price_at_epoch
 FROM s ORDER BY symbol
+""",
+    "q19_ewma": BARS_SQL
+    + """
+, lst AS (
+  SELECT symbol, trade_date,
+         list_reverse(list(CAST(close * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) AS rev
+  FROM bars
+)
+SELECT symbol, trade_date,
+       CAST(CAST(list_sum(list_transform(rev, (x, i) -> x * ([1000000, 818182, 669421, 547708, 448125, 366648, 299985, 245442, 200816, 164304, 134431, 109989, 89991, 73629, 60242, 49289, 40327, 32995, 26996, 22088, 18072, 14786, 12098, 9898, 8098, 6626, 5421, 4436, 3629, 2969])[i]))
+                 AS BIGINT) AS DOUBLE)
+         / (CAST(([1000000, 1818182, 2487603, 3035311, 3483436, 3850084, 4150069, 4395511, 4596327, 4760631, 4895062, 5005051, 5095042, 5168671, 5228913, 5278202, 5318529, 5351524, 5378520, 5400608, 5418680, 5433466, 5445564, 5455462, 5463560, 5470186, 5475607, 5480043, 5483672, 5486641])[len(rev)] AS BIGINT) * 10000) AS ewma_10
+FROM lst
 """,
     "q15_rsi": BARS_SQL
     + """
