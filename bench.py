@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "events_km_survival",
     "q15_rsi",
     "q19_ewma",
+    "q20_bollinger",
+    "q21_stochastic",
+    "q22_atr",
+    "q23_obv",
+    "q24_macd",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",

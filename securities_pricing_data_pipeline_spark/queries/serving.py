@@ -16,7 +16,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -489,6 +489,212 @@ def q19_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.element_at(den_arr, F.size(rev))
     ewma = num.cast("double") / (den * F.lit(10000).cast("long")).cast("double")
     return out.select("symbol", "trade_date", ewma.alias("ewma_10"))
+
+
+def q20_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: 20-row SMA of close ± 2 rolling population
+    standard deviations.
+
+    Exactness (q16's moments discipline): close carries 2 decimal digits
+    → ×100 is an exact int64; the window keeps (n, Σy, Σy²) as exact
+    integers (y² ≤ 1e14, ×20 ≈ 2e15 — overflow-safe), so
+    n·Σy² − (Σy)² is bit-identical in both engines. mean, sd, and the
+    bands are then a fixed sequence of double ops (one sqrt) on
+    identical integers — deterministic, no decimal-snap needed."""
+    b = bars_silver(spark, sf_dir)
+    w20 = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-19, 0)
+    y = (F.col("close") * 100).cast("long")
+    agg = b.select(
+        "symbol",
+        "trade_date",
+        F.count("*").over(w20).alias("n_obs"),
+        F.sum(y).over(w20).alias("sy"),
+        F.sum(y * y).over(w20).alias("syy"),
+    ).filter(F.col("n_obs") >= 20)
+    n = F.col("n_obs")
+    mean = F.col("sy").cast("double") / (n * 100).cast("double")
+    sd = F.sqrt((n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")) / (
+        n * 100
+    ).cast("double")
+    return agg.select(
+        "symbol",
+        "trade_date",
+        mean.alias("sma_20"),
+        (mean + 2 * sd).alias("upper_band"),
+        (mean - 2 * sd).alias("lower_band"),
+    )
+
+
+def q21_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − min low)/(max high −
+    min low) over 14 rows; %D = 3-row average of %K.
+
+    Exactness (q15's quotient discipline): highs/lows/closes are exact
+    scale-4 decimals → ×10000 int64; %K is DEFINED as the exact integer
+    quotient (1e8·num) DIV den rescaled to double, and %D as the exact
+    integer mean (Σ₃ quotients) DIV 3 — so both engines never disagree
+    by a float ulp."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    w14 = w.rowsBetween(-13, 0)
+    cu = (F.col("close") * 10000).cast("long")
+    hi = (F.col("high") * 10000).cast("long")
+    lo = (F.col("low") * 10000).cast("long")
+    r = b.select(
+        "symbol",
+        "trade_date",
+        F.count("*").over(w14).alias("n_obs"),
+        cu.alias("cu"),
+        F.max(hi).over(w14).alias("hh"),
+        F.min(lo).over(w14).alias("ll"),
+    ).filter((F.col("n_obs") >= 14) & (F.col("hh") > F.col("ll")))
+    kq = F.expr("CAST(100000000 AS BIGINT) * (cu - ll) DIV (hh - ll)")
+    r2 = r.select("symbol", "trade_date", kq.alias("kq"))
+    w3 = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-2, 0)
+    r3 = r2.select(
+        "symbol",
+        "trade_date",
+        F.col("kq"),
+        F.count("*").over(w3).alias("n3"),
+        F.sum("kq").over(w3).alias("skq"),
+    ).filter(F.col("n3") >= 3)
+    return r3.select(
+        "symbol",
+        "trade_date",
+        (F.col("kq").cast("double") / 1000000.0).alias("pct_k"),
+        (F.expr("skq DIV 3").cast("double") / 1000000.0).alias("pct_d"),
+    )
+
+
+def q22_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-row average true range: TR = max(high−low, |high−prev close|,
+    |low−prev close|), ATR = mean of the trailing 14 TRs.
+
+    Exactness: all inputs are scale-4 decimals, so TR and its window sum
+    are exact; the mean is DEFINED as the exact integer milli-quotient
+    (1000·Σtr_units) DIV n rescaled to double — sidestepping the
+    decimal→double cast ulp divergence the RSI docstring documents."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    w14 = w.rowsBetween(-13, 0)
+    # drop the first row on the LAG being null, not on TR: Spark's
+    # greatest() ignores NULL args (TR would silently degrade to
+    # high−low on day 1) while DuckDB's doesn't — filtering the lag
+    # itself keeps both engines on the same row set
+    pc = F.lag("close").over(w)
+    d = (
+        b.select("symbol", "trade_date", "high", "low", pc.alias("pc"))
+        .filter(F.col("pc").isNotNull())
+        .select(
+            "symbol",
+            "trade_date",
+            F.greatest(
+                F.col("high") - F.col("low"),
+                F.abs(F.col("high") - F.col("pc")),
+                F.abs(F.col("low") - F.col("pc")),
+            ).alias("tr"),
+        )
+    )
+    r = d.select(
+        "symbol",
+        "trade_date",
+        F.count("*").over(w14).alias("n_obs"),
+        (F.sum("tr").over(w14) * 10000).cast("long").alias("str_units"),
+    ).filter(F.col("n_obs") >= 14)
+    atr = F.expr("(CAST(1000 AS BIGINT) * str_units) DIV n_obs").cast("double") / F.lit(
+        10000000.0
+    )
+    return r.select("symbol", "trade_date", atr.alias("atr_14"))
+
+
+def q23_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume: running Σ sign(Δclose)·volume per symbol —
+    pure integer arithmetic end to end (volume is BIGINT, sign ∈
+    {−1,0,1}), so the cumulative window is exact in both engines."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    delta = F.col("close") - F.lag("close").over(w)
+    signed = (
+        F.when(delta > 0, F.col("volume"))
+        .when(delta < 0, -F.col("volume"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    d = b.select("symbol", "trade_date", signed.alias("sv"))
+    return d.select(
+        "symbol", "trade_date", F.sum("sv").over(wcum).cast("long").alias("obv")
+    )
+
+
+#: MACD: EWMA(12) − EWMA(26) of close, then a span-9 signal line over the
+#: MACD series re-quantized to 1e-4 price units. Same literal-weight
+#: discipline as q19 (three weight tables, windows of 30 rows).
+_MACD_W12 = [round(((1.0 - 2.0 / 13.0) ** k) * 1_000_000) for k in range(_EWMA_WIN)]
+_MACD_W26 = [round(((1.0 - 2.0 / 27.0) ** k) * 1_000_000) for k in range(_EWMA_WIN)]
+_MACD_W9 = [round(((1.0 - 2.0 / 10.0) ** k) * 1_000_000) for k in range(_EWMA_WIN)]
+_MACD_D12 = [sum(_MACD_W12[: m + 1]) for m in range(_EWMA_WIN)]
+_MACD_D26 = [sum(_MACD_W26[: m + 1]) for m in range(_EWMA_WIN)]
+_MACD_D9 = [sum(_MACD_W9[: m + 1]) for m in range(_EWMA_WIN)]
+
+
+def _int_ewma(units_rev: Column, w: list[int], den: list[int]) -> Column:
+    """Exact-integer EWMA: Σ units·wᵢ (int64 literals) / (Σwᵢ · 1).
+    ``units_rev`` is newest-first. Returns the exact int64 numerator and
+    literal denominator as a single double division."""
+    w_arr = F.array(*[F.lit(x).cast("long") for x in w])
+    den_arr = F.array(*[F.lit(x).cast("long") for x in den])
+    num = F.aggregate(
+        F.zip_with(units_rev, F.slice(w_arr, 1, F.size(units_rev)), lambda c, wt: c * wt),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return num.cast("double") / F.element_at(den_arr, F.size(units_rev)).cast("double")
+
+
+def q24_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (12, 26, 9) over 30-row windows: macd = EWMA₁₂ − EWMA₂₆ of
+    close; signal = EWMA₉ of the macd series; histogram = macd − signal.
+
+    Exactness: the two close EWMAs use q19's integer-literal weights, so
+    macd is a difference of two deterministic doubles; the macd value is
+    then RE-QUANTIZED to exact 1e-4 price units (round() of the same
+    double value is away-from-zero in both engines) and the signal line
+    is another exact-integer EWMA over those units. Every cross-engine
+    comparison point is an integer or a deterministic double chain."""
+    b = bars_silver(spark, sf_dir)
+    w30 = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-29, 0)
+    cu = (F.col("close") * 10000).cast("long")
+    lst = F.collect_list(F.struct(F.col("trade_date").alias("d"), cu.alias("c"))).over(
+        w30
+    )
+    rev = F.reverse(F.transform(F.array_sort(F.col("lst")), lambda s: s["c"]))
+    stage1 = b.select("symbol", "trade_date", lst.alias("lst")).select(
+        "symbol",
+        "trade_date",
+        (
+            (_int_ewma(rev, _MACD_W12, _MACD_D12) - _int_ewma(rev, _MACD_W26, _MACD_D26))
+            / F.lit(10000.0)
+        ).alias("macd"),
+    )
+    mu = F.round(F.col("macd") * 10000).cast("long")
+    lst2 = F.collect_list(
+        F.struct(F.col("trade_date").alias("d"), mu.alias("c"))
+    ).over(w30)
+    rev2 = F.reverse(F.transform(F.array_sort(F.col("lst2")), lambda s: s["c"]))
+    stage2 = stage1.select("symbol", "trade_date", "macd", lst2.alias("lst2")).select(
+        "symbol",
+        "trade_date",
+        "macd",
+        (_int_ewma(rev2, _MACD_W9, _MACD_D9) / F.lit(10000.0)).alias("signal"),
+    )
+    return stage2.select(
+        "symbol",
+        "trade_date",
+        "macd",
+        "signal",
+        (F.col("macd") - F.col("signal")).alias("histogram"),
+    )
 
 
 def q16_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,6 +1340,11 @@ QUERIES = {
     "q14_top_corr_pairs": q14_top_corr_pairs,
     "q15_rsi": q15_rsi,
     "q19_ewma": q19_ewma,
+    "q20_bollinger": q20_bollinger,
+    "q21_stochastic": q21_stochastic,
+    "q22_atr": q22_atr,
+    "q23_obv": q23_obv,
+    "q24_macd": q24_macd,
     "q16_trend_slope": q16_trend_slope,
     "q17_twap": q17_twap,
     "q18_rolling_median": q18_rolling_median,
@@ -1593,6 +1804,121 @@ FROM rl GROUP BY symbol ORDER BY symbol
 SELECT symbol, n_days, slope_per_day,
        (CAST(sy AS DOUBLE) / 100.0 - slope_per_day * sx) / n_days AS price_at_epoch
 FROM s ORDER BY symbol
+""",
+    "q20_bollinger": BARS_SQL
+    + """
+, m AS (
+  SELECT symbol, trade_date,
+         COUNT(*) OVER w20 AS n_obs,
+         CAST(SUM(CAST(close * 100 AS BIGINT)) OVER w20 AS BIGINT) AS sy,
+         CAST(SUM(CAST(close * 100 AS BIGINT) * CAST(close * 100 AS BIGINT))
+              OVER w20 AS BIGINT) AS syy
+  FROM bars
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date,
+       CAST(sy AS DOUBLE) / CAST(n_obs * 100 AS DOUBLE) AS sma_20,
+       CAST(sy AS DOUBLE) / CAST(n_obs * 100 AS DOUBLE)
+         + 2 * (sqrt(CAST(n_obs * syy - sy * sy AS DOUBLE))
+                / CAST(n_obs * 100 AS DOUBLE)) AS upper_band,
+       CAST(sy AS DOUBLE) / CAST(n_obs * 100 AS DOUBLE)
+         - 2 * (sqrt(CAST(n_obs * syy - sy * sy AS DOUBLE))
+                / CAST(n_obs * 100 AS DOUBLE)) AS lower_band
+FROM m WHERE n_obs >= 20
+""",
+    "q21_stochastic": BARS_SQL
+    + """
+, r AS (
+  SELECT symbol, trade_date,
+         COUNT(*) OVER w14 AS n_obs,
+         CAST(close * 10000 AS BIGINT) AS cu,
+         MAX(CAST(high * 10000 AS BIGINT)) OVER w14 AS hh,
+         MIN(CAST(low * 10000 AS BIGINT)) OVER w14 AS ll
+  FROM bars
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), k AS (
+  SELECT symbol, trade_date,
+         CAST(100000000 AS BIGINT) * (cu - ll) // (hh - ll) AS kq
+  FROM r WHERE n_obs >= 14 AND hh > ll
+), s AS (
+  SELECT symbol, trade_date, kq,
+         COUNT(*) OVER w3 AS n3,
+         CAST(SUM(kq) OVER w3 AS BIGINT) AS skq
+  FROM k
+  WINDOW w3 AS (PARTITION BY symbol ORDER BY trade_date
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date,
+       CAST(kq AS DOUBLE) / 1000000.0 AS pct_k,
+       CAST(skq // 3 AS DOUBLE) / 1000000.0 AS pct_d
+FROM s WHERE n3 >= 3
+""",
+    "q22_atr": BARS_SQL
+    + """
+, d AS (
+  SELECT symbol, trade_date,
+         greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+  FROM (
+    SELECT symbol, trade_date, high, low,
+           lag(close) OVER (PARTITION BY symbol ORDER BY trade_date) AS pc
+    FROM bars
+  ) WHERE pc IS NOT NULL
+), r AS (
+  SELECT symbol, trade_date,
+         COUNT(*) OVER w14 AS n_obs,
+         CAST(SUM(tr) OVER w14 * 10000 AS BIGINT) AS str_units
+  FROM d
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date,
+       CAST((CAST(1000 AS BIGINT) * str_units) // n_obs AS DOUBLE)
+         / 10000000.0 AS atr_14
+FROM r WHERE n_obs >= 14
+""",
+    "q23_obv": BARS_SQL
+    + """
+, d AS (
+  SELECT symbol, trade_date,
+         CASE WHEN close - lag(close) OVER w > 0 THEN CAST(volume AS BIGINT)
+              WHEN close - lag(close) OVER w < 0 THEN -CAST(volume AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS sv
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+)
+SELECT symbol, trade_date,
+       CAST(SUM(sv) OVER (PARTITION BY symbol ORDER BY trade_date
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+FROM d
+""",
+    "q24_macd": BARS_SQL
+    + """
+, lst AS (
+  SELECT symbol, trade_date,
+         list_reverse(list(CAST(close * 10000 AS BIGINT)) OVER w30) AS rev
+  FROM bars
+  WINDOW w30 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT symbol, trade_date,
+         (CAST(CAST(list_sum(list_transform(rev, (x, i) -> x * ([1000000, 846154, 715976, 605826, 512622, 433757, 367025, 310560, 262781, 222354, 188145, 159200, 134708, 113983, 96447, 81609, 69054, 58430, 49441, 41835, 35399, 29953, 25345, 21445, 18146, 15354, 12992, 10993, 9302, 7871])[i])) AS BIGINT) AS DOUBLE) / CAST(CAST(([1000000, 1846154, 2562130, 3167956, 3680578, 4114335, 4481360, 4791920, 5054701, 5277055, 5465200, 5624400, 5759108, 5873091, 5969538, 6051147, 6120201, 6178631, 6228072, 6269907, 6305306, 6335259, 6360604, 6382049, 6400195, 6415549, 6428541, 6439534, 6448836, 6456707])[len(rev)] AS BIGINT) AS DOUBLE)
+          - CAST(CAST(list_sum(list_transform(rev, (x, i) -> x * ([1000000, 925926, 857339, 793832, 735030, 680583, 630170, 583490, 540269, 500249, 463193, 428883, 397114, 367698, 340461, 315242, 291890, 270269, 250249, 231712, 214548, 198656, 183941, 170315, 157699, 146018, 135202, 125187, 115914, 107328])[i])) AS BIGINT) AS DOUBLE) / CAST(CAST(([1000000, 1925926, 2783265, 3577097, 4312127, 4992710, 5622880, 6206370, 6746639, 7246888, 7710081, 8138964, 8536078, 8903776, 9244237, 9559479, 9851369, 10121638, 10371887, 10603599, 10818147, 11016803, 11200744, 11371059, 11528758, 11674776, 11809978, 11935165, 12051079, 12158407])[len(rev)] AS BIGINT) AS DOUBLE)) / 10000.0 AS macd
+  FROM lst
+), m2 AS (
+  SELECT symbol, trade_date, macd,
+         list_reverse(list(CAST(round(macd * 10000) AS BIGINT)) OVER w30) AS rev2
+  FROM m
+  WINDOW w30 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+), sig AS (
+  SELECT symbol, trade_date, macd,
+         CAST(CAST(list_sum(list_transform(rev2, (x, i) -> x * ([1000000, 800000, 640000, 512000, 409600, 327680, 262144, 209715, 167772, 134218, 107374, 85899, 68719, 54976, 43980, 35184, 28147, 22518, 18014, 14412, 11529, 9223, 7379, 5903, 4722, 3778, 3022, 2418, 1934, 1547])[i])) AS BIGINT) AS DOUBLE) / CAST(CAST(([1000000, 1800000, 2440000, 2952000, 3361600, 3689280, 3951424, 4161139, 4328911, 4463129, 4570503, 4656402, 4725121, 4780097, 4824077, 4859261, 4887408, 4909926, 4927940, 4942352, 4953881, 4963104, 4970483, 4976386, 4981108, 4984886, 4987908, 4990326, 4992260, 4993807])[len(rev2)] AS BIGINT) AS DOUBLE) / 10000.0 AS signal
+  FROM m2
+)
+SELECT symbol, trade_date, macd, signal, macd - signal AS histogram
+FROM sig
 """,
     "q19_ewma": BARS_SQL
     + """
