@@ -1243,20 +1243,24 @@ def pit_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_top_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most-correlated instrument pairs (the pairs-trading screen): Pearson
-    correlation of daily returns between the top-20 symbols by total
-    volume, top-10 pairs by |ρ|.
+    """Most-correlated instrument pairs (the pairs-trading screen):
+    Pearson correlation of MONTHLY close-to-close returns between the
+    top-20 symbols by total volume, top-10 pairs by |ρ|, ≥ 10 shared
+    months. Monthly (not daily) grain is what makes the screen
+    non-vacuous on sparse per-symbol calendars: top symbols here share
+    at most ~6 trading DAYS but ~80 calendar months (r6 fix — the daily
+    variant returned zero rows at every SF).
 
     Scale posture: the quadratic blow-up is bounded BEFORE it happens —
     pair enumeration only ever sees the top-k liquid symbols (k² pairs,
-    constant), never the full universe, and the date-keyed self-join
+    constant), never the full universe, and the month-keyed self-join
     broadcasts the (tiny, top-k-filtered) build side. An unbounded
     all-pairs correlation at 100 TB needs DIMSUM-style sampling instead
-    (implemented: ``sim_dimsum_cosine``);
-    this query is the exact screen over the liquid set. Moment sums follow
-    the helpers.py snap discipline (noisy-double products, grid units
-    ≲1e12) so both engines agree bit-for-bit.
-    """
+    (implemented: ``sim_dimsum_cosine``). Exactness: month-end close is
+    an exact scale-2 int64 (max_by on the unique trade_date), the return
+    is a long/long double division (deterministic), and moment sums
+    follow the helpers.py snap discipline so both engines agree
+    bit-for-bit."""
     b = bars_silver(spark, sf_dir)
     top = (
         b.groupBy("symbol")
@@ -1265,26 +1269,37 @@ def q14_top_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("symbol")
     )
-    r = _returns(b).filter(F.col("ret").isNotNull()).join(F.broadcast(top), "symbol")
-    a = r.select(F.col("symbol").alias("sym_a"), "trade_date", F.col("ret").alias("ra"))
-    bb = r.select(F.col("symbol").alias("sym_b"), "trade_date", F.col("ret").alias("rb"))
-    pairs = a.join(F.broadcast(bb), "trade_date").filter(F.col("sym_a") < F.col("sym_b"))
+    mc = (
+        b.join(F.broadcast(top), "symbol")
+        .groupBy("symbol", F.trunc("trade_date", "month").alias("month"))
+        .agg(F.max_by((F.col("close") * 100).cast("long"), "trade_date").alias("cu"))
+    )
+    wm = Window.partitionBy("symbol").orderBy("month")
+    prev = F.lag("cu").over(wm)
+    r = mc.select(
+        "symbol",
+        "month",
+        ((F.col("cu") - prev).cast("double") / prev.cast("double")).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = r.select(F.col("symbol").alias("sym_a"), "month", F.col("ret").alias("ra"))
+    bb = r.select(F.col("symbol").alias("sym_b"), "month", F.col("ret").alias("rb"))
+    pairs = a.join(F.broadcast(bb), "month").filter(F.col("sym_a") < F.col("sym_b"))
     m = pairs.groupBy("sym_a", "sym_b").agg(
-        F.count("*").alias("n_days"),
+        F.count("*").alias("n_months"),
         F.sum(dec(F.col("ra"), 10)).cast("double").alias("sa"),
         F.sum(dec(F.col("rb"), 10)).cast("double").alias("sb"),
         F.sum(dec(F.col("ra") * F.col("rb"), 9)).cast("double").alias("sab"),
         F.sum(dec(F.col("ra") * F.col("ra"), 9)).cast("double").alias("saa"),
         F.sum(dec(F.col("rb") * F.col("rb"), 9)).cast("double").alias("sbb"),
     )
-    n = F.col("n_days")
+    n = F.col("n_months")
     cov = n * F.col("sab") - F.col("sa") * F.col("sb")
     va = F.greatest(n * F.col("saa") - F.col("sa") * F.col("sa"), F.lit(0.0))
     vb = F.greatest(n * F.col("sbb") - F.col("sb") * F.col("sb"), F.lit(0.0))
     corr = cov / F.nullif(F.sqrt(va) * F.sqrt(vb), F.lit(0.0))
     return (
         m.filter(n >= 10)
-        .select("sym_a", "sym_b", "n_days", corr.alias("corr"))
+        .select("sym_a", "sym_b", "n_months", corr.alias("corr"))
         .filter(F.col("corr").isNotNull())
         .orderBy(F.desc(F.abs(F.col("corr"))), "sym_a", "sym_b")
         .limit(10)
@@ -1963,19 +1978,28 @@ SELECT symbol, trade_date,
 FROM scaled WHERE d_units > 0
 """,
     "q14_top_corr_pairs": BARS_SQL
-    + RET_SQL
     + """
 , top AS (
   SELECT symbol FROM (
     SELECT symbol, CAST(SUM(volume) AS BIGINT) AS tv FROM bars GROUP BY symbol
   ) ORDER BY tv DESC, symbol LIMIT 20
+), mc AS (
+  SELECT b.symbol, date_trunc('month', b.trade_date) AS month,
+         arg_max(CAST(b.close * 100 AS BIGINT), b.trade_date) AS cu
+  FROM bars b JOIN top USING (symbol)
+  GROUP BY 1, 2
 ), fr AS (
-  SELECT r.* FROM rets r JOIN top USING (symbol) WHERE ret IS NOT NULL
+  SELECT symbol, month,
+         CAST(cu - lag(cu) OVER w AS DOUBLE)
+           / CAST(lag(cu) OVER w AS DOUBLE) AS ret
+  FROM mc
+  WINDOW w AS (PARTITION BY symbol ORDER BY month)
+  QUALIFY ret IS NOT NULL
 ), p AS (
   SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ret AS ra, b.ret AS rb
-  FROM fr a JOIN fr b ON a.trade_date = b.trade_date AND a.symbol < b.symbol
+  FROM fr a JOIN fr b ON a.month = b.month AND a.symbol < b.symbol
 ), m AS (
-  SELECT sym_a, sym_b, COUNT(*) AS n_days,
+  SELECT sym_a, sym_b, COUNT(*) AS n_months,
          CAST(SUM(CAST(ra AS DECIMAL(38,10))) AS DOUBLE) AS sa,
          CAST(SUM(CAST(rb AS DECIMAL(38,10))) AS DOUBLE) AS sb,
          CAST(SUM(CAST(ra * rb AS DECIMAL(38,9))) AS DOUBLE) AS sab,
@@ -1983,13 +2007,13 @@ FROM scaled WHERE d_units > 0
          CAST(SUM(CAST(rb * rb AS DECIMAL(38,9))) AS DOUBLE) AS sbb
   FROM p GROUP BY 1, 2
 ), c AS (
-  SELECT sym_a, sym_b, n_days,
-         (n_days * sab - sa * sb) /
-         NULLIF(sqrt(greatest(n_days * saa - sa * sa, 0.0)) *
-                sqrt(greatest(n_days * sbb - sb * sb, 0.0)), 0.0) AS corr
-  FROM m WHERE n_days >= 10
+  SELECT sym_a, sym_b, n_months,
+         (n_months * sab - sa * sb) /
+         NULLIF(sqrt(greatest(n_months * saa - sa * sa, 0.0)) *
+                sqrt(greatest(n_months * sbb - sb * sb, 0.0)), 0.0) AS corr
+  FROM m WHERE n_months >= 10
 )
-SELECT sym_a, sym_b, n_days, corr
+SELECT sym_a, sym_b, n_months, corr
 FROM c WHERE corr IS NOT NULL
 ORDER BY abs(corr) DESC, sym_a, sym_b
 LIMIT 10
