@@ -496,69 +496,17 @@ def graph_triangles_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency table is small; the intersect + count stays inside
     whole-stage codegen either way. On this 0.91-density co-supply
     graph the old wedge-join plan shuffled ~140M 16-byte wedge rows
-    (21.8s at sf0.1 in the r5 driver); this shape runs 4.7s median."""
+    (21.8s at sf0.1 in the r5 driver); this shape runs 4.7s median.
+    The count itself is ``operators.graph.triangle_stats`` — also
+    exercised on a hub-skewed 1M-edge synthetic graph by the scale
+    probe."""
+    from securities_pricing_data_pipeline_spark.operators.graph import triangle_stats
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
-    und = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_edges = und.agg(F.count("*").alias("n_edges"))
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    nodes_triads = deg.agg(
-        F.count("*").alias("n_nodes"),
-        F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_triads"),
-    )
-    # orient lower-(deg, id) → higher, then count per-edge intersections
-    # of the two oriented out-neighborhoods
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("degu"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("degv"))
-    u_first = (F.col("degu") < F.col("degv")) | (
-        (F.col("degu") == F.col("degv")) & (F.col("u") < F.col("v"))
-    )
-    edges = (
-        und.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    )
-    adj = edges.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
-    # round-robin repartition: the per-edge intersect is the hot stage —
-    # without it AQE coalesces the tiny edge shuffle onto ~3 tasks and
-    # serializes O(m^1.5) work; with it the stage fans across every core
-    # (and the adjacency side broadcasts, so no re-shuffle is forced)
-    nparts = spark.sparkContext.defaultParallelism * 3
-    tri = (
-        edges.repartition(nparts)
-        .join(
-            adj.select(F.col("src").alias("jsrc"), F.col("nbrs").alias("src_nbrs")),
-            F.col("src") == F.col("jsrc"),
-        )
-        .join(
-            adj.select(F.col("src").alias("jdst"), F.col("nbrs").alias("dst_nbrs")),
-            F.col("dst") == F.col("jdst"),
-        )
-        .select(F.size(F.array_intersect("src_nbrs", "dst_nbrs")).alias("c"))
-        .agg(F.sum("c").alias("n_triangles"))
-    )
-    out = nodes_triads.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
-    gcc = (F.lit(3.0) * F.col("n_triangles").cast("double")) / F.col("n_triads").cast(
-        "double"
-    )
-    return out.select(
-        "n_nodes", "n_edges", "n_triangles", "n_triads", gcc.alias("global_clustering")
-    )
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    return triangle_stats(und)
 
 
 def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

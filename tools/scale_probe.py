@@ -189,6 +189,37 @@ def probe_semantic(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_triangles(spark) -> list[tuple[str, int, float]]:
+    """Triangle count on a deliberately HUB-SKEWED synthetic graph at
+    ~2× the bench edge count: 1M candidate edges over 20k nodes where
+    one endpoint is biased toward low ids (hash mod a varying range), so
+    a handful of hubs carry thousands of edges. Raw-id orientation makes
+    hubs wedge SOURCES (Σdeg² blowup); degree ordering makes them sinks
+    — this probe prices the plan the round-6 rewrite committed to."""
+    from securities_pricing_data_pipeline_spark.operators.graph import triangle_stats
+
+    n = 1_000_000
+    u = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(20_000))
+    # v drawn from a range that shrinks for ~1/7 of edges → low-id hubs
+    rng = F.when(F.pmod(F.col("id"), F.lit(7)) == 0, F.lit(200)).otherwise(
+        F.lit(20_000)
+    )
+    v = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), rng)
+    und = (
+        spark.range(n)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    # construct inside the timed window — the operator eagerly
+    # materializes its edge list at build time, which is probe cost
+    return [(
+        "triangles_1m hub-skewed (20k nodes)",
+        n,
+        timed(lambda: force(triangle_stats(und))),
+    )]
+
+
 def probe_cc(spark) -> list[tuple[str, int, float]]:
     from securities_pricing_data_pipeline_spark.llmdata.dedup import (
         connected_components_star,
@@ -216,7 +247,7 @@ def main() -> None:
     rows: list[tuple[str, int, float]] = []
     failures: list[str] = []
     for probe in (probe_asof, probe_window, probe_skew, probe_quantile,
-                  probe_minhash, probe_semantic, probe_cc):
+                  probe_minhash, probe_semantic, probe_triangles, probe_cc):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
