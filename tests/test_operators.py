@@ -359,3 +359,30 @@ def test_merge_partial_aggs_full_outer_semantics(spark):
 
     with _pytest.raises(ValueError):
         merge_partial_aggs(old, delta, ["k"], {"n": "median"}).collect()
+
+
+def test_triangle_stats_known_graphs(spark):
+    from securities_pricing_data_pipeline_spark.operators.graph import triangle_stats
+
+    # K4: C(4,3)=4 triangles, 6 edges, 12 triads, clustering exactly 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "u long, v long"
+    )
+    row = triangle_stats(k4).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"], row["n_triads"]) == (
+        4, 6, 4, 12,
+    )
+    assert row["global_clustering"] == 1.0
+
+    # path 0-1-2-3: no triangles, 2 open triads
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "u long, v long")
+    row = triangle_stats(path).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_triads"] == 2
+    assert row["global_clustering"] == 0.0
+
+    # hub star + one closing edge: exactly one triangle at the hub
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2)], "u long, v long"
+    )
+    row = triangle_stats(star).collect()[0]
+    assert row["n_triangles"] == 1
