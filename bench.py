@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "stream_events_dedup_keys",
     "stream_events_sessionize",
     "stream_events_interval_join",
+    "stream_events_sliding",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",
     "sketch_hll_intersection",

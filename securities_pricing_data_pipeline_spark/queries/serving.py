@@ -697,6 +697,178 @@ def q24_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q25_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channels: 20-row rolling max high / min low, midline =
+    their mean. Exactness: highs/lows are scale-4 decimals → ×10000 exact
+    int64; MAX/MIN are exact; each output is one int→double cast (exact
+    ≤ 2^53) and one division — a single correct rounding per value in
+    both engines."""
+    b = bars_silver(spark, sf_dir)
+    w20 = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-19, 0)
+    hi = (F.col("high") * 10000).cast("long")
+    lo = (F.col("low") * 10000).cast("long")
+    r = b.select(
+        "symbol",
+        "trade_date",
+        F.count("*").over(w20).alias("n_obs"),
+        F.max(hi).over(w20).alias("hh"),
+        F.min(lo).over(w20).alias("ll"),
+    ).filter(F.col("n_obs") >= 20)
+    return r.select(
+        "symbol",
+        "trade_date",
+        (F.col("hh").cast("double") / 10000.0).alias("upper_ch"),
+        (F.col("ll").cast("double") / 10000.0).alias("lower_ch"),
+        ((F.col("hh") + F.col("ll")).cast("double") / 20000.0).alias("mid_ch"),
+    )
+
+
+def q26_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R: −100·(max high − close)/(max high − min low) over 14
+    rows — the stochastic %K's mirror. Exactness (q21's quotient
+    discipline): defined as the exact integer quotient (1e8·(hh−cu)) DIV
+    (hh−ll) rescaled to double; hh ≥ cu by bars construction (close is a
+    member of the high's max set), so the numerator is non-negative and
+    truncating division agrees across engines regardless."""
+    b = bars_silver(spark, sf_dir)
+    w14 = Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-13, 0)
+    cu = (F.col("close") * 10000).cast("long")
+    hi = (F.col("high") * 10000).cast("long")
+    lo = (F.col("low") * 10000).cast("long")
+    r = b.select(
+        "symbol",
+        "trade_date",
+        F.count("*").over(w14).alias("n_obs"),
+        cu.alias("cu"),
+        F.max(hi).over(w14).alias("hh"),
+        F.min(lo).over(w14).alias("ll"),
+    ).filter((F.col("n_obs") >= 14) & (F.col("hh") > F.col("ll")))
+    rq = F.expr("CAST(100000000 AS BIGINT) * (hh - cu) DIV (hh - ll)")
+    return r.select(
+        "symbol",
+        "trade_date",
+        (-(rq.cast("double")) / 1000000.0).alias("pct_r"),
+    )
+
+
+def q27_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-row rate of change: 100·(close/close₋₁₂ − 1). Exactness: both
+    closes are exact ×10000 int64 units; the ratio is DEFINED as the
+    exact integer quotient (1e8·cu) DIV pu (cu, pu > 0 → non-negative),
+    and roc = (quotient − 1e8)/1e6 — one int subtract and one double
+    divide, bit-identical across engines."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    cu = (F.col("close") * 10000).cast("long")
+    pu = F.lag(cu, 12).over(w)
+    r = b.select("symbol", "trade_date", cu.alias("cu"), pu.alias("pu")).filter(
+        F.col("pu").isNotNull() & (F.col("pu") > 0)
+    )
+    q = F.expr("CAST(100000000 AS BIGINT) * cu DIV pu")
+    return r.select(
+        "symbol",
+        "trade_date",
+        ((q - F.lit(100000000).cast("long")).cast("double") / 1000000.0).alias(
+            "roc_12"
+        ),
+    )
+
+
+#: Keltner channel EMA(20) weights — q19's literal-quantization discipline
+_KELT_W = [round(((1.0 - 2.0 / 21.0) ** k) * 1_000_000) for k in range(_EWMA_WIN)]
+_KELT_DEN = [sum(_KELT_W[: m + 1]) for m in range(_EWMA_WIN)]
+
+
+def q28_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels: EMA(20) of close ± 2·ATR(10). Exactness: the EMA
+    rides q19's integer-literal weight path (exact int64 dot product, one
+    double divide); the ATR is q22's exact integer milli-quotient with a
+    10-row window; upper/lower are then sums of two deterministic doubles
+    — deterministic in both engines. The two legs shuffle on the same
+    symbol key, so the join is co-partitioned (no extra exchange)."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    w30 = w.rowsBetween(-29, 0)
+    w10 = w.rowsBetween(-9, 0)
+    cu = (F.col("close") * 10000).cast("long")
+    lst = F.collect_list(F.struct(F.col("trade_date").alias("d"), cu.alias("c"))).over(
+        w30
+    )
+    rev = F.reverse(F.transform(F.array_sort(F.col("lst")), lambda s: s["c"]))
+    ema = b.select("symbol", "trade_date", lst.alias("lst")).select(
+        "symbol",
+        "trade_date",
+        (_int_ewma(rev, _KELT_W, _KELT_DEN) / F.lit(10000.0)).alias("ema20"),
+    )
+    pc = F.lag("close").over(w)
+    d = (
+        b.select("symbol", "trade_date", "high", "low", pc.alias("pc"))
+        .filter(F.col("pc").isNotNull())
+        .select(
+            "symbol",
+            "trade_date",
+            F.greatest(
+                F.col("high") - F.col("low"),
+                F.abs(F.col("high") - F.col("pc")),
+                F.abs(F.col("low") - F.col("pc")),
+            ).alias("tr"),
+        )
+    )
+    atr = (
+        d.select(
+            "symbol",
+            "trade_date",
+            F.count("*").over(w10).alias("n_obs"),
+            (F.sum("tr").over(w10) * 10000).cast("long").alias("str_units"),
+        )
+        .filter(F.col("n_obs") >= 10)
+        .select(
+            "symbol",
+            "trade_date",
+            (
+                F.expr("(CAST(1000 AS BIGINT) * str_units) DIV n_obs").cast("double")
+                / F.lit(10000000.0)
+            ).alias("atr10"),
+        )
+    )
+    j = ema.join(atr, ["symbol", "trade_date"])
+    return j.select(
+        "symbol",
+        "trade_date",
+        F.col("ema20").alias("mid_line"),
+        (F.col("ema20") + 2 * F.col("atr10")).alias("upper_ch"),
+        (F.col("ema20") - 2 * F.col("atr10")).alias("lower_ch"),
+    )
+
+
+def q29_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot points from the PREVIOUS bar's
+    high/low/close: P = (H+L+C)/3, R1 = 2P−L, S1 = 2P−H, R2 = P+(H−L),
+    S2 = P−(H−L). Exactness: H/L/C are exact ×10000 int64; P is one
+    int→double cast and one divide; every other level is a fixed chain
+    of double ±/× on deterministic inputs — identical in both engines."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    hu = F.lag((F.col("high") * 10000).cast("long")).over(w)
+    lu = F.lag((F.col("low") * 10000).cast("long")).over(w)
+    cu = F.lag((F.col("close") * 10000).cast("long")).over(w)
+    r = b.select(
+        "symbol", "trade_date", hu.alias("hu"), lu.alias("lu"), cu.alias("cu")
+    ).filter(F.col("hu").isNotNull())
+    p = (F.col("hu") + F.col("lu") + F.col("cu")).cast("double") / 30000.0
+    h = F.col("hu").cast("double") / 10000.0
+    low = F.col("lu").cast("double") / 10000.0
+    return r.select(
+        "symbol",
+        "trade_date",
+        p.alias("pivot"),
+        (2 * p - low).alias("r1"),
+        (2 * p - h).alias("s1"),
+        (p + (h - low)).alias("r2"),
+        (p - (h - low)).alias("s2"),
+    )
+
+
 def q16_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-symbol OLS price trend (closed-form linear regression of close
     on calendar day): slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²).
@@ -1360,6 +1532,11 @@ QUERIES = {
     "q22_atr": q22_atr,
     "q23_obv": q23_obv,
     "q24_macd": q24_macd,
+    "q25_donchian": q25_donchian,
+    "q26_williams_r": q26_williams_r,
+    "q27_roc": q27_roc,
+    "q28_keltner": q28_keltner,
+    "q29_pivot_points": q29_pivot_points,
     "q16_trend_slope": q16_trend_slope,
     "q17_twap": q17_twap,
     "q18_rolling_median": q18_rolling_median,
@@ -1934,6 +2111,120 @@ FROM d
 )
 SELECT symbol, trade_date, macd, signal, macd - signal AS histogram
 FROM sig
+""",
+    "q25_donchian": BARS_SQL
+    + """
+, r AS (
+  SELECT symbol, trade_date,
+         COUNT(*) OVER w20 AS n_obs,
+         MAX(CAST(high * 10000 AS BIGINT)) OVER w20 AS hh,
+         MIN(CAST(low * 10000 AS BIGINT)) OVER w20 AS ll
+  FROM bars
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date,
+       CAST(hh AS DOUBLE) / 10000.0 AS upper_ch,
+       CAST(ll AS DOUBLE) / 10000.0 AS lower_ch,
+       CAST(hh + ll AS DOUBLE) / 20000.0 AS mid_ch
+FROM r WHERE n_obs >= 20
+""",
+    "q26_williams_r": BARS_SQL
+    + """
+, r AS (
+  SELECT symbol, trade_date,
+         COUNT(*) OVER w14 AS n_obs,
+         CAST(close * 10000 AS BIGINT) AS cu,
+         MAX(CAST(high * 10000 AS BIGINT)) OVER w14 AS hh,
+         MIN(CAST(low * 10000 AS BIGINT)) OVER w14 AS ll
+  FROM bars
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date,
+       -(CAST(CAST(100000000 AS BIGINT) * (hh - cu) // (hh - ll) AS DOUBLE))
+         / 1000000.0 AS pct_r
+FROM r WHERE n_obs >= 14 AND hh > ll
+""",
+    "q27_roc": BARS_SQL
+    + """
+, r AS (
+  SELECT symbol, trade_date,
+         CAST(close * 10000 AS BIGINT) AS cu,
+         lag(CAST(close * 10000 AS BIGINT), 12)
+           OVER (PARTITION BY symbol ORDER BY trade_date) AS pu
+  FROM bars
+)
+SELECT symbol, trade_date,
+       CAST(CAST(100000000 AS BIGINT) * cu // pu
+            - CAST(100000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS roc_12
+FROM r WHERE pu IS NOT NULL AND pu > 0
+""",
+    "q28_keltner": BARS_SQL
+    + f"""
+, lst AS (
+  SELECT symbol, trade_date,
+         list_reverse(list(CAST(close * 10000 AS BIGINT)) OVER w30) AS rev
+  FROM bars
+  WINDOW w30 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+), ema AS (
+  SELECT symbol, trade_date,
+         CAST(CAST(list_sum(list_transform(rev, (x, i) -> x * ({_KELT_W}[i])))
+                   AS BIGINT) AS DOUBLE)
+           / CAST(CAST(({_KELT_DEN}[len(rev)]) AS BIGINT) AS DOUBLE)
+           / 10000.0 AS ema20
+  FROM lst
+), d AS (
+  SELECT symbol, trade_date,
+         greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+  FROM (
+    SELECT symbol, trade_date, high, low,
+           lag(close) OVER (PARTITION BY symbol ORDER BY trade_date) AS pc
+    FROM bars
+  ) WHERE pc IS NOT NULL
+), r AS (
+  SELECT symbol, trade_date,
+         COUNT(*) OVER w10 AS n_obs,
+         CAST(SUM(tr) OVER w10 * 10000 AS BIGINT) AS str_units
+  FROM d
+  WINDOW w10 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+), atr AS (
+  SELECT symbol, trade_date,
+         CAST((CAST(1000 AS BIGINT) * str_units) // n_obs AS DOUBLE)
+           / 10000000.0 AS atr10
+  FROM r WHERE n_obs >= 10
+)
+SELECT e.symbol, e.trade_date,
+       e.ema20 AS mid_line,
+       e.ema20 + 2 * a.atr10 AS upper_ch,
+       e.ema20 - 2 * a.atr10 AS lower_ch
+FROM ema e JOIN atr a ON e.symbol = a.symbol AND e.trade_date = a.trade_date
+""",
+    "q29_pivot_points": BARS_SQL
+    + """
+, r AS (
+  SELECT symbol, trade_date,
+         lag(CAST(high * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date) AS hu,
+         lag(CAST(low * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date) AS lu,
+         lag(CAST(close * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date) AS cu
+  FROM bars
+)
+SELECT symbol, trade_date,
+       CAST(hu + lu + cu AS DOUBLE) / 30000.0 AS pivot,
+       2 * (CAST(hu + lu + cu AS DOUBLE) / 30000.0)
+         - CAST(lu AS DOUBLE) / 10000.0 AS r1,
+       2 * (CAST(hu + lu + cu AS DOUBLE) / 30000.0)
+         - CAST(hu AS DOUBLE) / 10000.0 AS s1,
+       (CAST(hu + lu + cu AS DOUBLE) / 30000.0)
+         + (CAST(hu AS DOUBLE) / 10000.0 - CAST(lu AS DOUBLE) / 10000.0) AS r2,
+       (CAST(hu + lu + cu AS DOUBLE) / 30000.0)
+         - (CAST(hu AS DOUBLE) / 10000.0 - CAST(lu AS DOUBLE) / 10000.0) AS s2
+FROM r WHERE hu IS NOT NULL
 """,
     "q19_ewma": BARS_SQL
     + """

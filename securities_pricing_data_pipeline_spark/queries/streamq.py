@@ -210,8 +210,31 @@ def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregate executed AS A STREAM
+    (streaming.ingest.sliding_event_stats_stream, 1 hour window / 15 min
+    slide): every event lands in 4 overlapping windows, so the sink holds
+    a trailing-hour view per event_type refreshed each slide. Oracle
+    models the overlap by cross-joining each event with its 4 slide
+    offsets. Same determinism contract as the tumbling twin: decimal-
+    snapped sums are arrival-order independent and the single availableNow
+    drain means the watermark never drops rows."""
+    from securities_pricing_data_pipeline_spark.streaming.ingest import (
+        sliding_event_stats_stream,
+    )
+
+    out = sliding_event_stats_stream(
+        _event_stream(spark, sf_dir), watermark="90 days"
+    )
+    name = _drain(out, "sliding", "complete")
+    return spark.table(name).select(
+        "window_start_epoch", "event_type", "n_events", "total_value"
+    )
+
+
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
+    "stream_events_sliding": stream_events_sliding,
     "stream_events_dedup_keys": stream_events_dedup_keys,
     "stream_events_interval_join": stream_events_interval_join,
     "stream_events_sessionize": stream_events_sessionize,
@@ -226,6 +249,20 @@ SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGI
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
 FROM events
+GROUP BY 1, 2
+""",
+    # each event belongs to the 4 slide-aligned windows covering it:
+    # starts bucket(ts,15m) - k*900 for k in 0..3 (epoch-aligned grids in
+    # both engines: Spark windows and DuckDB time_bucket origins are both
+    # multiples of 900s)
+    "stream_events_sliding": """
+WITH shifts AS (SELECT unnest(range(4)) AS k)
+SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         - k * 900 AS window_start_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events, shifts
 GROUP BY 1, 2
 """,
     "stream_events_dedup_keys": """

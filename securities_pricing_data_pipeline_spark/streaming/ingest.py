@@ -169,3 +169,32 @@ def windowed_event_stats_stream(
         "n_events",
         "total_value",
     )
+
+
+def sliding_event_stats_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregate: every event lands in
+    window/slide overlapping windows (4 for 1h/15m), so each emitted row
+    is a trailing-hour view refreshed every slide. The streaming twin of a
+    rolling RANGE window — state per (window, event_type) key is bounded
+    by the watermark horizon x overlap factor, which is the scalable way
+    to keep "last hour" stats fresh on an unbounded feed (a batch RANGE
+    re-scan at that cadence would reread the hot partition every slide).
+    ``events`` must carry ``event_time``; works on batch frames too."""
+    if events.isStreaming:
+        events = events.withWatermark("event_time", watermark)
+    return events.groupBy(
+        F.window("event_time", window, slide).alias("w"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    ).select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
