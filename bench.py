@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "emb_pq_codes",
     "graph_pagerank_suppliers",
     "graph_triangles_suppliers",
+    "graph_assortativity_parts",
     "sim_rrf_fusion",
     "text_chunk_windows",
     "events_variant_props",

@@ -509,6 +509,55 @@ def graph_triangles_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(und)
 
 
+def graph_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman's r):
+    the Pearson correlation of endpoint degrees over the SYMMETRIZED
+    edge list — do popular parts co-occur in baskets with other popular
+    parts (r>0) or with the long tail (r<0)? Completes the graph-summary
+    trio next to PageRank (centrality) and triangle_stats (transitivity).
+    The co-supply graph is the wrong subject here: at small SF it is
+    complete, hence degree-regular, and r is 0/0 — the basket graph's
+    degree spread is what makes the metric defined at every scale.
+
+    Exactness (q16's moments discipline, widened): degrees are exact
+    int64; every moment (Σd, Σd², Σdxdy) is an exact int64 sum; the
+    closed-form numerator/denominator n·Σdxdy − (Σd)² are computed in
+    DECIMAL(38,0) so they stay exact beyond the int64 budget (n·Σdxdy
+    can pass 1e18 on a 100 TB edge list), and the single decimal→double
+    division at the end is the only float op. Because the edge list is
+    symmetric, Σdx = Σdy and Σdx² = Σdy², so the two-sided Pearson
+    collapses to one denominator — computed once, used squared.
+
+    Plan: degrees are one groupBy over the edge list; both endpoint
+    joins are keyed equi-joins on the node id (AQE broadcasts the
+    node-sized degree table); the moment aggregate is a map-side partial
+    reduce to ONE row — no wedge or pair materialization anywhere, so
+    the shape is strictly lighter than the triangle pass."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    sym = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    e = sym.join(deg.select("u", F.col("deg").alias("dx")), "u").join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("dy")), "v"
+    )
+    agg = e.agg(
+        F.count("*").alias("n_dir"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    dec = "decimal(38,0)"
+    n = F.col("n_dir").cast(dec)
+    num = n * F.col("sxy").cast(dec) - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    den = n * F.col("sxx").cast(dec) - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    return agg.select(
+        (F.col("n_dir") / 2).cast("long").alias("n_edges"),
+        (num.cast("double") / den.cast("double")).alias("assortativity"),
+    )
+
+
 def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification of parts by revenue: rank parts by
     descending revenue, classify by cumulative share (A ≤ 80%, B ≤ 95%,
@@ -628,6 +677,7 @@ QUERIES = {
     "basket_part_pairs": basket_part_pairs,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "graph_triangles_suppliers": graph_triangles_suppliers,
+    "graph_assortativity_parts": graph_assortativity_parts,
     "pareto_abc_parts": pareto_abc_parts,
     "hist_price_buckets": hist_price_buckets,
     "unpivot_ohlc_long": unpivot_ohlc_long,
@@ -896,6 +946,32 @@ WITH ls AS (
 SELECT n_nodes, n_edges, n_triangles, n_triads,
        (3.0 * CAST(n_triangles AS DOUBLE)) / CAST(n_triads AS DOUBLE) AS global_clustering
 FROM nt, ne, tri
+"""
+
+ORACLES["graph_assortativity_parts"] = """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem
+), und AS (
+  SELECT DISTINCT a.sk AS u, b.sk AS v
+  FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk
+), sym AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), deg AS (
+  SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1
+), m AS (
+  SELECT COUNT(*) AS n_dir,
+         CAST(SUM(dx.deg) AS BIGINT) AS sx,
+         CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy,
+         CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx
+  FROM sym e JOIN deg dx ON e.u = dx.node JOIN deg dy ON e.v = dy.node
+)
+SELECT CAST(n_dir / 2 AS BIGINT) AS n_edges,
+       CAST(CAST(n_dir AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+            - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(CAST(n_dir AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+         AS assortativity
+FROM m
 """
 
 ORACLES["rfm_customer_segments"] = """
