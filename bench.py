@@ -83,6 +83,13 @@ BENCH_QUERIES = [
     "q22_atr",
     "q23_obv",
     "q24_macd",
+    "q25_donchian",
+    "q26_williams_r",
+    "q27_roc",
+    "q28_keltner",
+    "q29_pivot_points",
+    "q30_sharpe",
+    "q31_var_es",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",

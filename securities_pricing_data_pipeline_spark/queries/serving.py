@@ -869,6 +869,102 @@ def q29_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe ratio per symbol (rf = 0), WINSORIZED: daily
+    returns in exact basis-point units rq = (1e4·cu) DIV pu − 1e4,
+    clamped to ±50000 bp (±500%) — the robust-Sharpe variant desks
+    apply to de-fang data-error gaps, and exactly what keeps EVERY
+    moment inside int64 (rq² ≤ 2.5e9, so n·Σrq² stays exact for series
+    up to ~60k days). mean/sd collapses to Σrq/√(n·Σrq²−(Σrq)²) — one
+    sqrt and one divide on exactly-agreed int64 values, times the
+    literal √252. (A DECIMAL(38,0) formulation is NOT parity-safe:
+    DuckDB's wide-decimal→double cast lands 1 ulp off the correctly
+    rounded value — measured on this data — while int64→double casts
+    are exact ground both engines share.)
+
+    Plan: one symbol-window pass for the lag, one hash aggregate to 3
+    moments per symbol — map-side partials, no second pass."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    cu = (F.col("close") * 10000).cast("long")
+    pu = F.lag(cu).over(w)
+    r = b.select("symbol", cu.alias("cu"), pu.alias("pu")).filter(
+        F.col("pu").isNotNull() & (F.col("pu") > 0)
+    )
+    rq = F.expr(
+        "greatest(CAST(-50000 AS BIGINT), least(CAST(50000 AS BIGINT), "
+        "CAST(10000 AS BIGINT) * cu DIV pu - CAST(10000 AS BIGINT)))"
+    )
+    agg = (
+        r.select("symbol", rq.alias("rq"))
+        .groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("rq").alias("s1"),
+            F.sum(F.col("rq") * F.col("rq")).alias("s2"),
+        )
+        .filter(F.col("n_days") >= 30)
+    )
+    d = F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")
+    sharpe = (
+        F.col("s1").cast("double") / F.sqrt(d.cast("double")) * F.sqrt(F.lit(252.0))
+    )
+    return agg.select(
+        "symbol",
+        "n_days",
+        (F.col("s1").cast("double") / F.col("n_days") / 100.0).alias("mean_ret_pct"),
+        sharpe.alias("ann_sharpe"),
+    )
+
+
+def q31_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 5% value-at-risk and expected shortfall per symbol:
+    VaR = the k-th smallest daily return with k = 1 + (n−1)·5 DIV 100
+    (the lower empirical quantile — EXACT RANK SELECTION, no
+    interpolation, so there is no float quantile formula for the engines
+    to disagree on), ES = the mean of the k worst returns as the exact
+    integer milli-quotient. Returns ride q27's integer-quotient units
+    (ties broken by trade date so both engines rank identically).
+
+    Plan: one symbol-window for the lag, one ranking window, one
+    aggregate — all shuffles on the symbol key. At 100 TB the ranking
+    window only orders within symbol (bounded series length), never
+    globally."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    cu = (F.col("close") * 10000).cast("long")
+    pu = F.lag(cu).over(w)
+    r = b.select("symbol", "trade_date", cu.alias("cu"), pu.alias("pu")).filter(
+        F.col("pu").isNotNull() & (F.col("pu") > 0)
+    )
+    rq = F.expr("CAST(100000000 AS BIGINT) * cu DIV pu - CAST(100000000 AS BIGINT)")
+    wr = Window.partitionBy("symbol").orderBy("rq", "trade_date")
+    wn = Window.partitionBy("symbol")
+    ranked = r.select("symbol", "trade_date", rq.alias("rq")).select(
+        "symbol",
+        "rq",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n_days"),
+    )
+    ksel = F.expr("1 + (n_days - 1) * 5 DIV 100")
+    worst = ranked.filter(F.col("rn") <= ksel)
+    agg = worst.groupBy("symbol").agg(
+        F.max("n_days").alias("n_days"),
+        F.count("*").alias("k"),
+        F.max(F.when(F.col("rn") == ksel, F.col("rq"))).alias("var_units"),
+        F.sum("rq").alias("sum_worst"),
+    )
+    return agg.filter(F.col("n_days") >= 30).select(
+        "symbol",
+        "n_days",
+        (F.col("var_units").cast("double") / 1000000.0).alias("var5_pct"),
+        (
+            F.expr("(CAST(1000 AS BIGINT) * sum_worst) DIV k").cast("double")
+            / 1000000000.0
+        ).alias("es5_pct"),
+    )
+
+
 def q16_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-symbol OLS price trend (closed-form linear regression of close
     on calendar day): slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²).
@@ -1537,6 +1633,8 @@ QUERIES = {
     "q27_roc": q27_roc,
     "q28_keltner": q28_keltner,
     "q29_pivot_points": q29_pivot_points,
+    "q30_sharpe": q30_sharpe,
+    "q31_var_es": q31_var_es,
     "q16_trend_slope": q16_trend_slope,
     "q17_twap": q17_twap,
     "q18_rolling_median": q18_rolling_median,
@@ -2225,6 +2323,64 @@ SELECT symbol, trade_date,
        (CAST(hu + lu + cu AS DOUBLE) / 30000.0)
          - (CAST(hu AS DOUBLE) / 10000.0 - CAST(lu AS DOUBLE) / 10000.0) AS s2
 FROM r WHERE hu IS NOT NULL
+""",
+    "q30_sharpe": BARS_SQL
+    + """
+, r AS (
+  SELECT symbol,
+         CAST(close * 10000 AS BIGINT) AS cu,
+         lag(CAST(close * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date) AS pu
+  FROM bars
+), rq AS (
+  SELECT symbol,
+         greatest(CAST(-50000 AS BIGINT), least(CAST(50000 AS BIGINT),
+           CAST(10000 AS BIGINT) * cu // pu - CAST(10000 AS BIGINT))) AS rq
+  FROM r WHERE pu IS NOT NULL AND pu > 0
+), m AS (
+  SELECT symbol, COUNT(*) AS n_days,
+         CAST(SUM(rq) AS BIGINT) AS s1,
+         CAST(SUM(rq * rq) AS BIGINT) AS s2
+  FROM rq GROUP BY 1
+)
+SELECT symbol, n_days,
+       CAST(s1 AS DOUBLE) / n_days / 100.0 AS mean_ret_pct,
+       CAST(s1 AS DOUBLE) / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE))
+         * sqrt(252.0) AS ann_sharpe
+FROM m WHERE n_days >= 30
+""",
+    "q31_var_es": BARS_SQL
+    + """
+, r AS (
+  SELECT symbol, trade_date,
+         CAST(close * 10000 AS BIGINT) AS cu,
+         lag(CAST(close * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date) AS pu
+  FROM bars
+), rq AS (
+  SELECT symbol, trade_date,
+         CAST(100000000 AS BIGINT) * cu // pu - CAST(100000000 AS BIGINT) AS rq
+  FROM r WHERE pu IS NOT NULL AND pu > 0
+), ranked AS (
+  SELECT symbol, rq,
+         row_number() OVER (PARTITION BY symbol ORDER BY rq, trade_date) AS rn,
+         COUNT(*) OVER (PARTITION BY symbol) AS n_days
+  FROM rq
+), worst AS (
+  SELECT * FROM ranked WHERE rn <= 1 + (n_days - 1) * 5 // 100
+), agg AS (
+  SELECT symbol,
+         MAX(n_days) AS n_days,
+         COUNT(*) AS k,
+         MAX(CASE WHEN rn = 1 + (n_days - 1) * 5 // 100 THEN rq END) AS var_units,
+         CAST(SUM(rq) AS BIGINT) AS sum_worst
+  FROM worst GROUP BY 1
+)
+SELECT symbol, n_days,
+       CAST(var_units AS DOUBLE) / 1000000.0 AS var5_pct,
+       CAST((CAST(1000 AS BIGINT) * sum_worst) // k AS DOUBLE)
+         / 1000000000.0 AS es5_pct
+FROM agg WHERE n_days >= 30
 """,
     "q19_ewma": BARS_SQL
     + """
