@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "q29_pivot_points",
     "q30_sharpe",
     "q31_var_es",
+    "q32_seasonality",
+    "q33_market_breadth",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
@@ -106,6 +108,7 @@ BENCH_QUERIES = [
     "pareto_abc_parts",
     "pivot_segment_status",
     "cube_priority_status",
+    "rollup_region_nation_revenue",
     "percentile_quantity_exact",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -133,6 +136,7 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "multimodal_resize_pixels",
     "events_dau_wau",
+    "events_gap_quartiles",
     "q16_trend_slope",
     "tpch_q11_important_parts",
     "tpch_q21_waiting_suppliers",

@@ -106,6 +106,47 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy: per-nation revenue,
+    per-region subtotals, and a grand total in ONE pass — the
+    hierarchical sibling of ``cube_priority_status`` (CUBE materializes
+    all 2ᵏ grouping sets; ROLLUP only the k+1 prefixes, which is the
+    right shape for a strict hierarchy and an Expand factor of 3 not 4).
+    GROUPING() disambiguates subtotal rows to 'ALL' exactly as the CUBE
+    query does. Revenue is the decimal-snapped lineitem sum; the two
+    dims broadcast onto the fact before the single Expand aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").alias("_gr"),
+            F.grouping("n_name").alias("_gn"),
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+        )
+        .select(
+            F.when(F.col("_gr") == 1, F.lit("ALL")).otherwise(F.col("r_name")).alias(
+                "region"
+            ),
+            F.when(F.col("_gn") == 1, F.lit("ALL")).otherwise(F.col("n_name")).alias(
+                "nation"
+            ),
+            "n_lines",
+            "revenue",
+        )
+    )
+
+
 def percentile_quantity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quartiles of quantity per return flag. ``percentile``
     (not ``percentile_approx``) sorts within each group — fine here because
@@ -693,6 +734,7 @@ QUERIES = {
     "cond_agg_priority_classes": cond_agg_priority_classes,
     "pivot_segment_status": pivot_segment_status,
     "cube_priority_status": cube_priority_status,
+    "rollup_region_nation_revenue": rollup_region_nation_revenue,
     "percentile_quantity_exact": percentile_quantity_exact,
 }
 
@@ -884,6 +926,17 @@ SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority E
        {sql_dsum('o_totalprice', 2)} AS total_price
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+    "rollup_region_nation_revenue": f"""
+SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'ALL' ELSE r.r_name END AS region,
+       CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+       COUNT(*) AS n_lines,
+       {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)", 4)} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
 """,
     "percentile_quantity_exact": """
 SELECT l_returnflag AS return_flag,

@@ -386,8 +386,44 @@ def events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gap_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time distribution: exact quartiles of the gap between
+    consecutive events of the same user, grouped by the type of the
+    FIRST event in each pair — the latency fingerprint engagement teams
+    read next to DAU/WAU. Gaps are exact integer MICROSECONDS (ns DIV
+    1000 — dividing first keeps every value and every dyadic quartile
+    interpolation term well under 2^53, where raw-ns corpus-span gaps
+    would not be exactly representable); ``percentile`` at dyadic
+    fractions then matches DuckDB's quantile_cont bitwise (the
+    percentile_quantity_exact discipline). Output seconds are one float
+    division per value. Plan: one user-keyed window for the lag, one
+    hash aggregate per event_type."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt_ts = F.lead("ts").over(w)
+    gaps = (
+        ev.withColumn("gap_ns", nxt_ts - F.col("ts"))
+        .filter(F.col("gap_ns").isNotNull())
+        .select("event_type", F.expr("gap_ns div 1000").alias("gap_us"))
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.percentile(F.col("gap_us"), F.lit(0.25)).alias("p25"),
+        F.percentile(F.col("gap_us"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("gap_us"), F.lit(0.75)).alias("p75"),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        (F.col("p25") / 1000000.0).alias("gap_p25_s"),
+        (F.col("p50") / 1000000.0).alias("gap_p50_s"),
+        (F.col("p75") / 1000000.0).alias("gap_p75_s"),
+    )
+
+
 QUERIES = {
     "events_hourly_stats": events_hourly_stats,
+    "events_gap_quartiles": events_gap_quartiles,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "events_json_props": events_json_props,
@@ -401,6 +437,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_gap_quartiles": """
+WITH gaps AS (
+  SELECT event_type,
+         (lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - epoch_ns(ts)) // 1000 AS gap_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       quantile_cont(gap_us, 0.25) / 1000000.0 AS gap_p25_s,
+       quantile_cont(gap_us, 0.5)  / 1000000.0 AS gap_p50_s,
+       quantile_cont(gap_us, 0.75) / 1000000.0 AS gap_p75_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1
+""",
     "events_hourly_stats": """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
          AS window_start_epoch,

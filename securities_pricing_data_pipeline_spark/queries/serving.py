@@ -981,6 +981,71 @@ def q31_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index per symbol: mean close per calendar
+    month / overall mean close. Exactness: both means are DEFINED as
+    exact integer milli-quotients ((1000·Σcu) DIV n — q22's discipline),
+    so the index is one double/double division of two deterministic
+    values. Plan: two hash aggregates (symbol×month, then symbol — the
+    second reuses the first's partials by summing them) and a broadcast
+    join of the symbol-level means back onto the 12-row-per-symbol
+    month frame."""
+    b = bars_silver(spark, sf_dir)
+    cu = (F.col("close") * 10000).cast("long")
+    mon = b.select(
+        "symbol", F.month("trade_date").alias("month"), cu.alias("cu")
+    ).groupBy("symbol", "month").agg(
+        F.count("*").alias("n_days"), F.sum("cu").alias("scu")
+    )
+    tot = mon.groupBy("symbol").agg(
+        F.sum("n_days").alias("tn"), F.sum("scu").alias("ts")
+    )
+    mq = F.expr("(CAST(1000 AS BIGINT) * scu) DIV n_days")
+    tq = F.expr("(CAST(1000 AS BIGINT) * ts) DIV tn")
+    j = mon.join(F.broadcast(tot), "symbol")
+    return j.select(
+        "symbol",
+        "month",
+        "n_days",
+        (mq.cast("double") / 10000000.0).alias("month_avg"),
+        (mq.cast("double") / tq.cast("double")).alias("season_index"),
+    )
+
+
+def q33_market_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market breadth per trading day: advancing / declining / unchanged
+    symbol counts and the advance share of movers. Exactness: the
+    advance/decline classification compares exact int64 close units via
+    lag; breadth is the exact integer quotient (1e6·n_adv) DIV
+    (n_adv+n_dec) rescaled to percent. Plan: one symbol-window pass for
+    the lag (shuffle on symbol), then a date-keyed hash aggregate —
+    the cross-sectional pivot every market dashboard needs."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    cu = (F.col("close") * 10000).cast("long")
+    pu = F.lag(cu).over(w)
+    d = b.select("symbol", "trade_date", cu.alias("cu"), pu.alias("pu")).filter(
+        F.col("pu").isNotNull()
+    )
+    agg = d.groupBy("trade_date").agg(
+        F.count(F.when(F.col("cu") > F.col("pu"), 1)).alias("n_adv"),
+        F.count(F.when(F.col("cu") < F.col("pu"), 1)).alias("n_dec"),
+        F.count(F.when(F.col("cu") == F.col("pu"), 1)).alias("n_unch"),
+    )
+    return agg.filter((F.col("n_adv") + F.col("n_dec")) > 0).select(
+        "trade_date",
+        "n_adv",
+        "n_dec",
+        "n_unch",
+        (
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * n_adv) DIV (n_adv + n_dec)"
+            ).cast("double")
+            / 10000.0
+        ).alias("adv_share_pct"),
+    )
+
+
 def q16_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-symbol OLS price trend (closed-form linear regression of close
     on calendar day): slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²).
@@ -1651,6 +1716,8 @@ QUERIES = {
     "q29_pivot_points": q29_pivot_points,
     "q30_sharpe": q30_sharpe,
     "q31_var_es": q31_var_es,
+    "q32_seasonality": q32_seasonality,
+    "q33_market_breadth": q33_market_breadth,
     "q16_trend_slope": q16_trend_slope,
     "q17_twap": q17_twap,
     "q18_rolling_median": q18_rolling_median,
@@ -2397,6 +2464,46 @@ SELECT symbol, n_days,
        CAST((CAST(1000 AS BIGINT) * sum_worst) // k AS DOUBLE)
          / 1000000000.0 AS es5_pct
 FROM agg WHERE n_days >= 30
+""",
+    "q32_seasonality": BARS_SQL
+    + """
+, mon AS (
+  SELECT symbol, CAST(month(trade_date) AS INT) AS month,
+         COUNT(*) AS n_days,
+         CAST(SUM(CAST(close * 10000 AS BIGINT)) AS BIGINT) AS scu
+  FROM bars GROUP BY 1, 2
+), tot AS (
+  SELECT symbol, CAST(SUM(n_days) AS BIGINT) AS tn,
+         CAST(SUM(scu) AS BIGINT) AS ts
+  FROM mon GROUP BY 1
+)
+SELECT m.symbol, m.month, m.n_days,
+       CAST((CAST(1000 AS BIGINT) * m.scu) // m.n_days AS DOUBLE)
+         / 10000000.0 AS month_avg,
+       CAST((CAST(1000 AS BIGINT) * m.scu) // m.n_days AS DOUBLE)
+         / CAST((CAST(1000 AS BIGINT) * t.ts) // t.tn AS DOUBLE) AS season_index
+FROM mon m JOIN tot t ON m.symbol = t.symbol
+""",
+    "q33_market_breadth": BARS_SQL
+    + """
+, d AS (
+  SELECT symbol, trade_date,
+         CAST(close * 10000 AS BIGINT) AS cu,
+         lag(CAST(close * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date) AS pu
+  FROM bars
+), agg AS (
+  SELECT trade_date,
+         COUNT(*) FILTER (WHERE cu > pu) AS n_adv,
+         COUNT(*) FILTER (WHERE cu < pu) AS n_dec,
+         COUNT(*) FILTER (WHERE cu = pu) AS n_unch
+  FROM d WHERE pu IS NOT NULL
+  GROUP BY 1
+)
+SELECT trade_date, n_adv, n_dec, n_unch,
+       CAST((CAST(1000000 AS BIGINT) * n_adv) // (n_adv + n_dec) AS DOUBLE)
+         / 10000.0 AS adv_share_pct
+FROM agg WHERE (n_adv + n_dec) > 0
 """,
     "q19_ewma": BARS_SQL
     + """
