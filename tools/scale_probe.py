@@ -82,6 +82,29 @@ def probe_window(spark) -> list[tuple[str, int, float]]:
     return [("window_20m (30-row rolling, 2k syms)", n, timed(lambda: force(out)))]
 
 
+def probe_ewma(spark) -> list[tuple[str, int, float]]:
+    """The 30-term codegen lag-chain EWMA (queries.serving._ewma_lag_terms,
+    the shape behind q19/q24/q28) at 20M rows — pins that the chain stays
+    whole-stage-codegen'd and linear when the window input is 33× the
+    sf0.1 bench."""
+    from securities_pricing_data_pipeline_spark.queries.serving import (
+        _EWMA_DEN,
+        _EWMA_W,
+        _ewma_lag_terms,
+    )
+
+    n, keys = 20_000_000, 2000
+    df = spark.range(n).select(
+        (F.col("id") % keys).alias("sym"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000_000)).alias("t"),
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(1_000_000)).alias("cu"),
+    )
+    w = Window.partitionBy("sym").orderBy("t", "cu")
+    num, den = _ewma_lag_terms(F.col("cu"), w, _EWMA_W, _EWMA_DEN)
+    out = df.select("sym", "t", (num.cast("double") / den.cast("double")).alias("e"))
+    return [("ewma_20m (30-term lag chain, 2k syms)", n, timed(lambda: force(out)))]
+
+
 def probe_skew(spark) -> list[tuple[str, int, float]]:
     from securities_pricing_data_pipeline_spark.operators.skew import salted_aggregate
 
@@ -246,8 +269,9 @@ def main() -> None:
 
     rows: list[tuple[str, int, float]] = []
     failures: list[str] = []
-    for probe in (probe_asof, probe_window, probe_skew, probe_quantile,
-                  probe_minhash, probe_semantic, probe_triangles, probe_cc):
+    for probe in (probe_asof, probe_window, probe_ewma, probe_skew,
+                  probe_quantile, probe_minhash, probe_semantic,
+                  probe_triangles, probe_cc):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
