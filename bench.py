@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "pivot_segment_status",
     "cube_priority_status",
     "rollup_region_nation_revenue",
+    "w_month_open_close",
+    "mode_order_priority",
     "percentile_quantity_exact",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -166,6 +166,73 @@ def percentile_quantity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_month_open_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per symbol-month summary via the full-frame window functions the
+    registry didn't exercise yet: FIRST_VALUE (month open), LAST_VALUE
+    (month close) and NTH_VALUE (3rd trading day's close) over ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING, reduced to one
+    row per group by the rn=1 filter (the QUALIFY idiom). The order is
+    total (unique dates per symbol), so every picked value is
+    deterministic; prices ride the exact ×10000 int64 path.
+
+    Plan: ONE window shuffle on (symbol, month) computes all four
+    positional picks; no self-joins. At 100 TB this is the shape for
+    "per-partition endpoints" — strictly cheaper than min_by/max_by
+    double-aggregation when several positional values are needed."""
+    b = bars_silver(spark, sf_dir)
+    mon = F.trunc("trade_date", "month").alias("month_start")
+    cu = (F.col("close") * 10000).cast("long")
+    ou = (F.col("open") * 10000).cast("long")
+    wf = (
+        Window.partitionBy("symbol", "month_start")
+        .orderBy("trade_date")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("symbol", "month_start").orderBy("trade_date")
+    d = b.select("symbol", mon, "trade_date", ou.alias("ou"), cu.alias("cu")).select(
+        "symbol",
+        "month_start",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wf).alias("n_days"),
+        F.first("ou").over(wf).alias("first_ou"),
+        F.last("cu").over(wf).alias("last_cu"),
+        F.nth_value("cu", 3).over(wf).alias("d3_cu"),
+    )
+    return d.filter(F.col("rn") == 1).select(
+        "symbol",
+        "month_start",
+        "n_days",
+        (F.col("first_ou").cast("double") / 10000.0).alias("month_open"),
+        (F.col("last_cu").cast("double") / 10000.0).alias("month_close"),
+        (F.col("d3_cu").cast("double") / 10000.0).alias("day3_close"),
+    )
+
+
+def mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal order priority per market segment — MODE with a
+    DETERMINISTIC tie-break (count desc, then priority name), which the
+    built-in ``mode()`` aggregate cannot promise, expressed as count +
+    rank. Two hash aggregates and a |priorities|-row window; the first
+    aggregate collapses the fact map-side, so the window input is
+    |segments|×|priorities| rows."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    counts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("n"), "priority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("segment", "priority", "n")
+    )
+
+
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts by revenue within each brand. Order of operations is the
     scale lever: aggregate lineitem per partkey FIRST (map-side combine
@@ -735,6 +802,8 @@ QUERIES = {
     "pivot_segment_status": pivot_segment_status,
     "cube_priority_status": cube_priority_status,
     "rollup_region_nation_revenue": rollup_region_nation_revenue,
+    "w_month_open_close": w_month_open_close,
+    "mode_order_priority": mode_order_priority,
     "percentile_quantity_exact": percentile_quantity_exact,
 }
 
@@ -937,6 +1006,41 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    "w_month_open_close": BARS_SQL
+    + """
+, d AS (
+  SELECT symbol,
+         date_trunc('month', trade_date) AS month_start,
+         row_number() OVER wo AS rn,
+         COUNT(*) OVER wf AS n_days,
+         first_value(CAST(open * 10000 AS BIGINT)) OVER wf AS first_ou,
+         last_value(CAST(close * 10000 AS BIGINT)) OVER wf AS last_cu,
+         nth_value(CAST(close * 10000 AS BIGINT), 3) OVER wf AS d3_cu
+  FROM bars
+  WINDOW wo AS (PARTITION BY symbol, date_trunc('month', trade_date)
+                ORDER BY trade_date),
+         wf AS (PARTITION BY symbol, date_trunc('month', trade_date)
+                ORDER BY trade_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT symbol, CAST(month_start AS DATE) AS month_start, n_days,
+       CAST(first_ou AS DOUBLE) / 10000.0 AS month_open,
+       CAST(last_cu AS DOUBLE) / 10000.0 AS month_close,
+       CAST(d3_cu AS DOUBLE) / 10000.0 AS day3_close
+FROM d WHERE rn = 1
+""",
+    "mode_order_priority": """
+WITH counts AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority, COUNT(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY segment
+                               ORDER BY n DESC, priority) AS rn
+  FROM counts
+)
+SELECT segment, priority, n FROM ranked WHERE rn = 1
 """,
     "percentile_quantity_exact": """
 SELECT l_returnflag AS return_flag,
