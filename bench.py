@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "stream_events_sessionize",
     "stream_events_interval_join",
     "stream_events_sliding",
+    "stream_events_topk_users",
     "sql_lateral_topk_orders",
     "sketch_hll_weekly_merge",
     "sketch_hll_intersection",

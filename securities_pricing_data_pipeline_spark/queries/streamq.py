@@ -232,8 +232,31 @@ def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 10 most active users by event count, emitted
+    from a COMPLETE-mode aggregate with ORDER BY + LIMIT — the one
+    output mode where Structured Streaming permits sorting, a dialect
+    surface none of the other gate streams touch. Determinism: exact
+    counts with a (count desc, user_id) total order; k-th-place count
+    ties cannot admit different user sets because the tie-break is part
+    of the sort. Scale posture: complete mode re-emits the whole result
+    per trigger, which is only sane because the aggregate state is
+    |users| counters and the sink k rows — the standard dashboard-leader
+    board shape."""
+    ev = _event_stream(spark, sf_dir)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
+    name = _drain(top, "topk", "complete")
+    return spark.table(name).select("user_id", "n_events")
+
+
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
+    "stream_events_topk_users": stream_events_topk_users,
     "stream_events_sliding": stream_events_sliding,
     "stream_events_dedup_keys": stream_events_dedup_keys,
     "stream_events_interval_join": stream_events_interval_join,
@@ -264,6 +287,12 @@ SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))) AS 
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
 FROM events, shifts
 GROUP BY 1, 2
+""",
+    "stream_events_topk_users": """
+SELECT user_id, COUNT(*) AS n_events
+FROM events GROUP BY 1
+ORDER BY n_events DESC, user_id
+LIMIT 10
 """,
     "stream_events_dedup_keys": """
 SELECT DISTINCT user_id, event_type FROM events
