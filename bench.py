@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "percentile_quantity_exact",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

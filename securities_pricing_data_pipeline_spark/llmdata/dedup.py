@@ -80,6 +80,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int = 2000,
     observation=None,
     shingled: DataFrame | None = None,
+    _keep_counts: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
 
@@ -153,7 +154,51 @@ def ngram_jaccard_pairs(
         F.col("inter").cast("double")
         / (F.col("cnt_a") + F.col("cnt_b") - F.col("inter")).cast("double"),
     )
+    if _keep_counts:  # containment variant consumes the raw counts
+        return jac.filter(F.col("jaccard") >= threshold)
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int = 2000,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Subset-duplicate pairs by MAX-CONTAINMENT |A∩B| / min(|A|,|B|) —
+    the metric that catches a short document fully quoted inside a long
+    one, which Jaccard structurally cannot (|A∩B|/|A∪B| ≤ |A|/|B| → a
+    10%-length subset tops out at Jaccard 0.1 no matter how verbatim).
+    Broder's resemblance-vs-containment distinction; standard in corpus
+    dedup for quote/boilerplate absorption.
+
+    Same single-shuffle shingle→group→pair pipeline (and the same
+    enforced ``max_doc_freq`` bucket cap) as ``ngram_jaccard_pairs`` —
+    pairs sharing ≥1 surviving shingle, intersections counted once, the
+    metric is one integer min() and one double division at the end.
+    Emits both containment and jaccard so consumers can separate true
+    subsets (containment high, jaccard low) from near-copies."""
+    jac = ngram_jaccard_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold=-1.0,  # keep every candidate pair; filter on containment
+        max_doc_freq=max_doc_freq,
+        shingled=shingled,
+        _keep_counts=True,
+    )
+    cont = jac.withColumn(
+        "containment",
+        F.col("inter").cast("double")
+        / F.least("cnt_a", "cnt_b").cast("double"),
+    )
+    return cont.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "containment", "jaccard"
+    )
 
 
 def candidate_pairs_in_buckets(

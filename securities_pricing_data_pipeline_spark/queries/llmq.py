@@ -169,6 +169,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir)
 
 
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate pairs by max-containment ≥ 0.9 (llmdata.dedup.
+    ngram_containment_pairs) — catches short-doc-quoted-in-long-doc
+    duplication that the Jaccard report structurally misses; reuses the
+    shared shingled silver, so the corpus tokenizes once per session."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, n=3, threshold=0.9, shingled=_shingled_docs(spark, sf_dir)
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(spark, sf_dir)
 
@@ -1026,6 +1041,7 @@ QUERIES = {
     "dedup_minhash_eval": dedup_minhash_eval,
     "text_chunk_windows": text_chunk_windows,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1765,6 +1781,29 @@ FROM inter
 JOIN cnt ca ON id_a = ca.doc_id
 JOIN cnt cb ON id_b = cb.doc_id
 WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8
+""",
+    "dedup_ngram_containment": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest([array_to_string(t[i+1:i+3], ' ') for i in range(len(t) - 2)]) AS g
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / least(ca.c, cb.c) AS containment,
+       CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+FROM inter
+JOIN cnt ca ON id_a = ca.doc_id
+JOIN cnt cb ON id_b = cb.doc_id
+WHERE CAST(i AS DOUBLE) / least(ca.c, cb.c) >= 0.9
 """,
     "text_lang_id": """
 WITH toks AS (
