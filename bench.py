@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "tpch_q11_important_parts",
     "tpch_q21_waiting_suppliers",
     "emb_pq_codes",
+    "emb_label_centroids",
     "graph_pagerank_suppliers",
     "graph_triangles_suppliers",
     "graph_assortativity_parts",

@@ -898,6 +898,38 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the class-prototype readout every embedding-space monitor (drift,
+    SemDeDup anchor audit, classifier sanity) starts from. Per-element
+    values snap to the 1e7 integer grid (round() is away-from-zero in
+    both engines), the per-(label, dim) sum is an exact int64, and the
+    mean is the exact integer milli-quotient — no float accumulation
+    anywhere. Plan: posexplode to (label, dim, unit) rows — dim×|emb|
+    long rows, but the groupBy collapses them map-side, so the shuffle
+    carries |labels|×dim partial sums."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 10000000).cast("long").alias("g"),
+    )
+    agg = d.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vectors"), F.sum("g").alias("sg")
+    )
+    return agg.select(
+        "label",
+        "dim",
+        "n_vectors",
+        (
+            F.expr("(CAST(1000 AS BIGINT) * sg) DIV n_vectors").cast("double")
+            / 10000000000.0
+        ).alias("centroid_val"),
+    )
+
+
 def sketch_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-orderkey estimate (p=8, 256
     registers) — the sketch itself, not just the estimate, is
@@ -1035,6 +1067,7 @@ QUERIES = {
     "corpus_filter_funnel": corpus_filter_funnel,
     "sample_stratified": sample_stratified,
     "emb_norm_stats": emb_norm_stats,
+    "emb_label_centroids": emb_label_centroids,
     "emb_pq_codes": emb_pq_codes,
     "sim_rrf_fusion": sim_rrf_fusion,
     "corpus_mix_plan": corpus_mix_plan,
@@ -1516,6 +1549,21 @@ SELECT vec_id,
        CAST(SUM(dist_units) AS DOUBLE) / 1e13 AS qerr
 FROM best WHERE rn = 1
 GROUP BY vec_id
+""",
+    "emb_label_centroids": """
+WITH d AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS g
+  FROM embeddings
+), agg AS (
+  SELECT label, dim, COUNT(*) AS n_vectors, CAST(SUM(g) AS BIGINT) AS sg
+  FROM d GROUP BY 1, 2
+)
+SELECT label, dim, n_vectors,
+       CAST((CAST(1000 AS BIGINT) * sg) // n_vectors AS DOUBLE)
+         / 10000000000.0 AS centroid_val
+FROM agg
 """,
     "emb_norm_stats": """
 WITH g AS (
