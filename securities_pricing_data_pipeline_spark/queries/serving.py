@@ -805,55 +805,44 @@ def q28_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides q19's integer-literal weight path (exact int64 dot product, one
     double divide); the ATR is q22's exact integer milli-quotient with a
     10-row window; upper/lower are then sums of two deterministic doubles
-    — deterministic in both engines. The two legs shuffle on the same
-    symbol key, so the join is co-partitioned (no extra exchange)."""
+    — deterministic in both engines.
+
+    Plan: ONE pass — TR is carried as a nullable column (null on each
+    symbol's first row) in the same frame as the EMA lag chain, with
+    COUNT(tr)/SUM(tr) window aggregates skipping the null, which is
+    row-for-row identical to materializing the lag-dropped TR frame and
+    joining it back (the join formulation measured 5 exchanges; this one
+    shares a single symbol-keyed window shuffle)."""
     b = bars_silver(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("trade_date")
     w10 = w.rowsBetween(-9, 0)
     cu = (F.col("close") * 10000).cast("long")
-    ema = b.select(
+    pc = F.lag("close").over(w)
+    tr = F.when(
+        pc.isNotNull(),
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - pc),
+            F.abs(F.col("low") - pc),
+        ),
+    )
+    num, den = _ewma_lag_terms(cu, w, _KELT_W, _KELT_DEN)
+    d = b.select(
         "symbol",
         "trade_date",
-        (_int_ewma(cu, w, _KELT_W, _KELT_DEN) / F.lit(10000.0)).alias("ema20"),
+        (num.cast("double") / den.cast("double") / F.lit(10000.0)).alias("ema20"),
+        F.count(tr).over(w10).alias("n_obs"),
+        (F.sum(tr).over(w10) * 10000).cast("long").alias("str_units"),
     )
-    pc = F.lag("close").over(w)
-    d = (
-        b.select("symbol", "trade_date", "high", "low", pc.alias("pc"))
-        .filter(F.col("pc").isNotNull())
-        .select(
-            "symbol",
-            "trade_date",
-            F.greatest(
-                F.col("high") - F.col("low"),
-                F.abs(F.col("high") - F.col("pc")),
-                F.abs(F.col("low") - F.col("pc")),
-            ).alias("tr"),
-        )
-    )
-    atr = (
-        d.select(
-            "symbol",
-            "trade_date",
-            F.count("*").over(w10).alias("n_obs"),
-            (F.sum("tr").over(w10) * 10000).cast("long").alias("str_units"),
-        )
-        .filter(F.col("n_obs") >= 10)
-        .select(
-            "symbol",
-            "trade_date",
-            (
-                F.expr("(CAST(1000 AS BIGINT) * str_units) DIV n_obs").cast("double")
-                / F.lit(10000000.0)
-            ).alias("atr10"),
-        )
-    )
-    j = ema.join(atr, ["symbol", "trade_date"])
-    return j.select(
+    atr = F.expr("(CAST(1000 AS BIGINT) * str_units) DIV n_obs").cast(
+        "double"
+    ) / F.lit(10000000.0)
+    return d.filter(F.col("n_obs") >= 10).select(
         "symbol",
         "trade_date",
         F.col("ema20").alias("mid_line"),
-        (F.col("ema20") + 2 * F.col("atr10")).alias("upper_ch"),
-        (F.col("ema20") - 2 * F.col("atr10")).alias("lower_ch"),
+        (F.col("ema20") + 2 * atr).alias("upper_ch"),
+        (F.col("ema20") - 2 * atr).alias("lower_ch"),
     )
 
 
