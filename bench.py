@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "stream_events_sliding",
     "stream_events_topk_users",
     "sql_lateral_topk_orders",
+    "sql_pivot_order_status",
     "sketch_hll_weekly_merge",
     "sketch_hll_intersection",
     "dq_expectations_lineitem",

@@ -85,6 +85,31 @@ def sql_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(SQL_SCALAR_SUBQUERY_ABOVE_AVG)
 
 
+SQL_PIVOT_ORDER_STATUS = """
+SELECT segment,
+       coalesce(st_o, 0) AS n_open,
+       coalesce(st_f, 0) AS n_fulfilled,
+       coalesce(st_p, 0) AS n_pending
+FROM (
+  SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) PIVOT (COUNT(*) FOR status IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+"""
+
+
+def sql_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause — the dialect surface the DataFrame twin
+    (``pivot_segment_status``) doesn't touch. One caveat pins the
+    portable subset: Spark's parser rejects double-quoted pivot aliases
+    (it reserves double quotes for string literals by default), so
+    cross-engine PIVOT text must use bare aliases ('O' AS st_o).
+    Catalyst compiles this to the same Expand-free single hash
+    aggregate with conditional counters as the explicit-value-list
+    DataFrame pivot. Identical text runs on DuckDB."""
+    _register(spark, sf_dir)
+    return spark.sql(SQL_PIVOT_ORDER_STATUS)
+
+
 SQL_WINDOW_RUNNING_SHARE = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS order_date,
@@ -183,6 +208,7 @@ QUERIES = {
     "sql_lateral_topk_orders": sql_lateral_topk_orders,
     "sql_recursive_reachability": sql_recursive_reachability,
     "sql_window_running_share": sql_window_running_share,
+    "sql_pivot_order_status": sql_pivot_order_status,
     "sql_in_having_large_orders": sql_in_having_large_orders,
     "sql_scalar_subquery_above_avg": sql_scalar_subquery_above_avg,
 }
@@ -192,6 +218,7 @@ ORACLES = {
     "sql_exists_late_ship": SQL_EXISTS_LATE_SHIP,
     "sql_lateral_topk_orders": SQL_LATERAL_TOPK_ORDERS,
     "sql_window_running_share": SQL_WINDOW_RUNNING_SHARE,
+    "sql_pivot_order_status": SQL_PIVOT_ORDER_STATUS,
     "sql_recursive_reachability": SQL_RECURSIVE_REACHABILITY,
     "sql_in_having_large_orders": SQL_IN_HAVING_LARGE_ORDERS,
     "sql_scalar_subquery_above_avg": SQL_SCALAR_SUBQUERY_ABOVE_AVG,
