@@ -71,15 +71,25 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _drain(df: DataFrame, tag: str, output_mode: str, stop_when_drained: bool = False) -> str:
+def _drain(
+    df: DataFrame,
+    tag: str,
+    output_mode: str,
+    stop_when_drained: bool = False,
+    state_partitions: int = 8,
+) -> str:
     name = _mem_name(tag)
     spark = df.sparkSession
-    # state-store instances scale with shuffle partitions and each pays
-    # per-batch commit overhead; a single-drain gate query over one file
-    # wants few, fat state partitions. (A live deployment sizes this to
-    # the cluster instead — state partitioning is fixed at first start.)
+    # JVM state stores scale with shuffle partitions and each pays
+    # per-batch commit overhead, so the JVM-state gate queries want few,
+    # fat state partitions (32 measured 2.3x SLOWER on the interval
+    # join). The applyInPandasWithState sessionizer is the opposite: its
+    # per-partition cost is a PYTHON worker round, so it wants one
+    # partition per core (32 measured 1.4x faster than 8) — hence the
+    # per-query knob. (A live deployment sizes this to the cluster
+    # instead — state partitioning is fixed at first start.)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             df.writeStream.format("memory")
@@ -106,7 +116,7 @@ def _drain(df: DataFrame, tag: str, output_mode: str, stop_when_drained: bool = 
                 and progs[-1]["numInputRows"] == 0
             ):
                 break
-            time.sleep(0.2)
+            time.sleep(0.05)
         q.stop()
     q.awaitTermination()
     return name
@@ -200,7 +210,13 @@ def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sessionize_stream(
         _event_stream(spark, sf_dir).select("user_id", "event_time", "value")
     )
-    name = _drain(sess, "sessionize", "append", stop_when_drained=True)
+    name = _drain(
+        sess,
+        "sessionize",
+        "append",
+        stop_when_drained=True,
+        state_partitions=spark.sparkContext.defaultParallelism,
+    )
     return spark.table(name).select(
         "user_id",
         (F.floor(F.unix_timestamp("session_start") / 60) * 60)
