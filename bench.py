@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q31_var_es",
     "q32_seasonality",
     "q33_market_breadth",
+    "q34_sortino",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",

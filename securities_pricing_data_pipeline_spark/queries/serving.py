@@ -922,6 +922,46 @@ def q30_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sortino ratio per symbol (rf = MAR = 0): mean daily
+    return / DOWNSIDE deviation × √252 — q30's Sharpe with the
+    denominator restricted to loss days, the risk metric desks quote
+    when upside volatility shouldn't count against a strategy. Same
+    winsorized basis-point int64 discipline: downside moments are exact
+    (Σ min(rq,0)² ≤ n·2.5e9), the ratio is
+    (Σrq/n) / √(Σd²/n) = Σrq / √(n·Σd²) — one sqrt, one divide, times
+    the literal √252."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    cu = (F.col("close") * 10000).cast("long")
+    pu = F.lag(cu).over(w)
+    r = b.select("symbol", cu.alias("cu"), pu.alias("pu")).filter(
+        F.col("pu").isNotNull() & (F.col("pu") > 0)
+    )
+    rq = F.expr(
+        "greatest(CAST(-50000 AS BIGINT), least(CAST(50000 AS BIGINT), "
+        "CAST(10000 AS BIGINT) * cu DIV pu - CAST(10000 AS BIGINT)))"
+    )
+    dn = F.least(rq, F.lit(0).cast("long"))
+    agg = (
+        r.select("symbol", rq.alias("rq"), dn.alias("dn"))
+        .groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("rq").alias("s1"),
+            F.sum(F.col("dn") * F.col("dn")).alias("sd2"),
+            F.count(F.when(F.col("dn") < 0, 1)).alias("n_down"),
+        )
+        .filter((F.col("n_days") >= 30) & (F.col("sd2") > 0))
+    )
+    sortino = (
+        F.col("s1").cast("double")
+        / F.sqrt((F.col("n_days") * F.col("sd2")).cast("double"))
+        * F.sqrt(F.lit(252.0))
+    )
+    return agg.select("symbol", "n_days", "n_down", sortino.alias("ann_sortino"))
+
+
 def q31_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Historical 5% value-at-risk and expected shortfall per symbol:
     VaR = the k-th smallest daily return with k = 1 + (n−1)·5 DIV 100
@@ -1705,6 +1745,7 @@ QUERIES = {
     "q29_pivot_points": q29_pivot_points,
     "q30_sharpe": q30_sharpe,
     "q31_var_es": q31_var_es,
+    "q34_sortino": q34_sortino,
     "q32_seasonality": q32_seasonality,
     "q33_market_breadth": q33_market_breadth,
     "q16_trend_slope": q16_trend_slope,
@@ -2420,6 +2461,31 @@ SELECT symbol, n_days,
        CAST(s1 AS DOUBLE) / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE))
          * sqrt(252.0) AS ann_sharpe
 FROM m WHERE n_days >= 30
+""",
+    "q34_sortino": BARS_SQL
+    + """
+, r AS (
+  SELECT symbol,
+         CAST(close * 10000 AS BIGINT) AS cu,
+         lag(CAST(close * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date) AS pu
+  FROM bars
+), rq AS (
+  SELECT symbol,
+         greatest(CAST(-50000 AS BIGINT), least(CAST(50000 AS BIGINT),
+           CAST(10000 AS BIGINT) * cu // pu - CAST(10000 AS BIGINT))) AS rq
+  FROM r WHERE pu IS NOT NULL AND pu > 0
+), m AS (
+  SELECT symbol, COUNT(*) AS n_days,
+         CAST(SUM(rq) AS BIGINT) AS s1,
+         CAST(SUM(least(rq, 0) * least(rq, 0)) AS BIGINT) AS sd2,
+         COUNT(*) FILTER (WHERE rq < 0) AS n_down
+  FROM rq GROUP BY 1
+)
+SELECT symbol, n_days, n_down,
+       CAST(s1 AS DOUBLE) / sqrt(CAST(n_days * sd2 AS DOUBLE))
+         * sqrt(252.0) AS ann_sortino
+FROM m WHERE n_days >= 30 AND sd2 > 0
 """,
     "q31_var_es": BARS_SQL
     + """
