@@ -1714,6 +1714,284 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RQ_WINSOR = (
+    "greatest(CAST(-50000 AS BIGINT), least(CAST(50000 AS BIGINT), "
+    "CAST(10000 AS BIGINT) * cu DIV pu - CAST(10000 AS BIGINT)))"
+)
+
+
+def _rq_frame(b: DataFrame, extra: list[str] | None = None) -> DataFrame:
+    """Shared winsorized basis-point daily-return frame (q30's discipline):
+    cu = exact ×10000 int64 close, pu its lag, rq the ±50000 bp-clamped
+    integer return. One symbol-window pass; every downstream moment stays
+    inside int64. ``extra`` carries additional bar columns through."""
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    cu = (F.col("close") * 10000).cast("long")
+    cols = ["symbol", "trade_date"] + (extra or [])
+    d = b.select(*cols, cu.alias("cu")).withColumn("pu", F.lag("cu").over(w))
+    return d.filter(F.col("pu").isNotNull() & (F.col("pu") > 0)).select(
+        *cols, "cu", F.expr(_RQ_WINSOR).alias("rq")
+    )
+
+
+def q35_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calmar ratio per symbol: annualized mean daily return / maximum
+    drawdown — the drawdown-denominated risk ratio CTAs quote alongside
+    Sharpe/Sortino (q30/q34). Exactness: the running peak is an int64
+    window MAX of exact close units; each day's drawdown is the integer
+    basis-point quotient (1e4·(peak−cu)) DIV peak (non-negative, so
+    truncating DIV and floor // agree); MAX(dd) and the winsorized-return
+    sum are exact int64, and the final ratio is a fixed chain of double
+    ops on values both engines hold bit-identically.
+
+    Plan: ONE symbol-window sort serves both the lag and the running
+    peak, then a single hash aggregate to 3 scalars per symbol — shuffle
+    on the symbol key only, partials combine map-side."""
+    b = bars_silver(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    cu = (F.col("close") * 10000).cast("long")
+    d = b.select("symbol", "trade_date", cu.alias("cu")).select(
+        "symbol",
+        "cu",
+        F.lag("cu").over(w).alias("pu"),
+        F.max("cu").over(wrun).alias("peak"),
+    )
+    rq = F.when(F.col("pu").isNotNull() & (F.col("pu") > 0), F.expr(_RQ_WINSOR))
+    dd = F.expr("(CAST(10000 AS BIGINT) * (peak - cu)) DIV peak")
+    agg = (
+        d.select("symbol", rq.alias("rq"), dd.alias("dd"))
+        .groupBy("symbol")
+        .agg(
+            F.count("rq").alias("n_days"),
+            F.sum("rq").alias("s1"),
+            F.max("dd").alias("maxdd"),
+        )
+        .filter((F.col("n_days") >= 30) & (F.col("maxdd") > 0))
+    )
+    s1d = F.col("s1").cast("double")
+    return agg.select(
+        "symbol",
+        "n_days",
+        (F.lit(252.0) * s1d / F.col("n_days") / F.lit(100.0)).alias("ann_ret_pct"),
+        (F.col("maxdd").cast("double") / F.lit(100.0)).alias("maxdd_pct"),
+        (F.lit(252.0) * s1d / F.col("n_days") / F.col("maxdd").cast("double")).alias(
+            "calmar"
+        ),
+    )
+
+
+def q36_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity per symbol: mean over trading days of
+    |return| / dollar volume — the standard price-impact proxy. Exactness:
+    dollar volume rides exact integer units dvu = cu·volume (≤ ~1e13,
+    int64-safe); each day's term is the non-negative integer quotient
+    (|rq|·1e9) DIV dvu, so the per-symbol sum is exact int64 and the
+    final mean is one int→double cast and one divide. Output is the
+    conventional ×1e9 scaling. Plan: one symbol-window pass for the lag,
+    one hash aggregate — identical shuffle shape to q30."""
+    b = bars_silver(spark, sf_dir)
+    r = _rq_frame(b, extra=["volume"])
+    dvu = F.col("cu") * F.col("volume")
+    term = F.expr("(abs(rq) * CAST(1000000000 AS BIGINT)) DIV (cu * volume)")
+    d = r.filter(dvu > 0).select("symbol", term.alias("term"), dvu.alias("dvu"))
+    agg = d.groupBy("symbol").agg(
+        F.count("*").alias("n_days"),
+        F.sum("term").alias("st"),
+        F.sum("dvu").alias("sdv"),
+    )
+    return agg.filter(F.col("n_days") >= 30).select(
+        "symbol",
+        "n_days",
+        (F.col("st").cast("double") / F.col("n_days")).alias("amihud_x1e9"),
+        (F.col("sdv").cast("double") / F.lit(10000.0)).alias("total_dollar_volume"),
+    )
+
+
+def q37_momentum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum deciles: each symbol's full-window price
+    momentum (last close / first close, exact integer basis points —
+    positive quotient, so DIV == //), ranked into NTILE(10) buckets over
+    (momentum, symbol) — the deterministic tie-break makes both engines
+    assign identical deciles — then per-decile count / mean / min / max.
+    The canonical factor-construction step of a momentum strategy.
+
+    Plan: one hash aggregate to a symbol-level frame (bounded cardinality
+    — symbols, not rows), a single-partition ntile window over that small
+    frame (fine at any SF: the windowed set is ~10⁴ rows), and a tiny
+    final aggregate."""
+    b = bars_silver(spark, sf_dir)
+    cu = (F.col("close") * 10000).cast("long")
+    per = (
+        b.select("symbol", "trade_date", cu.alias("cu"))
+        .groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.min_by("cu", "trade_date").alias("c0"),
+            F.max_by("cu", "trade_date").alias("cn"),
+        )
+        .filter((F.col("n_days") >= 30) & (F.col("c0") > 0))
+        .select(
+            "symbol",
+            F.expr(
+                "CAST(10000 AS BIGINT) * cn DIV c0 - CAST(10000 AS BIGINT)"
+            ).alias("mom_bp"),
+        )
+    )
+    wd = Window.orderBy("mom_bp", "symbol")
+    ranked = per.select("symbol", "mom_bp", F.ntile(10).over(wd).alias("decile"))
+    agg = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_symbols"),
+        F.sum("mom_bp").alias("sm"),
+        F.min("mom_bp").alias("min_bp"),
+        F.max("mom_bp").alias("max_bp"),
+    )
+    return agg.select(
+        "decile",
+        "n_symbols",
+        (F.col("sm").cast("double") / F.col("n_symbols") / F.lit(100.0)).alias(
+            "mean_mom_pct"
+        ),
+        (F.col("min_bp").cast("double") / F.lit(100.0)).alias("min_mom_pct"),
+        (F.col("max_bp").cast("double") / F.lit(100.0)).alias("max_mom_pct"),
+    )
+
+
+def q38_capture_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong/weak-market capture per symbol vs the equal-weight market:
+    the symbol's summed return over its active strong (weak) market days
+    divided by the market's summed return over those same days — the
+    mean-based capture variant that needs no compounding. The regime
+    split is the market's MEDIAN day (exact lower-median rank selection,
+    q31's discipline) rather than zero: this corpus's market aggregate is
+    structurally up-biased (97% of days sum positive at sf0.01), so the
+    textbook sign split is vacuous; median-relative regimes are the
+    standard demeaned adaptation and stay ~50/50 at any SF. Exactness:
+    the market day return is the int64 SUM of winsorized bp returns
+    (q13's sum-not-mean rationale); the median is an exact rank pick;
+    all four numerators/denominators are exact int64 sums; the two
+    ratios are single double divisions.
+
+    Plan: the day-level market frame is tiny (one row per trading day) —
+    ranked in one pass, then broadcast back onto the return stream; one
+    hash aggregate per symbol."""
+    b = bars_silver(spark, sf_dir)
+    r = _rq_frame(b)
+    mkt = r.groupBy("trade_date").agg(F.sum("rq").alias("mkt"))
+    wr = Window.orderBy("mkt", "trade_date")
+    ranked = mkt.select(
+        "trade_date",
+        "mkt",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("nd"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(nd + 1) DIV 2")
+    ).select(F.col("mkt").alias("med"))
+    j = r.join(F.broadcast(mkt), "trade_date").crossJoin(F.broadcast(med))
+    up = F.col("mkt") > F.col("med")
+    dn = F.col("mkt") < F.col("med")
+    agg = j.groupBy("symbol").agg(
+        F.count(F.when(up, 1)).alias("n_up"),
+        F.count(F.when(dn, 1)).alias("n_down"),
+        F.sum(F.when(up, F.col("rq"))).alias("s_up"),
+        F.sum(F.when(dn, F.col("rq"))).alias("s_dn"),
+        F.sum(F.when(up, F.col("mkt"))).alias("m_up"),
+        F.sum(F.when(dn, F.col("mkt"))).alias("m_dn"),
+    )
+    return agg.filter((F.col("n_up") >= 10) & (F.col("n_down") >= 10)).select(
+        "symbol",
+        "n_up",
+        "n_down",
+        (F.col("s_up").cast("double") / F.col("m_up").cast("double")).alias(
+            "up_capture"
+        ),
+        (F.col("s_dn").cast("double") / F.col("m_dn").cast("double")).alias(
+            "down_capture"
+        ),
+    )
+
+
+def q39_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test statistic VR(5) per symbol:
+    population variance of overlapping 5-day returns / (5 × variance of
+    daily returns). VR ≈ 1 under a random walk; persistent trends push it
+    above 1, mean reversion below. Exactness: the 5-day return is an
+    int64 window SUM of winsorized bp returns; both variance numerators
+    n·Σx²−(Σx)² stay inside int64 by the unit budget (|rq5| ≤ 2.5e5,
+    squares ≤ 6.25e10, ×2500 days ≈ 1.6e14); the final VR is a fixed
+    chain of double ops on exactly-agreed integers.
+
+    Plan: one symbol-window sort serves the lag AND the 5-day rolling
+    sum; one hash aggregate computes both variance's moments via
+    conditional sums — no second pass, no second shuffle."""
+    b = bars_silver(spark, sf_dir)
+    r = _rq_frame(b)
+    w5 = (
+        Window.partitionBy("symbol").orderBy("trade_date").rowsBetween(-4, 0)
+    )
+    d = r.select(
+        "symbol",
+        "rq",
+        F.sum("rq").over(w5).alias("rq5"),
+        F.count("*").over(w5).alias("n5w"),
+    )
+    full = F.col("n5w") == 5
+    agg = d.groupBy("symbol").agg(
+        F.count("*").alias("n1"),
+        F.sum("rq").alias("sx"),
+        F.sum(F.col("rq") * F.col("rq")).alias("sxx"),
+        F.count(F.when(full, 1)).alias("n5"),
+        F.sum(F.when(full, F.col("rq5"))).alias("sy"),
+        F.sum(F.when(full, F.col("rq5") * F.col("rq5"))).alias("syy"),
+    )
+    d1 = F.col("n1") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d5 = F.col("n5") * F.col("syy") - F.col("sy") * F.col("sy")
+    vr = (d5.cast("double") / (F.col("n5") * F.col("n5")).cast("double")) / (
+        F.lit(5.0) * d1.cast("double") / (F.col("n1") * F.col("n1")).cast("double")
+    )
+    return agg.filter((F.col("n1") >= 40) & (F.col("n5") >= 30) & (d1 > 0)).select(
+        "symbol", F.col("n1").alias("n_days"), vr.alias("vr5")
+    )
+
+
+def q40_info_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized information ratio per symbol vs the equal-weight market:
+    mean(active) / sd(active) × √252 where active = rq − market-mean-bp.
+    The market mean is defined as trunc(S/n) — an int64 both engines
+    derive identically: S and n are exact int64, their IEEE double
+    quotient is correctly rounded (so an exactly-integer quotient is hit
+    exactly), and double→long truncation matches DuckDB's trunc(). Active
+    returns are then exact int64 (|active| ≤ 1e5), so the q30 moment
+    pipeline applies unchanged.
+
+    Plan: tiny day-level aggregate broadcast back; one symbol hash
+    aggregate of three moments."""
+    b = bars_silver(spark, sf_dir)
+    r = _rq_frame(b)
+    mkt = r.groupBy("trade_date").agg(
+        F.sum("rq").alias("s"), F.count("*").alias("nsym")
+    )
+    mbar = (F.col("s").cast("double") / F.col("nsym")).cast("long")
+    j = r.join(F.broadcast(mkt.select("trade_date", mbar.alias("mbar"))), "trade_date")
+    act = F.col("rq") - F.col("mbar")
+    agg = (
+        j.select("symbol", act.alias("act"))
+        .groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("act").alias("s1"),
+            F.sum(F.col("act") * F.col("act")).alias("s2"),
+        )
+        .filter(F.col("n_days") >= 30)
+    )
+    dvar = F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")
+    ir = (
+        F.col("s1").cast("double") / F.sqrt(dvar.cast("double")) * F.sqrt(F.lit(252.0))
+    )
+    return agg.filter(dvar > 0).select("symbol", "n_days", ir.alias("ann_ir"))
+
+
 QUERIES = {
     "q1_market_totals": q1_market_totals,
     "q2_rolling_liquidity": q2_rolling_liquidity,
@@ -1746,6 +2024,12 @@ QUERIES = {
     "q30_sharpe": q30_sharpe,
     "q31_var_es": q31_var_es,
     "q34_sortino": q34_sortino,
+    "q35_calmar": q35_calmar,
+    "q36_amihud": q36_amihud,
+    "q37_momentum_deciles": q37_momentum_deciles,
+    "q38_capture_ratios": q38_capture_ratios,
+    "q39_variance_ratio": q39_variance_ratio,
+    "q40_info_ratio": q40_info_ratio,
     "q32_seasonality": q32_seasonality,
     "q33_market_breadth": q33_market_breadth,
     "q16_trend_slope": q16_trend_slope,
@@ -1764,7 +2048,178 @@ QUERIES = {
     "flagship_liquidity_top20": flagship,
 }
 
+# shared winsorized-return CTE for the q35+ risk-ratio oracles (mirrors
+# _rq_frame: exact int64 close units, lag, ±50000 bp clamp; all divisions
+# downstream keep non-negative operands so // ≡ Spark's DIV)
+RQ_SQL = BARS_SQL + """
+, r AS (
+  SELECT symbol, trade_date, volume,
+         CAST(close * 10000 AS BIGINT) AS cu,
+         lag(CAST(close * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date) AS pu
+  FROM bars
+), rq AS (
+  SELECT symbol, trade_date, volume, cu,
+         greatest(CAST(-50000 AS BIGINT), least(CAST(50000 AS BIGINT),
+           CAST(10000 AS BIGINT) * cu // pu - CAST(10000 AS BIGINT))) AS rq
+  FROM r WHERE pu IS NOT NULL AND pu > 0
+)
+"""
+
 ORACLES = {
+    "q35_calmar": BARS_SQL
+    + """
+, r AS (
+  SELECT symbol, trade_date,
+         CAST(close * 10000 AS BIGINT) AS cu,
+         lag(CAST(close * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date) AS pu,
+         MAX(CAST(close * 10000 AS BIGINT))
+           OVER (PARTITION BY symbol ORDER BY trade_date
+                 ROWS UNBOUNDED PRECEDING) AS peak
+  FROM bars
+), t AS (
+  SELECT symbol,
+         CASE WHEN pu IS NOT NULL AND pu > 0 THEN
+           greatest(CAST(-50000 AS BIGINT), least(CAST(50000 AS BIGINT),
+             CAST(10000 AS BIGINT) * cu // pu - CAST(10000 AS BIGINT)))
+         END AS rq,
+         (CAST(10000 AS BIGINT) * (peak - cu)) // peak AS dd
+  FROM r
+), m AS (
+  SELECT symbol, COUNT(rq) AS n_days,
+         CAST(SUM(rq) AS BIGINT) AS s1,
+         CAST(MAX(dd) AS BIGINT) AS maxdd
+  FROM t GROUP BY 1
+)
+SELECT symbol, n_days,
+       252.0 * CAST(s1 AS DOUBLE) / n_days / 100.0 AS ann_ret_pct,
+       CAST(maxdd AS DOUBLE) / 100.0 AS maxdd_pct,
+       252.0 * CAST(s1 AS DOUBLE) / n_days / CAST(maxdd AS DOUBLE) AS calmar
+FROM m WHERE n_days >= 30 AND maxdd > 0
+""",
+    "q36_amihud": RQ_SQL
+    + """
+, t AS (
+  SELECT symbol,
+         (abs(rq) * CAST(1000000000 AS BIGINT)) // (cu * volume) AS term,
+         cu * volume AS dvu
+  FROM rq WHERE cu * volume > 0
+), m AS (
+  SELECT symbol, COUNT(*) AS n_days,
+         CAST(SUM(term) AS BIGINT) AS st,
+         CAST(SUM(dvu) AS BIGINT) AS sdv
+  FROM t GROUP BY 1
+)
+SELECT symbol, n_days,
+       CAST(st AS DOUBLE) / n_days AS amihud_x1e9,
+       CAST(sdv AS DOUBLE) / 10000.0 AS total_dollar_volume
+FROM m WHERE n_days >= 30
+""",
+    "q37_momentum_deciles": BARS_SQL
+    + """
+, per AS (
+  SELECT symbol, COUNT(*) AS n_days,
+         arg_min(CAST(close * 10000 AS BIGINT), trade_date) AS c0,
+         arg_max(CAST(close * 10000 AS BIGINT), trade_date) AS cn
+  FROM bars GROUP BY 1
+), mom AS (
+  SELECT symbol,
+         CAST(10000 AS BIGINT) * cn // c0 - CAST(10000 AS BIGINT) AS mom_bp
+  FROM per WHERE n_days >= 30 AND c0 > 0
+), ranked AS (
+  SELECT symbol, mom_bp,
+         CAST(ntile(10) OVER (ORDER BY mom_bp, symbol) AS INTEGER) AS decile
+  FROM mom
+), agg AS (
+  SELECT decile, COUNT(*) AS n_symbols,
+         CAST(SUM(mom_bp) AS BIGINT) AS sm,
+         MIN(mom_bp) AS min_bp, MAX(mom_bp) AS max_bp
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_symbols,
+       CAST(sm AS DOUBLE) / n_symbols / 100.0 AS mean_mom_pct,
+       CAST(min_bp AS DOUBLE) / 100.0 AS min_mom_pct,
+       CAST(max_bp AS DOUBLE) / 100.0 AS max_mom_pct
+FROM agg
+""",
+    "q38_capture_ratios": RQ_SQL
+    + """
+, mkt AS (
+  SELECT trade_date, CAST(SUM(rq) AS BIGINT) AS mkt
+  FROM rq GROUP BY 1
+), med AS (
+  SELECT mkt AS med FROM (
+    SELECT mkt, row_number() OVER (ORDER BY mkt, trade_date) AS rn,
+           COUNT(*) OVER () AS nd
+    FROM mkt
+  ) WHERE rn = (nd + 1) // 2
+), j AS (
+  SELECT rq.symbol, rq.rq, mkt.mkt, med.med
+  FROM rq JOIN mkt USING (trade_date) CROSS JOIN med
+), agg AS (
+  SELECT symbol,
+         COUNT(CASE WHEN mkt > med THEN 1 END) AS n_up,
+         COUNT(CASE WHEN mkt < med THEN 1 END) AS n_down,
+         CAST(SUM(CASE WHEN mkt > med THEN rq END) AS BIGINT) AS s_up,
+         CAST(SUM(CASE WHEN mkt < med THEN rq END) AS BIGINT) AS s_dn,
+         CAST(SUM(CASE WHEN mkt > med THEN mkt END) AS BIGINT) AS m_up,
+         CAST(SUM(CASE WHEN mkt < med THEN mkt END) AS BIGINT) AS m_dn
+  FROM j GROUP BY 1
+)
+SELECT symbol, n_up, n_down,
+       CAST(s_up AS DOUBLE) / CAST(m_up AS DOUBLE) AS up_capture,
+       CAST(s_dn AS DOUBLE) / CAST(m_dn AS DOUBLE) AS down_capture
+FROM agg WHERE n_up >= 10 AND n_down >= 10
+""",
+    "q39_variance_ratio": RQ_SQL
+    + """
+, d AS (
+  SELECT symbol, rq,
+         CAST(SUM(rq) OVER (PARTITION BY symbol ORDER BY trade_date
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS rq5,
+         COUNT(*) OVER (PARTITION BY symbol ORDER BY trade_date
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n5w
+  FROM rq
+), agg AS (
+  SELECT symbol,
+         COUNT(*) AS n1,
+         CAST(SUM(rq) AS BIGINT) AS sx,
+         CAST(SUM(rq * rq) AS BIGINT) AS sxx,
+         COUNT(CASE WHEN n5w = 5 THEN 1 END) AS n5,
+         CAST(SUM(CASE WHEN n5w = 5 THEN rq5 END) AS BIGINT) AS sy,
+         CAST(SUM(CASE WHEN n5w = 5 THEN rq5 * rq5 END) AS BIGINT) AS syy
+  FROM d GROUP BY 1
+)
+SELECT symbol, n1 AS n_days,
+       (CAST(n5 * syy - sy * sy AS DOUBLE) / CAST(n5 * n5 AS DOUBLE))
+       / (5.0 * CAST(n1 * sxx - sx * sx AS DOUBLE) / CAST(n1 * n1 AS DOUBLE))
+         AS vr5
+FROM agg
+WHERE n1 >= 40 AND n5 >= 30 AND n1 * sxx - sx * sx > 0
+""",
+    "q40_info_ratio": RQ_SQL
+    + """
+, mkt AS (
+  SELECT trade_date,
+         CAST(trunc(CAST(CAST(SUM(rq) AS BIGINT) AS DOUBLE) / COUNT(*))
+              AS BIGINT) AS mbar
+  FROM rq GROUP BY 1
+), j AS (
+  SELECT rq.symbol, rq.rq - mkt.mbar AS act
+  FROM rq JOIN mkt USING (trade_date)
+), agg AS (
+  SELECT symbol, COUNT(*) AS n_days,
+         CAST(SUM(act) AS BIGINT) AS s1,
+         CAST(SUM(act * act) AS BIGINT) AS s2
+  FROM j GROUP BY 1
+)
+SELECT symbol, n_days,
+       CAST(s1 AS DOUBLE) / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE))
+         * sqrt(252.0) AS ann_ir
+FROM agg WHERE n_days >= 30 AND n_days * s2 - s1 * s1 > 0
+""",
     "gini_volume_concentration": BARS_SQL
     + """
 , vol AS (
