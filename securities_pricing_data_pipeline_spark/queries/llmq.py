@@ -278,6 +278,50 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
 
 
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN majority-vote classification over the labeled
+    embedding corpus, reported as a confusion matrix (true_label,
+    pred_label, n_vectors) — the standard embedding-quality eval (does
+    nearest-neighbor structure recover the labels?) run before trusting a
+    space for semantic dedup or retrieval. Majority vote over the 5 exact
+    cosine neighbors; vote ties break to the smaller label id — both
+    engines rank (votes DESC, label ASC) identically, and the underlying
+    cosine ranks are already bit-equal on the shared integer grid (the
+    sim_bruteforce_topk discipline).
+
+    Plan: the exact all-pairs scorer is the documented quadratic
+    baseline (the labeled eval set is the small curated side at real
+    scale — broadcast it, stream the corpus past it); the vote and the
+    confusion rollup are two bounded hash aggregates, |labels|² output
+    rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    nn = brute_force_topk(emb, emb, k=5)
+    votes = nn.join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+            )
+        ),
+        "neighbor_id",
+    )
+    cnt = votes.groupBy("query_id", "nlabel").agg(F.count("*").alias("v"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("nlabel"))
+    pred = (
+        cnt.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("query_id"), "label")),
+            "query_id",
+        )
+        .groupBy(F.col("label").alias("true_label"), "pred_label")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 40-token windows every 20 tokens per document via the
     Spark 4 Python UDTF lateral join (see llmdata.text.chunk_documents)."""
@@ -930,6 +974,82 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus (k=8, two unrolled Lloyd
+    iterations, deterministic seeds = the 8 lowest vec_ids) — the
+    clustering pass behind semantic dedup sharding, IVF list training,
+    and corpus topic maps. Emits one row per surviving cluster with its
+    population, how many vectors switched into it on the second
+    iteration, and the exact within-cluster inertia.
+
+    Exactness (why an iterative algorithm still value-matches DuckDB):
+    every arithmetic step stays on an integer grid. Vector elements snap
+    to the 1e7 grid (|v| ≤ 0.6 → |g| ≤ 6e6); squared distances are int64
+    (≤ 64·(1.2e7)² ≈ 9.2e15); assignment is an exact (dist, cid)
+    row_number argmin; the centroid update is the offset floored integer
+    quotient (sg + n·2e7) DIV n − 2e7 — the +2e7·n shift keeps the
+    numerator non-negative so Spark's truncating DIV and DuckDB's
+    flooring // agree — and the final inertia is a decimal(38)/HUGEINT
+    exact sum (per-pair distances reach ~1e15; an int64 corpus sum would
+    overflow near 1e4 vectors) cast to double once.
+
+    Plan: the grid point table is exploded once and reused across both
+    iterations; centroids are ≤ k·dim = 512 rows, always broadcast — each
+    iteration is one broadcast join + two hash aggregates, shuffling only
+    (vec_id, cid, dist) triples. At 100 TB the same shape holds: the
+    k×dim centroid frame is driver-sized no matter the corpus, iteration
+    count is fixed, and nothing ever shuffles the raw vectors twice."""
+    K = 8
+    OFF = "CAST(20000000 AS BIGINT)"
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 10000000).cast("long").alias("g"),
+    )
+    c0 = pts.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("g").alias("c")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = pts.join(F.broadcast(cent), "dim")
+        diff = F.col("g") - F.col("c")
+        dist = d.groupBy("vec_id", "cid").agg(F.sum(diff * diff).alias("dist"))
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a1 = assign(c0)
+    c1 = (
+        pts.join(a1.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "dim")
+        .agg(F.count("*").alias("n"), F.sum("g").alias("sg"))
+        .select(
+            "cid", "dim", F.expr(f"(sg + n * {OFF}) DIV n - {OFF}").alias("c")
+        )
+    )
+    a2 = assign(c1)
+    j = a2.join(a1.select("vec_id", F.col("cid").alias("cid1")), "vec_id")
+    return (
+        j.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.when(F.col("cid1") != F.col("cid"), 1).otherwise(0)).alias(
+                "n_moved_in"
+            ),
+            (
+                F.sum(F.col("dist").cast("decimal(38,0)")).cast("double")
+                / F.lit(1e14)
+            ).alias("inertia"),
+        )
+    )
+
+
 def sketch_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-orderkey estimate (p=8, 256
     registers) — the sketch itself, not just the estimate, is
@@ -1068,6 +1188,8 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "emb_norm_stats": emb_norm_stats,
     "emb_label_centroids": emb_label_centroids,
+    "emb_kmeans": emb_kmeans,
+    "sim_knn_classify": sim_knn_classify,
     "emb_pq_codes": emb_pq_codes,
     "sim_rrf_fusion": sim_rrf_fusion,
     "corpus_mix_plan": corpus_mix_plan,
@@ -1565,6 +1687,46 @@ SELECT label, dim, n_vectors,
          / 10000000000.0 AS centroid_val
 FROM agg
 """,
+    "emb_kmeans": """
+WITH pts AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS g
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, dim, g AS c FROM pts WHERE vec_id < 8
+), d1 AS (
+  SELECT p.vec_id, c.cid,
+         CAST(SUM((p.g - c.c) * (p.g - c.c)) AS BIGINT) AS dist
+  FROM pts p JOIN c0 c USING (dim) GROUP BY 1, 2
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+), c1 AS (
+  SELECT a.cid, p.dim,
+         (CAST(SUM(p.g) AS BIGINT) + COUNT(*) * CAST(20000000 AS BIGINT))
+           // COUNT(*) - CAST(20000000 AS BIGINT) AS c
+  FROM pts p JOIN a1 a USING (vec_id) GROUP BY 1, 2
+), d2 AS (
+  SELECT p.vec_id, c.cid,
+         CAST(SUM((p.g - c.c) * (p.g - c.c)) AS BIGINT) AS dist
+  FROM pts p JOIN c1 c USING (dim) GROUP BY 1, 2
+), a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT a2.cid,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN a1.cid <> a2.cid THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_in,
+       CAST(SUM(a2.dist) AS DOUBLE) / 1e14 AS inertia
+FROM a2 JOIN a1 USING (vec_id)
+GROUP BY 1
+""",
     "emb_norm_stats": """
 WITH g AS (
   SELECT label,
@@ -1895,6 +2057,28 @@ WITH q AS (
 )
 SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+""",
+    "sim_knn_classify": f"""
+WITH c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), ranked AS (
+  SELECT q.vec_id AS query_id, n.label AS nlabel,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_cos_expr('q.v', 'n.v')} DESC, n.vec_id)
+           AS rank
+  FROM c q JOIN c n ON q.vec_id <> n.vec_id
+), cnt AS (
+  SELECT query_id, nlabel, COUNT(*) AS v
+  FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, nlabel AS pred_label FROM (
+    SELECT query_id, nlabel,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY v DESC, nlabel) AS rn
+    FROM cnt) WHERE rn = 1
+)
+SELECT e.label AS true_label, p.pred_label, COUNT(*) AS n_vectors
+FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+GROUP BY 1, 2
 """,
     "multimodal_features": """
 SELECT doc_id AS asset_id, 'image' AS media_type,
