@@ -885,3 +885,34 @@ def test_quantile_histogram_within_one_bucket_of_exact(spark):
     )
     got = quantiles_from_histogram(merged, ["g"], {"p50": 0.5}, lo, hi, nb).collect()[0]
     assert got.p50 == row.p50 and got.n_values == 1000
+
+
+def test_emb_kmeans_partitions_corpus(spark, sf_dir):
+    """The registry k-means is a true partition of the corpus: cluster
+    populations sum to the vector count, inertia is non-negative, the
+    movement counter is bounded by the population, and two runs agree
+    exactly (integer-grid arithmetic leaves nothing to float luck)."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import emb_kmeans
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = emb_kmeans(spark, sf_dir).collect()
+    assert sum(r.n_vectors for r in rows) == n
+    assert len({r.cid for r in rows}) == len(rows) <= 8
+    assert all(r.inertia >= 0.0 for r in rows)
+    assert all(0 <= r.n_moved_in <= r.n_vectors for r in rows)
+    again = emb_kmeans(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sim_knn_classify_confusion_covers_corpus(spark, sf_dir):
+    """Every vector gets exactly one 5-NN prediction, and predicted labels
+    come from the observed label set."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import sim_knn_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    cm = sim_knn_classify(spark, sf_dir).collect()
+    assert sum(r.n_vectors for r in cm) == n
+    assert {r.true_label for r in cm} <= labels
+    assert {r.pred_label for r in cm} <= labels
