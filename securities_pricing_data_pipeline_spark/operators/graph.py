@@ -193,3 +193,38 @@ def triangle_stats(und: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     return out.select(
         "n_nodes", "n_edges", "n_triangles", "n_triads", gcc.alias("global_clustering")
     )
+
+
+def label_propagation(
+    sym: DataFrame, rounds: int = 2, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Deterministic synchronous majority label propagation (Raghavan
+    2007's LPA) over a SYMMETRIC edge list — returns (node, label) after
+    ``rounds`` iterations. Labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors, vote ties
+    breaking to the smaller label id. The fixed round count, synchronous
+    updates, and total tie order turn the classic order-sensitive
+    heuristic into a bit-reproducible operator (the same determinization
+    the SQL oracle unrolls).
+
+    Scale shape: each round is one keyed equi-join of the edge list
+    against the node-sized (node, label) frame plus a (node, label)
+    hash-aggregate vote — shuffles carry id pairs only, one PageRank
+    iteration's cost per round."""
+    labels = None  # round 1 inlines init (neighbor label == neighbor id)
+    for r in range(rounds):
+        if labels is None:
+            nbr = sym.select(F.col(src).alias("node"), F.col(dst).alias("nl"))
+        else:
+            nbr = sym.join(
+                labels.select(F.col("node").alias(dst), F.col("label").alias("nl")),
+                dst,
+            ).select(F.col(src).alias("node"), "nl")
+        cnt = nbr.groupBy("node", "nl").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nl"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nl").alias("label"))
+        )
+    return labels

@@ -671,6 +671,45 @@ def graph_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph: two unrolled
+    rounds of SYNCHRONOUS majority label propagation (Raghavan 2007's
+    LPA, determinized) — each node adopts the most frequent label among
+    its neighbors, vote ties break to the smaller label id. Labels start
+    as node ids, so round 1 degenerates to min-neighbor (every neighbor
+    label is distinct) and round 2 is the first genuine majority vote;
+    fixing the round count and the tie order is what makes an otherwise
+    order-sensitive heuristic bit-reproducible in both engines. Output
+    is one row per surviving community with its population — the corpus
+    community histogram next to PageRank (centrality), triangles
+    (transitivity), and assortativity (mixing).
+
+    Plan: per round, ONE keyed equi-join of the symmetric edge list
+    against the node-sized (node, label) frame, a (node, label) count
+    aggregate, and a row_number argmax — all shuffles carry id pairs
+    only, never adjacency arrays, so a round costs the same as one
+    PageRank iteration and hub skew lands in AQE-splittable hash
+    aggregates. At 100 TB the (node, label) frame stays linear in the
+    node count and iteration count is fixed."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    from securities_pricing_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # the edge list feeds both join sides each round — materialize once
+    sym = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    return (
+        label_propagation(sym, rounds=2)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
 def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification of parts by revenue: rank parts by
     descending revenue, classify by cumulative share (A ≤ 80%, B ≤ 95%,
@@ -791,6 +830,7 @@ QUERIES = {
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "graph_triangles_suppliers": graph_triangles_suppliers,
     "graph_assortativity_parts": graph_assortativity_parts,
+    "graph_communities_parts": graph_communities_parts,
     "pareto_abc_parts": pareto_abc_parts,
     "hist_price_buckets": hist_price_buckets,
     "unpivot_ohlc_long": unpivot_ohlc_long,
@@ -1108,6 +1148,31 @@ WITH ls AS (
 SELECT n_nodes, n_edges, n_triangles, n_triads,
        (3.0 * CAST(n_triangles AS DOUBLE)) / CAST(n_triads AS DOUBLE) AS global_clustering
 FROM nt, ne, tri
+"""
+
+ORACLES["graph_communities_parts"] = """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem
+), und AS (
+  SELECT DISTINCT a.sk AS u, b.sk AS v
+  FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk
+), e AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), c1 AS (
+  SELECT u AS node, v AS nl, COUNT(*) AS c FROM e GROUP BY 1, 2
+), l1 AS (
+  SELECT node, nl AS label FROM (
+    SELECT node, nl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn
+    FROM c1) WHERE rn = 1
+), c2 AS (
+  SELECT e.u AS node, l1.label AS nl, COUNT(*) AS c
+  FROM e JOIN l1 ON e.v = l1.node GROUP BY 1, 2
+), l2 AS (
+  SELECT node, nl AS label FROM (
+    SELECT node, nl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn
+    FROM c2) WHERE rn = 1
+)
+SELECT label AS community, COUNT(*) AS n_members FROM l2 GROUP BY 1
 """
 
 ORACLES["graph_assortativity_parts"] = """

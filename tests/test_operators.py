@@ -386,3 +386,26 @@ def test_triangle_stats_known_graphs(spark):
     )
     row = triangle_stats(star).collect()[0]
     assert row["n_triangles"] == 1
+
+
+def test_label_propagation_known_graph(spark):
+    """Hand-traced LPA on two triangles bridged by one edge:
+    K3{1,2,3} - 3-4 - K3{4,5,6}. Round 1 is min-neighbor (all votes are
+    singletons); round 2's majority/tie-break yields labels
+    1→1, 2→1, 3→1, 4→4, 5→3, 6→3 — pinned exactly, plus the
+    determinism re-run."""
+    from securities_pricing_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+    sym = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["u", "v"]
+    )
+    got = {r.node: r.label for r in label_propagation(sym, rounds=2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+    again = {r.node: r.label for r in label_propagation(sym, rounds=2).collect()}
+    assert got == again
+    # one round = min-neighbor on an id-labeled graph
+    r1 = {r.node: r.label for r in label_propagation(sym, rounds=1).collect()}
+    assert r1 == {1: 2, 2: 1, 3: 1, 4: 3, 5: 4, 6: 4}
