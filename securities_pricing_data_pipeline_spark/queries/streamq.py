@@ -270,8 +270,92 @@ def stream_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "n_events")
 
 
+def stream_events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the events feed is split into 8 files and
+    replayed as GENUINE multi-batch streaming (``maxFilesPerTrigger=1``),
+    and ``foreachBatch`` MERGEs each micro-batch into a keyed serving
+    table — reduce the batch to one winner per user, union with the
+    current table, re-reduce, atomically republish. The output is the
+    final table: each user's last event by the (ts, event_id) total
+    order. This is THE canonical Structured Streaming sink pattern for
+    engines without a transactional-table dependency (foreachBatch +
+    MERGE, the streaming twin of ``operators.merge``).
+
+    Determinism: last-writer-wins under a TOTAL order is associative and
+    commutative, so the final table is independent of batch boundaries
+    and file arrival order — that's exactly what makes a CDC apply
+    restart-safe in production, and what makes this gate hashable.
+
+    Scale posture: per batch the merge touches |batch keys ∪ table keys|
+    rows; with a transactional format the union+rewrite becomes a keyed
+    MERGE INTO touching only matched files. State lives in the table,
+    not executor memory — the pattern Spark itself recommends for
+    arbitrary-size upsert state. The 8-file split stands in for a real
+    feed's file-per-interval landing (sources.eod_api writes the same
+    layout)."""
+    import shutil
+    from pathlib import Path
+
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+
+    tag = _mem_name("cdc")
+    base = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    feed_dir = str(base / f"{tag}_feed")
+    state_dir = str(base / f"{tag}_state")
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ev.repartition(8, "user_id").write.mode("overwrite").parquet(feed_dir)
+
+    def lww(df: DataFrame) -> DataFrame:
+        # one winner per user by the (ts, event_id) total order
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type", "value")
+                ).alias("s")
+            )
+            .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        merged = lww(batch)
+        if Path(state_dir).exists():
+            merged = lww(s.read.parquet(state_dir).unionByName(merged))
+        # materialize before republishing over the path we just read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(state_dir).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+    final = final.localCheckpoint(eager=True)
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return final
+
+
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
+    "stream_events_cdc_upsert": stream_events_cdc_upsert,
     "stream_events_topk_users": stream_events_topk_users,
     "stream_events_sliding": stream_events_sliding,
     "stream_events_dedup_keys": stream_events_dedup_keys,
@@ -280,6 +364,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    # last writer per user under the (ts, event_id) total order
+    "stream_events_cdc_upsert": """
+SELECT user_id,
+       epoch_ns(ts) AS last_ts,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+""",
     # identical to the batch twin events_hourly_stats' oracle
     "stream_events_hourly": """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)

@@ -9,6 +9,7 @@ import sys
 
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
@@ -317,3 +318,34 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_cdc_upsert_matches_batch_lww(spark):
+    """The foreachBatch CDC apply (8-file multi-batch replay) lands on
+    exactly the batch last-writer-wins table, and cleans up its feed and
+    state directories."""
+    from pathlib import Path
+
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+    from securities_pricing_data_pipeline_spark.queries.streamq import (
+        stream_events_cdc_upsert,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.last_ts, r.last_event_id, r.last_event_type, r.last_value)
+        for r in stream_events_cdc_upsert(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        r.user_id: (r.ts, r.event_id, r.event_type, r.value)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
+    leftovers = list(
+        Path("/root/repo/spark-warehouse").glob("gate_cdc_*")
+    )
+    assert leftovers == []
