@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "q32_seasonality",
     "q33_market_breadth",
     "q34_sortino",
+    "q35_calmar",
+    "q36_amihud",
+    "q37_momentum_deciles",
+    "q38_capture_ratios",
+    "q39_variance_ratio",
+    "q40_info_ratio",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
@@ -149,6 +155,9 @@ BENCH_QUERIES = [
     "graph_pagerank_suppliers",
     "graph_triangles_suppliers",
     "graph_assortativity_parts",
+    "graph_communities_parts",
+    "emb_kmeans",
+    "sim_knn_classify",
     "sim_rrf_fusion",
     "text_chunk_windows",
     "events_variant_props",
@@ -182,6 +191,7 @@ BENCH_QUERIES = [
     "stream_events_interval_join",
     "stream_events_sliding",
     "stream_events_topk_users",
+    "stream_events_cdc_upsert",
     "sql_lateral_topk_orders",
     "sql_pivot_order_status",
     "sketch_hll_weekly_merge",
