@@ -92,6 +92,120 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors — bit-identical output to
+    ``brute_force_topk`` — via the two-phase numpy kernel (the
+    ``semantic_dedup_pairs`` discipline).
+
+    Phase 1 (Arrow-batched ``mapInPandas`` over the *corpus*): the query
+    matrix (the small curated eval side — collect + closure-broadcast it)
+    is scored against each corpus batch with ONE BLAS matmul in float,
+    and per query we keep every batch row whose float cosine is within
+    1e-6 of the batch's k-th best. Float-vs-grid cosine deviation is
+    ≤ ~1e-11 (≤0.5+ε grid units per element, dim-bounded over
+    O(1e13)-unit norms), so the margin makes the prefilter provably
+    lossless, including grid ties — and a float-only *filter* carries no
+    oracle-parity obligation. Candidates are (query_id, neighbor_id)
+    pairs only: Arrow transfer is O(n·dim) in and O(m·(k+ties)) out per
+    batch, never O(n·m).
+
+    Phase 2 (JVM): the tiny candidate set is broadcast back against the
+    corpus for its vectors, the exact integer-grid cosine is recomputed
+    with the same JVM expressions as the single-phase plan (so emitted
+    doubles are bit-identical — numpy's float rounding never reaches an
+    output value), and one window takes rank ≤ k with the (cos DESC,
+    neighbor ASC) tie-break.
+
+    Scale shape: corpus stays partitioned and is scanned once; per-task
+    memory is one chunk×m float block (chunk=4096); the only shuffle is
+    the m·(k+ties)-row candidate window. This replaces the quadratic
+    BroadcastNestedLoopJoin + interpreted-HOF scorer (measured 160.7s →
+    ~2s at sf0.1 for the 5-NN eval).
+    """
+    from pyspark.sql import types as T
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cos_sim double, rank int",
+        )
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)  # m × dim
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    qn_f = (Q * Q).sum(axis=1)  # float norms: prefilter-only, margin covers
+    QT = Q.T
+    margin = 1e-6
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+        ]
+    )
+
+    def _cand_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V_all = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            ids_all = pdf["neighbor_id"].to_numpy().astype(np.int64)
+            for lo in range(0, len(ids_all), 4096):
+                V = V_all[lo : lo + 4096]
+                ids = ids_all[lo : lo + 4096]
+                cn_f = (V * V).sum(axis=1)
+                S = (V @ QT) / np.sqrt(np.outer(cn_f, qn_f))
+                S[ids[:, None] == qids[None, :]] = -np.inf
+                n = S.shape[0]
+                if n > k:
+                    kth = np.partition(S, n - k, axis=0)[n - k, :]
+                else:
+                    kth = np.full(S.shape[1], -np.inf)
+                ci, qj = np.nonzero(S >= (kth[None, :] - margin))
+                if len(ci) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {"query_id": qids[qj], "neighbor_id": ids[ci]}
+                )
+
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).mapInPandas(_cand_batches, cand_schema)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_grid(F.col(vec_col)).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_grid(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def random_planes(dim: int = 64, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Fixed Gaussian hyperplanes shared by Spark and the oracle generator."""
     import random

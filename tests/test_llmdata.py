@@ -117,6 +117,25 @@ def test_brute_force_topk_matches_numpy(spark):
     assert math.isclose(top.cos_sim, sims[top.neighbor_id], abs_tol=1e-9)
 
 
+def test_brute_force_topk_np_bit_parity(spark, sf_dir):
+    """The two-phase numpy-prefilter kernel must be bit-identical to the
+    single-phase JVM plan on real embeddings: same (query, neighbor, rank)
+    triples AND exactly equal cos_sim doubles (phase 2 recomputes the grid
+    cosine JVM-side, so numpy float rounding never reaches an output)."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk_np,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    ref = brute_force_topk(emb, queries, k=5).collect()
+    got = brute_force_topk_np(emb, queries, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    ref_m = {key(r): (r.neighbor_id, r.cos_sim) for r in ref}
+    got_m = {key(r): (r.neighbor_id, r.cos_sim) for r in got}
+    assert got_m == ref_m  # exact — including float equality on cos_sim
+
+
 def test_embedding_near_dups(spark):
     import numpy as np
 
@@ -905,12 +924,14 @@ def test_emb_kmeans_partitions_corpus(spark, sf_dir):
 
 
 def test_sim_knn_classify_confusion_covers_corpus(spark, sf_dir):
-    """Every vector gets exactly one 5-NN prediction, and predicted labels
-    come from the observed label set."""
+    """Every eval-subset vector (vec_id % 10 == 0) gets exactly one 5-NN
+    prediction, and predicted labels come from the observed label set."""
+    from pyspark.sql import functions as F
+
     from securities_pricing_data_pipeline_spark.queries.llmq import sim_knn_classify
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()
+    n = emb.filter(F.col("vec_id") % 10 == 0).count()
     labels = {r.label for r in emb.select("label").distinct().collect()}
     cm = sim_knn_classify(spark, sf_dir).collect()
     assert sum(r.n_vectors for r in cm) == n
