@@ -210,6 +210,13 @@ def main() -> None:
 
     queries = entry_mod.queries()
     names = [n for n in BENCH_QUERIES if n in queries]
+    # dev-loop subset: SPARK_GRAFT_BENCH_ONLY="name1,name2" times just
+    # those entries (same harness, same summary shape) — the committed
+    # per-round artifact always runs the full list.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        sel = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in sel]
 
     # warm-up: JVM codegen + parquet footers + page cache for EVERY input
     # table, so the first timed query measures its plan, not cold I/O

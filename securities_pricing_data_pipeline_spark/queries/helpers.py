@@ -49,6 +49,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # contract: array<float> (the current physical encoding); adapt a
         # future float64 generation the same way as the other drift guards
         df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+    if name in ("documents", "embeddings"):
+        # These two tables feed per-row compute-heavy projections
+        # (tokenization regexes, vector math) that run BEFORE the first
+        # shuffle — at bench scale their single-row-group parquet scans
+        # as 1 split, serializing that work on one core. spread() is a
+        # conditional guard, a no-op whenever the scan already has
+        # cluster-parallel splits (always true for a 100 TB table).
+        df = spread(df)
+    return df
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Parallelism guard for compute-heavy scans of small parquet inputs.
+
+    A single-row-group parquet file scans as ONE split no matter what
+    ``maxPartitionBytes`` says, so every per-row expression above the
+    first exchange runs on one core (measured 2× on the sf0.1 sim family:
+    ivf_topk 1.9s → 0.9s warm). If the scan yields fewer partitions than
+    half the default parallelism, round-robin repartition to the full
+    parallelism; otherwise return the input untouched. At production
+    scale a large table scans as thousands of splits and this is a no-op
+    — the guard inspects the planned partition count, it never
+    unconditionally shuffles a big input.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
     return df
 
 
