@@ -209,24 +209,31 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
     Payloads that ``decode_image`` understands (P6 PPM, uncompressed
     24/32-bit BMP) take the REAL path: decode → nearest-neighbor
     resample → re-encode as P6, with ``meta['codec']`` recording the
-    source format. Undecodable payloads fall back to the deterministic
-    byte-truncation stand-in (``meta['codec'] = 'raw'``) so arbitrary
-    binaries still flow through the same Arrow-batched plumbing; swap
-    the decoder for PIL/libvips at deploy time to widen format support.
+    source format. Unsupported formats (JPEG/PNG/…) fall back to the
+    deterministic byte-truncation stand-in (``meta['codec'] = 'raw'``)
+    so arbitrary binaries still flow through the same Arrow-batched
+    plumbing; swap the decoder for PIL/libvips at deploy time to widen
+    format support. A RECOGNIZED container whose payload fails to decode
+    (truncated PPM/BMP) also takes the stand-in path but is marked
+    ``meta['codec'] = 'corrupt'`` with the decode error preserved in
+    ``meta['decode_error']`` — corruption stays distinguishable from
+    mere lack of codec support in downstream data-quality passes.
     """
     import pandas as pd
 
     cap = width * height
 
-    def _one(b: bytes | None) -> tuple[bytes | None, str]:
+    def _one(b: bytes | None) -> tuple[bytes | None, str, str | None]:
         if b is None:
-            return None, "raw"
+            return None, "raw", None
         try:
             px = decode_image(bytes(b))
             codec = "bmp" if bytes(b[:2]) == b"BM" else "ppm"
-            return encode_ppm(resize_nearest(px, width, height)), codec
-        except (NotImplementedError, ValueError):
-            return bytes(b[:cap]), "raw"
+            return encode_ppm(resize_nearest(px, width, height)), codec, None
+        except NotImplementedError:
+            return bytes(b[:cap]), "raw", None
+        except ValueError as e:
+            return bytes(b[:cap]), "corrupt", str(e)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -234,7 +241,12 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
             done = pdf["content"].map(_one)
             pdf["content"] = done.map(lambda t: t[0])
             pdf["meta"] = [
-                {**(m or {}), "resized": f"{width}x{height}", "codec": t[1]}
+                {
+                    **(m or {}),
+                    "resized": f"{width}x{height}",
+                    "codec": t[1],
+                    **({"decode_error": t[2]} if t[2] else {}),
+                }
                 for m, t in zip(pdf["meta"], done)
             ]
             yield pdf

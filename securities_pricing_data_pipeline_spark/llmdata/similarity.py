@@ -428,6 +428,7 @@ def semantic_dedup_pairs(
     n_centroids: int = 16,
     centroids: DataFrame | None = None,
     max_cluster: int = 2000,
+    observation=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune only
@@ -452,7 +453,15 @@ def semantic_dedup_pairs(
     small for the corpus — grow k rather than pay k²);
     embeddings join back onto the deduplicated pair list only. This is
     the documented SemDeDup cost model: n/k-bounded quadratic work per
-    cluster, linear everything else."""
+    cluster, linear everything else.
+
+    The cap is NOT silent: pass a pyspark ``Observation`` as
+    ``observation`` to read ``dropped_clusters`` / ``dropped_vectors``
+    (rides the normal action via ``df.observe``, no extra job — the
+    ``ngram_jaccard_pairs`` pattern). A nonzero count means recall is
+    collapsing because k is undersized for the corpus: scale
+    ``n_centroids`` (or pass trained ``kmeans_centroids``) until it
+    reads 0."""
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("centroid_id"),
@@ -551,6 +560,16 @@ def semantic_dedup_pairs(
     from pyspark.sql import types as T
 
     sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("csz"))
+    if observation is not None:
+        sizes = sizes.observe(
+            observation,
+            F.coalesce(
+                F.sum((F.col("csz") > max_cluster).cast("long")), F.lit(0)
+            ).alias("dropped_clusters"),
+            F.coalesce(
+                F.sum(F.when(F.col("csz") > max_cluster, F.col("csz"))), F.lit(0)
+            ).alias("dropped_vectors"),
+        )
     ok = sizes.filter(
         (F.col("csz") >= 2) & (F.col("csz") <= max_cluster)
     ).select("centroid_id")

@@ -174,6 +174,19 @@ if _missing:  # fail loudly at import: a stale priority list would silently
 # order), then the already-certified long tail. A fresh driver artifact
 # landing in the repo root is enough to advance the window next round.
 _certified = _driver_certified()
+if not _certified:
+    # Installed/site-packages layouts and artifact-free checkouts have no
+    # CORRECTNESS_r*.json next to the package — the window then quietly
+    # degrades to the static fallback order. Say so once, on stderr, so a
+    # silently stale rotation is detectable (ADVICE r6; ordering only —
+    # results are unaffected).
+    import sys as _sys
+
+    print(
+        "securities_pricing_data_pipeline_spark.queries: no CORRECTNESS_r*.json artifacts found; "
+        "registry rotation falls back to the static priority order",
+        file=_sys.stderr,
+    )
 _rest = [n for n in _PRIORITY if n not in _CANARY]
 _rest += [n for n in _ALL_QUERIES if n not in _CANARY and n not in _rest]
 _order = (

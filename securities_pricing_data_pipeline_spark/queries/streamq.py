@@ -294,11 +294,18 @@ def stream_events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed's file-per-interval landing (sources.eod_api writes the same
     layout)."""
     import shutil
+    import uuid
     from pathlib import Path
 
     from securities_pricing_data_pipeline_spark.queries.helpers import load
 
-    tag = _mem_name("cdc")
+    # uuid-suffixed dirs: the per-process _mem_name counter restarts at 0
+    # in every process, so a crashed earlier run's leftover _state dir
+    # under the same name would be silently folded into this run's merge
+    # (the Path.exists() gate below can't tell stale from live). A fresh
+    # uuid makes collision impossible; the finally below handles cleanup
+    # even on mid-stream failure.
+    tag = f"{_mem_name('cdc')}_{uuid.uuid4().hex[:12]}"
     base = Path(__file__).resolve().parents[2] / "spark-warehouse"
     feed_dir = str(base / f"{tag}_feed")
     state_dir = str(base / f"{tag}_state")
@@ -328,29 +335,30 @@ def stream_events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before republishing over the path we just read
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_dir)
 
-    stream = (
-        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed_dir)
-    )
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
-    final = spark.read.parquet(state_dir).select(
-        "user_id",
-        F.col("ts").alias("last_ts"),
-        F.col("event_id").alias("last_event_id"),
-        F.col("event_type").alias("last_event_type"),
-        F.col("value").alias("last_value"),
-    )
-    final = final.localCheckpoint(eager=True)
-    shutil.rmtree(feed_dir, ignore_errors=True)
-    shutil.rmtree(state_dir, ignore_errors=True)
-    return final
+        final = spark.read.parquet(state_dir).select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 QUERIES = {

@@ -446,6 +446,41 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert obs.get["dropped_shingles"] == 1
 
 
+def test_semantic_dedup_overfull_cluster_is_observable(spark):
+    """An over-full cluster is excluded from the pairwise prune, but the
+    drop must be observable (dropped_clusters / dropped_vectors), not a
+    silent recall collapse (ADVICE r6)."""
+    import numpy as np
+    from pyspark.sql import Observation
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    # centroid 0 at id 0, centroid 1 at id 1 (n_centroids=2). Vectors
+    # 2..7 hug centroid 0 (6-member cluster, over the max_cluster=4 cap);
+    # 8..9 hug centroid 1 (2-member cluster, kept).
+    c0 = rng.randn(8)
+    c1 = -c0 + 0.01 * rng.randn(8)
+    rows = [(0, [float(x) for x in c0]), (1, [float(x) for x in c1])]
+    rows += [
+        (i, [float(x) for x in (c0 + 0.01 * rng.randn(8))]) for i in range(2, 8)
+    ]
+    rows += [
+        (i, [float(x) for x in (c1 + 0.01 * rng.randn(8))]) for i in (8, 9)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    obs = Observation("sem_cap")
+    pairs = semantic_dedup_pairs(
+        df, threshold=0.9, n_centroids=2, max_cluster=4, observation=obs
+    ).collect()
+    # only the small cluster's pair survives; the 7-member cluster is dropped
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 8), (1, 9), (8, 9)}
+    assert obs.get["dropped_clusters"] == 1
+    assert obs.get["dropped_vectors"] == 7
+
+
 def test_connected_components_raises_when_unconverged(spark):
     import pytest as _pytest
 

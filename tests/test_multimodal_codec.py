@@ -88,6 +88,9 @@ def test_resize_images_real_and_fallback_paths(spark):
         (2, "image", bytearray(_bmp24(px)), {"k": "bmp-src"}),
         (3, "image", bytearray(b"not an image" * 500), {"k": "raw-src"}),
         (4, "image", None, {}),
+        # recognized P6 container, truncated pixel data: must be flagged
+        # 'corrupt' (with the decode error kept), NOT silently 'raw'
+        (5, "image", bytearray(encode_ppm(px)[:-7]), {"k": "trunc-src"}),
     ]
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)
     got = {
@@ -102,4 +105,8 @@ def test_resize_images_real_and_fallback_paths(spark):
         assert got[aid]["meta"]["k"].endswith("-src")  # original meta kept
     assert bytes(got[3]["content"]) == (b"not an image" * 500)[:20]
     assert got[3]["meta"]["codec"] == "raw"
+    assert "decode_error" not in got[3]["meta"]
     assert got[4]["content"] is None and got[4]["meta"]["codec"] == "raw"
+    assert got[5]["meta"]["codec"] == "corrupt"
+    assert "truncated" in got[5]["meta"]["decode_error"]
+    assert bytes(got[5]["content"]) == encode_ppm(px)[:-7][:20]
