@@ -420,6 +420,88 @@ def embedding_near_dups(
     )
 
 
+def nearest_centroid(
+    c: DataFrame,
+    centroids: DataFrame,
+    collect_limit: int = 65536,
+) -> DataFrame:
+    """Exact nearest-centroid assignment ``(id, centroid_id)`` shared by
+    SemDeDup clustering, IVF list building, and the k-means iteration —
+    argmax over grid cosine with the (cos DESC, centroid_id ASC)
+    tie-break, identical to a full JVM pass.
+
+    ``c`` must have columns (id, vec, norm) with ``norm = norm_grid(vec)``;
+    ``centroids`` must have (centroid_id, cent_vec, cent_norm).
+
+    Two-phase (the ``semantic_dedup_pairs`` discipline, factored out in
+    round 7 so every k·n assignment in the repo shares it): when the
+    centroid matrix is collectable (k ≤ ``collect_limit`` — SemDeDup/IVF's
+    k ≪ n), a pandas_udf computes FLOAT cosines to every centroid with one
+    V·Cᵀ matmul per Arrow batch and emits the centroid ids within 1e-6 of
+    the row max — the true grid argmax is provably among them (grid vs
+    float cosine deviate ≤ ~1e-12, so the margin can never exclude it;
+    usually the list is a single id). Phase 2 evaluates the exact grid
+    cosine ONLY for those candidate (vector, centroid) rows JVM-side and
+    ``max_by`` over (cos, -centroid_id) picks the final cluster. The JVM
+    broadcast-join full pass remains the fallback for web-scale centroid
+    sets.
+
+    Scale shape: phase 1 is map-side only (no shuffle; Arrow transfer is
+    O(n·dim) in, O(n·|candidates|) ids out); the max_by aggregate
+    partially aggregates map-side, so the one shuffle carries (id,
+    max_by-state) narrow rows — never vectors, never the k·n expansion
+    the single-phase window plan pays."""
+    cent_rows = None
+    try:
+        cent_rows = (
+            centroids.select("centroid_id", "cent_vec", "cent_norm")
+            .limit(collect_limit + 1)
+            .collect()
+        )
+        if len(cent_rows) > collect_limit:
+            cent_rows = None
+    except Exception:  # noqa: BLE001 — any collect surprise → JVM path
+        cent_rows = None
+
+    if cent_rows:
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.stack([np.asarray(r["cent_vec"], dtype=np.float64) for r in cent_rows])
+        cids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+        cnorms = np.array([r["cent_norm"] for r in cent_rows], dtype=np.float64)
+
+        @pandas_udf("array<long>")
+        def _cand_np(vecs: pd.Series) -> pd.Series:
+            V = np.stack(vecs.to_numpy()).astype(np.float64)
+            cos = (V @ C.T) * _SCALE / np.sqrt(
+                np.outer((V * V).sum(axis=1) * _SCALE, cnorms)
+            )
+            mx = cos.max(axis=1, keepdims=True)
+            return pd.Series(
+                [cids[np.nonzero(row >= m - 1e-6)[0]].tolist() for row, m in zip(cos, mx)]
+            )
+
+        cand_assign = c.select(
+            "id", "vec", "norm", F.explode(_cand_np(F.col("vec"))).alias("centroid_id")
+        ).join(F.broadcast(centroids), "centroid_id")
+    else:
+        cand_assign = c.join(F.broadcast(centroids))
+    return (
+        cand_assign.withColumn(
+            "cent_cos",
+            cosine_with_norms(
+                F.col("vec"), F.col("cent_vec"), F.col("norm"), F.col("cent_norm")
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("cent_cos"), -F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
+    )
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -473,69 +555,13 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("vec"),
         norm_grid(F.col(vec_col)).alias("norm"),
     )
-    # Assignment, two-phase like the prune below. Phase 1 (when the
-    # centroid matrix is collectable — SemDeDup's k ≪ n, gated at 64k
-    # rows): a pandas_udf computes FLOAT cosines to every centroid with
-    # one V·Cᵀ matmul per Arrow batch and emits the centroid ids within
-    # 1e-6 of the row max — the true grid argmax is provably among them
-    # (grid vs float cosine deviate ≤ ~1e-12 per the prune-phase bound,
-    # so a 2δ margin can never exclude it; usually the list is a single
-    # id). Phase 2 evaluates the exact grid cosine ONLY for those
-    # candidate (vector, centroid) rows and max_by over
-    # (cos, -centroid_id) picks the final cluster — identical selection
-    # and tie-break to a full JVM pass, which remains the fallback for
-    # web-scale centroid sets. Cuts the k·n interpreted-lambda cosine
-    # pass (10.6s of the 100k×256 probe) to one BLAS matmul + an
-    # O(n)-row exact verify (~1.5s).
-    cent_rows = None
-    _CENT_COLLECT_LIMIT = 65536
-    try:
-        cent_rows = (
-            centroids.select("centroid_id", "cent_vec", "cent_norm")
-            .limit(_CENT_COLLECT_LIMIT + 1)
-            .collect()
-        )
-        if len(cent_rows) > _CENT_COLLECT_LIMIT:
-            cent_rows = None
-    except Exception:  # noqa: BLE001 — any collect surprise → JVM path
-        cent_rows = None
-
-    if cent_rows:
-        from pyspark.sql.functions import pandas_udf
-
-        C = np.stack([np.asarray(r["cent_vec"], dtype=np.float64) for r in cent_rows])
-        cids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
-        cnorms = np.array([r["cent_norm"] for r in cent_rows], dtype=np.float64)
-
-        @pandas_udf("array<long>")
-        def _cand_np(vecs: pd.Series) -> pd.Series:
-            V = np.stack(vecs.to_numpy()).astype(np.float64)
-            cos = (V @ C.T) * _SCALE / np.sqrt(
-                np.outer((V * V).sum(axis=1) * _SCALE, cnorms)
-            )
-            mx = cos.max(axis=1, keepdims=True)
-            return pd.Series(
-                [cids[np.nonzero(row >= m - 1e-6)[0]].tolist() for row, m in zip(cos, mx)]
-            )
-
-        cand_assign = c.select(
-            "id", "vec", "norm", F.explode(_cand_np(F.col("vec"))).alias("centroid_id")
-        ).join(F.broadcast(centroids), "centroid_id")
-    else:
-        cand_assign = c.join(F.broadcast(centroids))
+    # Assignment via the shared two-phase kernel (numpy float prefilter
+    # per Arrow batch, exact grid-cosine confirm JVM-side — see
+    # nearest_centroid). Cuts the k·n interpreted-lambda cosine pass
+    # (10.6s of the 100k×256 probe) to one BLAS matmul + an O(n)-row
+    # exact verify (~1.5s).
     assigned = (
-        cand_assign.withColumn(
-            "cent_cos",
-            cosine_with_norms(
-                F.col("vec"), F.col("cent_vec"), F.col("norm"), F.col("cent_norm")
-            ),
-        )
-        .groupBy("id")
-        .agg(
-            F.max_by(
-                "centroid_id", F.struct(F.col("cent_cos"), -F.col("centroid_id"))
-            ).alias("centroid_id")
-        )
+        nearest_centroid(c, centroids)
         # the cluster map is consumed three times below (size gate + both
         # self-join sides); it is (id, cluster) rows — 16 bytes × corpus —
         # and the assignment above it is the k·n cosine pass, so pin it
@@ -668,23 +694,20 @@ def kmeans_centroids(
     ]
     spark = corpus.sparkSession
     c = corpus.select(
-        F.col(id_col).alias("nid"),
+        F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm_grid(F.col(vec_col)).alias("nrm"),
+        norm_grid(F.col(vec_col)).alias("norm"),
     )
     for _ in range(iters):
         cent_df = spark.createDataFrame(
             cur, "centroid_id int, cent_vec array<double>"
         ).withColumn("cent_norm", norm_grid(F.col("cent_vec")))
-        w = Window.partitionBy("nid").orderBy(F.desc("cos"), F.asc("centroid_id"))
+        # per-iteration assignment via the shared two-phase kernel (see
+        # nearest_centroid) — same argmax/tie-break as the old window
+        # plan, one matmul instead of a k·n HOF pass
         assigned = (
-            c.join(F.broadcast(cent_df))
-            .withColumn(
-                "cos",
-                cosine_with_norms(F.col("vec"), F.col("cent_vec"), F.col("nrm"), F.col("cent_norm")),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            nearest_centroid(c, cent_df)
+            .join(c, "id")
             .select("centroid_id", "vec")
         )
         means = (
@@ -731,26 +754,26 @@ def ivf_topk(
             F.col(vec_col).alias("cent_vec"),
             norm_grid(F.col(vec_col)).alias("cent_norm"),
         )
-    # inverted-list assignment: best centroid per corpus vector
+    # inverted-list assignment: best centroid per corpus vector, via the
+    # shared two-phase kernel (numpy float prefilter, exact grid confirm;
+    # see nearest_centroid) — one map-side matmul + a narrow-row shuffle,
+    # replacing the k·n HOF-cosine expansion the window plan paid. The
+    # vectors rejoin the (id, centroid_id) map on id: a hash join of
+    # n narrow rows against the corpus scan, never n·k vector rows.
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_grid(F.col(vec_col)).alias("c_norm"),
-    )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("cent_cos"), F.asc("centroid_id")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("norm"),
     )
     assigned = (
-        c.join(F.broadcast(centroids))
-        .withColumn(
-            "cent_cos",
-            cosine_with_norms(
-                F.col("c_vec"), F.col("cent_vec"), F.col("c_norm"), F.col("cent_norm")
-            ),
+        nearest_centroid(c, centroids)
+        .join(c, "id")
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+            "centroid_id",
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "c_vec", "c_norm", "centroid_id")
     )
     # probe lists: nprobe best centroids per query
     q = queries.select(

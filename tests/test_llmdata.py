@@ -136,6 +136,37 @@ def test_brute_force_topk_np_bit_parity(spark, sf_dir):
     assert got_m == ref_m  # exact — including float equality on cos_sim
 
 
+def test_nearest_centroid_np_matches_jvm(spark, sf_dir):
+    """The shared two-phase assignment kernel (numpy float prefilter +
+    exact grid confirm) must pick the identical centroid for every vector
+    as the full JVM broadcast pass, including ties — it backs SemDeDup,
+    IVF list building, and the k-means iteration."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        nearest_centroid,
+        norm_grid,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm_grid(F.col("embedding")).alias("norm"),
+    )
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_vec"),
+        norm_grid(F.col("embedding")).alias("cent_norm"),
+    )
+    got = {r.id: r.centroid_id for r in nearest_centroid(c, centroids).collect()}
+    # collect_limit=0 forces the single-phase JVM fallback path
+    ref = {
+        r.id: r.centroid_id
+        for r in nearest_centroid(c, centroids, collect_limit=0).collect()
+    }
+    assert got == ref
+    assert len(got) == emb.count()
+
+
 def test_embedding_near_dups(spark):
     import numpy as np
 

@@ -70,6 +70,39 @@ def probe_asof(spark) -> list[tuple[str, int, float]]:
     return [("asof_20m (20M x 2M, 2k keys)", n_left + n_right, timed(lambda: force(out)))]
 
 
+def probe_asof_skew(spark) -> list[tuple[str, int, float]]:
+    """As-of under worst-case key skew: ONE symbol carries 50% of both
+    sides (the round-6 verdict's straggler question). The union-and-window
+    plan partitions its window by key, so the hot key's sorted scan runs
+    in a single task — this probe prices that straggler against the
+    uniform-key rate above. The window itself is a running last-non-null
+    (O(rows) per partition, no per-row rescan), so the hot task is a
+    10M-row sort + linear scan, not a blowup."""
+    from securities_pricing_data_pipeline_spark.operators.asof import asof_join_backward
+
+    n_left, n_right, keys = 20_000_000, 2_000_000, 2000
+    # 50% of rows land on key 0; the rest spread over the remaining keys
+    skew = lambda col, seed: F.when(  # noqa: E731
+        F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(2)) == 0, F.lit(0)
+    ).otherwise(F.pmod(F.xxhash64(col, F.lit(seed + 100)), F.lit(keys)))
+    left = spark.range(n_left).select(
+        skew(F.col("id"), 1).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000_000)).alias("t"),
+        F.col("id").alias("event_id"),
+    )
+    right = spark.range(n_right).select(
+        skew(F.col("id"), 2).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000_000)).alias("t"),
+        (F.col("id") % 10_000).alias("price"),
+    )
+    out = asof_join_backward(left, right, ["k"], "t", "t", ["price"])
+    return [(
+        "asof_20m SKEWED (one key = 50% of both sides)",
+        n_left + n_right,
+        timed(lambda: force(out)),
+    )]
+
+
 def probe_window(spark) -> list[tuple[str, int, float]]:
     n, keys = 20_000_000, 2000
     df = spark.range(n).select(
@@ -269,7 +302,7 @@ def main() -> None:
 
     rows: list[tuple[str, int, float]] = []
     failures: list[str] = []
-    for probe in (probe_asof, probe_window, probe_ewma, probe_skew,
+    for probe in (probe_asof, probe_asof_skew, probe_window, probe_ewma, probe_skew,
                   probe_quantile, probe_minhash, probe_semantic,
                   probe_triangles, probe_cc):
         try:
