@@ -3,13 +3,14 @@
 Media travel as opaque ``binary`` columns with typed metadata; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes never
 round-trip through Python row-by-row. ``decode_image`` is a REAL
-pure-Python/numpy codec for the two headerless-dependency formats — P6
-PPM and uncompressed 24/32-bit BMP — so decode→resize→encode is end to
-end genuine for those; every other format (JPEG/PNG/…) raises
-``NotImplementedError`` because the codec libraries aren't in this
-container, and ``resize_images`` falls back to a deterministic
-byte-truncation stand-in so the Spark-side plumbing — schema, batching,
-partition sizing — still runs on arbitrary payloads.
+pure-Python/numpy codec for three formats — P6 PPM, uncompressed
+24/32-bit BMP, and baseline 4:4:4 JPEG (``llmdata.jpeg``, both encode
+and decode) — so decode→resize→encode is end to end genuine for those;
+every other format (PNG/GIF/…) raises ``NotImplementedError`` because
+the codec libraries aren't in this container, and ``resize_images``
+falls back to a deterministic byte-truncation stand-in so the
+Spark-side plumbing — schema, batching, partition sizing — still runs
+on arbitrary payloads.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 should run on a layout partitioned for ~128 MB input splits; the output
@@ -65,14 +66,18 @@ def _ppm_tokens(buf: bytes, start: int, n: int) -> tuple[list[int], int]:
 def decode_image(content: bytes):
     """Decode an image payload to an ``H×W×3`` uint8 numpy array.
 
-    Real decoders for the two formats that need no codec library:
+    Real decoders for the three formats that need no codec library:
 
     * **P6 PPM** (binary netpbm, maxval ≤ 255, ``#`` comments allowed)
     * **BMP**, uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER,
       bottom-up or top-down, with the standard 4-byte row padding;
       BGR(A) is converted to RGB
+    * **JPEG**, baseline sequential 8-bit with 1×1 sampling (4:4:4 or
+      greyscale) — the pure-numpy T.81 codec in ``llmdata.jpeg``
+      (progressive/subsampled files raise ``NotImplementedError``
+      honestly rather than decoding wrong pixels)
 
-    Anything else (JPEG/PNG/GIF/…) raises ``NotImplementedError`` — those
+    Anything else (PNG/GIF/…) raises ``NotImplementedError`` — those
     codecs aren't in this container; swap in PIL/libvips at deploy time.
     Malformed payloads of a recognized format raise ``ValueError``.
     """
@@ -80,6 +85,10 @@ def decode_image(content: bytes):
 
     if content is None or len(content) < 2:
         raise ValueError("empty payload")
+    if content[:2] == b"\xff\xd8":
+        from securities_pricing_data_pipeline_spark.llmdata.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(content))
     if content[:2] == b"P6":
         (maybe_wh, pos) = _ppm_tokens(content, 2, 3)
         width, height, maxval = maybe_wh
@@ -207,9 +216,9 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
     """Resize each asset payload to ``width × height``.
 
     Payloads that ``decode_image`` understands (P6 PPM, uncompressed
-    24/32-bit BMP) take the REAL path: decode → nearest-neighbor
-    resample → re-encode as P6, with ``meta['codec']`` recording the
-    source format. Unsupported formats (JPEG/PNG/…) fall back to the
+    24/32-bit BMP, baseline 4:4:4 JPEG) take the REAL path: decode →
+    nearest-neighbor resample → re-encode as P6, with ``meta['codec']``
+    recording the source format. Unsupported formats (PNG/…) fall back to the
     deterministic byte-truncation stand-in (``meta['codec'] = 'raw'``)
     so arbitrary binaries still flow through the same Arrow-batched
     plumbing; swap the decoder for PIL/libvips at deploy time to widen
@@ -228,7 +237,8 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
             return None, "raw", None
         try:
             px = decode_image(bytes(b))
-            codec = "bmp" if bytes(b[:2]) == b"BM" else "ppm"
+            head = bytes(b[:2])
+            codec = {b"BM": "bmp", b"\xff\xd8": "jpeg"}.get(head, "ppm")
             return encode_ppm(resize_nearest(px, width, height)), codec, None
         except NotImplementedError:
             return bytes(b[:cap]), "raw", None

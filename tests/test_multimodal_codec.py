@@ -110,3 +110,82 @@ def test_resize_images_real_and_fallback_paths(spark):
     assert got[5]["meta"]["codec"] == "corrupt"
     assert "truncated" in got[5]["meta"]["decode_error"]
     assert bytes(got[5]["content"]) == encode_ppm(px)[:-7][:20]
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_q100_roundtrip_error_bound():
+    """At quality 100 every quantizer is 1, so a roundtrip loses only
+    YCbCr round-off + DCT float noise — max |error| must stay within a
+    few levels with no reference codec needed."""
+    from securities_pricing_data_pipeline_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = _gradient(24, 17)  # non-multiple-of-8 on one axis
+    buf = encode_jpeg(px, quality=100)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    out = decode_jpeg(buf)
+    assert out.shape == px.shape
+    assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 4
+
+    rng = np.random.RandomState(11)
+    noisy = rng.randint(0, 256, (13, 9, 3)).astype(np.uint8)
+    out2 = decode_jpeg(encode_jpeg(noisy, quality=100))
+    assert int(np.abs(out2.astype(int) - noisy.astype(int)).max()) <= 4
+
+
+def test_jpeg_lossy_quality_tradeoff():
+    """Lower quality → smaller file, bounded loss on a smooth image."""
+    from securities_pricing_data_pipeline_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = _gradient(32, 32)
+    b100 = encode_jpeg(px, quality=100)
+    b50 = encode_jpeg(px, quality=50)
+    assert len(b50) < len(b100)
+    out = decode_jpeg(b50)
+    # smooth gradient: mean error small even at q50
+    assert float(np.abs(out.astype(int) - px.astype(int)).mean()) < 8.0
+
+
+def test_jpeg_through_decode_image_and_resize_path(spark):
+    """decode_image dispatches on the SOI marker, and resize_images
+    records codec='jpeg'; a truncated JPEG is marked corrupt."""
+    from securities_pricing_data_pipeline_spark.llmdata.jpeg import encode_jpeg
+
+    px = _gradient(16, 16)
+    buf = encode_jpeg(px, quality=100)
+    via_decode = decode_image(buf)
+    assert int(np.abs(via_decode.astype(int) - px.astype(int)).max()) <= 4
+
+    rows = [
+        (1, "image", bytearray(buf), {"k": "jpeg-src"}),
+        (2, "image", bytearray(buf[:40]), {}),  # SOI present, truncated
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in resize_images(assets, width=4, height=4).collect()}
+    assert got[1]["meta"]["codec"] == "jpeg"
+    assert got[1]["meta"]["resized"] == "4x4"
+    # resized content decodes back (it is re-encoded as P6)
+    assert decode_image(bytes(got[1]["content"])).shape == (4, 4, 3)
+    assert got[2]["meta"]["codec"] == "corrupt"
+
+
+def test_jpeg_progressive_raises_honestly():
+    """A SOF2 (progressive) header must raise NotImplementedError, not
+    decode wrong pixels."""
+    from securities_pricing_data_pipeline_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    buf = bytearray(encode_jpeg(_gradient(8, 8), quality=100))
+    i = bytes(buf).find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # rewrite SOF0 → SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))

@@ -409,3 +409,53 @@ def test_label_propagation_known_graph(spark):
     # one round = min-neighbor on an id-labeled graph
     r1 = {r.node: r.label for r in label_propagation(sym, rounds=1).collect()}
     assert r1 == {1: 2, 2: 1, 3: 1, 4: 3, 5: 4, 6: 4}
+
+
+def test_asof_bucketed_matches_plain(spark):
+    """The time-bucketed (skew-parallel) as-of must be row-identical to
+    the plain union-and-window plan, including inclusive-tie semantics
+    and keys whose buckets have no quotes (carry-in path), on dense
+    random data with a deliberately hot key."""
+    from pyspark.sql import functions as F
+    from securities_pricing_data_pipeline_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_bucketed,
+    )
+
+    # hot key 0 gets ~half of both sides; unique right times per key so
+    # the carried quote is well-defined under ties with left times
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 7).alias("k"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(500)) * 2).alias("t"),  # even
+        F.col("id").alias("event_id"),
+    )
+    right = spark.range(400).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 7).alias("k"),
+        F.col("id").alias("rt"),  # unique times, both parities → exercises ties
+        (F.col("id") * 10).alias("px"),
+    )
+    plain = {
+        r.event_id: (r.px, r.asof_time)
+        for r in asof_join_backward(left, right, ["k"], "t", "rt", ["px"]).collect()
+    }
+    bucketed = {
+        r.event_id: (r.px, r.asof_time)
+        for r in asof_join_backward_bucketed(
+            left, right, ["k"], "t", "rt", ["px"], n_buckets=16
+        ).collect()
+    }
+    assert bucketed == plain
+    assert len(plain) == 2000
+
+
+def test_asof_bucketed_degenerate_span_falls_back(spark):
+    from securities_pricing_data_pipeline_spark.operators.asof import (
+        asof_join_backward_bucketed,
+    )
+
+    left = spark.createDataFrame([(1, 5, 100)], ["k", "t", "event_id"])
+    right = spark.createDataFrame([(1, 5, 7.0)], ["k", "rt", "px"])
+    out = asof_join_backward_bucketed(
+        left, right, ["k"], "t", "rt", ["px"], n_buckets=8
+    ).collect()
+    assert len(out) == 1 and out[0].px == 7.0  # inclusive same-instant match
