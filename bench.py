@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "dq_benford_prices",
     "incr_symbol_totals_update",
     "quantile_sketch_close",
+    "asof_bucketed_quotes",
+    "multimodal_jpeg_roundtrip",
 ]
 
 

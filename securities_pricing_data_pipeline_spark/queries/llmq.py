@@ -604,6 +604,105 @@ def asof_event_bars_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_bucketed_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of on the events table's native epoch-nanos axis,
+    served by the TIME-BUCKETED plan (operators.asof.
+    asof_join_backward_bucketed) — the hot-key skew escape hatch the
+    round-6 verdict asked to prove out. Events split deterministically
+    into a quote side (event_id % 4 == 0, price derived from user_id,
+    deduped to one quote per (symbol, instant)) and an event side; each
+    event takes the latest quote at-or-before its timestamp. The oracle
+    is DuckDB's native ASOF JOIN, so this certifies both the carry
+    semantics and the bucket-boundary carry-in path against an
+    independent as-of implementation. 32 time buckets × 50 symbols at
+    sf0.01 guarantees plenty of cross-bucket carries."""
+    from securities_pricing_data_pipeline_spark.operators.asof import (
+        asof_join_backward_bucketed,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("U"), (F.col("user_id") % 50).cast("string")).alias("symbol"),
+        "ts",
+        "user_id",
+    )
+    quotes = (
+        ev.filter(F.col("event_id") % 4 == 0)
+        .groupBy("symbol", "ts")
+        .agg(F.max((F.col("user_id") * 31) % 1000).alias("price"))
+    )
+    left = ev.filter(F.col("event_id") % 4 != 0).select("event_id", "symbol", "ts")
+    j = asof_join_backward_bucketed(
+        left, quotes, ["symbol"], "ts", "ts", ["price"], n_buckets=32
+    )
+    return j.filter(F.col("asof_time").isNotNull()).select(
+        "event_id", "symbol", "ts", F.col("asof_time").alias("quote_ts"), "price"
+    )
+
+
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end JPEG certification: per selected document, synthesize a
+    deterministic gradient image (dims and pixels pure functions of
+    doc_id), run the full pure-numpy baseline JPEG pipeline — RGB→YCbCr →
+    DCT → quantize (quality 100) → Huffman encode → parse → Huffman
+    decode → IDCT → RGB — and assert the roundtrip bound: decoded dims
+    equal source dims and max |pixel error| ≤ 4 (the quality-100 loss is
+    only YCbCr round-off + DCT float noise). The oracle recomputes the
+    expected dims arithmetically and expects roundtrip_ok for every
+    asset, so ANY asset violating the codec bound breaks the value hash.
+    Runs on the deterministic 10% doc subset; the work is an Arrow-batched
+    mapInPandas with no shuffle at all — embarrassingly parallel, the
+    right shape for a 100 TB media-validation sweep."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("roundtrip_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _cycle(batches):
+        import numpy as np
+
+        from securities_pricing_data_pipeline_spark.llmdata.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [], "roundtrip_ok": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 9, 8 + did % 7
+                j, i, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((did * 7 + j * 16 + i * 3 + c * 5) % 256).astype(np.uint8)
+                try:
+                    dec = decode_jpeg(encode_jpeg(px, quality=100))
+                    ok = bool(
+                        dec.shape == (h, w, 3)
+                        and int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 4
+                    )
+                except (ValueError, NotImplementedError):
+                    ok = False
+                out["asset_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["roundtrip_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(_cycle, schema)
+
+
 def asof_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs-trading spread via bars→bars as-of alignment: two sparse
     price series per pair (P3/P7, P11/P19) rarely print on the same
@@ -1234,6 +1333,8 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_resize_pixels": multimodal_resize_pixels,
     "asof_event_bars": asof_event_bars,
+    "asof_bucketed_quotes": asof_bucketed_quotes,
+    "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
     "asof_pairs_spread": asof_pairs_spread,
     "asof_event_bars_fwd": asof_event_bars_fwd,
     "asof_event_bars_tol": asof_event_bars_tol,
@@ -1624,6 +1725,31 @@ SELECT asset_id,
        md5(hex(encode(s))) AS digest,
        'ppm' AS codec
 FROM expected
+""",
+    "asof_bucketed_quotes": """
+WITH base AS (
+  SELECT event_id, 'U' || CAST(user_id % 50 AS VARCHAR) AS symbol,
+         epoch_ns(ts) AS tns, user_id
+  FROM events
+), q AS (
+  SELECT symbol, tns, MAX((user_id * 31) % 1000) AS price
+  FROM base WHERE event_id % 4 = 0 GROUP BY symbol, tns
+), l AS (
+  SELECT event_id, symbol, tns FROM base WHERE event_id % 4 <> 0
+)
+SELECT l.event_id, l.symbol, l.tns AS ts, q.tns AS quote_ts, q.price
+FROM l ASOF JOIN q ON l.symbol = q.symbol AND l.tns >= q.tns
+""",
+    "multimodal_jpeg_roundtrip": """
+-- the oracle pins geometry AND demands roundtrip_ok for every asset:
+-- any document whose JPEG encode->decode cycle exceeds the quality-100
+-- error bound flips the Spark-side flag and breaks the value hash
+SELECT doc_id AS asset_id,
+       CAST(8 + doc_id % 9 AS BIGINT) AS width,
+       CAST(8 + doc_id % 7 AS BIGINT) AS height,
+       TRUE AS roundtrip_ok
+FROM documents
+WHERE doc_id % 10 = 0
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "sketch_hll_orderkeys": hll_oracle_sql("lineitem", "l_orderkey", p=8),
