@@ -246,18 +246,21 @@ def ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an H×W×3 uint8 RGB array as a baseline JFIF JPEG (4:4:4)."""
-    if pixels.ndim != 3 or pixels.shape[2] != 3:
-        raise ValueError("encode_jpeg expects H x W x 3 uint8")
+    """Encode an H×W×3 uint8 RGB array as a baseline JFIF JPEG (4:4:4),
+    or an H×W uint8 array as a single-component (greyscale) JPEG."""
+    grey = pixels.ndim == 2
+    if not grey and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("encode_jpeg expects H x W x 3 (RGB) or H x W (grey) uint8")
     h, w = pixels.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError(f"bad geometry {w}x{h}")
-    ycc = rgb_to_ycbcr(pixels)
+    ycc = pixels[..., None] if grey else rgb_to_ycbcr(pixels)
+    ncomp = ycc.shape[2]
     qtabs = (_scaled_quant(_QUANT_LUMA, quality), _scaled_quant(_QUANT_CHROMA, quality))
 
     # per-component quantized zigzag coefficients (vectorized DCT)
     comp_coefs = []
-    for ci in range(3):
+    for ci in range(ncomp):
         t = 0 if ci == 0 else 1
         blocks = _blocks_of(ycc[..., ci]).astype(np.float64) - 128.0
         coef = np.einsum("ux,byxv,wv->byuw", _DCT, blocks, _DCT, optimize=True)
@@ -269,34 +272,39 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
-    for tid, qt in enumerate(qtabs):  # DQT
+    n_qtabs = 1 if grey else 2
+    for tid, qt in enumerate(qtabs[:n_qtabs]):  # DQT
         out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid])
         out += bytes(int(x) for x in qt.reshape(-1)[_ZIGZAG])
-    # SOF0: baseline, 8-bit, 3 components, 1×1 sampling each
-    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
-    for ci in range(3):
+    # SOF0: baseline, 8-bit, 1×1 sampling each component
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
-    for tclass, tid, bits, vals in (
+    dht_specs = [
         (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
-        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-    ):  # DHT
+    ]
+    if not grey:
+        dht_specs += [
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tclass, tid, bits, vals in dht_specs:  # DHT
         seg = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
-    sos = bytearray([3])
-    for ci in range(3):
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
         t = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
 
     bw = _BitWriter()
-    prev_dc = [0, 0, 0]
+    prev_dc = [0] * ncomp
     n_mcu = comp_coefs[0].shape[0]
     for m in range(n_mcu):
-        for ci in range(3):
+        for ci in range(ncomp):
             t = 0 if ci == 0 else 1
             zz = comp_coefs[ci][m]
             dc_cat, dc_bits = _magnitude(int(zz[0]) - prev_dc[ci])

@@ -189,3 +189,19 @@ def test_jpeg_progressive_raises_honestly():
     buf[i + 1] = 0xC2  # rewrite SOF0 → SOF2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
+
+
+def test_jpeg_greyscale_roundtrip():
+    """A 2-D input encodes as a single-component JPEG; the decoder
+    replicates the luma into 3 channels with the same error bound."""
+    from securities_pricing_data_pipeline_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    grey = rng.randint(0, 256, (19, 12)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grey, quality=100))
+    assert out.shape == (19, 12, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 0] == out[:, :, 2]).all()
+    assert int(np.abs(out[:, :, 0].astype(int) - grey.astype(int)).max()) <= 2
