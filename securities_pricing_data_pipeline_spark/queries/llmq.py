@@ -201,9 +201,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.4)
 
 
+def _semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SemDeDup pair silver (same contract as _lsh_pairs): the
+    clustered in-cluster prune is the expensive artifact, and both the
+    pair report and the keep-list read it — build once per session."""
+    from pyspark import StorageLevel
+
+    key = ("sempairs", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        emb = load(spark, sf_dir, "embeddings")
+        df = semantic_dedup_pairs(emb, threshold=0.4).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _DEDUP_SILVER[key] = df
+    return df
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(emb, threshold=0.4)
+    return _semantic_pairs(spark, sf_dir)
 
 
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,7 +233,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    pairs = semantic_dedup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    pairs = _semantic_pairs(spark, sf_dir).select("id_a", "id_b")
     cc = connected_components_auto(pairs, emb.select("vec_id"), id_col="vec_id")
     return cc.select(
         "vec_id",
