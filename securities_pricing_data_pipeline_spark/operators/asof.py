@@ -194,23 +194,37 @@ def asof_join_backward_bucketed(
     Cost: same one big shuffle (now on (key, bucket)) + two narrow-row
     aggregates and one co-partitioned join (the big side is already hash
     partitioned by (key, bucket) from its window, so Catalyst reuses the
-    exchange). Times must be numeric (the events table's epoch-nanos
-    longs; cast dates up front). Measured at the 50%-hot-key probe:
+    exchange). Date/timestamp axes bucket via their epoch image (windows
+    still order by the original values). Measured at the 50%-hot-key probe:
     34.4s → within ~2× of the uniform-key rate.
     """
+    from pyspark.sql import types as T
+
     key = list(key)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in set(key) | {right_time}]
     value_cols = list(value_cols)
 
+    def as_num(col: F.Column, dtype) -> F.Column:
+        """Monotone numeric image of the time axis, for BUCKETING only
+        (the windows still order by the original values): dates map to
+        epoch days, timestamps to epoch micros, numerics cast straight —
+        ANSI mode rejects a direct date→double cast."""
+        if isinstance(dtype, T.DateType):
+            return F.unix_date(col).cast("double")
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(col).cast("double")
+        return col.cast("double")
+
+    lt_num = lambda: as_num(F.col(left_time), left.schema[left_time].dataType)  # noqa: E731
+    rt_num = lambda: as_num(F.col(right_time), right.schema[right_time].dataType)  # noqa: E731
+
     # global time range (two scalar aggs); degenerate span → plain plan
     lb = left.select(
-        F.min(F.col(left_time).cast("double")).alias("mn"),
-        F.max(F.col(left_time).cast("double")).alias("mx"),
+        F.min(lt_num()).alias("mn"), F.max(lt_num()).alias("mx")
     ).collect()[0]
     rb = right.select(
-        F.min(F.col(right_time).cast("double")).alias("mn"),
-        F.max(F.col(right_time).cast("double")).alias("mx"),
+        F.min(rt_num()).alias("mn"), F.max(rt_num()).alias("mx")
     ).collect()[0]
     bounds = [v for v in (lb["mn"], lb["mx"], rb["mn"], rb["mx"]) if v is not None]
     if not bounds or n_buckets <= 1:
@@ -220,16 +234,16 @@ def asof_join_backward_bucketed(
         return asof_join_backward(left, right, key, left_time, right_time, value_cols)
     span = mx - mn
 
-    def bucket(t):  # monotone non-decreasing in t, identical for equal t
+    def bucket(t_num):  # monotone non-decreasing in t, identical for equal t
         return F.least(
             F.lit(n_buckets - 1),
-            F.floor((t.cast("double") - F.lit(mn)) / F.lit(span) * F.lit(n_buckets)),
+            F.floor((t_num - F.lit(mn)) / F.lit(span) * F.lit(n_buckets)),
         )
 
     lt = left.select(
         *key,
         F.col(left_time).alias("__t"),
-        bucket(F.col(left_time)).alias("__b"),
+        bucket(lt_num()).alias("__b"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
@@ -238,7 +252,7 @@ def asof_join_backward_bucketed(
     rt = right.select(
         *key,
         F.col(right_time).alias("__t"),
-        bucket(F.col(right_time)).alias("__b"),
+        bucket(rt_num()).alias("__b"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],

@@ -205,3 +205,29 @@ def test_jpeg_greyscale_roundtrip():
     assert out.shape == (19, 12, 3)
     assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 0] == out[:, :, 2]).all()
     assert int(np.abs(out[:, :, 0].astype(int) - grey.astype(int)).max()) <= 2
+
+
+def test_jpeg_roundtrip_property():
+    """Property test: for random geometry and content at quality 100, the
+    roundtrip stays within the documented error bound and preserves dims."""
+    from hypothesis import given, settings, strategies as st
+
+    from securities_pricing_data_pipeline_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def run(h, w, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=100))
+        assert out.shape == (h, w, 3)
+        assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 4
+
+    run()

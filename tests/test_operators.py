@@ -459,3 +459,38 @@ def test_asof_bucketed_degenerate_span_falls_back(spark):
         left, right, ["k"], "t", "rt", ["px"], n_buckets=8
     ).collect()
     assert len(out) == 1 and out[0].px == 7.0  # inclusive same-instant match
+
+
+def test_asof_bucketed_date_axis_matches_plain(spark):
+    """Date-typed time axes bucket via their epoch-day image (ANSI mode
+    forbids date→double casts); output must still match the plain plan."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from securities_pricing_data_pipeline_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_bucketed,
+    )
+
+    d0 = dt.date(2020, 1, 1)
+    left = spark.range(300).select(
+        (F.col("id") % 5).alias("k"),
+        F.date_add(F.lit(d0), (F.pmod(F.xxhash64("id"), F.lit(365))).cast("int")).alias("t"),
+        F.col("id").alias("event_id"),
+    )
+    right = spark.range(60).select(
+        (F.col("id") % 5).alias("k"),
+        F.date_add(F.lit(d0), (F.col("id") * 6).cast("int")).alias("rt"),
+        (F.col("id") * 10).alias("px"),
+    )
+    plain = {
+        r.event_id: (r.px, r.asof_time)
+        for r in asof_join_backward(left, right, ["k"], "t", "rt", ["px"]).collect()
+    }
+    bucketed = {
+        r.event_id: (r.px, r.asof_time)
+        for r in asof_join_backward_bucketed(
+            left, right, ["k"], "t", "rt", ["px"], n_buckets=8
+        ).collect()
+    }
+    assert bucketed == plain and len(plain) == 300
