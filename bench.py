@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "quantile_sketch_close",
     "asof_bucketed_quotes",
     "multimodal_jpeg_roundtrip",
+    "multimodal_png_pixels",
 ]
 
 

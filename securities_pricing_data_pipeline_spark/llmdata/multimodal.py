@@ -3,11 +3,12 @@
 Media travel as opaque ``binary`` columns with typed metadata; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes never
 round-trip through Python row-by-row. ``decode_image`` is a REAL
-pure-Python/numpy codec for three formats — P6 PPM, uncompressed
-24/32-bit BMP, and baseline 4:4:4 JPEG (``llmdata.jpeg``, both encode
-and decode) — so decode→resize→encode is end to end genuine for those;
-every other format (PNG/GIF/…) raises ``NotImplementedError`` because
-the codec libraries aren't in this container, and ``resize_images``
+pure-Python/numpy codec for four formats — P6 PPM, uncompressed
+24/32-bit BMP, baseline 4:4:4 JPEG (``llmdata.jpeg``), and 8-bit PNG
+(``llmdata.png``, stdlib zlib) — each with BOTH encode and decode, so
+decode→resize→encode is end to end genuine for those; every other
+format (GIF/TIFF/WebP/…) raises ``NotImplementedError`` because the
+codec libraries aren't in this container, and ``resize_images``
 falls back to a deterministic byte-truncation stand-in so the
 Spark-side plumbing — schema, batching, partition sizing — still runs
 on arbitrary payloads.
@@ -66,7 +67,7 @@ def _ppm_tokens(buf: bytes, start: int, n: int) -> tuple[list[int], int]:
 def decode_image(content: bytes):
     """Decode an image payload to an ``H×W×3`` uint8 numpy array.
 
-    Real decoders for the three formats that need no codec library:
+    Real decoders for the four formats that need no codec library:
 
     * **P6 PPM** (binary netpbm, maxval ≤ 255, ``#`` comments allowed)
     * **BMP**, uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER,
@@ -76,8 +77,11 @@ def decode_image(content: bytes):
       greyscale) — the pure-numpy T.81 codec in ``llmdata.jpeg``
       (progressive/subsampled files raise ``NotImplementedError``
       honestly rather than decoding wrong pixels)
+    * **PNG**, 8-bit grey/RGB/RGBA non-interlaced — ``llmdata.png``
+      over stdlib zlib; all five scanline filters; CRC-checked
+      (palette/16-bit/Adam7 raise ``NotImplementedError``)
 
-    Anything else (PNG/GIF/…) raises ``NotImplementedError`` — those
+    Anything else (GIF/TIFF/…) raises ``NotImplementedError`` — those
     codecs aren't in this container; swap in PIL/libvips at deploy time.
     Malformed payloads of a recognized format raise ``ValueError``.
     """
@@ -89,6 +93,10 @@ def decode_image(content: bytes):
         from securities_pricing_data_pipeline_spark.llmdata.jpeg import decode_jpeg
 
         return decode_jpeg(bytes(content))
+    if content[:4] == b"\x89PNG":
+        from securities_pricing_data_pipeline_spark.llmdata.png import decode_png
+
+        return decode_png(bytes(content))
     if content[:2] == b"P6":
         (maybe_wh, pos) = _ppm_tokens(content, 2, 3)
         width, height, maxval = maybe_wh
@@ -125,7 +133,9 @@ def decode_image(content: bytes):
         if bottom_up:
             px = px[::-1]
         return px[:, :, 2::-1].copy()  # BGR(A) → RGB, alpha dropped
-    raise NotImplementedError("only P6 PPM and uncompressed BMP are decodable here")
+    raise NotImplementedError(
+        "only P6 PPM, uncompressed BMP, baseline JPEG, and 8-bit PNG are decodable here"
+    )
 
 
 def encode_ppm(pixels) -> bytes:
@@ -216,9 +226,10 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
     """Resize each asset payload to ``width × height``.
 
     Payloads that ``decode_image`` understands (P6 PPM, uncompressed
-    24/32-bit BMP, baseline 4:4:4 JPEG) take the REAL path: decode →
-    nearest-neighbor resample → re-encode as P6, with ``meta['codec']``
-    recording the source format. Unsupported formats (PNG/…) fall back to the
+    24/32-bit BMP, baseline 4:4:4 JPEG, 8-bit PNG) take the REAL path:
+    decode → nearest-neighbor resample → re-encode as P6, with
+    ``meta['codec']`` recording the source format. Unsupported formats
+    (GIF/…) fall back to the
     deterministic byte-truncation stand-in (``meta['codec'] = 'raw'``)
     so arbitrary binaries still flow through the same Arrow-batched
     plumbing; swap the decoder for PIL/libvips at deploy time to widen
@@ -237,8 +248,13 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
             return None, "raw", None
         try:
             px = decode_image(bytes(b))
-            head = bytes(b[:2])
-            codec = {b"BM": "bmp", b"\xff\xd8": "jpeg"}.get(head, "ppm")
+            head = bytes(b[:4])
+            codec = (
+                "bmp" if head[:2] == b"BM"
+                else "jpeg" if head[:2] == b"\xff\xd8"
+                else "png" if head == b"\x89PNG"
+                else "ppm"
+            )
             return encode_ppm(resize_nearest(px, width, height)), codec, None
         except NotImplementedError:
             return bytes(b[:cap]), "raw", None

@@ -546,6 +546,65 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PNG path, byte-exact: per document, build a flat-color
+    PNG (same doc_id-derived geometry/color as multimodal_resize_pixels,
+    but compressed through the real zlib container with CRCs), run the
+    genuine PNG decode → nearest-neighbor resample → P6 re-encode
+    pipeline, and value-check the OUTPUT pixels byte-for-byte — the
+    oracle constructs the expected 16×16 P6 payload arithmetically. PNG
+    is lossless, so unlike the JPEG cycle this certifies exact pixel
+    recovery through DEFLATE + scanline filters, not just an error
+    bound. Payload synthesis and decode both run inside Arrow-batched
+    mapInPandas — no shuffle until the final projection."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def _mk(batches):
+        import numpy as np
+
+        from securities_pricing_data_pipeline_spark.llmdata.png import encode_png
+
+        for pdf in batches:
+            rows = {"asset_id": [], "media_type": [], "content": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 16, 8 + did % 11
+                r, g, b = (
+                    32 + did % 96,
+                    32 + (did * 7) % 96,
+                    32 + (did * 13) % 96,
+                )
+                px = np.tile(
+                    np.array([r, g, b], dtype=np.uint8)[None, None, :], (h, w, 1)
+                )
+                rows["asset_id"].append(did)
+                rows["media_type"].append("image")
+                rows["content"].append(encode_png(px))
+                rows["meta"].append({"synth": "flat-png"})
+            yield pd.DataFrame(rows)
+
+    asset_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        ]
+    )
+    assets = docs.mapInPandas(_mk, asset_schema)
+    resized = resize_images(assets, width=16, height=16)
+    return resized.select(
+        "asset_id",
+        F.octet_length(F.col("content")).cast("int").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("digest"),
+        F.col("meta")["codec"].alias("codec"),
+    )
+
+
 def asof_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event is aligned to the most recent bar of its
     symbol at-or-before a deterministic in-range event date."""
@@ -1351,6 +1410,7 @@ QUERIES = {
     "asof_event_bars": asof_event_bars,
     "asof_bucketed_quotes": asof_bucketed_quotes,
     "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
+    "multimodal_png_pixels": multimodal_png_pixels,
     "asof_pairs_spread": asof_pairs_spread,
     "asof_event_bars_fwd": asof_event_bars_fwd,
     "asof_event_bars_tol": asof_event_bars_tol,
@@ -1766,6 +1826,28 @@ SELECT doc_id AS asset_id,
        TRUE AS roundtrip_ok
 FROM documents
 WHERE doc_id % 10 = 0
+""",
+    "multimodal_png_pixels": """
+WITH params AS (
+  SELECT doc_id AS asset_id,
+         CAST(32 + doc_id % 96 AS INT) AS r,
+         CAST(32 + (doc_id * 7) % 96 AS INT) AS g,
+         CAST(32 + (doc_id * 13) % 96 AS INT) AS b
+  FROM documents
+), expected AS (
+  -- PNG is lossless and nearest-neighbor resize of a flat color is the
+  -- same flat color, so the decode->resample->re-encode output is
+  -- constructible arithmetically, exactly as for the PPM twin
+  SELECT asset_id,
+         'P6' || chr(10) || '16 16' || chr(10) || '255' || chr(10)
+           || repeat(chr(r) || chr(g) || chr(b), 256) AS s
+  FROM params
+)
+SELECT asset_id,
+       CAST(octet_length(encode(s)) AS INT) AS n_bytes,
+       md5(hex(encode(s))) AS digest,
+       'png' AS codec
+FROM expected
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "sketch_hll_orderkeys": hll_oracle_sql("lineitem", "l_orderkey", p=8),
