@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "asof_bucketed_quotes",
     "multimodal_jpeg_roundtrip",
     "multimodal_png_pixels",
+    "audio_pcm_features",
 ]
 
 

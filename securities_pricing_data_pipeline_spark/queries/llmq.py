@@ -605,6 +605,57 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio path: per document, synthesize a deterministic
+    PCM-16 mono WAV (sample i = ((doc_id·13 + i·7919) mod 65536) −
+    32768, length 500 + doc_id mod 250 at 8 kHz), encode through the
+    real RIFF writer, decode through the real RIFF parser, and fold the
+    integer-exact features (llmdata.audio.audio_features): sample count,
+    Σ sample² (int64-exact RMS numerator), and zero-crossing count. The
+    oracle regenerates the identical sample stream with generate_series
+    and recomputes all three aggregates arithmetically — certifying the
+    codec roundtrip AND the feature fold, value-for-value. Everything
+    runs inside Arrow-batched mapInPandas; no shuffle until the final
+    narrow projection."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from securities_pricing_data_pipeline_spark.llmdata.audio import (
+        audio_features,
+        encode_wav,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def _mk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"asset_id": [], "media_type": [], "content": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 500 + did % 250
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 13 + i * 7919) % 65536 - 32768).astype(np.int16)
+                rows["asset_id"].append(did)
+                rows["media_type"].append("audio")
+                rows["content"].append(encode_wav(s, sample_rate=8000))
+                rows["meta"].append({"synth": "pcm16"})
+            yield pd.DataFrame(rows)
+
+    asset_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        ]
+    )
+    assets = docs.mapInPandas(_mk, asset_schema)
+    return audio_features(assets)
+
+
 def asof_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event is aligned to the most recent bar of its
     symbol at-or-before a deterministic in-range event date."""
@@ -1411,6 +1462,7 @@ QUERIES = {
     "asof_bucketed_quotes": asof_bucketed_quotes,
     "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
     "multimodal_png_pixels": multimodal_png_pixels,
+    "audio_pcm_features": audio_pcm_features,
     "asof_pairs_spread": asof_pairs_spread,
     "asof_event_bars_fwd": asof_event_bars_fwd,
     "asof_event_bars_tol": asof_event_bars_tol,
@@ -1848,6 +1900,30 @@ SELECT asset_id,
        md5(hex(encode(s))) AS digest,
        'png' AS codec
 FROM expected
+""",
+    "audio_pcm_features": """
+WITH d AS (SELECT doc_id FROM documents),
+s AS (
+  -- fixed 0..749 grid cross-joined then length-filtered (DuckDB's
+  -- generate_series takes no lateral column parameters)
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 13 + t.i * 7919) % 65536) - 32768 AS v
+  FROM d CROSS JOIN generate_series(0, 749) AS t(i)
+  WHERE t.i < 500 + d.doc_id % 250
+), lagged AS (
+  SELECT doc_id, i, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM s
+)
+SELECT doc_id AS asset_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       COUNT(*) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS sumsq_units,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND ((v >= 0) <> (prev >= 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       'wav' AS codec
+FROM lagged
+GROUP BY doc_id
 """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "sketch_hll_orderkeys": hll_oracle_sql("lineitem", "l_orderkey", p=8),

@@ -351,3 +351,66 @@ def test_png_through_decode_image_and_resize(spark):
     got = resize_images(assets, width=5, height=4).collect()[0]
     assert got["meta"]["codec"] == "png"
     assert bytes(got["content"]) == encode_ppm(resize_nearest(px, 5, 4))
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from securities_pricing_data_pipeline_spark.llmdata.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(4)
+    mono = rng.randint(-32768, 32768, 777).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, sample_rate=16000))
+    assert rate == 16000 and s.shape == (777, 1) and (s[:, 0] == mono).all()
+    stereo = rng.randint(-32768, 32768, (100, 2)).astype(np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, sample_rate=44100))
+    assert rate2 == 44100 and (s2 == stereo).all()
+
+
+def test_wav_unsupported_and_corrupt_raise():
+    import struct
+
+    from securities_pricing_data_pipeline_spark.llmdata.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    buf = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    # flip audio_format (PCM=1) to 3 (IEEE float) inside fmt chunk
+    fmt_off = bytes(buf).find(b"fmt ") + 8
+    buf[fmt_off : fmt_off + 2] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(buf))
+    with pytest.raises(ValueError):
+        decode_wav(bytes(encode_wav(np.zeros(4, dtype=np.int16)))[:-3])  # truncated
+
+
+def test_audio_features_exact_and_quality_marks(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.audio import (
+        audio_features,
+        encode_wav,
+    )
+    from securities_pricing_data_pipeline_spark.llmdata.multimodal import ASSET_SCHEMA
+
+    s = np.array([3, -2, 0, -1, 5], dtype=np.int16)
+    rows = [
+        (1, "audio", bytearray(encode_wav(s, sample_rate=8000)), {}),
+        (2, "audio", bytearray(b"not audio at all"), {}),
+        (3, "audio", None, {}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in audio_features(assets).collect()}
+    ok = got[1]
+    assert ok["codec"] == "wav" and ok["sample_rate"] == 8000
+    assert ok["n_samples"] == 5
+    assert ok["sumsq_units"] == 9 + 4 + 0 + 1 + 25
+    # sign pattern (+,-,+,-,+) with 0 counted non-negative → 4 crossings
+    assert ok["zero_crossings"] == 4
+    assert got[2]["codec"] == "corrupt" and got[2]["n_samples"] is None
+    assert got[3]["codec"] == "corrupt"
