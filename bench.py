@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "multimodal_jpeg_roundtrip",
     "multimodal_png_pixels",
     "audio_pcm_features",
+    "video_mjpeg_frames",
 ]
 
 

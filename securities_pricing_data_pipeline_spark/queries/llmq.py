@@ -656,6 +656,89 @@ def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(assets)
 
 
+def video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL video path: per selected document, render 4
+    flat-color frames (colors pure functions of doc_id and frame index),
+    JPEG-encode each at quality 100, pack them into a genuine MJPEG AVI
+    container, then run the full extraction pipeline — RIFF walk →
+    ``00dc`` frame chunks → baseline-JPEG decode → integer pixel-sum —
+    inside one shuffle-free mapInPandas. ``in_bound`` asserts the
+    decoded frame's exact pixel sum sits within the quality-100 error
+    envelope of the source color (±4/channel); the oracle enumerates the
+    expected (asset, frame) grid with geometry and expects every flag
+    true, so a container-parse or frame-decode fault breaks the value
+    hash. This replaces the byte-slice frame stand-in with a real
+    container + real codec for the video modality."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from securities_pricing_data_pipeline_spark.llmdata.jpeg import encode_jpeg
+    from securities_pricing_data_pipeline_spark.llmdata.video import (
+        decode_video_frames,
+        encode_avi_mjpeg,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 10 == 0
+    )
+
+    def _mk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"asset_id": [], "media_type": [], "content": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 9, 8 + did % 7
+                frames = []
+                for idx in range(4):
+                    rgb = [
+                        16 + (did * 5 + idx * 29) % 224,
+                        16 + (did * 11 + idx * 53) % 224,
+                        16 + (did * 17 + idx * 71) % 224,
+                    ]
+                    px = np.tile(
+                        np.array(rgb, dtype=np.uint8)[None, None, :], (h, w, 1)
+                    )
+                    frames.append(encode_jpeg(px, quality=100))
+                rows["asset_id"].append(did)
+                rows["media_type"].append("video")
+                rows["content"].append(encode_avi_mjpeg(frames, w, h))
+                rows["meta"].append({"synth": "mjpeg"})
+            yield pd.DataFrame(rows)
+
+    asset_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        ]
+    )
+    assets = docs.mapInPandas(_mk, asset_schema)
+    decoded = decode_video_frames(assets, n_frames=4)
+    w = F.lit(8) + F.col("asset_id") % 9
+    h = F.lit(8) + F.col("asset_id") % 7
+    expected_sum = (
+        w * h * (
+            (F.lit(16) + (F.col("asset_id") * 5 + F.col("frame_idx") * 29) % 224)
+            + (F.lit(16) + (F.col("asset_id") * 11 + F.col("frame_idx") * 53) % 224)
+            + (F.lit(16) + (F.col("asset_id") * 17 + F.col("frame_idx") * 71) % 224)
+        )
+    )
+    return decoded.select(
+        "asset_id",
+        "frame_idx",
+        "width",
+        "height",
+        (
+            (F.col("status") == "ok")
+            & (F.abs(F.col("mean_units") - expected_sum) <= w * h * 3 * 4)
+        ).alias("in_bound"),
+    )
+
+
 def asof_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event is aligned to the most recent bar of its
     symbol at-or-before a deterministic in-range event date."""
@@ -1463,6 +1546,7 @@ QUERIES = {
     "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
     "multimodal_png_pixels": multimodal_png_pixels,
     "audio_pcm_features": audio_pcm_features,
+    "video_mjpeg_frames": video_mjpeg_frames,
     "asof_pairs_spread": asof_pairs_spread,
     "asof_event_bars_fwd": asof_event_bars_fwd,
     "asof_event_bars_tol": asof_event_bars_tol,
@@ -1900,6 +1984,17 @@ SELECT asset_id,
        md5(hex(encode(s))) AS digest,
        'png' AS codec
 FROM expected
+""",
+    "video_mjpeg_frames": """
+-- the expected (asset, frame) grid with geometry; in_bound must hold
+-- for every decoded frame or the value hash breaks
+SELECT d.doc_id AS asset_id,
+       t.i AS frame_idx,
+       CAST(8 + d.doc_id % 9 AS BIGINT) AS width,
+       CAST(8 + d.doc_id % 7 AS BIGINT) AS height,
+       TRUE AS in_bound
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+CROSS JOIN generate_series(0, 3) AS t(i)
 """,
     "audio_pcm_features": """
 WITH d AS (SELECT doc_id FROM documents),

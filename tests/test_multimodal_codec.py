@@ -414,3 +414,60 @@ def test_audio_features_exact_and_quality_marks(spark):
     assert ok["zero_crossings"] == 4
     assert got[2]["codec"] == "corrupt" and got[2]["n_samples"] is None
     assert got[3]["codec"] == "corrupt"
+
+
+# ---------------------------------------------------------------- MJPEG/AVI
+
+
+def test_avi_mjpeg_roundtrip_and_decode():
+    from securities_pricing_data_pipeline_spark.llmdata.jpeg import encode_jpeg
+    from securities_pricing_data_pipeline_spark.llmdata.video import (
+        encode_avi_mjpeg,
+        extract_frames_avi,
+    )
+
+    frames, origs = [], []
+    for i in range(6):
+        px = np.full((16, 24, 3), [(i * 40) % 256, 100, 200], dtype=np.uint8)
+        origs.append(px)
+        frames.append(encode_jpeg(px, quality=100))
+    avi = encode_avi_mjpeg(frames, 24, 16, fps=5)
+    got = extract_frames_avi(avi)
+    assert [bytes(g) for g in got] == frames  # byte-exact payload recovery
+    for g, o in zip(got, origs):
+        dec = decode_image(g)
+        assert dec.shape == o.shape
+        assert int(np.abs(dec.astype(int) - o.astype(int)).max()) <= 4
+
+
+def test_avi_malformed_raises_and_features_mark_corrupt(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.jpeg import encode_jpeg
+    from securities_pricing_data_pipeline_spark.llmdata.video import (
+        decode_video_frames,
+        encode_avi_mjpeg,
+        extract_frames_avi,
+    )
+
+    with pytest.raises(ValueError):
+        extract_frames_avi(b"RIFF\x00\x00\x00\x00WAVE")  # not AVI
+    px = _gradient(8, 8)
+    avi = encode_avi_mjpeg([encode_jpeg(px, quality=100)] * 3, 8, 8)
+    with pytest.raises(ValueError):
+        extract_frames_avi(avi[:40])  # truncated
+
+    rows = [
+        (1, "video", bytearray(avi), {}),
+        (2, "video", bytearray(b"garbage bytes"), {}),
+        # valid AVI whose frame payload is NOT a JPEG → unsupported, not crash
+        (3, "video", bytearray(encode_avi_mjpeg([b"\x00\x01\x02\x03"], 2, 2)), {}),
+    ]
+    from securities_pricing_data_pipeline_spark.llmdata.multimodal import ASSET_SCHEMA
+
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {}
+    for r in decode_video_frames(assets, n_frames=2).collect():
+        got.setdefault(r["asset_id"], []).append(r)
+    assert all(r["status"] == "ok" for r in got[1]) and len(got[1]) == 2
+    assert got[1][0]["width"] == 8 and got[1][0]["height"] == 8
+    assert got[2][0]["status"] == "corrupt"
+    assert got[3][0]["status"] == "unsupported"
