@@ -84,6 +84,13 @@ def _driver_certified() -> set[str]:
 # used only to break ties deterministically; the live order is computed
 # below from the artifacts so the window self-advances every round.
 _PRIORITY = [
+    # round-7 additions: new operators whose first driver certification
+    # should not wait behind the older backlog
+    "asof_bucketed_quotes",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_png_pixels",
+    "audio_pcm_features",
+    "video_mjpeg_frames",
     # round-6 window tail (40 never-driver-certified as of r5)
     "dedup_lsh_bucket_audit",
     "bars_gapfill_interp",

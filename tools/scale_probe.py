@@ -259,6 +259,44 @@ def probe_semantic(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_media(spark) -> list[tuple[str, int, float]]:
+    """Media-validation sweep at 20× the bench subset: 100k synthesized
+    12×10 JPEG payloads encoded AND decoded through the pure-Python
+    codec inside one shuffle-free mapInPandas. Prices the per-asset
+    codec cost the multimodal queries pay — the path a 100 TB media QA
+    sweep scales by adding executors, since there is no shuffle at all."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n = 100_000
+
+    def _cycle(batches):
+        import numpy as np
+
+        from securities_pricing_data_pipeline_spark.llmdata.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            ok = []
+            for did in pdf["id"]:
+                did = int(did)
+                j, i, c = np.meshgrid(
+                    np.arange(10), np.arange(12), np.arange(3), indexing="ij"
+                )
+                px = ((did * 7 + j * 16 + i * 3 + c * 5) % 256).astype(np.uint8)
+                dec = decode_jpeg(encode_jpeg(px, quality=100))
+                ok.append(bool(np.abs(dec.astype(int) - px.astype(int)).max() <= 4))
+            yield pd.DataFrame({"id": pdf["id"], "ok": ok})
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ok", T.BooleanType())]
+    )
+    out = spark.range(n).repartition(64).mapInPandas(_cycle, schema)
+    return [("media_100k JPEG encode+decode cycle", n, timed(lambda: force(out)))]
+
+
 def probe_triangles(spark) -> list[tuple[str, int, float]]:
     """Triangle count on a deliberately HUB-SKEWED synthetic graph at
     ~2× the bench edge count: 1M candidate edges over 20k nodes where
@@ -318,7 +356,7 @@ def main() -> None:
     failures: list[str] = []
     for probe in (probe_asof, probe_asof_skew, probe_window, probe_ewma, probe_skew,
                   probe_quantile, probe_minhash, probe_semantic,
-                  probe_triangles, probe_cc):
+                  probe_media, probe_triangles, probe_cc):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
