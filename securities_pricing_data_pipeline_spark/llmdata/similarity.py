@@ -813,6 +813,133 @@ def ivf_topk(
     )
 
 
+def _pq_slices(vec_col: str, n_sub: int, sub: int, prefix: str):
+    """Explode a ``dim``-vector into ``n_sub`` contiguous ``sub``-wide
+    slices as ``(m, <prefix>)`` rows — the shared decomposition under
+    every PQ step (codebook build, code assignment, ADC tables)."""
+    return F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice(F.col(vec_col).cast("array<double>"), m * sub + 1, sub).alias(prefix),
+                )
+                for m in range(n_sub)
+            ]
+        )
+    )
+
+
+def _pq_dist_units(a: str, b: str) -> Column:
+    """Squared-L2 between two slice columns folded on the 1e-13 integer
+    grid — exact longs, so argmin/sum ties can never flip between
+    engines."""
+    d = F.zip_with(
+        F.col(a),
+        F.col(b),
+        lambda x, y: F.round((x - y) * (x - y) * F.lit(_SCALE)).cast("long"),
+    )
+    return F.aggregate(d, F.lit(0).cast("long"), lambda acc, p: acc + p)
+
+
+def _pq_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str, n_sub: int, sub: int, n_codes: int
+) -> DataFrame:
+    """Per-subspace codebook ``(cid, m, cvec)``: the slices of the
+    ``n_codes`` lowest-id vectors (the reproducible-init convention shared
+    with ``ivf_topk`` / ``kmeans_centroids``)."""
+    return (
+        corpus.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("cid"), vec_col)
+        .select("cid", _pq_slices(vec_col, n_sub, sub, "cvec"))
+    )
+
+
+def pq_assignments(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 20,
+    n_sub: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): one row per
+    ``(id, m)`` with ``best.cid`` / ``best.dist_units`` — the shared core
+    of :func:`pq_codes` (code strings) and :func:`pq_adc_topk` (compressed
+    scan). Codebook broadcasts; slices join map-side; the argmin
+    aggregate shuffles only narrow ``(id, m, dist, cid)`` rows."""
+    sub = dim // n_sub
+    codebook = _pq_codebook(corpus, id_col, vec_col, n_sub, sub, n_codes)
+    sliced = corpus.select(F.col(id_col), _pq_slices(vec_col, n_sub, sub, "sub"))
+    return (
+        sliced.join(F.broadcast(codebook), "m")
+        .select(id_col, "m", _pq_dist_units("sub", "cvec").alias("dist_units"), "cid")
+        .groupBy(id_col, "m")
+        .agg(F.min(F.struct("dist_units", "cid")).alias("best"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 20,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the scan an IVF-PQ
+    index actually executes at retrieval time (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): each query
+    precomputes an ``n_sub × n_codes`` table of exact slice distances to
+    every codeword, then every corpus vector is scored by summing ``n_sub``
+    table lookups over its code ids — the raw floats are never touched.
+
+    Distance semantics: approximate squared L2 ``d(q, code(x))`` on the
+    1e-13 integer grid (exact longs end-to-end; ties break to the lowest
+    neighbor id), so the result is deterministic and oracle-reproducible.
+
+    Scale posture — this is the 100 TB retrieval path: the corpus side
+    carries only ``(id, m, cid)`` code rows (n_sub bytes/vector in a real
+    index vs dim·4 raw); the ADC tables (queries × n_sub × n_codes longs)
+    broadcast; scoring is a map-side lookup join + one hash aggregate on
+    ``(query_id, id)`` partial-summed map-side. No pairwise float math,
+    no raw-vector shuffle. Recall is the PQ approximation's; rerank the
+    top candidates against raw vectors (as ``ivf_topk`` does) when exact
+    order matters.
+    """
+    sub = dim // n_sub
+    codebook = _pq_codebook(corpus, id_col, vec_col, n_sub, sub, n_codes)
+    assigned = pq_assignments(corpus, id_col, vec_col, dim, n_sub, n_codes).select(
+        F.col(id_col).alias("neighbor_id"), "m", F.col("best.cid").alias("cid")
+    )
+    q_sliced = queries.select(
+        F.col(id_col).alias("query_id"), _pq_slices(vec_col, n_sub, sub, "qv")
+    )
+    adc = (
+        q_sliced.join(F.broadcast(codebook), "m")
+        .select("query_id", "m", "cid", _pq_dist_units("qv", "cvec").alias("units"))
+    )
+    scored = (
+        assigned.join(F.broadcast(adc), ["m", "cid"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("units").alias("total_units"))
+    )
+    w = Window.partitionBy("query_id").orderBy("total_units", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("total_units").cast("double") / F.lit(_SCALE)).alias("adc_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def pq_codes(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -839,44 +966,7 @@ def pq_codes(
     two exchanges total, both carrying only (id, m, code, dist) narrow
     rows. No pairwise blowup anywhere.
     """
-    sub = dim // n_sub
-    spark = corpus.sparkSession
-
-    def slices(prefix: str):
-        return F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice(F.col(vec_col).cast("array<double>"), m * sub + 1, sub).alias(
-                            prefix
-                        ),
-                    )
-                    for m in range(n_sub)
-                ]
-            )
-        )
-
-    codebook = (
-        corpus.filter(F.col(id_col) < n_codes)
-        .select(F.col(id_col).alias("cid"), vec_col)
-        .select("cid", slices("cvec"))
-    )
-    sliced = corpus.select(F.col(id_col), slices("sub"))
-
-    d = F.zip_with(
-        F.col("sub"),
-        F.col("cvec"),
-        lambda x, y: F.round((x - y) * (x - y) * F.lit(_SCALE)).cast("long"),
-    )
-    dist = F.aggregate(d, F.lit(0).cast("long"), lambda acc, p: acc + p)
-
-    best = (
-        sliced.join(F.broadcast(codebook), "m")
-        .select(id_col, "m", dist.alias("dist_units"), "cid")
-        .groupBy(id_col, "m")
-        .agg(F.min(F.struct("dist_units", "cid")).alias("best"))
-    )
+    best = pq_assignments(corpus, id_col, vec_col, dim, n_sub, n_codes)
     return (
         best.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("m", F.col("best")))).alias("parts"))

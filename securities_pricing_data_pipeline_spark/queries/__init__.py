@@ -91,6 +91,7 @@ _PRIORITY = [
     "multimodal_png_pixels",
     "audio_pcm_features",
     "video_mjpeg_frames",
+    "sim_pq_adc_topk",
     # round-6 window tail (40 never-driver-certified as of r5)
     "dedup_lsh_bucket_audit",
     "bars_gapfill_interp",

