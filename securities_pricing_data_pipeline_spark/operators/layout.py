@@ -96,3 +96,165 @@ SELECT file_id, COUNT(*) AS n_rows,
 FROM zed
 GROUP BY file_id
 """
+
+
+def skip_eval_plan(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    date_probes: list[int],
+    key_probes: list[int],
+    bits: int = 16,
+    file_shift: int = 18,
+    x_tile: int = 128,
+    n_y_tiles: int = 16,
+) -> DataFrame:
+    """Quantify what the Z-order layout actually buys: replay a probe
+    workload (point predicates on EACH dimension) against the min/max
+    file statistics of three candidate layouts — Z-order tiles, an
+    x-partitioned layout (``x // x_tile``, the classic date-partitioned
+    table), and a y-partitioned layout — and report the average number of
+    files a probe must touch plus the resulting skip percentage.
+
+    This is the evaluation a table-layout service runs before committing
+    an ``OPTIMIZE ZORDER`` rewrite: single-dimension layouts prune
+    perfectly on their own dimension and not at all on the other; the
+    Z-order curve prunes BOTH to ~sqrt(n_files) — the numbers in this
+    report are that tradeoff, measured rather than asserted.
+
+    Scale posture: one scan computes every layout's file id (pure integer
+    expressions — no sort; a real rewrite would range-partition on the
+    same ids); the box aggregate map-side combines to one row per
+    (layout, file); boxes and the literal probe table are tiny broadcast
+    frames, so everything after the first aggregate is driver-scale.
+    """
+    probes = df.sparkSession.createDataFrame(
+        [("date", int(v)) for v in date_probes] + [("key", int(v)) for v in key_probes],
+        "probe_dim string, v long",
+    )
+    rows = df.select(x.cast("long").alias("zx"), y.cast("long").alias("zy"))
+    ymax = rows.agg(F.max("zy").alias("ymax"))
+    z = z_value(F.col("zx"), F.col("zy"), bits)
+    assigned = (
+        rows.join(F.broadcast(ymax))
+        .select(
+            "zx",
+            "zy",
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.shiftright(z, file_shift).alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("date_sorted").alias("layout"),
+                        F.expr(f"zx div {x_tile}").alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("key_sorted").alias("layout"),
+                        F.expr(f"(zy * {n_y_tiles}) div (ymax + 1)").alias("file_id"),
+                    ),
+                )
+            ),
+        )
+    )
+    boxes = assigned.groupBy("layout", "file_id").agg(
+        F.min("zx").alias("x_min"),
+        F.max("zx").alias("x_max"),
+        F.min("zy").alias("y_min"),
+        F.max("zy").alias("y_max"),
+    )
+    nf = boxes.groupBy("layout").agg(F.count("*").alias("n_files"))
+    touched = F.when(
+        (
+            (F.col("probe_dim") == "date")
+            & F.col("v").between(F.col("x_min"), F.col("x_max"))
+        )
+        | (
+            (F.col("probe_dim") == "key")
+            & F.col("v").between(F.col("y_min"), F.col("y_max"))
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_probe = (
+        boxes.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "probe_dim", "v")
+        .agg(F.sum(touched).alias("files_touched"))
+    )
+    agg = per_probe.groupBy("layout", "probe_dim").agg(
+        F.count("*").alias("n_probes"),
+        F.sum("files_touched").alias("sum_touched"),
+    )
+    avg = F.col("sum_touched").cast("double") / F.col("n_probes")
+    return (
+        agg.join(F.broadcast(nf), "layout")
+        .select(
+            "layout",
+            "probe_dim",
+            "n_files",
+            "n_probes",
+            avg.alias("avg_files_touched"),
+            (F.lit(1.0) - avg / F.col("n_files")).alias("skip_pct"),
+        )
+    )
+
+
+def skip_eval_oracle_sql(
+    table: str,
+    x_expr: str,
+    y_expr: str,
+    date_probes: list[int],
+    key_probes: list[int],
+    bits: int = 16,
+    file_shift: int = 18,
+    x_tile: int = 128,
+    n_y_tiles: int = 16,
+) -> str:
+    """DuckDB twin of :func:`skip_eval_plan` — identical integer tile
+    math and double arithmetic order, so values hash-match exactly."""
+    terms = []
+    mask = (1 << bits) - 1
+    for i in range(bits):
+        terms.append(f"((((xv & {mask}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((yv & {mask}) >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    dp = ", ".join(str(int(v)) for v in date_probes)
+    kp = ", ".join(str(int(v)) for v in key_probes)
+    return f"""
+WITH src AS (
+  SELECT CAST({x_expr} AS BIGINT) AS xv, CAST({y_expr} AS BIGINT) AS yv FROM {table}
+), mx AS (
+  SELECT MAX(yv) AS ymax FROM src
+), assigned AS (
+  SELECT 'zorder' AS layout, ({z}) >> {file_shift} AS file_id, xv, yv FROM src
+  UNION ALL
+  SELECT 'date_sorted', xv // {x_tile}, xv, yv FROM src
+  UNION ALL
+  SELECT 'key_sorted', (yv * {n_y_tiles}) // (ymax + 1), xv, yv FROM src, mx
+), boxes AS (
+  SELECT layout, file_id,
+         MIN(xv) AS x_min, MAX(xv) AS x_max,
+         MIN(yv) AS y_min, MAX(yv) AS y_max
+  FROM assigned GROUP BY 1, 2
+), nf AS (
+  SELECT layout, COUNT(*) AS n_files FROM boxes GROUP BY 1
+), probes AS (
+  SELECT 'date' AS probe_dim, unnest([{dp}]) AS v
+  UNION ALL
+  SELECT 'key', unnest([{kp}])
+), per_probe AS (
+  SELECT b.layout, p.probe_dim, p.v,
+         SUM(CASE WHEN (p.probe_dim = 'date' AND p.v BETWEEN b.x_min AND b.x_max)
+                    OR (p.probe_dim = 'key' AND p.v BETWEEN b.y_min AND b.y_max)
+                  THEN 1 ELSE 0 END) AS files_touched
+  FROM boxes b, probes p GROUP BY 1, 2, 3
+)
+SELECT a.layout, a.probe_dim, nf.n_files, a.n_probes,
+       a.avg_files_touched,
+       1.0 - a.avg_files_touched / nf.n_files AS skip_pct
+FROM (
+  SELECT layout, probe_dim, COUNT(*) AS n_probes,
+         CAST(SUM(files_touched) AS DOUBLE) / COUNT(*) AS avg_files_touched
+  FROM per_probe GROUP BY 1, 2
+) a JOIN nf USING (layout)
+"""

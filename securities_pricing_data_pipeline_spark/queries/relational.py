@@ -386,6 +386,31 @@ def layout_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_file_plan(li, days, F.col("l_partkey"), bits=16, file_shift=18)
 
 
+# Probe workload for layout_skip_eval: mid-month ship-date offsets for
+# every month of 1996 (days since 1992-01-01; testdata ship dates span
+# 1995-1998) and ten evenly spaced part keys that exist at every test SF.
+# Shared literals between the Spark plan and the DuckDB oracle so both
+# engines score the identical workload.
+_SKIP_DATE_PROBES = [1475, 1506, 1535, 1566, 1596, 1627, 1657, 1688, 1719, 1749, 1780, 1810]
+_SKIP_KEY_PROBES = [10, 30, 50, 70, 90, 110, 130, 150, 170, 190]
+
+
+def layout_skip_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness report (see operators.layout
+    .skip_eval_plan): replay 12 ship-date point probes + 10 part-key point
+    probes against the min/max file statistics of the Z-order layout vs a
+    date-partitioned and a key-partitioned layout — the measured pruning
+    tradeoff a layout service reads before committing an OPTIMIZE ZORDER
+    rewrite of a 100 TB fact table."""
+    from securities_pricing_data_pipeline_spark.operators.layout import skip_eval_plan
+
+    li = load(spark, sf_dir, "lineitem")
+    days = F.datediff(F.col("l_shipdate").cast("date"), F.to_date(F.lit("1992-01-01")))
+    return skip_eval_plan(
+        li, days, F.col("l_partkey"), _SKIP_DATE_PROBES, _SKIP_KEY_PROBES, file_shift=18
+    )
+
+
 def ri_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: fact rows whose foreign keys miss
     their dimension — the check a warehouse runs before trusting joins.
@@ -483,9 +508,11 @@ QUERIES = {
     "dq_benford_prices": dq_benford_prices,
     "dq_profile_lineitem_exact": dq_profile_lineitem_exact,
     "layout_zorder_plan": layout_zorder_plan,
+    "layout_skip_eval": layout_skip_eval,
 }
 
 from securities_pricing_data_pipeline_spark.operators.layout import (  # noqa: E402
+    skip_eval_oracle_sql,
     zorder_oracle_sql,
 )
 from securities_pricing_data_pipeline_spark.operators.quality import (  # noqa: E402
@@ -497,6 +524,14 @@ ORACLES = {
         "lineitem",
         "datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))",
         "l_partkey",
+        file_shift=18,
+    ),
+    "layout_skip_eval": skip_eval_oracle_sql(
+        "lineitem",
+        "datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))",
+        "l_partkey",
+        _SKIP_DATE_PROBES,
+        _SKIP_KEY_PROBES,
         file_shift=18,
     ),
     # sketched profile: DuckDB reproduces the HLL registers bit-for-bit,

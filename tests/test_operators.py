@@ -327,6 +327,52 @@ def test_zorder_file_plan_boxes_cover_and_partition(spark):
         assert r.x_max - r.x_min < 64 and r.y_max - r.y_min < 64
 
 
+def test_skip_eval_plan_layout_tradeoff(spark):
+    from securities_pricing_data_pipeline_spark.operators.layout import skip_eval_plan
+
+    # dense 512x512 grid: every (d, k) combination present, so file boxes
+    # are exactly their tiles and the pruning math is predictable
+    df = spark.createDataFrame(
+        [(d, k) for d in range(0, 512, 4) for k in range(0, 512, 4)], "d long, k long"
+    )
+    out = skip_eval_plan(
+        df,
+        F.col("d"),
+        F.col("k"),
+        date_probes=[64, 192, 320, 448],
+        key_probes=[32, 160, 288, 416],
+        bits=16,
+        file_shift=14,
+        x_tile=64,
+        n_y_tiles=8,
+    )
+    rows = {(r.layout, r.probe_dim): r for r in out.collect()}
+    assert set(rows) == {
+        (lay, dim)
+        for lay in ("zorder", "date_sorted", "key_sorted")
+        for dim in ("date", "key")
+    }
+    # single-dimension layouts: perfect on their own dimension (1 file),
+    # useless on the other (every file touched)
+    assert rows[("date_sorted", "date")].avg_files_touched == 1.0
+    assert rows[("date_sorted", "key")].avg_files_touched == rows[
+        ("date_sorted", "key")
+    ].n_files
+    assert rows[("key_sorted", "key")].avg_files_touched == 1.0
+    assert rows[("key_sorted", "date")].avg_files_touched == rows[
+        ("key_sorted", "date")
+    ].n_files
+    # z-order prunes BOTH dimensions: strictly better than the wrong-dim
+    # full scan, touching only a bounded fraction of files
+    for dim in ("date", "key"):
+        r = rows[("zorder", dim)]
+        assert 0 < r.avg_files_touched < r.n_files
+        assert r.skip_pct > 0.5
+    # skip_pct consistency
+    for r in rows.values():
+        assert abs(r.skip_pct - (1.0 - r.avg_files_touched / r.n_files)) < 1e-12
+
+
 def test_merge_partial_aggs_full_outer_semantics(spark):
     from pyspark.sql import functions as F
 
