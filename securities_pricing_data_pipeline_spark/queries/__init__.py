@@ -93,6 +93,7 @@ _PRIORITY = [
     "video_mjpeg_frames",
     "sim_pq_adc_topk",
     "layout_skip_eval",
+    "stream_events_late_audit",
     # round-6 window tail (40 never-driver-certified as of r5)
     "dedup_lsh_bucket_audit",
     "bars_gapfill_interp",

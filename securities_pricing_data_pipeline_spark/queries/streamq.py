@@ -270,6 +270,101 @@ def stream_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "n_events")
 
 
+def _run_late_audit(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Shared engine for ``stream_events_late_audit``: run the 3-batch
+    replay and return ``(memory sink name, total numRowsDroppedByWatermark)``
+    so the gate query and the pytest assertion drive one code path."""
+    import os
+    import shutil
+    import time
+    import uuid
+    from pathlib import Path
+
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+    from securities_pricing_data_pipeline_spark.streaming.ingest import (
+        windowed_event_stats_stream,
+    )
+
+    tag = f"{_mem_name('lateaudit')}_{uuid.uuid4().hex[:12]}"
+    base = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    feed_dir = base / f"{tag}_feed"
+    tmp_dir = base / f"{tag}_tmp"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    try:
+        feed_dir.mkdir(parents=True)
+        t0 = time.time() - 600
+        for b in range(3):
+            ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(tmp_dir))
+            part = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
+            dst = feed_dir / f"{b:03d}_batch.parquet"
+            shutil.move(str(tmp_dir / part), str(dst))
+            # file order IS batch order: both sort keys the source may use
+            # (mod-time, path) agree — names ascend AND mtimes ascend
+            os.utime(dst, (t0 + 100 * b, t0 + 100 * b))
+        schema = spark.read.parquet(str(feed_dir)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed_dir))
+            .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        out = windowed_event_stats_stream(stream, watermark="45 minutes")
+        name = _mem_name("lateaudit_sink")
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        q.awaitTermination()
+        dropped = sum(
+            o["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for o in p["stateOperators"]
+        )
+        return name, dropped
+    finally:
+        shutil.rmtree(str(feed_dir), ignore_errors=True)
+        shutil.rmtree(str(tmp_dir), ignore_errors=True)
+
+
+def stream_events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data handling exercised FOR REAL: the events table
+    replays as three micro-batches (event_id mod 3, file order pinned by
+    both name and mtime), a 45-minute watermark trails the stream, and the
+    append-mode sink receives only the windows the watermark actually
+    closed — with batch-3 stragglers older than the horizon genuinely
+    dropped by the state store (numRowsDroppedByWatermark > 0, asserted
+    in pytest). None of the other stream gates let the watermark bite;
+    this one is the late-data contract under test.
+
+    Oracle model (semantics pinned empirically on this Spark version):
+      * the late filter in batch N uses the watermark computed from data
+        through batch N-2 — so batch-0/1 rows always land, and a batch-2
+        row survives iff its window END exceeds
+        ``max(batch-0 event-time ms) - 45 min``;
+      * eviction/emission uses the watermark through batch N-1, and
+        availableNow runs a trailing flush batch, so exactly the windows
+        with ``end <= max(all event-time ms) - 45 min`` reach the sink.
+
+    Scale posture: identical to the production shape — file-per-interval
+    landing replayed with maxFilesPerTrigger, watermark bounds the state
+    store to one horizon of open windows, and everything after the scan
+    is the same windowed aggregate the hourly gate runs."""
+    name, _ = _run_late_audit(spark, sf_dir)
+    return spark.table(name).select(
+        "window_start_epoch", "event_type", "n_events", "total_value"
+    )
+
+
 def stream_events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply: the events feed is split into 8 files and
     replayed as GENUINE multi-batch streaming (``maxFilesPerTrigger=1``),
@@ -363,6 +458,7 @@ def stream_events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
+    "stream_events_late_audit": stream_events_late_audit,
     "stream_events_cdc_upsert": stream_events_cdc_upsert,
     "stream_events_topk_users": stream_events_topk_users,
     "stream_events_sliding": stream_events_sliding,
@@ -386,6 +482,33 @@ FROM (
 WHERE rn = 1
 """,
     # identical to the batch twin events_hourly_stats' oracle
+    # late-audit twin: the filter/eviction watermark model documented on
+    # stream_events_late_audit — batch-2 rows survive only past the
+    # batch-0 horizon; only windows closed by the final horizon emit
+    "stream_events_late_audit": """
+WITH ev AS (
+  SELECT event_id, event_type, value,
+         epoch_ns(ts) // 1000 AS us,
+         event_id % 3 AS b
+  FROM events
+), h AS (
+  SELECT ((MAX(us) // 1000) - 2700000) * 1000 AS wm2_us FROM ev WHERE b = 0
+), fin AS (
+  SELECT ((MAX(us) // 1000) - 2700000) * 1000 AS wmf_us FROM ev
+), kept AS (
+  SELECT e.event_type, e.value, e.us,
+         ((e.us // 3600000000) + 1) * 3600000000 AS wend_us
+  FROM ev e, h
+  WHERE e.b <= 1 OR ((e.us // 3600000000) + 1) * 3600000000 > h.wm2_us
+)
+SELECT (kept.wend_us // 3600000000 - 1) * 3600 AS window_start_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM kept, fin
+WHERE kept.wend_us <= fin.wmf_us
+GROUP BY 1, 2
+""",
     "stream_events_hourly": """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
          AS window_start_epoch,

@@ -413,3 +413,53 @@ def test_stream_cdc_upsert_restart_from_checkpoint(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(str(state)).collect()}
     want = {tuple(r) for r in lww(ev).collect()}
     assert got == want
+
+
+def test_late_audit_drops_stragglers_and_matches_model(spark):
+    """The late-audit gate's watermark must genuinely bite: batch-3
+    stragglers older than the batch-1 horizon are dropped by the state
+    store (observable in numRowsDroppedByWatermark), and the emitted
+    window set is exactly the documented filter/eviction model."""
+    from securities_pricing_data_pipeline_spark.queries.streamq import _run_late_audit
+
+    sf = "/root/testdata/sf0.001"
+    name, dropped = _run_late_audit(spark, sf)
+    got = {
+        (r.window_start_epoch, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+    assert dropped > 0  # the watermark actually dropped late state groups
+
+    # batch model in plain DataFrame code: batch-2 rows (event_id % 3 == 2)
+    # survive iff window end > max(batch-0 event-time ms) - 45 min; only
+    # windows with end <= max(all event-time ms) - 45 min emit
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("us"),
+        (F.col("event_id") % 3).alias("b"),
+    )
+    wm2 = (
+        ev.filter("b = 0").agg(F.max("us")).collect()[0][0] // 1000 - 45 * 60000
+    ) * 1000
+    wmf = (ev.agg(F.max("us")).collect()[0][0] // 1000 - 45 * 60000) * 1000
+    wend = (F.expr("us div 3600000000") + 1) * F.lit(3600000000)
+    kept = ev.filter((F.col("b") <= 1) | (wend > F.lit(wm2))).filter(
+        wend <= F.lit(wmf)
+    )
+    want = {
+        (r.window_start_epoch, r.event_type): (r.n_events, r.total_value)
+        for r in kept.groupBy(
+            (F.expr("us div 3600000000") * 3600).alias("window_start_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
