@@ -94,6 +94,7 @@ _PRIORITY = [
     "sim_pq_adc_topk",
     "layout_skip_eval",
     "stream_events_late_audit",
+    "sim_pq_adc_recall",
     # round-6 window tail (40 never-driver-certified as of r5)
     "dedup_lsh_bucket_audit",
     "bars_gapfill_interp",

@@ -1076,6 +1076,58 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality audit for the PQ index: recall@5 of the ADC
+    compressed scan (sim_pq_adc_topk) against EXACT squared-L2 ground
+    truth on the same query set — the number that decides n_sub/n_codes
+    before trusting a PQ index at corpus scale. Ground truth uses the
+    same 1e-13 integer grid per element, so both rankings are exact-long
+    comparisons and the hit count is engine-stable. The truth side is a
+    broadcast small-query-side HOF pass (the JVM plan wins at this m —
+    see sim_bruteforce_topk's crossover note); the ADC side never touches
+    raw floats."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import _SCALE
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    d = F.zip_with(
+        F.col("qv"),
+        F.col("cv"),
+        lambda x, y: F.round((x - y) * (x - y) * F.lit(_SCALE)).cast("long"),
+    )
+    dist = F.aggregate(d, F.lit(0).cast("long"), lambda acc, p: acc + p)
+    w = Window.partitionBy("query_id").orderBy("dist_units", "neighbor_id")
+    truth = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("dist_units"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = pq_adc_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    t = truth.agg(
+        F.count_distinct("query_id").alias("n_queries"), F.count("*").alias("n_true")
+    )
+    h = hits.agg(F.count("*").alias("n_hits"))
+    return t.crossJoin(h).select(
+        "n_queries",
+        F.lit(5).alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall_at_k"),
+    )
+
+
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Increment-vs-corpus near-dup detection (see
     llmdata.dedup.minhash_lsh_pairs_cross): a deterministic 20% hash
@@ -1526,6 +1578,7 @@ QUERIES = {
     "sim_knn_classify": sim_knn_classify,
     "emb_pq_codes": emb_pq_codes,
     "sim_pq_adc_topk": sim_pq_adc_topk,
+    "sim_pq_adc_recall": sim_pq_adc_recall,
     "sim_rrf_fusion": sim_rrf_fusion,
     "corpus_mix_plan": corpus_mix_plan,
     "dedup_minhash_eval": dedup_minhash_eval,
@@ -2795,6 +2848,35 @@ t AS (
 ), h AS (
   SELECT COUNT(*) AS n_hits
   FROM (SELECT query_id, neighbor_id FROM iv INTERSECT SELECT query_id, neighbor_id FROM bf)
+)
+SELECT t.n_queries, CAST(5 AS INT) AS k, CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits AS DOUBLE) / t.n_true AS recall_at_k
+FROM t, h
+"""
+
+ORACLES["sim_pq_adc_recall"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(list_zip(q.vec, c.vec),
+               p -> CAST(round((p[1] - p[2]) * (p[1] - p[2]) * 1e13) AS BIGINT))),
+             c.vec_id) AS rank
+    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rank <= 5
+), adc AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["sim_pq_adc_topk"]})
+), t AS (
+  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         COUNT(*) AS n_true
+  FROM bf
+), h AS (
+  SELECT COUNT(*) AS n_hits
+  FROM (SELECT query_id, neighbor_id FROM adc INTERSECT SELECT query_id, neighbor_id FROM bf)
 )
 SELECT t.n_queries, CAST(5 AS INT) AS k, CAST(h.n_hits AS BIGINT) AS n_hits,
        CAST(h.n_hits AS DOUBLE) / t.n_true AS recall_at_k
