@@ -95,6 +95,8 @@ _PRIORITY = [
     "layout_skip_eval",
     "stream_events_late_audit",
     "sim_pq_adc_recall",
+    "layout_compaction_plan",
+    "dq_key_gaps",
     # round-6 window tail (40 never-driver-certified as of r5)
     "dedup_lsh_bucket_audit",
     "bars_gapfill_interp",

@@ -411,6 +411,70 @@ def layout_skip_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuity audit: how many gaps the order-key
+    sequence has and how many values are missing — the check a warehouse
+    runs on an identity column after a botched load or a MERGE that
+    skipped ids. Formulated WITHOUT a global sort: missing total is pure
+    arithmetic (max - min + 1 - count), and gap STARTS are keys whose
+    successor is absent — a self anti-join on ``key + 1``, which shuffles
+    only key-width rows and scales where a lag() window (one global sort)
+    would not."""
+    keys = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")).distinct()
+    stats = keys.agg(
+        F.count("*").alias("n_keys"),
+        F.min("k").alias("key_min"),
+        F.max("k").alias("key_max"),
+    )
+    succ = keys.select((F.col("k") + 1).alias("k"))
+    gap_starts = (
+        keys.join(succ, "k", "left_anti")
+        .join(F.broadcast(stats.select(F.col("key_min").alias("mn"))), F.col("k") > F.col("mn"))
+        .agg(F.count("*").alias("n_gaps_raw"))
+    )
+    return stats.crossJoin(gap_starts).select(
+        "n_keys",
+        "key_min",
+        "key_max",
+        # keys whose PREDECESSOR is absent, excluding the global min, each
+        # open exactly one gap — count them (computed on the successor
+        # side: k present, k-1 absent ⇔ k-1 is a gap end; symmetric count)
+        F.col("n_gaps_raw").alias("n_gaps"),
+        (F.col("key_max") - F.col("key_min") + 1 - F.col("n_keys")).alias("n_missing"),
+    )
+
+
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over the Z-order file plan: walk files
+    in curve order and greedily bin-pack neighbours until each merge
+    group reaches ~8192 rows — the OPTIMIZE/compaction planning pass that
+    keeps a 100 TB table's file count bounded without destroying the
+    curve locality (adjacent-on-curve files merge together, so the merged
+    file's bounding box stays tight on both dimensions).
+
+    The cumulative-sum window runs over FILE METADATA (one row per file,
+    O(data/target) rows), not data — a single-partition window there is
+    the correct, driver-scale plan; the data itself is never re-sorted
+    until the rewrite executes each group independently."""
+    from securities_pricing_data_pipeline_spark.operators.layout import zorder_file_plan
+
+    li = load(spark, sf_dir, "lineitem")
+    days = F.datediff(F.col("l_shipdate").cast("date"), F.to_date(F.lit("1992-01-01")))
+    plan = zorder_file_plan(li, days, F.col("l_partkey"), bits=16, file_shift=18)
+    w = Window.orderBy("file_id")
+    g = plan.select(
+        "file_id",
+        "n_rows",
+        (F.sum("n_rows").over(w) - F.col("n_rows")).alias("cum_before"),
+    ).withColumn("merge_group", F.expr("cum_before div 8192"))
+    return g.groupBy("merge_group").agg(
+        F.count("*").alias("n_input_files"),
+        F.sum("n_rows").alias("total_rows"),
+        F.min("file_id").alias("file_id_min"),
+        F.max("file_id").alias("file_id_max"),
+    )
+
+
 def ri_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: fact rows whose foreign keys miss
     their dimension — the check a warehouse runs before trusting joins.
@@ -509,6 +573,8 @@ QUERIES = {
     "dq_profile_lineitem_exact": dq_profile_lineitem_exact,
     "layout_zorder_plan": layout_zorder_plan,
     "layout_skip_eval": layout_skip_eval,
+    "layout_compaction_plan": layout_compaction_plan,
+    "dq_key_gaps": dq_key_gaps,
 }
 
 from securities_pricing_data_pipeline_spark.operators.layout import (  # noqa: E402
@@ -769,3 +835,40 @@ FROM lineitem
 GROUP BY l_returnflag
 """,
 }
+
+_Z_SQL = zorder_oracle_sql(
+    "lineitem",
+    "datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))",
+    "l_partkey",
+    file_shift=18,
+)
+ORACLES["layout_compaction_plan"] = f"""
+WITH plan AS (
+  SELECT file_id, n_rows FROM ({_Z_SQL})
+), g AS (
+  SELECT file_id, n_rows,
+         CAST(SUM(n_rows) OVER (ORDER BY file_id) - n_rows AS BIGINT) AS cum_before
+  FROM plan
+)
+SELECT cum_before // 8192 AS merge_group,
+       COUNT(*) AS n_input_files,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       MIN(file_id) AS file_id_min,
+       MAX(file_id) AS file_id_max
+FROM g GROUP BY 1
+"""
+
+ORACLES["dq_key_gaps"] = """
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+stats AS (
+  SELECT COUNT(*) AS n_keys, MIN(k) AS key_min, MAX(k) AS key_max FROM keys
+), gaps AS (
+  SELECT COUNT(*) AS n_gaps
+  FROM keys t, stats s
+  WHERE t.k > s.key_min
+    AND NOT EXISTS (SELECT 1 FROM keys p WHERE p.k = t.k - 1)
+)
+SELECT n_keys, key_min, key_max, CAST(n_gaps AS BIGINT) AS n_gaps,
+       key_max - key_min + 1 - n_keys AS n_missing
+FROM stats, gaps
+"""
