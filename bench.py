@@ -205,6 +205,12 @@ BENCH_QUERIES = [
     "multimodal_png_pixels",
     "audio_pcm_features",
     "video_mjpeg_frames",
+    "sim_pq_adc_topk",
+    "sim_pq_adc_recall",
+    "layout_skip_eval",
+    "layout_compaction_plan",
+    "dq_key_gaps",
+    "stream_events_late_audit",
 ]
 
 
