@@ -259,6 +259,47 @@ def probe_semantic(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_pq_adc(spark) -> list[tuple[str, int, float]]:
+    """PQ ADC top-k at 100k vectors × 20 dims with 100 queries — ~50×
+    the bench corpus on the compressed-scan path (codes + broadcast
+    distance tables; raw floats never shuffle). The expensive stage is
+    the (query × code-row) lookup-join fan-out into the per-(query,
+    neighbor) hash aggregate: 100k·4·100 = 40M narrow rows."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import pq_adc_topk
+
+    n = 100_000
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)).cast("double") / 500.0)
+        - 1.0,
+    )
+    emb = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(1000)) == 0)
+    out = pq_adc_topk(emb, queries, dim=20, n_sub=4, n_codes=16, k=5)
+    return [("pq_adc_100k compressed scan (100 queries)", n, timed(lambda: force(out)))]
+
+
+def probe_keygaps(spark) -> list[tuple[str, int, float]]:
+    """Key-continuity audit at 50M keys (every 97th missing) — the
+    sort-free formulation: gap starts via a self anti-join on key+1,
+    no global window anywhere."""
+    n = 50_000_000
+    keys = spark.range(n).filter(F.pmod(F.col("id"), F.lit(97)) != 0).select(
+        F.col("id").alias("k")
+    )
+    succ = keys.select((F.col("k") + 1).alias("k"))
+    stats = keys.agg(
+        F.count("*").alias("n_keys"), F.min("k").alias("key_min"), F.max("k").alias("key_max")
+    )
+    gaps = (
+        keys.join(succ, "k", "left_anti")
+        .join(F.broadcast(stats.select(F.col("key_min").alias("mn"))), F.col("k") > F.col("mn"))
+        .agg(F.count("*").alias("n_gaps"))
+    )
+    out = stats.crossJoin(gaps)
+    return [("keygaps_50m sort-free gap audit", n, timed(lambda: force(out)))]
+
+
 def probe_media(spark) -> list[tuple[str, int, float]]:
     """Media-validation sweep at 20× the bench subset: 100k synthesized
     12×10 JPEG payloads encoded AND decoded through the pure-Python
@@ -356,6 +397,7 @@ def main() -> None:
     failures: list[str] = []
     for probe in (probe_asof, probe_asof_skew, probe_window, probe_ewma, probe_skew,
                   probe_quantile, probe_minhash, probe_semantic,
+                  probe_pq_adc, probe_keygaps,
                   probe_media, probe_triangles, probe_cc):
         try:
             rows.extend(probe(spark))
