@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "layout_compaction_plan",
     "dq_key_gaps",
     "stream_events_late_audit",
+    "stream_events_enrich",
 ]
 
 

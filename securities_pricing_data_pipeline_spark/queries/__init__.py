@@ -97,6 +97,7 @@ _PRIORITY = [
     "sim_pq_adc_recall",
     "layout_compaction_plan",
     "dq_key_gaps",
+    "stream_events_enrich",
     # round-6 window tail (40 never-driver-certified as of r5)
     "dedup_lsh_bucket_audit",
     "bars_gapfill_interp",

@@ -270,6 +270,28 @@ def stream_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "n_events")
 
 
+def stream_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the most common streaming join in
+    production and the one pattern the other gate streams don't cover:
+    the event stream joins a STATIC dimension (customer segment) that
+    Spark re-broadcasts per micro-batch, so the stream stays stateless
+    (no watermark, no state store — the static side is not a stream, so
+    nothing buffers). Emitted rows are the joined tuples themselves:
+    batching cannot change an inner equi-join's row set, which is what
+    makes this gate hashable. Scale posture: dim broadcasts (or a
+    bucketed shuffle join for a big dim); the stream side never
+    repartitions."""
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+
+    ev = _event_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = ev.join(F.broadcast(dim), "user_id")
+    name = _drain(joined, "enrich", "append")
+    return spark.table(name).select("event_id", "user_id", "event_type", "segment", "value")
+
+
 def _run_late_audit(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Shared engine for ``stream_events_late_audit``: run the 3-batch
     replay and return ``(memory sink name, total numRowsDroppedByWatermark)``
@@ -459,6 +481,7 @@ def stream_events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
     "stream_events_late_audit": stream_events_late_audit,
+    "stream_events_enrich": stream_events_enrich,
     "stream_events_cdc_upsert": stream_events_cdc_upsert,
     "stream_events_topk_users": stream_events_topk_users,
     "stream_events_sliding": stream_events_sliding,
@@ -508,6 +531,10 @@ SELECT (kept.wend_us // 3600000000 - 1) * 3600 AS window_start_epoch,
 FROM kept, fin
 WHERE kept.wend_us <= fin.wmf_us
 GROUP BY 1, 2
+""",
+    "stream_events_enrich": """
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment, e.value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
 """,
     "stream_events_hourly": """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
