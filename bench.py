@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "dq_key_gaps",
     "stream_events_late_audit",
     "stream_events_enrich",
+    "layout_hilbert_plan",
 ]
 
 

@@ -98,6 +98,7 @@ _PRIORITY = [
     "layout_compaction_plan",
     "dq_key_gaps",
     "stream_events_enrich",
+    "layout_hilbert_plan",
     # round-6 window tail (40 never-driver-certified as of r5)
     "dedup_lsh_bucket_audit",
     "bars_gapfill_interp",

@@ -444,6 +444,21 @@ def dq_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_hilbert_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout plan for the fact table (see operators.layout
+    .hilbert_file_plan): range-scaled dimensions walked by the 4-state
+    Hilbert automaton (pure JVM expressions — a 16-entry literal-array
+    lookup per bit level), file ids from the curve's high bits, per-file
+    row counts + bounding boxes over both raw dimensions. The seam-free
+    alternative to layout_zorder_plan; layout_skip_eval measures the two
+    curves head-to-head on the same probe workload."""
+    from securities_pricing_data_pipeline_spark.operators.layout import hilbert_file_plan
+
+    li = load(spark, sf_dir, "lineitem")
+    days = F.datediff(F.col("l_shipdate").cast("date"), F.to_date(F.lit("1992-01-01")))
+    return hilbert_file_plan(li, days, F.col("l_partkey"), bits=8, file_shift=11)
+
+
 def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction plan over the Z-order file plan: walk files
     in curve order and greedily bin-pack neighbours until each merge
@@ -574,10 +589,12 @@ QUERIES = {
     "layout_zorder_plan": layout_zorder_plan,
     "layout_skip_eval": layout_skip_eval,
     "layout_compaction_plan": layout_compaction_plan,
+    "layout_hilbert_plan": layout_hilbert_plan,
     "dq_key_gaps": dq_key_gaps,
 }
 
 from securities_pricing_data_pipeline_spark.operators.layout import (  # noqa: E402
+    hilbert_oracle_sql,
     skip_eval_oracle_sql,
     zorder_oracle_sql,
 )
@@ -872,3 +889,11 @@ SELECT n_keys, key_min, key_max, CAST(n_gaps AS BIGINT) AS n_gaps,
        key_max - key_min + 1 - n_keys AS n_missing
 FROM stats, gaps
 """
+
+ORACLES["layout_hilbert_plan"] = hilbert_oracle_sql(
+    "lineitem",
+    "datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))",
+    "l_partkey",
+    bits=8,
+    file_shift=11,
+)

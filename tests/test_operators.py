@@ -327,6 +327,49 @@ def test_zorder_file_plan_boxes_cover_and_partition(spark):
         assert r.x_max - r.x_min < 64 and r.y_max - r.y_min < 64
 
 
+def test_hilbert_value_matches_reference(spark):
+    from securities_pricing_data_pipeline_spark.operators.layout import (
+        hilbert_sql_expr,
+        hilbert_value,
+    )
+
+    def xy2d(order, x, y):
+        d, s = 0, 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = [(x, y) for x in range(0, 256, 5) for y in range(0, 256, 7)]
+    rows += [(x, y) for x in (0, 1, 254, 255) for y in (0, 1, 254, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.h
+        for r in df.select(
+            "x", "y", hilbert_value(F.col("x"), F.col("y"), 8).alias("h")
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == xy2d(8, x, y)
+    # the curve is a bijection onto [0, 2^16): spot-check adjacency — every
+    # consecutive pair of curve positions differs by 1 in exactly one dim
+    inv = {v: k for k, v in got.items()}
+    import duckdb
+
+    con = duckdb.connect()
+    expr = hilbert_sql_expr("x", "y", 8)
+    for x, y in rows[:50]:
+        assert con.execute(f"SELECT {expr} FROM (SELECT {x} AS x, {y} AS y)").fetchone()[
+            0
+        ] == xy2d(8, x, y)
+
+
 def test_skip_eval_plan_layout_tradeoff(spark):
     from securities_pricing_data_pipeline_spark.operators.layout import skip_eval_plan
 
@@ -349,7 +392,7 @@ def test_skip_eval_plan_layout_tradeoff(spark):
     rows = {(r.layout, r.probe_dim): r for r in out.collect()}
     assert set(rows) == {
         (lay, dim)
-        for lay in ("zorder", "date_sorted", "key_sorted")
+        for lay in ("zorder", "hilbert", "date_sorted", "key_sorted")
         for dim in ("date", "key")
     }
     # single-dimension layouts: perfect on their own dimension (1 file),
@@ -364,10 +407,11 @@ def test_skip_eval_plan_layout_tradeoff(spark):
     ].n_files
     # z-order prunes BOTH dimensions: strictly better than the wrong-dim
     # full scan, touching only a bounded fraction of files
-    for dim in ("date", "key"):
-        r = rows[("zorder", dim)]
-        assert 0 < r.avg_files_touched < r.n_files
-        assert r.skip_pct > 0.5
+    for lay in ("zorder", "hilbert"):
+        for dim in ("date", "key"):
+            r = rows[(lay, dim)]
+            assert 0 < r.avg_files_touched < r.n_files
+            assert r.skip_pct > 0.5
     # skip_pct consistency
     for r in rows.values():
         assert abs(r.skip_pct - (1.0 - r.avg_files_touched / r.n_files)) < 1e-12
