@@ -279,6 +279,34 @@ def probe_pq_adc(spark) -> list[tuple[str, int, float]]:
     return [("pq_adc_100k compressed scan (100 queries)", n, timed(lambda: force(out)))]
 
 
+def probe_hilbert(spark) -> list[tuple[str, int, float]]:
+    """Hilbert file assignment at 20M rows — the 8-level automaton as
+    pure codegen expressions (one literal-array lookup per level). Prices
+    the per-row curve cost against z_value's shift/mask interleave."""
+    from securities_pricing_data_pipeline_spark.operators.layout import (
+        hilbert_value,
+        z_value,
+    )
+
+    n = 20_000_000
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id", F.lit(0)), F.lit(3600)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(20000)).alias("y"),
+    )
+    hx = F.expr("(x * 256) div 3600")
+    hy = F.expr("(y * 256) div 20000")
+    hil = df.select(
+        F.shiftright(hilbert_value(hx, hy, 8), 11).alias("f")
+    ).groupBy("f").count()
+    zo = df.select(
+        F.shiftright(z_value(F.col("x"), F.col("y"), 16), 22).alias("f")
+    ).groupBy("f").count()
+    return [
+        ("hilbert_20m file assignment (8-level automaton)", n, timed(lambda: force(hil))),
+        ("zorder_20m file assignment (16-bit interleave)", n, timed(lambda: force(zo))),
+    ]
+
+
 def probe_keygaps(spark) -> list[tuple[str, int, float]]:
     """Key-continuity audit at 50M keys (every 97th missing) — the
     sort-free formulation: gap starts via a self anti-join on key+1,
@@ -397,7 +425,7 @@ def main() -> None:
     failures: list[str] = []
     for probe in (probe_asof, probe_asof_skew, probe_window, probe_ewma, probe_skew,
                   probe_quantile, probe_minhash, probe_semantic,
-                  probe_pq_adc, probe_keygaps,
+                  probe_pq_adc, probe_hilbert, probe_keygaps,
                   probe_media, probe_triangles, probe_cc):
         try:
             rows.extend(probe(spark))
