@@ -20,6 +20,7 @@ from __future__ import annotations
 import glob as _glob
 import json as _json
 import os as _os
+import warnings as _warnings
 
 from securities_pricing_data_pipeline_spark.queries import (
     analytic,
@@ -62,7 +63,17 @@ def _driver_certified() -> set[str]:
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     green: set[str] = set()
-    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+    paths = sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
+    if not paths:
+        # Installed (site-packages) layouts or artifact-free checkouts have
+        # no committed correctness files; the window then degrades to the
+        # static _PRIORITY order. Say so once rather than silently staling.
+        _warnings.warn(
+            "no CORRECTNESS_r*.json artifacts found next to the repo root; "
+            "registry rotation falls back to the static order",
+            stacklevel=2,
+        )
+    for path in paths:
         try:
             with open(path) as fh:
                 doc = _json.load(fh)
