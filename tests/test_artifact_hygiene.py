@@ -1,0 +1,95 @@
+"""Artifact-hygiene guards.
+
+Round 6's one process failure was a query shipped in ``BENCH_QUERIES``
+without a committed local bench number (it turned out to cost 53% of the
+driver bench). These tests make that class of drift mechanically
+impossible: the committed artifacts must keep up with the code.
+
+Mid-round escape hatch: a name freshly added to the registry or bench set
+may be listed in ``ALLOW_NEW`` below until the end-of-round artifact
+refresh — the diff adding it there is visible in review, unlike the
+silent omission these tests exist to catch. ALLOW_NEW must be empty when
+a round's final artifacts are committed.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Names added since the last committed artifact refresh (see module
+# docstring). Keep empty at end of round.
+ALLOW_NEW: set[str] = set()
+
+
+def _latest(pattern: str) -> str | None:
+    """Highest-round artifact matching pattern, by the _rNN number."""
+    paths = glob.glob(os.path.join(ROOT, pattern))
+    if not paths:
+        return None
+
+    def roundno(p: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    return max(paths, key=roundno)
+
+
+def test_every_bench_query_has_a_committed_local_number():
+    import bench
+
+    path = _latest("BENCH_r*_local.json")
+    assert path, "no committed BENCH_r*_local.json artifact"
+    with open(path) as fh:
+        benched = set(json.load(fh)["queries"])
+    missing = set(bench.BENCH_QUERIES) - benched - ALLOW_NEW
+    assert not missing, (
+        f"{sorted(missing)} are in BENCH_QUERIES but have no number in "
+        f"{os.path.basename(path)} — bench them locally (median-of-3) and "
+        f"refresh the artifact, or list them in ALLOW_NEW until round end"
+    )
+
+
+def test_bench_set_is_a_subset_of_the_registry():
+    import bench
+
+    import __spark_entry__ as entry
+
+    stray = set(bench.BENCH_QUERIES) - set(entry.queries())
+    assert not stray, f"BENCH_QUERIES names not in the registry: {sorted(stray)}"
+
+
+def test_full_registry_oracle_artifact_is_current():
+    import __spark_entry__ as entry
+
+    path = _latest("ORACLE_r*.json")
+    assert path, "no committed ORACLE_r*.json artifact"
+    with open(path) as fh:
+        doc = json.load(fh)
+    n_registry = len(entry.queries())
+    covered = doc.get("n_queries", 0) + len(ALLOW_NEW)
+    if covered < n_registry:
+        pytest.fail(
+            f"registry has {n_registry} queries but {os.path.basename(path)} "
+            f"covers {doc.get('n_queries')} — rerun "
+            f"tools/check_oracle.py --json over the full registry, or list "
+            f"the new names in ALLOW_NEW until round end"
+        )
+    assert doc.get("n_fail", 1) == 0, f"{path} records oracle failures"
+
+
+def test_oracle_and_queries_expose_identical_name_sets():
+    import __spark_entry__ as entry
+
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    # Non-SQL-expressible ops may legitimately omit an oracle, but today
+    # every registered query has one; if that changes, document the
+    # exception here rather than letting names silently diverge.
+    assert o == q, f"queries()/oracle_sql() diverge: {sorted(q ^ o)}"
