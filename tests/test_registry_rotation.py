@@ -61,3 +61,19 @@ def test_registry_is_complete_and_consistent():
     assert set(Q.ORACLES) <= set(Q.QUERIES)
     assert all(callable(f) for f in Q.QUERIES.values())
     assert all(isinstance(s, str) and s.strip() for s in Q.ORACLES.values())
+
+
+def test_artifact_free_checkout_warns_instead_of_silently_staling():
+    """An installed layout (no CORRECTNESS_r*.json next to the package)
+    must degrade loudly: _driver_certified warns and returns empty."""
+    import warnings
+
+    orig = Q._glob.glob
+    Q._glob.glob = lambda pattern: []
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert Q._driver_certified() == set()
+        assert any("CORRECTNESS_r*.json" in str(w.message) for w in caught)
+    finally:
+        Q._glob.glob = orig
