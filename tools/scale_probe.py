@@ -307,6 +307,69 @@ def probe_hilbert(spark) -> list[tuple[str, int, float]]:
     ]
 
 
+def probe_cdc(spark) -> list[tuple[str, int, float]]:
+    """Streaming CDC apply at ~25× the bench feed: 10M change rows over
+    1M keys, landed as 20 files and replayed as genuine multi-batch
+    streaming (``maxFilesPerTrigger=1``) through the same
+    foreachBatch last-writer-wins MERGE as ``stream_events_cdc_upsert``.
+    Prices the pattern's real scale cost — each micro-batch re-reduces
+    |batch ∪ table| rows — and confirms state-in-the-table (not executor
+    memory) holds up when the table is 1M keys. With a transactional
+    format the republish becomes a keyed MERGE INTO touching only
+    matched files; this probe is the upper bound."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    n = 10_000_000
+    root = Path(tempfile.mkdtemp(prefix="spark_graft_cdc_probe_"))
+    feed_dir = str(root / "feed")
+    state_dir = str(root / "state")
+    try:
+        changes = spark.range(n).select(
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000)).alias("user_id"),
+            F.col("id").alias("ts"),
+            F.col("id").alias("event_id"),
+            (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(1000)) / 10.0).alias("value"),
+        )
+        changes.repartition(20, "user_id").write.mode("overwrite").parquet(feed_dir)
+        n_keys = spark.read.parquet(feed_dir).select("user_id").distinct().count()
+
+        def lww(df: DataFrame) -> DataFrame:
+            return (
+                df.groupBy("user_id")
+                .agg(F.max(F.struct("ts", "event_id", "value")).alias("s"))
+                .select("user_id", "s.ts", "s.event_id", "s.value")
+            )
+
+        def merge(batch: DataFrame, batch_id: int) -> None:
+            s = batch.sparkSession
+            merged = lww(batch)
+            if Path(state_dir).exists():
+                merged = lww(s.read.parquet(state_dir).unionByName(merged))
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                state_dir
+            )
+
+        def run() -> None:
+            stream = (
+                spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed_dir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(merge)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            assert spark.read.parquet(state_dir).count() == n_keys
+
+        return [("cdc_10m foreachBatch LWW merge (20 micro-batches, 1M keys)", n, timed(run))]
+    finally:
+        shutil.rmtree(str(root), ignore_errors=True)
+
+
 def probe_keygaps(spark) -> list[tuple[str, int, float]]:
     """Key-continuity audit at 50M keys (every 97th missing) — the
     sort-free formulation: gap starts via a self anti-join on key+1,
@@ -425,7 +488,7 @@ def main() -> None:
     failures: list[str] = []
     for probe in (probe_asof, probe_asof_skew, probe_window, probe_ewma, probe_skew,
                   probe_quantile, probe_minhash, probe_semantic,
-                  probe_pq_adc, probe_hilbert, probe_keygaps,
+                  probe_pq_adc, probe_hilbert, probe_cdc, probe_keygaps,
                   probe_media, probe_triangles, probe_cc):
         try:
             rows.extend(probe(spark))
