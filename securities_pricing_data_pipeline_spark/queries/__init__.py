@@ -110,6 +110,15 @@ _PRIORITY = [
     "dq_key_gaps",
     "stream_events_enrich",
     "layout_hilbert_plan",
+    # r6-verdict call-outs: the rewritten knn eval (160.7s→1.2s — its
+    # driver row IS the fix's certification), the streaming gates with
+    # judge-oracle-only rows, and the post-ORACLE_r06 registrations
+    "sim_knn_classify",
+    "stream_events_cdc_upsert",
+    "stream_events_sliding",
+    "stream_events_topk_users",
+    "emb_kmeans",
+    "graph_communities_parts",
     # round-6 window tail (40 never-driver-certified as of r5)
     "dedup_lsh_bucket_audit",
     "bars_gapfill_interp",
