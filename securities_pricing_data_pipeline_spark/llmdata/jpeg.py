@@ -481,8 +481,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 
     if data_start is None or not comps or h == 0 or w == 0:
         raise ValueError("missing SOS/SOF0")
-    # entropy-coded data runs until the next real marker (EOI)
-    end = buf.rfind(b"\xff\xd9")
+    # entropy-coded data runs until the next real marker (EOI). Byte
+    # stuffing guarantees FF D9 cannot occur inside valid entropy data,
+    # so the FIRST occurrence after SOS is the true end — rfind over the
+    # whole buffer would let trailing garbage containing FF D9 shift the
+    # end forward and feed junk to the bit reader (ADVICE r7 item).
+    end = buf.find(b"\xff\xd9", data_start)
     if end < 0:
         raise ValueError("missing EOI")
     br = _BitReader(buf[data_start:end])

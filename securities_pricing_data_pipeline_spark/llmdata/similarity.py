@@ -41,7 +41,17 @@ def cosine(a: Column, b: Column) -> Column:
     dot = _dot_grid(a, b).cast("double")
     na = _dot_grid(a, a).cast("double")
     nb = _dot_grid(b, b).cast("double")
-    return dot / F.sqrt(na * nb)
+    return _safe_cos(dot, na, nb)
+
+
+def _safe_cos(dot: Column, na: Column, nb: Column) -> Column:
+    """cos := 0.0 when either norm is zero (the usual zero-vector
+    convention) — under ANSI mode the raw division would error, and the
+    numpy prefilter's NaN row would silently drop the id; the lazy
+    ``when`` branch keeps the divide from ever firing on zero."""
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot / F.sqrt(na * nb)
+    )
 
 
 def norm_grid(v: Column) -> Column:
@@ -55,7 +65,7 @@ def norm_grid(v: Column) -> Column:
 
 def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """cosine() with precomputed norms; bit-identical result."""
-    return _dot_grid(a, b).cast("double") / F.sqrt(na * nb)
+    return _safe_cos(_dot_grid(a, b).cast("double"), na, nb)
 
 
 def brute_force_topk(
@@ -470,6 +480,8 @@ def nearest_centroid(
         cids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
         cnorms = np.array([r["cent_norm"] for r in cent_rows], dtype=np.float64)
 
+        all_cids = cids.tolist()
+
         @pandas_udf("array<long>")
         def _cand_np(vecs: pd.Series) -> pd.Series:
             V = np.stack(vecs.to_numpy()).astype(np.float64)
@@ -477,9 +489,16 @@ def nearest_centroid(
                 np.outer((V * V).sum(axis=1) * _SCALE, cnorms)
             )
             mx = cos.max(axis=1, keepdims=True)
-            return pd.Series(
-                [cids[np.nonzero(row >= m - 1e-6)[0]].tolist() for row, m in zip(cos, mx)]
-            )
+            out = []
+            for row, m in zip(cos, mx):
+                idx = np.nonzero(row >= m - 1e-6)[0]
+                # zero-norm vectors (or zero-norm centroids) yield NaN
+                # cosines, which compare False everywhere → an empty
+                # candidate list would silently DROP the id at explode().
+                # Fall back to all centroids so phase 2 decides exactly
+                # as the JVM full-pass path would (ADVICE r7 item).
+                out.append(cids[idx].tolist() if idx.size else all_cids)
+            return pd.Series(out)
 
         cand_assign = c.select(
             "id", "vec", "norm", F.explode(_cand_np(F.col("vec"))).alias("centroid_id")

@@ -6,7 +6,10 @@ formulation:
   1. tag left (events) and right (quotes) rows, union them on a common
      (key, time) axis;
   2. one window per key ordered by (time, right-before-left) carries the
-     last seen quote forward (``last(..., ignorenulls=True)``);
+     last seen quote forward as a WHOLE-ROW struct
+     (``last(struct, ignorenulls=True)``) — so a NULL inside the latest
+     quote stays NULL instead of back-filling from an older quote
+     (pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` row semantics);
   3. keep only left rows — each now annotated with the most recent right
      row at-or-before its timestamp (backward as-of, inclusive).
 
@@ -43,21 +46,20 @@ def asof_join_backward(
         value_cols = [c for c in right.columns if c not in set(key) | {right_time}]
     value_cols = list(value_cols)
 
+    rrow = _right_row_struct(right, right_time, value_cols)
     lt = left.select(
         *key,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_t"),
+        F.lit(None).cast(rrow["dtype"]).alias("__rrow"),
     )
     rt = right.select(
         *key,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(right_time).alias("__r_t"),
+        rrow["expr"].alias("__rrow"),
     )
     # right rows sort before left rows at equal time → inclusive semantics
     w = (
@@ -66,16 +68,28 @@ def asof_join_backward(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = lt.unionByName(rt).select(
-        "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in value_cols],
-        F.last("__r_t", ignorenulls=True).over(w).alias("__c_t"),
+        "*", F.last("__rrow", ignorenulls=True).over(w).alias("__c")
     )
     out = carried.filter(F.col("__is_left") == 1).select(
         *[F.col("__lrow")[c].alias(c) for c in left.columns],
-        *[F.col(f"__c_{c}").alias(c) for c in value_cols],
-        F.col("__c_t").alias("asof_time"),
+        *[F.col("__c")[c].alias(c) for c in value_cols],
+        F.col("__c")["__asof_t"].alias("asof_time"),
     )
     return out
+
+
+def _right_row_struct(right: DataFrame, right_time: str, value_cols: Sequence[str]):
+    """Whole-row carry payload: the right value columns + the right time
+    under the reserved ``__asof_t`` field. Carrying one struct (not one
+    column per value) is what gives real as-of ROW semantics — all
+    emitted values come from the single matched right row, NULLs
+    included."""
+    expr = F.struct(
+        *[F.col(c).alias(c) for c in value_cols],
+        F.col(right_time).alias("__asof_t"),
+    )
+    dtype = right.select(expr.alias("s")).schema["s"].dataType
+    return {"expr": expr, "dtype": dtype}
 
 
 def asof_join_backward_tolerance(
@@ -123,21 +137,20 @@ def asof_join_forward(
         value_cols = [c for c in right.columns if c not in set(key) | {right_time}]
     value_cols = list(value_cols)
 
+    rrow = _right_row_struct(right, right_time, value_cols)
     lt = left.select(
         *key,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_t"),
+        F.lit(None).cast(rrow["dtype"]).alias("__rrow"),
     )
     rt = right.select(
         *key,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(right_time).alias("__r_t"),
+        rrow["expr"].alias("__rrow"),
     )
     # left rows sort before right rows at equal time, and the frame starts
     # at the current row → a right row at the same instant matches
@@ -147,14 +160,12 @@ def asof_join_forward(
         .rowsBetween(0, Window.unboundedFollowing)
     )
     carried = lt.unionByName(rt).select(
-        "*",
-        *[F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in value_cols],
-        F.first("__r_t", ignorenulls=True).over(w).alias("__c_t"),
+        "*", F.first("__rrow", ignorenulls=True).over(w).alias("__c")
     )
     return carried.filter(F.col("__is_left") == 1).select(
         *[F.col("__lrow")[c].alias(c) for c in left.columns],
-        *[F.col(f"__c_{c}").alias(c) for c in value_cols],
-        F.col("__c_t").alias("asof_time"),
+        *[F.col("__c")[c].alias(c) for c in value_cols],
+        F.col("__c")["__asof_t"].alias("asof_time"),
     )
 
 
@@ -187,9 +198,12 @@ def asof_join_backward_bucketed(
 
     A carry-in always comes from a strictly earlier bucket, hence a
     strictly earlier time, so inclusive/tie semantics are untouched
-    (equal times land in the same bucket by construction). Output is
-    row-identical to ``asof_join_backward``; the equivalence test pins
-    it on dense random data.
+    (equal times land in the same bucket by construction). Both the
+    in-bucket carry and the cross-bucket carry-in move the SAME
+    whole-row struct payload, so NULLs inside the matched right row are
+    preserved identically on both paths. Output is row-identical to
+    ``asof_join_backward``; the equivalence tests pin it on dense random
+    data and on NULL-bearing value columns.
 
     Cost: same one big shuffle (now on (key, bucket)) + two narrow-row
     aggregates and one co-partitioned join (the big side is already hash
@@ -240,14 +254,14 @@ def asof_join_backward_bucketed(
             F.floor((t_num - F.lit(mn)) / F.lit(span) * F.lit(n_buckets)),
         )
 
+    rrow = _right_row_struct(right, right_time, value_cols)
     lt = left.select(
         *key,
         F.col(left_time).alias("__t"),
         bucket(lt_num()).alias("__b"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_t"),
+        F.lit(None).cast(rrow["dtype"]).alias("__rrow"),
     )
     rt = right.select(
         *key,
@@ -255,8 +269,7 @@ def asof_join_backward_bucketed(
         bucket(rt_num()).alias("__b"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(right_time).alias("__r_t"),
+        rrow["expr"].alias("__rrow"),
     )
     u = lt.unionByName(rt)
     w_in = (
@@ -264,17 +277,14 @@ def asof_join_backward_bucketed(
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # whole-row struct carry in-bucket — same payload shape as the
+    # cross-bucket carry-in, so the two paths can't diverge on NULLs
     carried = u.select(
-        "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w_in).alias(f"__c_{c}") for c in value_cols],
-        F.last("__r_t", ignorenulls=True).over(w_in).alias("__c_t"),
+        "*", F.last("__rrow", ignorenulls=True).over(w_in).alias("__c")
     )
     # per-(key, bucket) last quote — map-side-combinable, narrow rows
     summ = rt.groupBy(*key, "__b").agg(
-        F.max_by(
-            F.struct(*[F.col(f"__r_{c}") for c in value_cols], F.col("__r_t")),
-            F.col("__t"),
-        ).alias("__s")
+        F.max_by(F.col("__rrow"), F.col("__t")).alias("__s")
     )
     # carry-in per (key, bucket): last summary over strictly earlier buckets
     buckets = u.select(*key, "__b").distinct()
@@ -290,10 +300,10 @@ def asof_join_backward_bucketed(
         .select(
             *[F.col("__lrow")[c].alias(c) for c in left.columns],
             *[
-                F.coalesce(F.col(f"__c_{c}"), F.col("__cin")[f"__r_{c}"]).alias(c)
+                F.coalesce(F.col("__c"), F.col("__cin"))[c].alias(c)
                 for c in value_cols
             ],
-            F.coalesce(F.col("__c_t"), F.col("__cin")["__r_t"]).alias("asof_time"),
+            F.coalesce(F.col("__c"), F.col("__cin"))["__asof_t"].alias("asof_time"),
         )
     )
     return out

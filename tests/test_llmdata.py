@@ -1036,3 +1036,40 @@ def test_sim_knn_classify_confusion_covers_corpus(spark, sf_dir):
     assert sum(r.n_vectors for r in cm) == n
     assert {r.true_label for r in cm} <= labels
     assert {r.pred_label for r in cm} <= labels
+
+
+def test_nearest_centroid_zero_norm_not_dropped(spark):
+    """A zero-norm vector makes every float cosine NaN; the numpy
+    prefilter must fall back to all-centroid candidates instead of
+    emitting an empty list (which explode() would silently drop), and
+    the two code paths must still agree row-for-row (ADVICE r7 item)."""
+    from pyspark.sql import functions as F
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        nearest_centroid,
+        norm_grid,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero norm — must not vanish
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm_grid(F.col("embedding")).alias("norm"),
+    )
+    centroids = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_vec"),
+        norm_grid(F.col("embedding")).alias("cent_norm"),
+    )
+    got = {r.id: r.centroid_id for r in nearest_centroid(c, centroids).collect()}
+    ref = {
+        r.id: r.centroid_id
+        for r in nearest_centroid(c, centroids, collect_limit=0).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}  # every id assigned, zero-norm included
+    assert got == ref  # numpy prefilter path == JVM full-pass path

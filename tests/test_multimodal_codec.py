@@ -471,3 +471,25 @@ def test_avi_malformed_raises_and_features_mark_corrupt(spark):
     assert got[1][0]["width"] == 8 and got[1][0]["height"] == 8
     assert got[2][0]["status"] == "corrupt"
     assert got[3][0]["status"] == "unsupported"
+
+
+def test_jpeg_trailing_garbage_after_eoi():
+    """The entropy-stream end is the FIRST FF D9 after SOS: appended junk
+    that itself contains FF D9 must not shift the end forward (byte
+    stuffing guarantees FF D9 can't occur inside valid entropy data, but
+    not inside trailing garbage) — ADVICE r7 item."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    buf = encode_jpeg(px, quality=100)
+    dirty = buf + b"\x00garbage\xff\xd9more\xff\xd9"
+    out = decode_jpeg(dirty)
+    ref = decode_jpeg(buf)
+    assert out.shape == ref.shape == (16, 24, 3)
+    assert (out == ref).all()

@@ -357,9 +357,22 @@ def test_hilbert_value_matches_reference(spark):
     }
     for x, y in rows:
         assert got[(x, y)] == xy2d(8, x, y)
-    # the curve is a bijection onto [0, 2^16): spot-check adjacency — every
-    # consecutive pair of curve positions differs by 1 in exactly one dim
-    inv = {v: k for k, v in got.items()}
+    # adjacency needs CONSECUTIVE curve positions, so check it on a full
+    # order-4 grid (16×16): the curve is a bijection onto [0, 256) and
+    # every consecutive pair of positions differs by 1 in exactly one dim
+    full = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    inv = {
+        r.h: (r.x, r.y)
+        for r in full.select(
+            "x", "y", hilbert_value(F.col("x"), F.col("y"), 4).alias("h")
+        ).collect()
+    }
+    assert sorted(inv) == list(range(256))  # bijection
+    for d in range(255):
+        (x0, y0), (x1, y1) = inv[d], inv[d + 1]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1
     import duckdb
 
     con = duckdb.connect()
@@ -584,3 +597,46 @@ def test_asof_bucketed_date_axis_matches_plain(spark):
         ).collect()
     }
     assert bucketed == plain and len(plain) == 300
+
+
+def test_asof_null_value_cols_row_semantics(spark):
+    """Whole-row as-of semantics with NULLs in value_cols: the matched
+    (latest at-or-before) right row's values are emitted AS-IS — a NULL
+    price in the latest quote stays NULL, never back-filled from an
+    older quote — and the bucketed plan is row-identical to the plain
+    plan including across bucket boundaries (ADVICE r7 item)."""
+    from pyspark.sql import functions as F
+    from securities_pricing_data_pipeline_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_bucketed,
+    )
+
+    # k=1: quotes at t=0 (px=10, sz=1), t=10 (px=NULL, sz=2), t=20 (px=30, sz=NULL)
+    right = spark.createDataFrame(
+        [(1, 0, 10.0, 1), (1, 10, None, 2), (1, 20, 30.0, None)],
+        "k int, rt int, px double, sz int",
+    )
+    left = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 101), (1, 25, 102), (1, 10, 103)],
+        "k int, t int, event_id int",
+    )
+    expected = {
+        100: (10.0, 1, 0),     # latest quote t=0
+        101: (None, 2, 10),    # latest quote t=10: px NULL stays NULL
+        103: (None, 2, 10),    # inclusive tie at t=10
+        102: (30.0, None, 20), # latest quote t=20: sz NULL stays NULL
+    }
+    plain = {
+        r.event_id: (r.px, r.sz, r.asof_time)
+        for r in asof_join_backward(left, right, ["k"], "t", "rt", ["px", "sz"]).collect()
+    }
+    assert plain == expected
+    # many buckets over the 0..25 span → quote-free buckets force the
+    # cross-bucket carry-in path to move the NULL-bearing struct intact
+    bucketed = {
+        r.event_id: (r.px, r.sz, r.asof_time)
+        for r in asof_join_backward_bucketed(
+            left, right, ["k"], "t", "rt", ["px", "sz"], n_buckets=13
+        ).collect()
+    }
+    assert bucketed == expected
