@@ -605,3 +605,112 @@ def segment_dedup_stats(
             "dup_segment_frac"
         ),
     )
+
+
+def bm25_topdocs(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 (k1=1.2, b=0.75) for a fixed query term
+    set — the canonical sparse-retrieval scorer next to ``tfidf_top_terms``
+    (Robertson/Spärck Jones; the ATIRE/Lucene formulation with the same
+    rational idf the TF-IDF query uses).
+
+    Exactness: BM25's floats are replaced by scaled rationals so both
+    engines rank and emit bit-identical values. With N docs, T total
+    corpus tokens, per-doc length dl:
+
+      idf_scaled    = 10^4·N DIV df                      (as in TF-IDF)
+      tfnorm_scaled = 220000·tf·T DIV (10·tf·T + 3·T + 9·dl·N)
+                      — exactly 10^4 · tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl))
+                        with avgdl = T/N cleared of denominators
+      score_scaled  = Σ_query-terms idf_scaled · tfnorm_scaled
+
+    All products run in DECIMAL(38,0) (10·tf·T passes 2^63 on a 100 TB
+    corpus: T ~ 10^13) and the integer DIVs return exact longs; the sum
+    is an exact integer — no float ops at all. tfnorm_scaled ≤ 22000 and
+    idf_scaled ≤ 10^4·N keep the per-term product < 2^63 up to N ~ 10^9.
+
+    Plan shape: one (doc, term) TF aggregate over the FILTERED token
+    stream (the isin filter sits directly above the explode, inside the
+    same codegen stage, so non-query tokens never reach a shuffle), a
+    term-DF aggregate over that, document lengths from one groupBy, N/T
+    as a 1-row broadcast; the final rank is a single top-k sort of
+    doc-cardinality rows."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    totals = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("t_tokens")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dec = "CAST({} AS DECIMAL(38,0))"
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(totals))
+        .withColumn(
+            "idf_scaled", F.expr("10000 * n_docs div df").cast("long")
+        )
+        .withColumn(
+            "tfnorm_scaled",
+            F.expr(
+                f"{dec.format('220000')} * tf * t_tokens div "
+                f"({dec.format('10')} * tf * t_tokens + {dec.format('3')} * t_tokens "
+                f"+ {dec.format('9')} * dl * n_docs)"
+            ).cast("long"),
+        )
+        .withColumn("term_score", F.col("idf_scaled") * F.col("tfnorm_scaled"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.first("dl").alias("dl"), F.sum("term_score").alias("score_scaled")
+    )
+    w = Window.orderBy(F.desc("score_scaled"), F.col(id_col))
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "dl", "score_scaled", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k most frequent ADJACENT token pairs across the corpus — the
+    candidate-scoring step of one BPE merge iteration (Sennrich 2016):
+    the pair a tokenizer trainer would merge first is the argmax of
+    exactly this count. Pure-integer counts, (count DESC, a, b) total
+    order, so the ranking is bit-stable cross-engine.
+
+    Plan shape: pairs are built INSIDE the row with one ``transform``
+    over the token array (no self-join, no window over an exploded token
+    stream — the position join a naive plan pays shuffles T rows twice);
+    the only shuffle is the (a, b) count aggregate, which partially
+    aggregates map-side. At 100 TB the pair-key space is vocabulary²
+    -bounded, far below the token count, so the reduce side stays small."""
+    d = df.select(F.col(id_col), _tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (t, i) -> struct(t AS a, toks[i + 1] AS b))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "a", "b")
+        .limit(k)
+    )

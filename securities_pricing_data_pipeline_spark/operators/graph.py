@@ -228,3 +228,122 @@ def label_propagation(
             .select("node", F.col("nl").alias("label"))
         )
     return labels
+
+
+def edge_triangle_support(und: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-edge triangle support — |N(a) ∩ N(b)| for every undirected
+    canonical edge (a < b, no duplicates) — the quantity behind edge
+    embeddedness, truss decomposition, and neighborhood-Jaccard link
+    scoring.
+
+    Same degree-ordered edge-iterator shape as ``triangle_stats``, but
+    instead of summing intersection SIZES it ENUMERATES each triangle
+    once (explode of the oriented-adjacency intersect) and attributes it
+    to its three member edges in canonical (min, max) form; one hash
+    aggregate then counts per edge. Degree ordering caps oriented
+    out-degrees at O(√m), so enumeration work is O(m^1.5 + #triangles)
+    and hub vertices never fan out — the explode emits exactly one row
+    per (triangle, found-at-edge), i.e. #triangles rows total, and the
+    3× attribution union is linear in that.
+
+    Returns (u, v, support) for every input edge, zero-support edges
+    included (left join back to the input list).
+    """
+    spark = und.sparkSession
+    und = und.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("degu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("degv"))
+    u_first = (F.col("degu") < F.col("degv")) | (
+        (F.col("degu") == F.col("degv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    nparts = spark.sparkContext.defaultParallelism * 3
+    # one row per triangle: (a=src, b=dst, w) with w in N+(a) ∩ N+(b)
+    tris = (
+        oriented.repartition(nparts)
+        .join(
+            adj.select(F.col("src").alias("jsrc"), F.col("nbrs").alias("src_nbrs")),
+            F.col("src") == F.col("jsrc"),
+        )
+        .join(
+            adj.select(F.col("src").alias("jdst"), F.col("nbrs").alias("dst_nbrs")),
+            F.col("dst") == F.col("jdst"),
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("src_nbrs", "dst_nbrs")).alias("w"),
+        )
+    )
+    canon = lambda x, y: [F.least(x, y).alias("u"), F.greatest(x, y).alias("v")]  # noqa: E731
+    attributions = (
+        tris.select(*canon(F.col("a"), F.col("b")))
+        .unionAll(tris.select(*canon(F.col("a"), F.col("w"))))
+        .unionAll(tris.select(*canon(F.col("b"), F.col("w"))))
+    )
+    support = attributions.groupBy("u", "v").agg(F.count("*").alias("support"))
+    return und.join(support, ["u", "v"], "left").select(
+        "u", "v", F.coalesce(F.col("support"), F.lit(0)).alias("support")
+    )
+
+
+def kcore_peel(
+    und: DataFrame, k: int, rounds: int = 3, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected canonical edge list:
+    each round drops every node whose CURRENT degree is < k, then drops
+    edges touching a dropped node. With a fixed round count the result
+    is deterministic and SQL-expressible (the oracle unrolls the same
+    rounds as chained CTEs); run enough rounds and it converges to the
+    true k-core. Returns one row per round: (round, n_nodes, n_edges)
+    AFTER that round's peel — the shrinking-core profile.
+
+    Scale shape: a round is one degree aggregate over the edge list plus
+    two broadcastable semi-joins against the (node-sized) survivor set —
+    the same per-iteration cost class as PageRank; no adjacency arrays,
+    no wedges. The edge list is re-checkpointed per round so the lineage
+    stays one round deep (the iterative-plan discipline pagerank/LPA
+    use)."""
+    edges = und.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    out = []
+    for r in range(1, rounds + 1):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .distinct()
+            .count()
+        )
+        out.append((r, n_nodes, edges.count()))
+    spark = und.sparkSession
+    return spark.createDataFrame(out, "round int, n_nodes long, n_edges long")

@@ -1231,3 +1231,154 @@ SELECT cust_key, recency_days,
             ELSE 'other' END AS segment
 FROM scored
 """
+
+
+def _part_copurchase_edges(spark: SparkSession, sf_dir: str):
+    """Canonical (u < v, distinct) part co-purchase edge list — the
+    shared subject of the graph family (triangles/assortativity/LPA use
+    the same construction inline)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+
+
+def graph_edge_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link scoring on the part co-purchase graph:
+    for every EXISTING edge (u, v), J = |N(u)∩N(v)| / |N(u)∪N(v)| over
+    endpoint-excluded neighborhoods — the classic link-prediction /
+    edge-embeddedness score ("how much do these parts' baskets
+    overlap?"). Top-20 edges by score, (u, v) tie-break.
+
+    Exactness: the common-neighbor count is per-edge triangle support
+    (an exact int); |A∪B| = deg_u + deg_v − 2 − cn is exact ints; the
+    emitted score is the scaled rational 10^6·cn DIV |A∪B| — no float
+    division anywhere, so ranking and values are bit-identical
+    cross-engine.
+
+    Scale shape: support comes from ``operators.graph.
+    edge_triangle_support`` — the degree-ordered edge-iterator that
+    ENUMERATES each triangle once (O(m^1.5 + #triangles) total work,
+    hub-safe) instead of the wedge join the naive plan pays (quadratic
+    in hub degree, the shape the r5 triangle fix killed). Degrees join
+    on node id (AQE broadcasts the node-sized table)."""
+    from securities_pricing_data_pipeline_spark.operators.graph import (
+        edge_triangle_support,
+    )
+
+    und = _part_copurchase_edges(spark, sf_dir)
+    sup = edge_triangle_support(und)
+    deg_src = sup.select(F.col("u").alias("node")).unionAll(
+        sup.select(F.col("v").alias("node"))
+    )
+    deg = deg_src.groupBy("node").agg(F.count("*").alias("deg"))
+    j = (
+        sup.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("degu")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("degv")), "v")
+        .withColumn("union_sz", F.col("degu") + F.col("degv") - 2 - F.col("support"))
+        .withColumn(
+            "jaccard_scaled",
+            F.when(F.col("union_sz") > 0, F.expr("1000000 * support div union_sz"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return (
+        j.select("u", "v", F.col("support").alias("common_nbrs"), "union_sz", "jaccard_scaled")
+        .orderBy(F.desc("jaccard_scaled"), "u", "v")
+        .limit(20)
+    )
+
+
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling profile of the part co-purchase graph (k=110,
+    3 synchronous rounds): per round, the surviving node and edge counts
+    after dropping every node whose current degree is below k. The
+    fixed round count determinizes the classic iterative decomposition
+    (same discipline as the unrolled LPA rounds) so a SQL oracle can
+    replay it exactly; the part graph's degree spread (median ≈ 115 at
+    every SF) makes k=110 peel a real cascade instead of a no-op.
+
+    Scale shape: see ``operators.graph.kcore_peel`` — per round one
+    degree aggregate + two node-sized semi-joins; id-only shuffles, one
+    PageRank-iteration cost class per round."""
+    from securities_pricing_data_pipeline_spark.operators.graph import kcore_peel
+
+    und = _part_copurchase_edges(spark, sf_dir)
+    return kcore_peel(und, k=110, rounds=3)
+
+
+QUERIES["graph_edge_jaccard_parts"] = graph_edge_jaccard_parts
+QUERIES["graph_kcore_parts"] = graph_kcore_parts
+
+ORACLES["graph_edge_jaccard_parts"] = """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), und AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+), sym AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), deg AS (
+  SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1
+), cn AS (
+  SELECT e.u, e.v, COUNT(*) AS support
+  FROM und e
+  JOIN sym a ON a.u = e.u
+  JOIN sym b ON b.u = e.v AND b.v = a.v
+  GROUP BY 1, 2
+), sup AS (
+  SELECT e.u, e.v, COALESCE(cn.support, 0) AS support
+  FROM und e LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+), j AS (
+  SELECT s.u, s.v, s.support AS common_nbrs,
+         du.deg + dv.deg - 2 - s.support AS union_sz,
+         CASE WHEN du.deg + dv.deg - 2 - s.support > 0
+              THEN 1000000 * s.support // (du.deg + dv.deg - 2 - s.support)
+              ELSE 0 END AS jaccard_scaled
+  FROM sup s JOIN deg du ON s.u = du.node JOIN deg dv ON s.v = dv.node
+)
+SELECT u, v, common_nbrs, union_sz, CAST(jaccard_scaled AS BIGINT) AS jaccard_scaled
+FROM j ORDER BY jaccard_scaled DESC, u, v LIMIT 20
+"""
+
+ORACLES["graph_kcore_parts"] = """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e0 AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+), d1 AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) t GROUP BY 1
+), k1 AS (SELECT node FROM d1 WHERE deg >= 110),
+e1 AS (
+  SELECT u, v FROM e0
+  WHERE u IN (SELECT node FROM k1) AND v IN (SELECT node FROM k1)
+), d2 AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) t GROUP BY 1
+), k2 AS (SELECT node FROM d2 WHERE deg >= 110),
+e2 AS (
+  SELECT u, v FROM e1
+  WHERE u IN (SELECT node FROM k2) AND v IN (SELECT node FROM k2)
+), d3 AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) t GROUP BY 1
+), k3 AS (SELECT node FROM d3 WHERE deg >= 110),
+e3 AS (
+  SELECT u, v FROM e2
+  WHERE u IN (SELECT node FROM k3) AND v IN (SELECT node FROM k3)
+)
+SELECT 1 AS round,
+       (SELECT COUNT(DISTINCT node) FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)) AS n_nodes,
+       (SELECT COUNT(*) FROM e1) AS n_edges
+UNION ALL
+SELECT 2,
+       (SELECT COUNT(DISTINCT node) FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)),
+       (SELECT COUNT(*) FROM e2)
+UNION ALL
+SELECT 3,
+       (SELECT COUNT(DISTINCT node) FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)),
+       (SELECT COUNT(*) FROM e3)
+"""

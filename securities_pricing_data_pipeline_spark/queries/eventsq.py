@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from securities_pricing_data_pipeline_spark.queries.helpers import load
+from securities_pricing_data_pipeline_spark.queries.helpers import dsum, load
 
 _GAP_NS = 30 * 60 * 1_000_000_000  # 30-minute session gap
 
@@ -702,4 +702,82 @@ WITH user_days AS (
   SELECT day, COUNT(*) AS wau FROM contrib GROUP BY 1
 )
 SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day
+"""
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is attributed to
+    the user's most recent click/view at-or-before the purchase instant
+    (the standard last-non-direct-click model), then revenue rolls up per
+    touch channel with the mean touch→purchase lag. Purchases with no
+    prior touch land in the 'none' bucket. Built on the same
+    ``operators.asof`` union-and-window backward join the quote family
+    uses — here proving the event-stream→event-stream case on the native
+    epoch-nanos axis; the DuckDB oracle is a native ASOF LEFT JOIN, an
+    independent implementation of the same semantics.
+
+    Exactness: revenue sums under the decimal-snap discipline; the lag
+    sum is exact int64 nanos (one deterministic cast to double at the
+    end); 'none' rows contribute NULL lags which both engines' SUM/COUNT
+    skip, and the division is guarded so the empty bucket emits NULL
+    rather than tripping ANSI divide-by-zero.
+
+    Scale: one shuffle on user_id + per-user sort (the as-of plan);
+    channel rollup is a tiny hash aggregate. No range join, no
+    per-purchase window scan."""
+    from securities_pricing_data_pipeline_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", F.col("event_type").alias("touch_type")
+    )
+    j = asof_join_backward(
+        purchases, touches, key=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["touch_type"],
+    )
+    agg = j.groupBy(
+        F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        dsum(F.col("value"), 6).alias("attributed_value"),
+        F.sum(F.col("ts") - F.col("asof_time")).alias("lag_ns_sum"),
+        F.count("asof_time").alias("n_matched"),
+    )
+    return agg.select(
+        "touch_type",
+        "n_purchases",
+        "attributed_value",
+        F.when(
+            F.col("n_matched") > 0,
+            F.col("lag_ns_sum").cast("double")
+            / (F.col("n_matched").cast("double") * F.lit(1e9)),
+        ).alias("avg_lag_s"),
+    )
+
+
+QUERIES["events_attribution_last_touch"] = events_attribution_last_touch
+
+ORACLES["events_attribution_last_touch"] = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS tns, value
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+), j AS (
+  SELECT p.event_id, p.value, t.touch_type, p.tns - t.tns AS lag_ns
+  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.tns >= t.tns
+)
+SELECT COALESCE(touch_type, 'none') AS touch_type,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS attributed_value,
+       CASE WHEN COUNT(lag_ns) > 0
+            THEN CAST(SUM(lag_ns) AS DOUBLE) / (COUNT(lag_ns) * 1e9)
+            ELSE NULL END AS avg_lag_s
+FROM j GROUP BY 1
 """

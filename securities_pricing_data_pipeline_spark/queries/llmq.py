@@ -2997,3 +2997,159 @@ FROM p JOIN documents d1 ON p.id_a = d1.doc_id
        JOIN documents d2 ON p.id_b = d2.doc_id
 GROUP BY 1, 2
 """
+
+
+def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 for the fixed query {spark, join, filter}
+    — sparse retrieval over the corpus (see ``llmdata.text.bm25_topdocs``
+    for the scaled-rational exactness discipline)."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bm25_topdocs
+
+    return bm25_topdocs(
+        load(spark, sf_dir, "documents"), ["spark", "join", "filter"], k=10
+    )
+
+
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token pairs — the first BPE merge candidates a
+    tokenizer trainer would score (``llmdata.text.bpe_pair_counts``)."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bpe_pair_counts
+
+    return bpe_pair_counts(load(spark, sf_dir, "documents"), k=20)
+
+
+QUERIES["text_bm25_topdocs"] = text_bm25_topdocs
+QUERIES["text_bpe_pair_counts"] = text_bpe_pair_counts
+
+ORACLES["text_bm25_topdocs"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+), totals AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('spark', 'join', 'filter') GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT t.doc_id, l.dl,
+         (10000 * o.n_docs // d.df)
+           * (CAST(220000 AS HUGEINT) * t.tf * o.t_tokens
+              // (CAST(10 AS HUGEINT) * t.tf * o.t_tokens
+                  + CAST(3 AS HUGEINT) * o.t_tokens
+                  + CAST(9 AS HUGEINT) * l.dl * o.n_docs)) AS term_score
+  FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id), totals o
+), per_doc AS (
+  SELECT doc_id, MIN(dl) AS dl,
+         CAST(SUM(term_score) AS BIGINT) AS score_scaled
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, dl, score_scaled,
+       CAST(row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS INT) AS rnk
+FROM per_doc ORDER BY score_scaled DESC, doc_id LIMIT 10
+"""
+
+ORACLES["text_bpe_pair_counts"] = r"""
+WITH arrs AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents
+), pr AS (
+  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                               i -> struct_pack(a := arr[i], b := arr[i + 1]))) AS p
+  FROM arrs WHERE len(arr) >= 2
+)
+SELECT p.a AS a, p.b AS b, COUNT(*) AS n_pairs
+FROM pr GROUP BY 1, 2 ORDER BY n_pairs DESC, a, b LIMIT 20
+"""
+
+
+def emb_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column
+    with per-label reconstruction-error accounting — the compression
+    audit run before shipping an ANN index or a quantized training
+    corpus (the same scalar-quantization model FAISS's SQ8 uses:
+    q_i = round(127·x_i / max|x|), dequant x̂_i = q_i·max|x|/127).
+
+    Exactness: vectors snap to the 1e6 integer grid first (the repo-wide
+    embedding discipline), then BOTH the quantizer and the dequantizer
+    are pure-integer round-half-away-from-zero rationals over positive
+    operands — q_a = (254·|g_i| + m) DIV (2m), r_a = (2·q_a·m + 127) DIV
+    254 — so every engine computes identical codes, identical
+    reconstructions, and an exact int64 squared-error sum; the only
+    float op is the final RMS division+sqrt on exact scalars.
+    Zero vectors quantize to all-zero codes via the max(m, 1) guard
+    instead of dividing by zero. Magnitudes: per-dim err ≤ m/254 ≈ 4e3
+    grid units at unit-norm inputs, so the per-label SSE stays far under
+    2^63 up to ~10^12 vectors; widen the sum to DECIMAL(38,0) past that.
+
+    Scale shape: everything before the label rollup is per-row codegen
+    expressions (transform/aggregate HOFs — no Python, no shuffle); the
+    one shuffle carries (label, count, sse) partial aggregates. At
+    100 TB this is the ideal embarrassing-parallel sweep."""
+    emb = load(spark, sf_dir, "embeddings")
+    g = emb.withColumn(
+        "g",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ),
+    ).withColumn(
+        "m", F.expr("greatest(array_max(transform(g, a -> abs(a))), 1L)")
+    )
+    errs = g.withColumn(
+        "sse",
+        F.expr(
+            "aggregate(g, 0L, (acc, gi) -> acc + "
+            " (gi - (case when gi < 0 then -1 else 1 end)"
+            "       * ((2 * ((254 * abs(gi) + m) div (2 * m)) * m + 127) div 254))"
+            " * (gi - (case when gi < 0 then -1 else 1 end)"
+            "       * ((2 * ((254 * abs(gi) + m) div (2 * m)) * m + 127) div 254)))"
+        ),
+    )
+    agg = errs.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.size("embedding")).alias("total_dims"),
+        F.sum("sse").alias("total_sse"),
+    )
+    return agg.select(
+        "label",
+        "n_vectors",
+        "total_dims",
+        "total_sse",
+        F.sqrt(
+            F.col("total_sse").cast("double") / F.col("total_dims").cast("double")
+        ).alias("rms_err_grid"),
+    )
+
+
+QUERIES["emb_int8_quant_error"] = emb_int8_quant_error
+
+ORACLES["emb_int8_quant_error"] = """
+WITH g AS (
+  SELECT label,
+         len(embedding) AS dims,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS gv
+  FROM embeddings
+), m AS (
+  SELECT label, dims, gv,
+         greatest(list_max(list_transform(gv, a -> abs(a))), 1) AS mx
+  FROM g
+), sse AS (
+  SELECT label, dims,
+         list_sum(list_transform(gv, gi ->
+           (gi - (CASE WHEN gi < 0 THEN -1 ELSE 1 END)
+                 * ((2 * ((254 * abs(gi) + mx) // (2 * mx)) * mx + 127) // 254))
+           * (gi - (CASE WHEN gi < 0 THEN -1 ELSE 1 END)
+                 * ((2 * ((254 * abs(gi) + mx) // (2 * mx)) * mx + 127) // 254))
+         )) AS sse
+  FROM m
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(dims) AS BIGINT) AS total_dims,
+       CAST(SUM(sse) AS BIGINT) AS total_sse,
+       sqrt(CAST(SUM(sse) AS DOUBLE) / CAST(SUM(dims) AS DOUBLE)) AS rms_err_grid
+FROM sse GROUP BY 1
+"""

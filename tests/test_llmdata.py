@@ -1073,3 +1073,58 @@ def test_nearest_centroid_zero_norm_not_dropped(spark):
     }
     assert set(got) == {0, 1, 2, 3}  # every id assigned, zero-norm included
     assert got == ref  # numpy prefilter path == JVM full-pass path
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity on a hand-built corpus: higher tf wins at equal
+    length; at equal tf the shorter document wins (length
+    normalization); a doc without the query term never scores."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bm25_topdocs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark pad pad pad"),         # tf=3, dl=6
+            (1, "spark pad pad pad pad pad"),             # tf=1, dl=6
+            (2, "spark pad"),                             # tf=1, dl=2 (short)
+            (3, "pad pad pad pad pad pad"),               # tf=0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.score_scaled, r.rnk) for r in bm25_topdocs(docs, ["spark"], k=10).collect()}
+    assert 3 not in out                        # no query term, no row
+    assert out[0][0] > out[2][0] > out[1][0]   # tf dominance, then brevity
+    assert [out[d][1] for d in (0, 2, 1)] == [1, 2, 3]
+
+
+def test_bpe_pair_counts_handmade(spark):
+    from securities_pricing_data_pipeline_spark.llmdata.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    got = {(r.a, r.b): r.n_pairs for r in bpe_pair_counts(docs, k=10).collect()}
+    # pairs: doc0 -> (a,b),(b,a),(a,b),(b,c); doc1 -> (a,b); doc2 none
+    assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_int8_quant_error_exact(spark):
+    """Hand-computed grid quantization: [1.0, -1.0, 0.5] snaps to grid
+    [1e6, -1e6, 5e5] with m=1e6; codes are [127, -127, 64]; the only
+    reconstruction error is the 0.5 slot: recon 503937, err -3937.
+    A zero vector must quantize to all-zero codes with zero error."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        emb_int8_quant_error,
+    )
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        emb = spark.createDataFrame(
+            [(0, [1.0, -1.0, 0.5], 7), (1, [0.0, 0.0, 0.0], 8)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = {r.label: r for r in emb_int8_quant_error(spark, td).collect()}
+        assert out[7].total_sse == 3937 * 3937 and out[7].total_dims == 3
+        assert out[8].total_sse == 0 and out[8].n_vectors == 1

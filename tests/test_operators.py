@@ -640,3 +640,42 @@ def test_asof_null_value_cols_row_semantics(spark):
         ).collect()
     }
     assert bucketed == expected
+
+
+def test_edge_triangle_support_known_graphs(spark):
+    """Per-edge triangle support on hand-checked graphs: K4 (every edge
+    in 2 triangles), a path (no triangles anywhere), and a triangle with
+    a pendant edge (3 support-1 edges, 1 support-0 edge)."""
+    from securities_pricing_data_pipeline_spark.operators.graph import (
+        edge_triangle_support,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "u long, v long"
+    )
+    got = {(r.u, r.v): r.support for r in edge_triangle_support(k4).collect()}
+    assert got == {(a, b): 2 for a in range(4) for b in range(a + 1, 4)}
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "u long, v long")
+    got = {(r.u, r.v): r.support for r in edge_triangle_support(path).collect()}
+    assert got == {(0, 1): 0, (1, 2): 0, (2, 3): 0}
+
+    tri_pendant = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "u long, v long"
+    )
+    got = {(r.u, r.v): r.support for r in edge_triangle_support(tri_pendant).collect()}
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 1, (2, 3): 0}
+
+
+def test_kcore_peel_cascade(spark):
+    """k=2 peel on a triangle with a 2-node tail: round 1 drops the tail
+    tip (degree 1), round 2 drops the now-exposed middle tail node, the
+    triangle itself is the stable 2-core."""
+    from securities_pricing_data_pipeline_spark.operators.graph import kcore_peel
+
+    # triangle 0-1-2, tail 2-3-4
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)], "u long, v long"
+    )
+    rows = {r.round: (r.n_nodes, r.n_edges) for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert rows == {1: (4, 4), 2: (3, 3), 3: (3, 3)}
