@@ -140,15 +140,13 @@ def brute_force_topk_np(
     """
     from pyspark.sql import types as T
 
-    qrows = queries.select(id_col, vec_col).collect()
-    if not qrows:
+    qside = _collect_query_side(queries, id_col, vec_col)
+    if qside is None:
         return corpus.sparkSession.createDataFrame(
             [],
             "query_id long, neighbor_id long, cos_sim double, rank int",
         )
-    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)  # m × dim
-    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
-    qn_f = (Q * Q).sum(axis=1)  # float norms: prefilter-only, margin covers
+    qids, Q, qn_f = qside  # float norms: prefilter-only, margin covers
     QT = Q.T
     margin = 1e-6
     cand_schema = T.StructType(
@@ -170,12 +168,13 @@ def brute_force_topk_np(
                 cn_f = (V * V).sum(axis=1)
                 S = (V @ QT) / np.sqrt(np.outer(cn_f, qn_f))
                 S[ids[:, None] == qids[None, :]] = -np.inf
-                n = S.shape[0]
-                if n > k:
-                    kth = np.partition(S, n - k, axis=0)[n - k, :]
-                else:
-                    kth = np.full(S.shape[1], -np.inf)
-                ci, qj = np.nonzero(S >= (kth[None, :] - margin))
+                ci, qj = _kept_candidates(S, k, margin)
+                # a chunk with ≤ k rows has kth = −inf, and −inf ≥
+                # −inf − margin is TRUE — without this mask the −inf
+                # self-match would leak through as a candidate and the
+                # JVM confirm would rank the query as its own neighbor
+                keep = np.isfinite(S[ci, qj])
+                ci, qj = ci[keep], qj[keep]
                 if len(ci) == 0:
                     continue
                 yield pd.DataFrame(
@@ -185,35 +184,7 @@ def brute_force_topk_np(
     cand = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).mapInPandas(_cand_batches, cand_schema)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_grid(F.col(vec_col)).alias("c_norm"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_grid(F.col(vec_col)).alias("q_norm"),
-    )
-    scored = (
-        c.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_with_norms(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
-        )
-    )
+    return _confirm_topk_jvm(corpus, queries, cand, k, id_col, vec_col)
 
 
 def random_planes(dim: int = 64, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
@@ -303,11 +274,36 @@ def lsh_topk(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
-    band with the query, then exact cosine rank within candidates."""
+    band with the query, then exact cosine rank within candidates.
+
+    ``two_phase=True`` scores candidates with the shared numpy
+    discipline (``brute_force_topk_np``): the query side — ids,
+    signatures, vectors — is collected and closure-broadcast, one Arrow
+    pass over the corpus computes the band-collision mask from the SAME
+    integer signatures the JVM plan uses (bit-identical candidate set)
+    plus float cosines in one matmul, keeps per query everything within
+    1e-6 of the batch k-th best among candidates (provably lossless vs
+    the 1e-13 grid), and the JVM re-scores only the tiny survivor set
+    with the exact grid cosine — bit-identical output to the
+    single-phase plan (the parity test pins them equal).
+
+    Default is the single-phase JVM plan: MEASURED at the sf0.1 bench
+    (5k vectors × 200 queries ≈ 250k collision pairs) the two-phase
+    path is SLOWER (2.0s vs 1.8s) — its 3 extra Python stages cost
+    ~0.5s each while the interpreted-HOF cosine it replaces is only
+    ~1s there. The knn-fix measurement put the crossover near ~1M
+    scored pairs; above it (bigger corpora, wider buckets) pass
+    ``two_phase=True`` — the candidate mask and output are identical
+    either way, so the flag is purely a cost choice."""
     planes = random_planes(dim=dim, n_planes=n_planes, seed=seed)
     rows_per_band = n_planes // bands
+    if two_phase:
+        return _lsh_topk_np(
+            corpus, queries, planes, rows_per_band, bands, k, id_col, vec_col
+        )
 
     def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         sig_df = plane_signatures(df, planes, id_col=id_col, vec_col=vec_col)
@@ -367,6 +363,147 @@ def lsh_topk(
     )
 
 
+def _collect_query_side(queries: DataFrame, id_col: str, vec_col: str):
+    """(qids, Q, float-norms) of the small collected query side, or None
+    when empty — shared by the two-phase ANN kernels."""
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return None
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    return qids, Q, (Q * Q).sum(axis=1)
+
+
+def _kept_candidates(S, k, margin):
+    """Row/col indices of entries within ``margin`` of each column's k-th
+    best (masked entries must already be −inf). The per-batch k-th bound
+    is ≤ the global k-th, so the kept set is a provable superset of the
+    global top-k under the grid tie-break (brute_force_topk_np's
+    argument)."""
+    n = S.shape[0]
+    if n > k:
+        kth = np.partition(S, n - k, axis=0)[n - k, :]
+    else:
+        kth = np.full(S.shape[1], -np.inf)
+    return np.nonzero(S >= (kth[None, :] - margin))
+
+
+def _confirm_topk_jvm(
+    corpus: DataFrame, queries: DataFrame, cand: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Phase 2 of the two-phase ANN kernels: re-score the (small,
+    broadcast) candidate set with the exact grid cosine and take the
+    final (cos DESC, neighbor ASC) top-k — emitted values come from the
+    same JVM expressions as the single-phase plans."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_grid(F.col(vec_col)).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_grid(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def _lsh_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    rows_per_band: int,
+    bands: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Two-phase LSH top-k (see ``lsh_topk``): the band-collision mask is
+    computed from the SAME integer signatures the JVM plan banded on, so
+    the candidate set is bit-identical; scoring inside the mask is one
+    float matmul with the per-query k-th margin."""
+    from pyspark.sql import types as T
+
+    qside = _collect_query_side(queries, id_col, vec_col)
+    if qside is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    qids, Q, qn_f = qside
+    qsig_rows = plane_signatures(queries, planes, id_col=id_col, vec_col=vec_col).collect()
+    sig_by_id = {int(r["id"]): int(r["sig"]) for r in qsig_rows}
+    block_mask = (1 << rows_per_band) - 1
+    qblocks = np.array(
+        [
+            [(sig_by_id[int(i)] >> (b * rows_per_band)) & block_mask for b in range(bands)]
+            for i in qids
+        ],
+        dtype=np.int64,
+    )  # m × bands
+    QT = Q.T
+    margin = 1e-6
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+        ]
+    )
+
+    def _cand_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V_all = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            ids_all = pdf["neighbor_id"].to_numpy().astype(np.int64)
+            sigs_all = pdf["sig"].to_numpy().astype(np.int64)
+            for lo in range(0, len(ids_all), 4096):
+                V = V_all[lo : lo + 4096]
+                ids = ids_all[lo : lo + 4096]
+                sigs = sigs_all[lo : lo + 4096]
+                cblocks = np.stack(
+                    [(sigs >> (b * rows_per_band)) & block_mask for b in range(bands)],
+                    axis=1,
+                )  # n × bands
+                collide = (cblocks[:, None, :] == qblocks[None, :, :]).any(axis=2)
+                collide &= ids[:, None] != qids[None, :]
+                if not collide.any():
+                    continue
+                cn_f = (V * V).sum(axis=1)
+                S = (V @ QT) / np.sqrt(np.outer(cn_f, qn_f))
+                S[~collide] = -np.inf
+                ci, qj = _kept_candidates(S, k, margin)
+                keep = collide[ci, qj] & np.isfinite(S[ci, qj])
+                ci, qj = ci[keep], qj[keep]
+                if len(ci) == 0:
+                    continue
+                yield pd.DataFrame({"query_id": qids[qj], "neighbor_id": ids[ci]})
+
+    csig = plane_signatures(corpus, planes, id_col=id_col, vec_col=vec_col)
+    cveced = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(csig.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    cand = cveced.mapInPandas(_cand_batches, cand_schema)
+    return _confirm_topk_jvm(corpus, queries, cand, k, id_col, vec_col)
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -376,18 +513,38 @@ def embedding_near_dups(
     n_planes: int = 32,
     bands: int = 4,
     seed: int = 42,
+    max_bucket: int = 2000,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: candidates via random-hyperplane
     banding (pairs must agree on ≥1 of ``bands`` signature blocks), then
     exact cosine ≥ threshold within candidates.
 
-    Plan shape: in-bucket pair enumeration and pair dedup run over bare
-    (id, band, block) rows — vectors and norms join back onto the
-    deduplicated pair list, so the widest shuffle carries 16-byte rows,
-    not embeddings. 8-bit blocks (32 planes / 4 bands) keep bucket
-    occupancy, and thus candidate count, ~16× below 4-bit blocks; recall
-    for true near-dups (cos ≥ 0.95) stays ≈ 90%, with brute_force_topk
-    as the exact baseline.
+    ``two_phase=True`` prunes each LSH bucket with the
+    ``semantic_dedup_pairs`` kernel shape: one applyInPandas per
+    (band, block) bucket does a V·Vᵀ float matmul and keeps pairs with
+    float cosine ≥ threshold − 1e-6 (provably lossless vs the grid —
+    deviation ≤ ~1e-12); the exact grid cosine then re-scores only the
+    deduplicated survivors, so emitted values are bit-identical to the
+    single-phase plan (kept as ``two_phase=False``, parity-pinned). The
+    bucket-collision pair grid is ~n²·bands/2^block_bits — paying the
+    interpreted-HOF cosine there was the last >2s HOF hot spot on the
+    bench; the matmul is milliseconds and Arrow transfer is O(n·bands)
+    vectors, never O(pairs). Oversized buckets (> ``max_bucket``, a
+    degenerate band hash at scale) are dropped inside the kernel —
+    exactly ``candidate_pairs_in_buckets``'s enforced skew guard.
+    Default single-phase: MEASURED at sf0.1 (8-bit blocks keep the pair
+    grid ~100k) two-phase is slower (3.0s vs 2.4s) — below the ~1M-pair
+    crossover the applyInPandas stage's fixed cost outweighs the HOF
+    saving; flip it for denser buckets or bigger corpora.
+
+    Single-phase plan shape: in-bucket pair enumeration and pair dedup
+    run over bare (id, band, block) rows — vectors and norms join back
+    onto the deduplicated pair list, so the widest shuffle carries
+    16-byte rows, not embeddings. 8-bit blocks (32 planes / 4 bands)
+    keep bucket occupancy, and thus candidate count, ~16× below 4-bit
+    blocks; recall for true near-dups (cos ≥ 0.95) stays ≈ 90%, with
+    brute_force_topk as the exact baseline.
     """
     planes = random_planes(dim=dim, n_planes=n_planes, seed=seed)
     rows_per_band = n_planes // bands
@@ -406,18 +563,62 @@ def embedding_near_dups(
     banded = sig_df.select("id", F.explode(band_arr).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.block").alias("block")
     )
-    from securities_pricing_data_pipeline_spark.llmdata.dedup import candidate_pairs_in_buckets
-
-    pairs = candidate_pairs_in_buckets(banded, ["band", "block"])
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         norm_grid(F.col(vec_col)).alias("norm"),
     )
+    if two_phase:
+        from pyspark.sql import types as T
+
+        margin = 1e-6
+        pair_schema = T.StructType(
+            [
+                T.StructField("id_a", T.LongType(), False),
+                T.StructField("id_b", T.LongType(), False),
+            ]
+        )
+
+        def _bucket_pairs(key, pdf):
+            n = len(pdf)
+            if n < 2 or n > max_bucket:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            ids = pdf["id"].to_numpy().astype(np.int64)
+            nrm = (V * V).sum(axis=1)
+            C = (V @ V.T) / np.sqrt(np.outer(nrm, nrm))
+            iu = np.triu_indices(n, k=1)
+            vals = C[iu]
+            keep = np.isfinite(vals) & (vals >= threshold - margin)
+            a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+            return pd.DataFrame(
+                {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+            )
+
+        cand_pairs = (
+            banded.join(vecs.withColumnRenamed("vid", "id"), "id")
+            .groupBy("band", "block")
+            .applyInPandas(_bucket_pairs, pair_schema)
+            .distinct()
+        )
+    else:
+        from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+            candidate_pairs_in_buckets,
+        )
+
+        cand_pairs = candidate_pairs_in_buckets(
+            banded, ["band", "block"], max_bucket=max_bucket
+        )
     cand = (
-        pairs.join(vecs.select(F.col("vid"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a")), pairs.id_a == F.col("vid"))
+        cand_pairs.join(
+            vecs.select(F.col("vid"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a")),
+            F.col("id_a") == F.col("vid"),
+        )
         .drop("vid")
-        .join(vecs.select(F.col("vid"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b")), pairs.id_b == F.col("vid"))
+        .join(
+            vecs.select(F.col("vid"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b")),
+            F.col("id_b") == F.col("vid"),
+        )
         .drop("vid")
     )
     return (
@@ -754,6 +955,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    two_phase: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into inverted
     lists by nearest centroid, probe only the ``nprobe`` lists closest to
@@ -766,7 +968,19 @@ def ivf_topk(
     Centroids are broadcast — the corpus is scanned once for assignment
     and shuffles once on centroid_id, which is the IVF scale contract
     (cost ∝ probed lists).
-    """
+
+    ``two_phase=True`` replaces the in-list interpreted-HOF cosine —
+    nprobe/n_centroids of the full n·m pair grid — with the shared
+    numpy discipline: the probe table (computed JVM-side with the exact
+    grid cosine, so the probed-list set is bit-identical) is collected
+    with the query matrix, one Arrow pass over the assigned corpus
+    masks rows to each query's probed lists, scores them in one float
+    matmul, keeps the per-query k-th margin superset, and the JVM
+    re-scores only the survivors exactly (parity-pinned, identical
+    output). Default single-phase: at the sf0.1 bench (~250k in-list
+    pairs) two-phase measured slower (2.5s vs 1.7s — Python-stage fixed
+    cost exceeds the ~1s HOF saving); flip it past the ~1M-pair
+    crossover."""
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("centroid_id"),
@@ -813,6 +1027,16 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_vec", "q_norm", "centroid_id")
     )
+    if two_phase:
+        return _ivf_topk_np(
+            assigned.select("neighbor_id", "c_vec", "centroid_id"),
+            corpus,
+            queries,
+            probes.select("query_id", "centroid_id"),
+            k,
+            id_col,
+            vec_col,
+        )
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -830,6 +1054,79 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def _ivf_topk_np(
+    assigned: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Two-phase IVF list scoring (see ``ivf_topk``): rows are masked to
+    each query's probed lists (the probe table itself was computed with
+    the exact grid cosine JVM-side, so the candidate set is identical),
+    scored with one float matmul under the per-query k-th margin, and
+    exactly re-scored JVM-side."""
+    from pyspark.sql import types as T
+
+    qside = _collect_query_side(queries, id_col, vec_col)
+    if qside is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    qids, Q, qn_f = qside
+    QT = Q.T
+    probe_rows = probes.collect()
+    q_index = {int(q): j for j, q in enumerate(qids)}
+    cent_ids = sorted({int(r["centroid_id"]) for r in probe_rows})
+    c_index = {c: i for i, c in enumerate(cent_ids)}
+    allowed = np.zeros((len(cent_ids), len(qids)), dtype=bool)  # centroid × query
+    for r in probe_rows:
+        allowed[c_index[int(r["centroid_id"])], q_index[int(r["query_id"])]] = True
+    margin = 1e-6
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+        ]
+    )
+
+    def _cand_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V_all = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            ids_all = pdf["neighbor_id"].to_numpy().astype(np.int64)
+            cents_all = pdf["centroid_id"].to_numpy()
+            ci_all = np.array(
+                [c_index.get(int(c), -1) for c in cents_all], dtype=np.int64
+            )
+            for lo in range(0, len(ids_all), 4096):
+                V = V_all[lo : lo + 4096]
+                ids = ids_all[lo : lo + 4096]
+                cidx = ci_all[lo : lo + 4096]
+                in_probed = cidx >= 0
+                mask = np.zeros((len(ids), len(qids)), dtype=bool)
+                if in_probed.any():
+                    mask[in_probed] = allowed[cidx[in_probed]]
+                mask &= ids[:, None] != qids[None, :]
+                if not mask.any():
+                    continue
+                cn_f = (V * V).sum(axis=1)
+                S = (V @ QT) / np.sqrt(np.outer(cn_f, qn_f))
+                S[~mask] = -np.inf
+                ri, qj = _kept_candidates(S, k, margin)
+                keep = mask[ri, qj] & np.isfinite(S[ri, qj])
+                ri, qj = ri[keep], qj[keep]
+                if len(ri) == 0:
+                    continue
+                yield pd.DataFrame({"query_id": qids[qj], "neighbor_id": ids[ri]})
+
+    cand = assigned.mapInPandas(_cand_batches, cand_schema)
+    return _confirm_topk_jvm(corpus, queries, cand, k, id_col, vec_col)
 
 
 def _pq_slices(vec_col: str, n_sub: int, sub: int, prefix: str):

@@ -1128,3 +1128,48 @@ def test_int8_quant_error_exact(spark):
         out = {r.label: r for r in emb_int8_quant_error(spark, td).collect()}
         assert out[7].total_sse == 3937 * 3937 and out[7].total_dims == 3
         assert out[8].total_sse == 0 and out[8].n_vectors == 1
+
+
+def test_two_phase_ann_paths_match_single_phase(spark, sf_dir):
+    """lsh_topk / ivf_topk / embedding_near_dups each keep a numpy
+    two-phase path (for the >~1M-scored-pair regime) beside the default
+    single-phase JVM plan; outputs must be row-identical including
+    cos_sim float equality."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        embedding_near_dups,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    for fn in (lsh_topk, ivf_topk):
+        a = {key(r): (r.neighbor_id, r.cos_sim) for r in fn(emb, q, k=5, two_phase=True).collect()}
+        b = {key(r): (r.neighbor_id, r.cos_sim) for r in fn(emb, q, k=5, two_phase=False).collect()}
+        assert a == b and len(a) > 0
+    pa = {(r.id_a, r.id_b): r.cos_sim for r in embedding_near_dups(emb, two_phase=True).collect()}
+    pb = {(r.id_a, r.id_b): r.cos_sim for r in embedding_near_dups(emb, two_phase=False).collect()}
+    assert pa == pb
+
+
+def test_brute_force_np_no_self_pairs_on_tiny_partitions(spark):
+    """Regression: a chunk with ≤ k rows has k-th = −inf and the −inf
+    self-match satisfies −inf ≥ −inf − margin — without the isfinite
+    guard the query leaks through as its own candidate and ranks first.
+    Force 1-row partitions to hit the path."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        brute_force_topk_np,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).tolist()) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    ref = {key(r): (r.neighbor_id, r.cos_sim) for r in brute_force_topk(emb, emb, k=5).collect()}
+    got = {key(r): (r.neighbor_id, r.cos_sim) for r in brute_force_topk_np(emb, emb, k=5).collect()}
+    assert got == ref
+    assert all(q != n for (q, _), (n, _) in got.items())
