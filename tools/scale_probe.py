@@ -460,6 +460,61 @@ def probe_triangles(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_edge_support(spark) -> list[tuple[str, int, float]]:
+    """Per-edge triangle support (edge_triangle_support) on the SAME
+    hub-skewed 1M-edge graph as probe_triangles: triangle ENUMERATION
+    (explode of the oriented intersects) plus the 3× per-edge
+    attribution union — prices the extra O(#triangles) rows the
+    per-edge variant pays over the count-only pass."""
+    from securities_pricing_data_pipeline_spark.operators.graph import (
+        edge_triangle_support,
+    )
+
+    n = 1_000_000
+    u = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(20_000))
+    rng = F.when(F.pmod(F.col("id"), F.lit(7)) == 0, F.lit(200)).otherwise(
+        F.lit(20_000)
+    )
+    v = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), rng)
+    und = (
+        spark.range(n)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    return [(
+        "edge_support_1m hub-skewed per-edge triangle support",
+        n,
+        timed(lambda: force(edge_triangle_support(und))),
+    )]
+
+
+def probe_kcore(spark) -> list[tuple[str, int, float]]:
+    """3-round k-core peel at 1M hub-skewed edges (k=60 peels a real
+    cascade on this degree distribution): per round one degree aggregate
+    + two node-sized semi-joins — confirms the per-round cost stays in
+    the PageRank-iteration class instead of growing with peeled rounds."""
+    from securities_pricing_data_pipeline_spark.operators.graph import kcore_peel
+
+    n = 1_000_000
+    u = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(20_000))
+    rng = F.when(F.pmod(F.col("id"), F.lit(7)) == 0, F.lit(200)).otherwise(
+        F.lit(20_000)
+    )
+    v = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), rng)
+    und = (
+        spark.range(n)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    return [(
+        "kcore_1m 3-round peel (k=60, hub-skewed)",
+        n,
+        timed(lambda: force(kcore_peel(und, k=60, rounds=3))),
+    )]
+
+
 def probe_cc(spark) -> list[tuple[str, int, float]]:
     from securities_pricing_data_pipeline_spark.llmdata.dedup import (
         connected_components_star,
@@ -489,7 +544,8 @@ def main() -> None:
     for probe in (probe_asof, probe_asof_skew, probe_window, probe_ewma, probe_skew,
                   probe_quantile, probe_minhash, probe_semantic,
                   probe_pq_adc, probe_hilbert, probe_cdc, probe_keygaps,
-                  probe_media, probe_triangles, probe_cc):
+                  probe_media, probe_triangles, probe_edge_support,
+                  probe_kcore, probe_cc):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
@@ -527,7 +583,15 @@ def main() -> None:
         "hatch for non-combinable ones). The quantile rows price the "
         "exact-sort vs mergeable-sketch trade the README documents. CC cost "
         "is rounds × edge shuffles; star CC bounds rounds at O(log²) "
-        "regardless of component diameter.",
+        "regardless of component diameter. The cdc_10m row replays 20 "
+        "genuine micro-batches through the foreachBatch last-writer-wins "
+        "MERGE with the serving table grown to 1M keys — each batch "
+        "re-reduces |batch ∪ table| rows, so the ~1.3s/batch is the full "
+        "state-in-the-table upper bound (a transactional format's keyed "
+        "MERGE INTO touches only matched files). The edge_support row pays "
+        "triangle ENUMERATION + 3× per-edge attribution on top of the "
+        "count-only triangle pass; the kcore row prices three peel rounds "
+        "at one degree-aggregate + two semi-joins each.",
         "",
     ]
     with open(out_path, "w") as f:
