@@ -634,24 +634,26 @@ def bm25_topdocs(
     is an exact integer — no float ops at all. tfnorm_scaled ≤ 22000 and
     idf_scaled ≤ 10^4·N keep the per-term product < 2^63 up to N ~ 10^9.
 
-    Plan shape: one (doc, term) TF aggregate over the FILTERED token
-    stream (the isin filter sits directly above the explode, inside the
-    same codegen stage, so non-query tokens never reach a shuffle), a
-    term-DF aggregate over that, document lengths from one groupBy, N/T
-    as a 1-row broadcast; the final rank is a single top-k sort of
-    doc-cardinality rows."""
+    Plan shape: the corpus is tokenized ONCE into a (doc, term, tf)
+    aggregate that is materialized (localCheckpoint) because four
+    consumers read it (document lengths, corpus totals, query-term TF,
+    term DF) — without the pin Spark re-derives the branch and pays the
+    tokenize+explode scan per consumer (the .explain showed 4 Generate
+    nodes). Everything downstream is doc- or term-cardinality rows; N/T
+    is a 1-row broadcast and the final rank is a single top-k sort."""
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    term_tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = term_tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     totals = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("t_tokens")
     )
-    tf = (
-        toks.filter(F.col("term").isin(*query_terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = term_tf.filter(F.col("term").isin(*query_terms))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     dec = "CAST({} AS DECIMAL(38,0))"
     scored = (
@@ -674,10 +676,13 @@ def bm25_topdocs(
     per_doc = scored.groupBy(id_col).agg(
         F.first("dl").alias("dl"), F.sum("term_score").alias("score_scaled")
     )
+    # distributed top-k (TakeOrderedAndProject) FIRST, then rank the k
+    # survivors — a row_number over an unpartitioned window here would
+    # drag the corpus-cardinality per_doc frame through one task
+    top = per_doc.orderBy(F.desc("score_scaled"), F.col(id_col)).limit(k)
     w = Window.orderBy(F.desc("score_scaled"), F.col(id_col))
     return (
-        per_doc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+        top.withColumn("rnk", F.row_number().over(w))
         .select(id_col, "dl", "score_scaled", F.col("rnk").cast("int").alias("rnk"))
     )
 

@@ -515,6 +515,33 @@ def probe_kcore(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_bm25(spark) -> list[tuple[str, int, float]]:
+    """BM25 over 1M synthetic ~20-token documents (20× the sf0.1 corpus):
+    prices the tokenize→(doc,term) aggregate pipeline — the one
+    checkpointed pass four consumers share — plus the scaled-rational
+    scoring joins. Text synthesized from a 32-word vocabulary via
+    deterministic hashes so term/df distributions are non-trivial."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bm25_topdocs
+
+    n = 1_000_000
+    words = [f"w{i}" for i in range(29)] + ["spark", "join", "filter"]
+    vocab = F.array(*[F.lit(w) for w in words])
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.element_at(
+            vocab, (F.pmod(F.xxhash64(F.col("id"), i), F.lit(32)) + 1).cast("int")
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+    return [(
+        "bm25_1m 20-token docs (3-term query)",
+        n,
+        timed(lambda: force(bm25_topdocs(docs, ["spark", "join", "filter"], k=10))),
+    )]
+
+
 def probe_cc(spark) -> list[tuple[str, int, float]]:
     from securities_pricing_data_pipeline_spark.llmdata.dedup import (
         connected_components_star,
@@ -545,7 +572,7 @@ def main() -> None:
                   probe_quantile, probe_minhash, probe_semantic,
                   probe_pq_adc, probe_hilbert, probe_cdc, probe_keygaps,
                   probe_media, probe_triangles, probe_edge_support,
-                  probe_kcore, probe_cc):
+                  probe_kcore, probe_bm25, probe_cc):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
