@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "text_bpe_pair_counts",
     "events_attribution_last_touch",
     "emb_int8_quant_error",
+    "graph_ppr_supplier",
+    "dedup_simhash_eval",
 ]
 
 

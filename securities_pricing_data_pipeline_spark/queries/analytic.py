@@ -1416,3 +1416,70 @@ SELECT 3,
        (SELECT COUNT(DISTINCT node) FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)),
        (SELECT COUNT(*) FROM e3)
 """
+
+
+def graph_ppr_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank around supplier 1 on the co-supply graph
+    (4 iterations, d=0.85, restart mass on the seed): the top-15
+    suppliers by proximity to the anchor — the influence/recommendation
+    twin of the global-centrality query. Runs on the shared edge-list
+    silver symmetrized both ways (``operators.graph.
+    personalized_pagerank`` for the determinism discipline)."""
+    from securities_pricing_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    und = _copurchase_edges(spark, sf_dir, "l_suppkey")
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    pr = personalized_pagerank(edges, seed=1, iters=4, damping=0.85)
+    return (
+        pr.select(F.col("node").alias("supp_key"), "rank")
+        .orderBy(F.desc("rank"), "supp_key")
+        .limit(15)
+    )
+
+
+QUERIES["graph_ppr_supplier"] = graph_ppr_supplier
+
+
+def _ppr_oracle_sql(iters: int = 4, seed: int = 1) -> str:
+    """Unrolled PPR oracle — the _pagerank_oracle_sql shape with the
+    uniform teleport replaced by the seed indicator and rank_0 = [seed]."""
+    head = f"""
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.sk AS src, b.sk AS dst
+  FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk <> b.sk
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), it0 AS (
+  SELECT src AS node,
+         CASE WHEN src = {seed} THEN 1.0 ELSE 0.0 END AS rank
+  FROM deg
+)"""
+    its = ""
+    for i in range(1, iters + 1):
+        its += f""", it{i} AS (
+  SELECT d.src AS node,
+         CASE WHEN d.src = {seed} THEN (1.0 - 0.85) ELSE 0.0 END
+           + 0.85 * COALESCE(CAST(s.s AS DOUBLE), 0.0) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS node, SUM(CAST(r.rank / g.deg AS DECIMAL(38,12))) AS s
+    FROM edges e JOIN deg g ON e.src = g.src JOIN it{i - 1} r ON e.src = r.node
+    GROUP BY e.dst
+  ) s ON d.src = s.node
+)"""
+    return (
+        head
+        + its
+        + f"""
+SELECT node AS supp_key, rank FROM it{iters}
+ORDER BY rank DESC, supp_key LIMIT 15
+"""
+    )
+
+
+ORACLES["graph_ppr_supplier"] = _ppr_oracle_sql(4, 1)

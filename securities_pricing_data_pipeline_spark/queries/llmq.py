@@ -3153,3 +3153,46 @@ SELECT label,
        sqrt(CAST(SUM(sse) AS DOUBLE) / CAST(SUM(dims) AS DOUBLE)) AS rms_err_grid
 FROM sse GROUP BY 1
 """
+
+
+def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate-quality eval: precision/recall of the Hamming≤3
+    pigeonhole-LSH pairs against the same exact n-gram-Jaccard ground
+    truth the MinHash eval scores against — closing the audit symmetry
+    (every approximate dedup family ships with its measured quality,
+    not just MinHash). Counts are ints; the two ratios are single
+    int÷int double divisions — engine-stable."""
+    cand = dedup_simhash(spark, sf_dir).select("id_a", "id_b")
+    truth = _jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    hit = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_hit = hit.agg(F.count("*").alias("n_hits"))
+    return (
+        n_cand.join(n_truth)
+        .join(n_hit)
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias("precision"),
+            (F.col("n_hits").cast("double") / F.col("n_true_pairs")).alias("recall"),
+        )
+    )
+
+
+QUERIES["dedup_simhash_eval"] = dedup_simhash_eval
+
+ORACLES["dedup_simhash_eval"] = f"""
+WITH cand AS (SELECT id_a, id_b FROM ({ORACLES["dedup_simhash"]})),
+truth AS (SELECT id_a, id_b FROM ({ORACLES["dedup_ngram_jaccard"]})),
+hit AS (SELECT * FROM cand WHERE EXISTS (
+  SELECT 1 FROM truth t WHERE t.id_a = cand.id_a AND t.id_b = cand.id_b))
+SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       (SELECT COUNT(*) FROM hit) AS n_hits,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM cand) AS precision,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM truth) AS recall
+"""

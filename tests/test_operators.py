@@ -679,3 +679,24 @@ def test_kcore_peel_cascade(spark):
     )
     rows = {r.round: (r.n_nodes, r.n_edges) for r in kcore_peel(edges, k=2, rounds=3).collect()}
     assert rows == {1: (4, 4), 2: (3, 3), 3: (3, 3)}
+
+
+def test_personalized_pagerank_hand_checked(spark):
+    """PPR on the path a-b-c seeded at a, 2 iterations by hand:
+    r1 = (0.15, 0.85, 0); r2 = (0.51125, 0.1275, 0.36125) — mass stays
+    concentrated near the seed and total mass is 1."""
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    und = [(0, 1), (1, 2)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in personalized_pagerank(edges, seed=0, iters=2).collect()}
+    assert got[0] == pytest.approx(0.51125, abs=1e-9)
+    assert got[1] == pytest.approx(0.1275, abs=1e-9)
+    assert got[2] == pytest.approx(0.36125, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
