@@ -514,14 +514,19 @@ def simhash_near_dups(
     max_hamming: int = 3,
     portable: bool = False,
     shingled: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, using 4-block
     pigeonhole LSH: any pair within distance 3 agrees exactly on ≥1 of 4
     16-bit blocks → pair up within matching (block_idx, block_value)
     buckets, then verify true distance. One exploded in-bucket pairing
     (bare 20-byte rows) replaces four unioned self-joins; fingerprints
-    join back onto the deduplicated pair list."""
-    sh = simhash(df, text_col=text_col, id_col=id_col, portable=portable, shingled=shingled)
+    join back onto the deduplicated pair list. Pass a precomputed
+    ``sigs`` (id, simhash) frame — e.g. a per-session persisted silver —
+    to skip the fingerprint pass when several consumers share it."""
+    sh = sigs if sigs is not None else simhash(
+        df, text_col=text_col, id_col=id_col, portable=portable, shingled=shingled
+    )
     block_arr = F.array(
         *[
             F.struct(

@@ -103,6 +103,27 @@ def _portable_sigs(spark: SparkSession, sf_dir: str, num_hashes: int = 64) -> Da
     return df
 
 
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared portable SimHash fingerprints over the shared shingles —
+    both the near-dup pair query and its precision/recall eval read
+    them, and the 64-bit-vote aggregate is the expensive half of the
+    SimHash pass."""
+    from pyspark import StorageLevel
+
+    key = ("simhash", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        from securities_pricing_data_pipeline_spark.llmdata.dedup import simhash
+
+        df = simhash(
+            load(spark, sf_dir, "documents"),
+            portable=True,
+            shingled=_shingled_docs(spark, sf_dir),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _DEDUP_SILVER[key] = df
+    return df
+
+
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared MinHash-LSH near-dup pair list (n=3, threshold 0.5,
     portable hashes over the shared signatures) — the materialized
@@ -193,7 +214,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return simhash_near_dups(
-        docs, max_hamming=3, portable=True, shingled=_shingled_docs(spark, sf_dir)
+        docs, max_hamming=3, portable=True, sigs=_simhash_sigs(spark, sf_dir)
     )
 
 
