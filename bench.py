@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     "emb_int8_quant_error",
     "graph_ppr_supplier",
     "dedup_simhash_eval",
+    "basket_rules_lift",
+    "events_error_spike_hours",
 ]
 
 

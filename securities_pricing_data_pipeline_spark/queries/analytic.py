@@ -1483,3 +1483,89 @@ ORDER BY rank DESC, supp_key LIMIT 15
 
 
 ORACLES["graph_ppr_supplier"] = _ppr_oracle_sql(4, 1)
+
+
+def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over part co-purchase pairs (the A-priori
+    metrics pass on top of ``basket_part_pairs``): for every pair with
+    basket support ≥ 2, confidence(a→b) = supp(a,b)/supp(a) and
+    lift = N·supp(a,b) / (supp(a)·supp(b)) — the "bought-together"
+    readout that separates genuinely associated parts from merely
+    popular ones. Top-20 by lift with the (a, b) tie-break.
+
+    Exactness: every support is an exact distinct-basket count; the two
+    published ratios are single exact-int÷exact-int double divisions
+    (the lift numerator N·supp(a,b) stays < 2^63 to ~10^9 baskets —
+    widen to decimal past that). Plan: pair counts ride the
+    order-keyed self-join (bounded by lines-per-order², never
+    corpus-quadratic); per-part supports are one groupBy; both joins
+    onto the pair list are node-sized broadcasts."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_baskets = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    part_supp = li.groupBy("l_partkey").agg(F.count("*").alias("psupp"))
+    a, b = li.alias("a"), li.alias("b")
+    pair_supp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_supp"))
+        .filter(F.col("pair_supp") >= 2)
+    )
+    scored = (
+        pair_supp.join(
+            F.broadcast(part_supp.select(F.col("l_partkey").alias("part_a"), F.col("psupp").alias("supp_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_supp.select(F.col("l_partkey").alias("part_b"), F.col("psupp").alias("supp_b"))),
+            "part_b",
+        )
+        .join(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_supp",
+            "supp_a",
+            "supp_b",
+            (F.col("pair_supp").cast("double") / F.col("supp_a")).alias("confidence"),
+            (
+                (F.col("n_baskets") * F.col("pair_supp")).cast("double")
+                / (F.col("supp_a") * F.col("supp_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "part_a", "part_b").limit(20)
+
+
+QUERIES["basket_rules_lift"] = basket_rules_lift
+
+ORACLES["basket_rules_lift"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), nb AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li
+), ps AS (
+  SELECT l_partkey, COUNT(*) AS psupp FROM li GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_supp
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.pair_supp,
+       sa.psupp AS supp_a, sb.psupp AS supp_b,
+       CAST(p.pair_supp AS DOUBLE) / sa.psupp AS confidence,
+       CAST(nb.n_baskets * p.pair_supp AS DOUBLE)
+         / CAST(sa.psupp * sb.psupp AS DOUBLE) AS lift
+FROM pairs p
+JOIN ps sa ON p.part_a = sa.l_partkey
+JOIN ps sb ON p.part_b = sb.l_partkey, nb
+ORDER BY lift DESC, part_a, part_b LIMIT 20
+"""

@@ -781,3 +781,62 @@ SELECT COALESCE(touch_type, 'none') AS touch_type,
             ELSE NULL END AS avg_lag_s
 FROM j GROUP BY 1
 """
+
+
+def events_error_spike_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly gate: hours whose error count exceeds 2× the
+    trailing-24-hour mean — the alerting readout an event-pipeline
+    operator wires to paging. Formulated ENTIRELY in integers so both
+    engines agree bit-for-bit: the spike predicate cross-multiplies
+    (err_cnt · window_n > 2 · window_sum) instead of comparing float
+    rates, and the emitted trailing mean is one exact-int÷exact-int
+    double division. The rolling window runs over the HOURLY pre-
+    aggregate (hour-cardinality rows — the global-window rule: reduce
+    first, window the reduced frame), ordered by the unique hour epoch."""
+    ev = load(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy((F.expr("ts div 3600000000000") * 3600).alias("hour_epoch"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("err_cnt"),
+        )
+    )
+    w = (
+        Window.orderBy("hour_epoch")
+        .rowsBetween(-24, -1)
+    )
+    scored = hours.select(
+        "hour_epoch",
+        "n_events",
+        "err_cnt",
+        F.sum("err_cnt").over(w).alias("trail_sum"),
+        F.count("err_cnt").over(w).alias("trail_n"),
+    ).filter(F.col("trail_n") >= 6)
+    return scored.select(
+        "hour_epoch",
+        "n_events",
+        "err_cnt",
+        (F.col("trail_sum").cast("double") / F.col("trail_n")).alias("trail_mean"),
+        (F.col("err_cnt") * F.col("trail_n") > 2 * F.col("trail_sum")).alias("is_spike"),
+    )
+
+
+QUERIES["events_error_spike_hours"] = events_error_spike_hours
+
+ORACLES["events_error_spike_hours"] = """
+WITH hours AS (
+  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err_cnt
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT hour_epoch, n_events, err_cnt,
+         SUM(err_cnt) OVER (ORDER BY hour_epoch ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
+         COUNT(err_cnt) OVER (ORDER BY hour_epoch ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n
+  FROM hours
+)
+SELECT hour_epoch, n_events, CAST(err_cnt AS BIGINT) AS err_cnt,
+       CAST(trail_sum AS DOUBLE) / trail_n AS trail_mean,
+       err_cnt * trail_n > 2 * trail_sum AS is_spike
+FROM scored WHERE trail_n >= 6
+"""
