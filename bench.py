@@ -224,6 +224,8 @@ BENCH_QUERIES = [
     "dedup_simhash_eval",
     "basket_rules_lift",
     "events_error_spike_hours",
+    "transit_timeline_sweep",
+    "sample_poisson_bootstrap",
 ]
 
 

@@ -1569,3 +1569,57 @@ JOIN ps sa ON p.part_a = sa.l_partkey
 JOIN ps sb ON p.part_b = sb.l_partkey, nb
 ORDER BY lift DESC, part_a, part_b LIMIT 20
 """
+
+
+def transit_timeline_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-transit line count over time via the SWEEP-LINE (+1/−1 event)
+    formulation: each line contributes +1 at its ship date and −1 the
+    day after its receipt date (same deterministic 1–21-day transit span
+    as ``range_join_in_transit``); deltas aggregate per boundary date
+    and one cumulative sum yields the open-interval count at every
+    boundary. This is the scale path for interval-census questions: the
+    range join prices k probe dates at k × interval-overlap cost, while
+    the sweep is two linear projections + ONE date-cardinality
+    aggregate + a window over ~thousands of reduced rows — at 100 TB the
+    full daily census costs one shuffle of (date, ±1) pairs. Counts are
+    pure integers; no floats anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    transit_days = ((F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 21 + 1).cast("int")
+    ship = li.select(
+        F.col("l_shipdate").cast("date").alias("d"), F.lit(1).alias("delta")
+    )
+    recv = li.select(
+        F.date_add(F.col("l_shipdate").cast("date"), transit_days + 1).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = ship.unionAll(recv).groupBy("d").agg(F.sum("delta").alias("net_delta"))
+    # global window over DATE-cardinality rows (the reduce-first rule):
+    # ~2.4k boundary dates regardless of fact-table size
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "d",
+        F.col("net_delta").cast("long").alias("net_delta"),
+        F.sum("net_delta").over(w).cast("long").alias("open_lines"),
+    )
+
+
+QUERIES["transit_timeline_sweep"] = transit_timeline_sweep
+
+ORACLES["transit_timeline_sweep"] = """
+WITH iv AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(l_shipdate AS DATE)
+           + CAST(((l_orderkey * 10 + l_linenumber) % 21 + 1) AS INT) AS receipt_date
+  FROM lineitem
+), deltas AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net_delta FROM (
+    SELECT ship_date AS d, 1 AS delta FROM iv
+    UNION ALL
+    SELECT receipt_date + 1, -1 FROM iv
+  ) GROUP BY 1
+)
+SELECT d, net_delta,
+       CAST(SUM(net_delta) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_lines
+FROM deltas
+"""

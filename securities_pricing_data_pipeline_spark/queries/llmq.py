@@ -3217,3 +3217,48 @@ SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
          / (SELECT COUNT(*) FROM truth) AS recall
 """
+
+
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-replica Poisson bootstrap of mean(l_quantity) over lineitem —
+    the distributed uncertainty estimate for a corpus statistic in ONE
+    scan (see ``llmdata.sampling.poisson_bootstrap_means`` for the
+    deterministic Poisson(1) draw and the parity discipline)."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return poisson_bootstrap_means(
+        li, "l_quantity", ["l_orderkey", "l_linenumber"], n_replicas=16
+    )
+
+
+QUERIES["sample_poisson_bootstrap"] = sample_poisson_bootstrap
+
+ORACLES["sample_poisson_bootstrap"] = """
+WITH keyed AS (
+  SELECT l_quantity AS x,
+         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS k
+  FROM lineitem
+), grp AS (
+  SELECT x, k, g.grp, md5(k || '-' || CAST(g.grp AS VARCHAR)) AS h
+  FROM keyed, (SELECT unnest(generate_series(0, 1)) AS grp) g
+), drawn AS (
+  SELECT grp * 8 + w.wi AS replica, x,
+         CAST(('0x' || substr(h, 1 + 4 * w.wi, 4)) AS BIGINT) AS u
+  FROM grp, (SELECT unnest(generate_series(0, 7)) AS wi) w
+), weighted AS (
+  SELECT replica,
+         CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1 WHEN u < 60273 THEN 2
+              WHEN u < 64291 THEN 3 WHEN u < 65296 THEN 4 WHEN u < 65497 THEN 5
+              ELSE 6 END AS w,
+         x
+  FROM drawn
+)
+SELECT CAST(replica AS INT) AS replica,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       CAST(SUM(w * CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(SUM(w) AS DOUBLE) AS mean_value
+FROM weighted GROUP BY 1
+"""

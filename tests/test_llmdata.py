@@ -1173,3 +1173,20 @@ def test_brute_force_np_no_self_pairs_on_tiny_partitions(spark):
     got = {key(r): (r.neighbor_id, r.cos_sim) for r in brute_force_topk_np(emb, emb, k=5).collect()}
     assert got == ref
     assert all(q != n for (q, _), (n, _) in got.items())
+
+
+def test_poisson_bootstrap_deterministic_and_calibrated(spark):
+    """The Poisson(1) draw is a pure function of (ids, replica): two runs
+    give identical replica means; effective sizes cluster near n (E[w]=1)
+    and every replica mean stays near the true mean on a 2000-row frame."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    df = spark.range(2000).selectExpr("id", "CAST(id % 100 AS DOUBLE) AS v")
+    a = {r.replica: (r.n_eff, r.mean_value) for r in poisson_bootstrap_means(df, "v", ["id"], 8).collect()}
+    b = {r.replica: (r.n_eff, r.mean_value) for r in poisson_bootstrap_means(df, "v", ["id"], 8).collect()}
+    assert a == b and len(a) == 8
+    for n_eff, mean in a.values():
+        assert 1700 < n_eff < 2300            # E[n_eff] = 2000, sd ≈ 45
+        assert abs(mean - 49.5) < 3.0         # true mean of id % 100

@@ -700,3 +700,31 @@ def test_personalized_pagerank_hand_checked(spark):
     assert got[1] == pytest.approx(0.1275, abs=1e-9)
     assert got[2] == pytest.approx(0.36125, abs=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_transit_sweep_matches_brute_force(spark, tmp_path):
+    """Sweep-line open-interval census equals the brute-force per-date
+    overlap count on a small synthetic lineitem."""
+    import datetime as dt
+
+    from securities_pricing_data_pipeline_spark.queries.analytic import (
+        transit_timeline_sweep,
+    )
+
+    d0 = dt.date(2020, 1, 1)
+    rows = [
+        (ok, ln, d0 + dt.timedelta(days=(ok * 3 + ln) % 15))
+        for ok in range(1, 21) for ln in range(1, 4)
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_linenumber long, l_shipdate date")
+    path = str(tmp_path)
+    li.write.parquet(f"{path}/lineitem.parquet")
+    out = {r.d: r.open_lines for r in transit_timeline_sweep(spark, path).collect()}
+    # brute force in python
+    ivs = [
+        (s, s + dt.timedelta(days=(ok * 10 + ln) % 21 + 1))
+        for ok, ln, s in rows
+    ]
+    for d, cnt in out.items():
+        truth = sum(1 for s, e in ivs if s <= d <= e)
+        assert cnt == truth, (d, cnt, truth)
