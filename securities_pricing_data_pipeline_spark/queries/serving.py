@@ -31,18 +31,43 @@ def _tv():
 
 
 def _returns(b: DataFrame) -> DataFrame:
-    """Per-symbol daily return in double (per-row deterministic)."""
+    """Per-symbol daily return on an EXACT 1e-8 integer grid.
+
+    The old raw double quotient (close/prev − 1) was per-row
+    deterministic but its decimal SNAPS were not: a quotient landing
+    within a float ulp of a snap-grid MIDPOINT rounds differently under
+    Spark's string-based vs DuckDB's binary double→decimal cast
+    (~1e-6 probability per value — invisible at sf0.01, but the sf0.1
+    sweep hit one in q5 and one that cascaded through q13's market
+    index into 229 betas). Closes are exact DECIMAL(18,4), so the
+    return is an exact rational: compute round-half-away-from-zero of
+    1e8·(c−p)/p in pure int64 on the cent grid (|2e8·Δ| ≤ ~2e17, units
+    ≤ ~1.2e10 — double-exact), then one exact division by 1e8. Every
+    engine computes identical integers, so every downstream snap sees
+    the same double sitting ON a grid point, never near a midpoint."""
     w = Window.partitionBy("symbol").orderBy("trade_date")
-    prev = F.lag(F.col("close").cast("double")).over(w)
-    return b.withColumn("ret", F.col("close").cast("double") / prev - 1)
+    b2 = b.withColumn(
+        "__c", (F.col("close") * 10000).cast("bigint")
+    ).withColumn("__p", F.lag("__c").over(w))
+    units = F.expr(
+        "CASE WHEN __c < __p THEN -1 ELSE 1 END"
+        " * ((200000000 * abs(__c - __p) + __p) div (2 * __p))"
+    )
+    return b2.withColumn("ret", units / F.lit(1e8)).drop("__c", "__p")
 
 
 RET_SQL = """
 , rets AS (
   SELECT symbol, trade_date,
-         CAST(close AS DOUBLE) / lag(CAST(close AS DOUBLE))
-             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
-  FROM bars
+         (CASE WHEN c < p THEN -1 ELSE 1 END
+            * ((200000000 * abs(c - p) + p) // (2 * p))) / 1e8 AS ret
+  FROM (
+    SELECT symbol, trade_date,
+           CAST(close * 10000 AS BIGINT) AS c,
+           lag(CAST(close * 10000 AS BIGINT))
+               OVER (PARTITION BY symbol ORDER BY trade_date) AS p
+    FROM bars
+  )
 )
 """
 
@@ -248,10 +273,14 @@ def q6_top_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q7_volatility_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _returns(bars_silver(spark, sf_dir)).filter(F.col("ret").isNotNull())
+    # ret² snaps via FLOOR (no midpoints — q13's discipline): the
+    # 1e-8-grid ret makes ret² able to land exactly on a decimal-cast
+    # midpoint (ret = 5e-5 → ret² = 2.5e-9), where the engines' casts
+    # can disagree
     agg = b.groupBy("symbol").agg(
         F.count("ret").alias("n_days"),
         F.sum(dec(F.col("ret"), 10)).cast("double").alias("s1"),
-        F.sum(dec(F.col("ret") * F.col("ret"), 9)).cast("double").alias("s2"),
+        (F.sum(F.floor(F.col("ret") * F.col("ret") * F.lit(1e9))) / F.lit(1e9)).alias("s2"),
     )
     n = F.col("n_days")
     var = F.greatest((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1), F.lit(0.0))
@@ -362,11 +391,13 @@ def q13_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Moment plumbing follows the helpers.py unit-budget rule: the index
     M (DECIMAL(18,10), ≤14 significant digits) converts to double
     EXACTLY; the r·M and M² products are per-row doubles snapped at
-    scales 8/6 so every moment sum stays ≲1e12 grid units — small enough
-    that the final decimal→double casts are single correct roundings of
-    values both engines hold bit-identically. (Snapping the noisy
-    products is safe — midpoint collisions need a constructed rational,
-    which is exactly what the mean-based index was.)
+    scales 8/6 via FLOOR of the exactly-computed double — not a decimal
+    cast. Since round 8 the returns themselves are 1e-8-grid rationals
+    (see ``_returns``), so their products CAN land exactly on decimal
+    midpoints where Spark's string-based and DuckDB's binary casts
+    disagree (observed: one srm collision at sf0.1); floor has no
+    midpoints, so it is cast-ambiguity-free while keeping every moment
+    sum ≲1e12 exact grid units.
 
     Plan: the per-day index is a tiny aggregate (one row per day)
     broadcast back onto the per-symbol return stream; moment sums combine
@@ -378,12 +409,17 @@ def q13_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = r.join(F.broadcast(mkt), "trade_date")
     md = F.col("mkt_ret").cast("double")  # exact: ≤14 significant digits
+    # product moments snap via FLOOR of the exactly-computed double (the
+    # dimsum discipline): ret is now a 1e-8-grid rational, so ret·md CAN
+    # land exactly on a decimal-cast midpoint (observed once at sf0.1 —
+    # 1-ulp srm drift); floor has no midpoints, so it is cast-ambiguity
+    # free in both engines
     agg = j.groupBy("symbol").agg(
         F.count("*").alias("n_days"),
         F.sum(dec(F.col("ret"), 10)).cast("double").alias("sr"),
         F.sum(F.col("mkt_ret")).cast("double").alias("sm"),
-        F.sum(dec(F.col("ret") * md, 8)).cast("double").alias("srm"),
-        F.sum(dec(md * md, 6)).cast("double").alias("smm"),
+        (F.sum(F.floor(F.col("ret") * md * F.lit(1e8))) / F.lit(1e8)).alias("srm"),
+        (F.sum(F.floor(md * md * F.lit(1e6))) / F.lit(1e6)).alias("smm"),
     )
     n = F.col("n_days")
     den = F.col("smm") - F.col("sm") * F.col("sm") / n
@@ -2253,9 +2289,15 @@ WITH fbars AS (
   GROUP BY 1, 2
 ), rets AS (
   SELECT symbol, trade_date,
-         CAST(close AS DOUBLE) / lag(CAST(close AS DOUBLE))
-             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
-  FROM fbars
+         (CASE WHEN c < p THEN -1 ELSE 1 END
+            * ((200000000 * abs(c - p) + p) // (2 * p))) / 1e8 AS ret
+  FROM (
+    SELECT symbol, trade_date,
+           CAST(close * 10000 AS BIGINT) AS c,
+           lag(CAST(close * 10000 AS BIGINT))
+               OVER (PARTITION BY symbol ORDER BY trade_date) AS p
+    FROM fbars
+  )
 ), r AS (
   SELECT * FROM rets WHERE ret IS NOT NULL
 ), norms AS (
@@ -2434,7 +2476,7 @@ LIMIT 20
 , agg AS (
   SELECT symbol, COUNT(ret) AS n_days,
          CAST(SUM(CAST(ret AS DECIMAL(38,10))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(ret * ret AS DECIMAL(38,9))) AS DOUBLE) AS s2
+         CAST(SUM(CAST(floor(ret * ret * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS s2
   FROM rets WHERE ret IS NOT NULL
   GROUP BY symbol
 )
@@ -2491,8 +2533,8 @@ FROM pk GROUP BY symbol
   SELECT symbol, COUNT(*) AS n_days,
          CAST(SUM(CAST(ret AS DECIMAL(38,10))) AS DOUBLE) AS sr,
          CAST(SUM(mkt_ret) AS DOUBLE) AS sm,
-         CAST(SUM(CAST(ret * md AS DECIMAL(38,8))) AS DOUBLE) AS srm,
-         CAST(SUM(CAST(md * md AS DECIMAL(38,6))) AS DOUBLE) AS smm
+         CAST(SUM(CAST(floor(ret * md * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS srm,
+         CAST(SUM(CAST(floor(md * md * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS smm
   FROM j GROUP BY symbol
 )
 SELECT symbol, n_days,
