@@ -54,6 +54,22 @@ def _safe_cos(dot: Column, na: Column, nb: Column) -> Column:
     )
 
 
+def _safe_cos_np(dot: "np.ndarray", na: "np.ndarray", nb: "np.ndarray") -> "np.ndarray":
+    """numpy mirror of ``_safe_cos``: zero-norm rows get cos = 0.0.
+
+    Without this the prefilter's NaN cosines (0/0) fail the isfinite
+    keep-mask and the id is silently DROPPED, while the single-phase JVM
+    plan emits the row with cos = 0.0 — a two-phase/single-phase parity
+    break whenever a zero vector exists. A zero-norm QUERY degenerates to
+    an all-ties-at-0.0 candidate set (full fan-out for that one query);
+    acceptable — the JVM confirm still produces the exact _safe_cos
+    ranking, and zero-norm queries are pathological inputs."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        S = dot / np.sqrt(np.outer(na, nb))
+    S[np.isnan(S)] = 0.0
+    return S
+
+
 def norm_grid(v: Column) -> Column:
     """Self-dot in grid units as double (exact: ≤ ~6e14 < 2^53).
 
@@ -166,7 +182,7 @@ def brute_force_topk_np(
                 V = V_all[lo : lo + 4096]
                 ids = ids_all[lo : lo + 4096]
                 cn_f = (V * V).sum(axis=1)
-                S = (V @ QT) / np.sqrt(np.outer(cn_f, qn_f))
+                S = _safe_cos_np(V @ QT, cn_f, qn_f)
                 S[ids[:, None] == qids[None, :]] = -np.inf
                 ci, qj = _kept_candidates(S, k, margin)
                 # a chunk with ≤ k rows has kth = −inf, and −inf ≥
@@ -487,7 +503,7 @@ def _lsh_topk_np(
                 if not collide.any():
                     continue
                 cn_f = (V * V).sum(axis=1)
-                S = (V @ QT) / np.sqrt(np.outer(cn_f, qn_f))
+                S = _safe_cos_np(V @ QT, cn_f, qn_f)
                 S[~collide] = -np.inf
                 ci, qj = _kept_candidates(S, k, margin)
                 keep = collide[ci, qj] & np.isfinite(S[ci, qj])
@@ -586,7 +602,7 @@ def embedding_near_dups(
             V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
             ids = pdf["id"].to_numpy().astype(np.int64)
             nrm = (V * V).sum(axis=1)
-            C = (V @ V.T) / np.sqrt(np.outer(nrm, nrm))
+            C = _safe_cos_np(V @ V.T, nrm, nrm)
             iu = np.triu_indices(n, k=1)
             vals = C[iu]
             keep = np.isfinite(vals) & (vals >= threshold - margin)
@@ -845,7 +861,7 @@ def semantic_dedup_pairs(
         V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         ids = pdf["id"].to_numpy()
         norms = pdf["nrm"].to_numpy().astype(np.float64)
-        C = (V @ V.T) * _SCALE / np.sqrt(np.outer(norms, norms))
+        C = _safe_cos_np((V @ V.T) * _SCALE, norms, norms)
         iu = np.triu_indices(len(ids), k=1)
         keep = C[iu] >= (threshold - margin)
         a, b = ids[iu[0][keep]], ids[iu[1][keep]]
@@ -1116,7 +1132,7 @@ def _ivf_topk_np(
                 if not mask.any():
                     continue
                 cn_f = (V * V).sum(axis=1)
-                S = (V @ QT) / np.sqrt(np.outer(cn_f, qn_f))
+                S = _safe_cos_np(V @ QT, cn_f, qn_f)
                 S[~mask] = -np.inf
                 ri, qj = _kept_candidates(S, k, margin)
                 keep = mask[ri, qj] & np.isfinite(S[ri, qj])

@@ -716,11 +716,16 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     epoch-nanos axis; the DuckDB oracle is a native ASOF LEFT JOIN, an
     independent implementation of the same semantics.
 
-    Exactness: revenue sums under the decimal-snap discipline; the lag
-    sum is exact int64 nanos (one deterministic cast to double at the
-    end); 'none' rows contribute NULL lags which both engines' SUM/COUNT
-    skip, and the division is guarded so the empty bucket emits NULL
-    rather than tripping ANSI divide-by-zero.
+    Exactness: revenue sums under the decimal-snap discipline; per-row
+    lags are exact int64 nanos but the per-channel SUM runs in
+    DECIMAL(38,0) — at 100 TB a channel's nanosecond-lag total blows
+    past 2^63 (~10^5 purchases × day-scale lags) and an int64 sum would
+    wrap (or ANSI-error) while the DuckDB oracle sums in HUGEINT; the
+    decimal sum matches the oracle's headroom and makes one correctly
+    rounded cast to double at the end. 'none' rows contribute NULL lags
+    which both engines' SUM/COUNT skip, and the division is guarded so
+    the empty bucket emits NULL rather than tripping ANSI
+    divide-by-zero.
 
     Scale: one shuffle on user_id + per-user sort (the as-of plan);
     channel rollup is a tiny hash aggregate. No range join, no
@@ -745,7 +750,9 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     ).agg(
         F.count("*").alias("n_purchases"),
         dsum(F.col("value"), 6).alias("attributed_value"),
-        F.sum(F.col("ts") - F.col("asof_time")).alias("lag_ns_sum"),
+        F.sum((F.col("ts") - F.col("asof_time")).cast("decimal(38,0)")).alias(
+            "lag_ns_sum"
+        ),
         F.count("asof_time").alias("n_matched"),
     )
     return agg.select(

@@ -1153,6 +1153,41 @@ def test_two_phase_ann_paths_match_single_phase(spark, sf_dir):
     assert pa == pb
 
 
+def test_two_phase_zero_norm_parity(spark):
+    """r8 ADVICE: zero-norm vectors must survive the numpy prefilter as
+    cos = 0.0 (the _safe_cos convention) instead of being NaN-dropped by
+    the isfinite keep-mask — otherwise the two-phase outputs diverge from
+    the single-phase JVM plans exactly when a zero vector exists."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        brute_force_topk_np,
+        embedding_near_dups,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(64).tolist()) for i in range(30)]
+    rows.append((30, [0.0] * 64))  # zero-norm corpus AND query vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 10 == 0)  # 0, 10, 20, 30
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    ref = {key(r): (r.neighbor_id, r.cos_sim) for r in brute_force_topk(emb, q, k=3).collect()}
+    got = {key(r): (r.neighbor_id, r.cos_sim) for r in brute_force_topk_np(emb, q, k=3).collect()}
+    assert got == ref
+    assert any(qid == 30 for qid, _ in got)  # zero-norm query emits ranked rows
+    assert all(c == 0.0 for qid, (n, c) in got.items() if qid[0] == 30)
+    for fn in (lsh_topk, ivf_topk):
+        a = {key(r): (r.neighbor_id, r.cos_sim) for r in fn(emb, q, k=3, two_phase=True).collect()}
+        b = {key(r): (r.neighbor_id, r.cos_sim) for r in fn(emb, q, k=3, two_phase=False).collect()}
+        assert a == b
+    pa = {(r.id_a, r.id_b): r.cos_sim for r in embedding_near_dups(emb, two_phase=True).collect()}
+    pb = {(r.id_a, r.id_b): r.cos_sim for r in embedding_near_dups(emb, two_phase=False).collect()}
+    assert pa == pb
+
+
 def test_brute_force_np_no_self_pairs_on_tiny_partitions(spark):
     """Regression: a chunk with ≤ k rows has k-th = −inf and the −inf
     self-match satisfies −inf ≥ −inf − margin — without the isfinite
