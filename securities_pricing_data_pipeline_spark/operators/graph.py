@@ -317,15 +317,30 @@ def edge_triangle_support(und: DataFrame, src: str = "u", dst: str = "v") -> Dat
 
 
 def kcore_peel(
-    und: DataFrame, k: int, rounds: int = 3, src: str = "u", dst: str = "v"
+    und: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+    until_fixpoint: bool = False,
 ) -> DataFrame:
-    """Fixed-round k-core peeling over an undirected canonical edge list:
-    each round drops every node whose CURRENT degree is < k, then drops
-    edges touching a dropped node. With a fixed round count the result
-    is deterministic and SQL-expressible (the oracle unrolls the same
-    rounds as chained CTEs); run enough rounds and it converges to the
-    true k-core. Returns one row per round: (round, n_nodes, n_edges)
-    AFTER that round's peel — the shrinking-core profile.
+    """k-core peeling over an undirected canonical edge list: each round
+    drops every node whose CURRENT degree is < k, then drops edges
+    touching a dropped node. Returns one row per round:
+    (round, n_nodes, n_edges) AFTER that round's peel — the
+    shrinking-core profile.
+
+    Two modes:
+      * fixed ``rounds`` (default) — deterministic cost and
+        SQL-expressible (the oracle unrolls the same rounds as chained
+        CTEs); may UNDER-peel a long removal cascade.
+      * ``until_fixpoint=True`` — keeps peeling until a round removes no
+        edges (the true k-core; peel-to-empty counts as converged) and
+        appends a ``converged`` boolean column, true on the final stable
+        row. The per-round edge count is already materialized for the
+        profile, so the convergence test is free; termination is
+        guaranteed (every non-final round removes ≥ 1 edge). ``rounds``
+        is ignored in this mode.
 
     Scale shape: a round is one degree aggregate over the edge list plus
     two broadcastable semi-joins against the (node-sized) survivor set —
@@ -337,7 +352,12 @@ def kcore_peel(
         eager=True
     )
     out = []
-    for r in range(1, rounds + 1):
+    # count on the already-materialized checkpoint is cheap and lets a
+    # no-op first round (input already a k-core) converge immediately
+    prev_edges: int | None = edges.count() if until_fixpoint else None
+    r = 0
+    while True:
+        r += 1
         deg = (
             edges.select(F.col("u").alias("node"))
             .unionAll(edges.select(F.col("v").alias("node")))
@@ -357,9 +377,20 @@ def kcore_peel(
             .distinct()
             .count()
         )
-        out.append((r, n_nodes, edges.count()))
+        n_edges = edges.count()
+        stable = n_edges == prev_edges or n_edges == 0
+        out.append((r, n_nodes, n_edges, stable))
+        prev_edges = n_edges
+        if (until_fixpoint and stable) or (not until_fixpoint and r >= rounds):
+            break
     spark = und.sparkSession
-    return spark.createDataFrame(out, "round int, n_nodes long, n_edges long")
+    if until_fixpoint:
+        return spark.createDataFrame(
+            out, "round int, n_nodes long, n_edges long, converged boolean"
+        )
+    return spark.createDataFrame(
+        [t[:3] for t in out], "round int, n_nodes long, n_edges long"
+    )
 
 
 def personalized_pagerank(
@@ -386,17 +417,31 @@ def personalized_pagerank(
     join + one message aggregate of narrow rows; the left join back to
     the node table keeps zero-inflow nodes alive (their rank is the
     bare teleport term, 0 for non-seeds — dropping them would silently
-    shrink the result set)."""
+    shrink the result set).
+
+    Broadcast is gated on ``BROADCAST_NODE_LIMIT`` exactly like
+    ``pagerank`` — below it the (node, deg) / (node, rank) frames are
+    broadcast into the per-iteration edge join; above it (web-scale node
+    sets) the joins fall back to shuffle against a once-materialized
+    (src, dst, deg) frame instead of OOMing the executors on an
+    unconditional broadcast."""
     edges = edges.localCheckpoint(eager=True)
-    deg = edges.groupBy(src).agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()
+    small = n_nodes <= BROADCAST_NODE_LIMIT
+    bcast = F.broadcast if small else (lambda df: df)
+    if small:
+        deg = deg.localCheckpoint(eager=True)
+        ed = edges.join(F.broadcast(deg), src)
+    else:
+        ed = edges.join(deg, src).localCheckpoint(eager=True)
     nodes = deg.select(F.col(src).alias("node"))
     seed_mass = F.when(F.col("node") == seed, F.lit(1.0)).otherwise(F.lit(0.0))
     ranks = nodes.select("node", seed_mass.alias("rank"))
-    ed = edges.join(F.broadcast(deg), src)
     for i in range(iters):
         if i > 0:
             ranks = ranks.localCheckpoint(eager=True)  # flat lineage per round
-        msgs = ed.join(F.broadcast(ranks), ed[src] == ranks.node).select(
+        msgs = ed.join(bcast(ranks), ed[src] == ranks.node).select(
             F.col(dst).alias("node"),
             dec(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
         )

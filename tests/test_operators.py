@@ -681,6 +681,47 @@ def test_kcore_peel_cascade(spark):
     assert rows == {1: (4, 4), 2: (3, 3), 3: (3, 3)}
 
 
+def test_kcore_peel_until_fixpoint_finishes_cascade(spark):
+    """A k=2 peel on a 10-node path is a pure cascade (each round exposes
+    two new degree-1 endpoints): 3 fixed rounds under-peel (3 edges
+    left), fixpoint mode finishes the cascade to the empty 2-core and
+    flags convergence on the final stable row."""
+    from securities_pricing_data_pipeline_spark.operators.graph import kcore_peel
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "u long, v long"
+    )
+    fixed = {r.round: r.n_edges for r in kcore_peel(path, k=2, rounds=3).collect()}
+    assert fixed == {1: 7, 2: 5, 3: 3}  # under-peeled: true 2-core is empty
+    fp = sorted(
+        kcore_peel(path, k=2, until_fixpoint=True).collect(), key=lambda r: r.round
+    )
+    assert fp[-1].n_edges == 0 and fp[-1].converged
+    assert all(not r.converged for r in fp[:-1])
+    assert [r.n_edges for r in fp] == [7, 5, 3, 1, 0]
+
+    # an input that is already a k-core converges in one confirming round
+    tri = spark.createDataFrame([(0, 1), (0, 2), (1, 2)], "u long, v long")
+    fp = kcore_peel(tri, k=2, until_fixpoint=True).collect()
+    assert len(fp) == 1 and fp[0].converged and fp[0].n_edges == 3
+
+
+def test_personalized_pagerank_shuffle_fallback_matches_broadcast(spark, monkeypatch):
+    """r8 VERDICT item: PPR must gate its broadcasts like pagerank().
+    Force the shuffle-join fallback (limit = 1 node) and require output
+    identical to the broadcast plan."""
+    from securities_pricing_data_pipeline_spark.operators import graph as graph_mod
+
+    und = [(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    ref = {r.node: r.rank for r in graph_mod.personalized_pagerank(edges, seed=0, iters=3).collect()}
+    monkeypatch.setattr(graph_mod, "BROADCAST_NODE_LIMIT", 1)
+    got = {r.node: r.rank for r in graph_mod.personalized_pagerank(edges, seed=0, iters=3).collect()}
+    assert got == ref and len(got) == 4
+
+
 def test_personalized_pagerank_hand_checked(spark):
     """PPR on the path a-b-c seeded at a, 2 iterations by hand:
     r1 = (0.15, 0.85, 0); r2 = (0.51125, 0.1275, 0.36125) — mass stays
