@@ -719,3 +719,108 @@ def bpe_pair_counts(
         .orderBy(F.desc("n_pairs"), "a", "b")
         .limit(k)
     )
+
+
+#: Fixed BPE merge table applied by ``bpe_encode_expr`` in PRIORITY ORDER
+#: (earlier merges run to completion before later ones see the tokens —
+#: the standard greedy-pass application of a trained merge list, Sennrich
+#: 2016 §3). Kept deliberately small: each merge unrolls to one
+#: deterministic fold pass, so the list length is the expression depth.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("e", "r"),
+    ("a", "t"),
+    ("o", "r"),
+    ("a", "n"),
+    ("s", "t"),
+    ("r", "o"),
+]
+
+
+def _bpe_fold(toks_expr: str, x: str, y: str, dialect: str) -> str:
+    """One greedy left-to-right merge pass (x, y) → xy over a token-array
+    expression, as a string fold: tokens accumulate space-joined; when
+    the accumulator's LAST token is ``x`` and the next element is ``y``,
+    the tail is rewritten to the merged symbol in place. A left fold IS
+    the single-pass greedy scan — after a merge the new symbol sits at
+    the accumulator tail, so overlapping occurrences (e.g. (a, a) on
+    "aaa") pair from the left exactly like a BPE tokenizer's scan.
+
+    Spark folds from '' with an explicit empty-accumulator branch;
+    DuckDB's list_reduce seeds from the first element — identical
+    results because the merge branch is guarded on a non-empty
+    accumulator (a word is never empty)."""
+    m = x + y
+    if dialect == "spark":
+        return (
+            f"aggregate({toks_expr}, CAST('' AS STRING), (acc, t) -> "
+            f"CASE WHEN acc != '' AND substring_index(acc, ' ', -1) = '{x}' "
+            f"AND t = '{y}' "
+            f"THEN concat(substring(acc, 1, length(acc) - {len(x)}), '{m}') "
+            f"WHEN acc = '' THEN t "
+            f"ELSE concat(acc, ' ', t) END)"
+        )
+    return (
+        f"list_reduce({toks_expr}, (acc, t) -> "
+        f"CASE WHEN regexp_extract(acc, '[^ ]+$') = '{x}' AND t = '{y}' "
+        f"THEN substr(acc, 1, length(acc) - {len(x)}) || '{m}' "
+        f"ELSE acc || ' ' || t END)"
+    )
+
+
+def bpe_encode_expr(word_expr: str, dialect: str = "spark") -> str:
+    """SQL expression (Spark or DuckDB dialect) encoding one word with
+    the fixed ``BPE_MERGES`` table: split to characters, then apply each
+    merge as a full greedy pass (re-splitting the space-joined
+    accumulator between passes). Returns the space-joined BPE token
+    string. Both dialects are generated from the same merge table by the
+    same code path, so the oracle replays EXACTLY the engine's merges —
+    the parity is structural, not coincidental.
+
+    Scale: pure per-row expression work (no UDF, no shuffle); cost is
+    O(|word| · |BPE_MERGES|) per word, constant-bounded by the fixed
+    merge table."""
+    if dialect == "spark":
+        toks = f"filter(split({word_expr}, ''), x -> x != '')"
+    else:
+        toks = f"regexp_split_to_array({word_expr}, '')"
+    s = _bpe_fold(toks, *BPE_MERGES[0], dialect=dialect)
+    for x, y in BPE_MERGES[1:]:
+        resplit = f"split({s}, ' ')" if dialect == "spark" else f"string_split({s}, ' ')"
+        s = _bpe_fold(resplit, x, y, dialect=dialect)
+    return s
+
+
+def bpe_encode(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply the fixed ``BPE_MERGES`` table to every whitespace token of
+    every document — the APPLY side of BPE (``bpe_pair_counts`` is the
+    trainer's scoring side): per document, the exact post-merge token
+    count, input char count, and the first word's encoding as a visible
+    sample. This is the exact-token-count twin of the regex-heuristic
+    ``token_count_bpe`` estimator.
+
+    Plan shape: one projection — tokenize, ``transform`` each word
+    through the unrolled merge passes, fold the counts in-row. No
+    Python, no shuffle, no explode; 100 TB of documents is a pure
+    map-side scan."""
+    enc_w = bpe_encode_expr("w", dialect="spark")
+    return (
+        df.select(F.col(id_col), _tokens(text_col).alias("words"))
+        .select(
+            F.col(id_col),
+            F.size("words").cast("long").alias("n_words"),
+            F.expr(
+                "aggregate(words, 0L, (a, w) -> a + length(w))"
+            ).alias("n_input_chars"),
+            F.expr(
+                f"aggregate(transform(words, w -> {enc_w}), 0L,"
+                " (a, e) -> a + size(split(e, ' ')))"
+            ).alias("n_bpe_tokens"),
+            F.expr(f"transform(slice(words, 1, 1), w -> {enc_w})[0]").alias(
+                "first_word_encoding"
+            ),
+        )
+    )

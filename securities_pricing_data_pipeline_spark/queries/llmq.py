@@ -3086,6 +3086,49 @@ FROM pr GROUP BY 1, 2 ORDER BY n_pairs DESC, a, b LIMIT 20
 """
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a fixed BPE merge table (``llmdata.text.BPE_MERGES``) to
+    every document — the tokenizer-apply side that ``text_bpe_pair_counts``
+    trains for, and the exact-count twin of ``text_token_count_bpe``'s
+    regex heuristic. Emits per doc the exact post-merge token count,
+    input chars, and the first word's encoding as a visible sample.
+
+    Parity: the DuckDB oracle replays the SAME merge table through the
+    SAME expression generator (``bpe_encode_expr``, dialect='duckdb') —
+    greedy left-fold per merge pass in both engines, so equality is
+    structural. Plan: one map-side projection, no shuffle beyond the
+    final doc_id sort."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bpe_encode
+
+    return bpe_encode(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+QUERIES["text_bpe_encode"] = text_bpe_encode
+
+
+def _bpe_encode_oracle() -> str:
+    from securities_pricing_data_pipeline_spark.llmdata.text import bpe_encode_expr
+
+    enc_w = bpe_encode_expr("w", dialect="duckdb")
+    return rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
+    AS n_input_chars,
+  CAST(list_sum(list_transform(words,
+       w -> len(string_split({enc_w}, ' ')))) AS BIGINT) AS n_bpe_tokens,
+  (list_transform(words[1:1], w -> {enc_w}))[1] AS first_word_encoding
+FROM w ORDER BY doc_id
+"""
+
+
+ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
+
+
 def emb_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization of the embedding column
     with per-label reconstruction-error accounting — the compression

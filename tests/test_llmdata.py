@@ -1107,6 +1107,25 @@ def test_bpe_pair_counts_handmade(spark):
     assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
 
 
+def test_bpe_encode_hand_checked(spark):
+    """Hand-replayed merges (th, the, er, at, or, an, st, ro in priority
+    order): 'the'→[the], 'fast'→[f,a,st], 'batch'→[b,at,c,h],
+    'scan'→[s,c,an], 'order'→[or,d,er], 'a'→[a] — 15 tokens, 22 chars.
+    A greedy pass must pair overlapping merges from the left: 'stream'
+    →[st,r,e,a,m] (the s-t merge beats e-r because r precedes e)."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "the fast batch scan order a"), (1, "stream")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bpe_encode(docs).collect()}
+    assert (out[0].n_words, out[0].n_input_chars, out[0].n_bpe_tokens) == (6, 22, 15)
+    assert out[0].first_word_encoding == "the"
+    assert out[1].first_word_encoding == "st r e a m"
+    assert out[1].n_bpe_tokens == 5
+
+
 def test_int8_quant_error_exact(spark):
     """Hand-computed grid quantization: [1.0, -1.0, 0.5] snaps to grid
     [1e6, -1e6, 5e5] with m=1e6; codes are [127, -127, 64]; the only
