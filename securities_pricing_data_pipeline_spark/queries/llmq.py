@@ -3305,3 +3305,121 @@ SELECT CAST(replica AS INT) AS replica,
          / CAST(SUM(w) AS DOUBLE) AS mean_value
 FROM weighted GROUP BY 1
 """
+
+
+def sim_rerank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve -> rerank -> serve closer: rescore the RRF-fused candidate
+    set (``sim_rrf_fusion``) with a deterministic cross-encoder-shaped
+    linear blend of three features — the EXACT grid cosine between query
+    and candidate (the expensive score the first-stage retrievers only
+    approximated), the fused RRF score itself, and a document-length
+    prior from the documents table (vec_id == doc_id in the testdata) —
+    then re-rank per query. This is the standard second-stage shape: a
+    cheap first stage nominates ~k candidates per query, the reranker
+    spends its budget on candidates only, never the corpus.
+
+    Parity discipline: every feature is a double derived from exact
+    integers via the same expression in both engines (grid cosine =
+    dotL/sqrt(naL*nbL); rrf_score = rrf_units/1e12; len_score =
+    least(n_chars,1000)/1000), the blend weights 0.5/4.0/0.25 are exact
+    binary fractions, and the three-term sum is left-associated
+    identically in the Spark plan and the oracle SQL — so the blended
+    doubles and the (blend DESC, neighbor_id) rerank order are
+    bit-identical.
+
+    Plan shape (100 TB posture): the fused candidate frame is tiny
+    (n_queries x 5), so BOTH feature joins run as broadcast-hash probes
+    on the big scans — ``embeddings`` is probed once for candidate
+    vectors (query vectors are the usual collected-small side) and
+    ``documents`` once for the length prior; no shuffle touches the
+    corpus, and the final rank window partitions by query over <= 10
+    rows per query."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        cosine_with_norms,
+        norm_grid,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    fused = sim_rrf_fusion(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rrf_score", "fused_rank"
+    )
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        norm_grid(F.col("embedding")).alias("q_norm"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_vec"),
+        norm_grid(F.col("embedding")).alias("n_norm"),
+    )
+    scored = (
+        nv.join(F.broadcast(fused), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_score",
+            "fused_rank",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")
+            ).alias("cos_sim"),
+        )
+    )
+    len_feat = docs.select(
+        F.col("doc_id").alias("neighbor_id"),
+        (F.least(F.col("n_chars"), F.lit(1000)).cast("double") / F.lit(1000.0)).alias(
+            "len_score"
+        ),
+    )
+    feat = len_feat.join(F.broadcast(scored), "neighbor_id")
+    blend = (
+        F.lit(0.5) * F.col("cos_sim")
+        + F.lit(4.0) * F.col("rrf_score")
+        + F.lit(0.25) * F.col("len_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("blend_score"), "neighbor_id")
+    return (
+        feat.withColumn("blend_score", blend)
+        .withColumn("rerank_rank", F.row_number().over(w).cast("int"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            "rrf_score",
+            "len_score",
+            "blend_score",
+            "fused_rank",
+            "rerank_rank",
+        )
+    )
+
+
+QUERIES["sim_rerank_blend"] = sim_rerank_blend
+
+ORACLES["sim_rerank_blend"] = f"""
+WITH fused AS (SELECT * FROM ({ORACLES["sim_rrf_fusion"]})),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+  FROM embeddings WHERE vec_id < 10
+), nv AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c FROM embeddings
+), scored AS (
+  SELECT f.query_id, f.neighbor_id, f.rrf_score, f.fused_rank,
+         {_cos_expr('q', 'c')} AS cos_sim
+  FROM fused f JOIN qv USING (query_id) JOIN nv USING (neighbor_id)
+), feat AS (
+  SELECT s.*, CAST(LEAST(d.n_chars, 1000) AS DOUBLE) / 1000.0 AS len_score
+  FROM scored s JOIN documents d ON d.doc_id = s.neighbor_id
+), b AS (
+  SELECT *, 0.5 * cos_sim + 4.0 * rrf_score + 0.25 * len_score AS blend_score
+  FROM feat
+)
+SELECT query_id, neighbor_id, cos_sim, rrf_score, len_score, blend_score,
+       fused_rank,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY blend_score DESC, neighbor_id) AS INT)
+         AS rerank_rank
+FROM b
+"""
