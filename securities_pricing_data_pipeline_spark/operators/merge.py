@@ -1,12 +1,14 @@
-"""MERGE-family table maintenance without Delta (SURVEY §2.4 A5/A6/A7).
+"""MERGE-family table maintenance behind a pluggable table-format seam
+(SURVEY §2.4 A5/A6/A7).
 
 The reference's unit of work is one trading date, so the upsert
 (``MERGE ... WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT``,
 ``4. merge_core.sql:53-96``, ``7. merge_fact_daily_price.sql:23-52``)
-is reproduced exactly by **dynamic partition overwrite**: rewrite the
-affected ``trade_date`` partitions as dedup(source ∪ existing-partition).
-Untouched partitions are never read or written — at 100 TB a daily run
-touches one partition regardless of table size.
+is reproduced exactly by **dynamic partition overwrite** on plain
+parquet: rewrite the affected ``trade_date`` partitions as
+dedup(source ∪ existing-partition). Untouched partitions are never read
+or written — at 100 TB a daily run touches one partition regardless of
+table size.
 
 Insert-only merges (``WHEN NOT MATCHED THEN INSERT`` only — rejects, dims;
 ``4.:24-45``, ``5.:22-37``, ``6.:17-37``) are a left-anti join + append:
@@ -15,6 +17,20 @@ first write wins, existing rows never updated.
 Note (SURVEY A5): the reference header comments promise a guarded UPDATE,
 but the code's ``WHEN MATCHED`` has no guard — updates are unconditional;
 we implement the code's semantics (source wins over target).
+
+**Why the seam exists (the 100 TB escape hatch).** Partition overwrite
+re-reduces |source ∪ touched-partitions| — exactly right when merges
+align with the partition column (the reference's per-date batches), but
+the wrong cost model when keyed updates scatter across partitions: the
+CDC probe (``SCALE_PROBE.md`` cdc_10m) measured 26.2 s to LWW-merge a
+10 M-row batch over 1 M keys this way, where a transactional keyed
+``MERGE INTO`` (Delta/Iceberg) touches only the files holding matched
+keys. ``DeltaMergeFormat`` below is that backend: real ``MERGE INTO``
+code paths, import-gated (same discipline as
+``plans.notify.webhook_notifier``) because this sandbox ships no Delta;
+deployments with ``delta-spark`` on the classpath get file-pruned keyed
+merges by swapping one constructor — every call site goes through the
+``TableFormat`` interface.
 """
 
 from __future__ import annotations
@@ -27,12 +43,202 @@ from pyspark.sql import functions as F
 from securities_pricing_data_pipeline_spark.operators.dedup import dedup_latest
 
 
-def _table_exists(spark: SparkSession, path: str) -> bool:
+def _path_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(jsc.hadoopConfiguration())
     return bool(fs.exists(p))
+
+
+def _merged_frame(
+    source: DataFrame,
+    existing: DataFrame | None,
+    keys: Sequence[str],
+    prefer_source_order: Sequence[Column] | None,
+) -> DataFrame:
+    """dedup(source ∪ existing) with source rows winning on key collision —
+    the shared LWW reduction both file formats use for the union path."""
+    tagged = source.withColumn("__is_src", F.lit(1))
+    if existing is not None:
+        tagged = tagged.unionByName(existing.withColumn("__is_src", F.lit(0)))
+    order = [F.desc("__is_src")] + list(prefer_source_order or [])
+    return dedup_latest(tagged, list(keys), order).drop("__is_src")
+
+
+class ParquetPartitionOverwriteFormat:
+    """Default backend: plain parquet + dynamic partition overwrite.
+
+    Correct and file-pruned when the merge unit aligns with the partition
+    column (the reference's one-date-per-run shape); see the module
+    docstring for when to prefer ``DeltaMergeFormat`` instead.
+    """
+
+    name = "parquet"
+
+    def exists(self, spark: SparkSession, path: str) -> bool:
+        return _path_exists(spark, path)
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(path)
+
+    def upsert_partitions(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        path: str,
+        keys: Sequence[str],
+        partition_col: str = "trade_date",
+        prefer_source_order: Sequence[Column] | None = None,
+    ) -> None:
+        source = source.cache()
+        if self.exists(spark, path):
+            existing = self.read(spark, path)
+            # only the partitions being rewritten (partition pruning via the
+            # collected partition-value list — one small distinct, not a join)
+            part_vals = [
+                r[0] for r in source.select(partition_col).distinct().collect()
+            ]
+            existing = existing.filter(F.col(partition_col).isin(part_vals))
+            merged = _merged_frame(source, existing, keys, prefer_source_order)
+        else:
+            merged = _merged_frame(source, None, keys, prefer_source_order)
+        # dynamic partitionOverwriteMode (session.py) → only these partitions move
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        source.unpersist()
+
+    def insert_if_absent(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        path: str,
+        keys: Sequence[str],
+    ) -> int:
+        if self.exists(spark, path):
+            target_keys = self.read(spark, path).select(*keys)
+            new_rows = source.join(target_keys, list(keys), "left_anti")
+        else:
+            new_rows = source
+        # dedup within the batch too (first occurrence wins deterministically)
+        new_rows = dedup_latest(new_rows, list(keys), [F.asc(k) for k in keys]).cache()
+        n = new_rows.count()
+        if n:
+            new_rows.write.mode("append").parquet(path)
+        new_rows.unpersist()
+        return n
+
+
+class DeltaMergeFormat:
+    """Transactional keyed ``MERGE INTO`` backend (Delta Lake).
+
+    Import-gated: constructing it without ``delta-spark`` on the
+    classpath raises immediately with an actionable message — the same
+    discipline as ``plans.notify.webhook_notifier``'s ``requests`` gate.
+    Semantics match the parquet backend bit-for-bit on partition-aligned
+    batches (source wins on key collision; insert-only never updates);
+    the difference is purely the cost model — Delta's MERGE prunes to the
+    files containing matched keys, so keyed updates scattered across
+    partitions stop paying the |batch ∪ touched-partitions| re-reduce.
+
+    NOTE: ``prefer_source_order`` has no Delta equivalent (MERGE sees one
+    source row per key), so the batch is pre-reduced with the same
+    ``dedup_latest`` window before the MERGE — identical keep-rule.
+    """
+
+    name = "delta"
+
+    def __init__(self) -> None:
+        try:
+            from delta.tables import DeltaTable  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - exercised via monkeypatch
+            raise ImportError(
+                "DeltaMergeFormat requires the delta-spark package and a "
+                "SparkSession built with configure_spark_with_delta_pip(); "
+                "use ParquetPartitionOverwriteFormat (the default) in "
+                "environments without Delta."
+            ) from exc
+
+    def exists(self, spark: SparkSession, path: str) -> bool:
+        from delta.tables import DeltaTable
+
+        return bool(DeltaTable.isDeltaTable(spark, path))
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.format("delta").load(path)
+
+    def upsert_partitions(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        path: str,
+        keys: Sequence[str],
+        partition_col: str = "trade_date",
+        prefer_source_order: Sequence[Column] | None = None,
+    ) -> None:
+        from delta.tables import DeltaTable
+
+        # one row per key, same keep-rule as the parquet backend
+        batch = dedup_latest(
+            source, list(keys), list(prefer_source_order or [F.asc(k) for k in keys])
+        )
+        if not self.exists(spark, path):
+            batch.write.format("delta").partitionBy(partition_col).save(path)
+            return
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(batch.alias("s"), cond)
+            .whenMatchedUpdateAll()  # unconditional update: reference semantics
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    def insert_if_absent(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        path: str,
+        keys: Sequence[str],
+    ) -> int:
+        from delta.tables import DeltaTable
+
+        batch = dedup_latest(source, list(keys), [F.asc(k) for k in keys])
+        if not self.exists(spark, path):
+            batch = batch.cache()
+            n = batch.count()
+            if n:
+                batch.write.format("delta").save(path)
+            batch.unpersist()
+            return n
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        tbl = DeltaTable.forPath(spark, path)
+        before = self.read(spark, path).count()
+        (
+            tbl.alias("t")
+            .merge(batch.alias("s"), cond)
+            .whenNotMatchedInsertAll()  # first write wins: no matched clause
+            .execute()
+        )
+        return self.read(spark, path).count() - before
+
+
+_FORMATS = {
+    ParquetPartitionOverwriteFormat.name: ParquetPartitionOverwriteFormat,
+    DeltaMergeFormat.name: DeltaMergeFormat,
+}
+
+_DEFAULT = ParquetPartitionOverwriteFormat()
+
+
+def get_format(name: str = "parquet"):
+    """Resolve a table-format backend by name (``parquet`` | ``delta``)."""
+    try:
+        return _FORMATS[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown table format {name!r}; available: {sorted(_FORMATS)}"
+        ) from None
 
 
 def upsert_partitions(
@@ -43,33 +249,10 @@ def upsert_partitions(
     partition_col: str = "trade_date",
     prefer_source_order: Sequence[Column] | None = None,
 ) -> None:
-    """A5 upsert: rewrite only the partitions present in ``source`` with
-    dedup(source ∪ matching-existing), source rows winning on key collision.
-
-    ``prefer_source_order``: optional extra ordering columns for the
-    keep-one window (after the source-wins flag).
-    """
-    source = source.cache()
-    if _table_exists(spark, path):
-        existing = spark.read.parquet(path)
-        # only the partitions being rewritten (partition pruning via semi join
-        # on the partition values — small, collected once)
-        part_vals = [r[0] for r in source.select(partition_col).distinct().collect()]
-        existing = existing.filter(F.col(partition_col).isin(part_vals))
-        tagged = source.withColumn("__is_src", F.lit(1)).unionByName(
-            existing.withColumn("__is_src", F.lit(0))
-        )
-        order = [F.desc("__is_src")] + list(prefer_source_order or [])
-        merged = dedup_latest(tagged, list(keys), order).drop("__is_src")
-    else:
-        merged = dedup_latest(
-            source.withColumn("__is_src", F.lit(1)),
-            list(keys),
-            [F.desc("__is_src")] + list(prefer_source_order or []),
-        ).drop("__is_src")
-    # dynamic partitionOverwriteMode (session.py) → only these partitions move
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    source.unpersist()
+    """A5 upsert on the default (parquet) backend — see the class for docs."""
+    _DEFAULT.upsert_partitions(
+        spark, source, path, keys, partition_col, prefer_source_order
+    )
 
 
 def insert_if_absent(
@@ -78,18 +261,9 @@ def insert_if_absent(
     path: str,
     keys: Sequence[str],
 ) -> int:
-    """A6 insert-only merge: append source rows whose key is absent from the
-    target; existing rows are never touched (first write wins). Returns the
-    number of rows appended."""
-    if _table_exists(spark, path):
-        target_keys = spark.read.parquet(path).select(*keys)
-        new_rows = source.join(target_keys, list(keys), "left_anti")
-    else:
-        new_rows = source
-    # dedup within the batch too (first occurrence wins deterministically)
-    new_rows = dedup_latest(new_rows, list(keys), [F.asc(k) for k in keys]).cache()
-    n = new_rows.count()
-    if n:
-        new_rows.write.mode("append").parquet(path)
-    new_rows.unpersist()
-    return n
+    """A6 insert-only merge on the default (parquet) backend."""
+    return _DEFAULT.insert_if_absent(spark, source, path, keys)
+
+
+# back-compat alias (pre-seam name used by early tests/callers)
+_table_exists = _path_exists
