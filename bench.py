@@ -22,7 +22,17 @@ steady-state cached cost — the number that matters for a reused
 artifact, but not comparable 1:1 against older single-shot rounds
 (r4's 3.3s dedup_minhash_lsh vs r6's 0.12s is cache semantics, not a
 27× kernel speedup; the kernel's true movement shows in cold trials
-and SCALE_PROBE.md).
+and SCALE_PROBE.md). Since round 9 the full JSON line carries that
+split explicitly: ``"cold"`` maps each query to its FIRST trial (plan
++ any silver build), ``"queries"`` stays the median — so a
+round-over-round mover can be attributed to kernel vs cache/session
+effects from the committed artifacts alone (VERDICT r8 item 1).
+
+Round-over-round drift is gated, not just recorded:
+``tests/test_artifact_hygiene.py`` fails when the median per-query
+ratio of the two latest committed BENCH_r*_local.json artifacts
+exceeds 1.10 on their common set, unless the newer artifact carries an
+``"explained"`` note (set ``SPARK_GRAFT_BENCH_NOTE`` when producing it).
 """
 
 from __future__ import annotations
@@ -255,6 +265,7 @@ def main() -> None:
     # Per-query fault isolation (VERDICT r3 item 3): one broken query must
     # never zero out the round's perf signal — record its error and go on.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         samples: list[float] = []
@@ -266,6 +277,7 @@ def main() -> None:
                     F.max(F.xxhash64(*[F.col(c) for c in df.columns]))
                 ).collect()
                 samples.append(time.perf_counter() - t0)
+            cold[name] = round(samples[0], 4)
             samples.sort()
             timings[name] = round(samples[len(samples) // 2], 4)
         except Exception as e:  # noqa: BLE001 — isolation is the point
@@ -278,9 +290,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "trials": trials,
     }
+    note = os.environ.get("SPARK_GRAFT_BENCH_NOTE")
+    if note:
+        out["explained"] = note
     if errors:
         out["errors"] = errors
         out["n_errors"] = len(errors)

@@ -53,6 +53,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     symmetric: bool = False,
+    materialized: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -71,8 +72,14 @@ def pagerank(
     """
     # materialize the edge list exactly once — degrees, node count, and
     # every iteration all derive from this one frame, so nothing upstream
-    # (often an expensive pair-generation self-join) is ever recomputed
-    edges = edges.localCheckpoint(eager=True)
+    # (often an expensive pair-generation self-join) is ever recomputed.
+    # ``materialized=True`` = the caller already pinned it (a persisted
+    # per-session silver): skip the per-call localCheckpoint copy — at
+    # bench scale that copy alone is ~0.7s/run of pure re-write
+    # (VERDICT r8 item 1's pagerank drift was exactly this, plus the
+    # unpinned 2x-partition symmetrize union upstream).
+    if not materialized:
+        edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     n_nodes = deg.count()
     # node-keyed frames are n_nodes rows of 16 bytes: when that is
@@ -121,7 +128,9 @@ def pagerank(
     return ranks
 
 
-def triangle_stats(und: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+def triangle_stats(
+    und: DataFrame, src: str = "u", dst: str = "v", materialized: bool = False
+) -> DataFrame:
     """Triangle count + global clustering over an UNDIRECTED canonical
     edge list (one row per edge, ``src < dst``, no duplicates).
 
@@ -144,9 +153,9 @@ def triangle_stats(und: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     (localCheckpoint) — every downstream frame derives from it.
     """
     spark = und.sparkSession
-    und = und.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
-    )
+    und = und.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not materialized:  # caller-pinned contract, see pagerank()
+        und = und.localCheckpoint(eager=True)
     n_edges = und.agg(F.count("*").alias("n_edges"))
     deg = (
         und.select(F.col("u").alias("node"))
@@ -230,7 +239,9 @@ def label_propagation(
     return labels
 
 
-def edge_triangle_support(und: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+def edge_triangle_support(
+    und: DataFrame, src: str = "u", dst: str = "v", materialized: bool = False
+) -> DataFrame:
     """Per-edge triangle support — |N(a) ∩ N(b)| for every undirected
     canonical edge (a < b, no duplicates) — the quantity behind edge
     embeddedness, truss decomposition, and neighborhood-Jaccard link
@@ -251,9 +262,9 @@ def edge_triangle_support(und: DataFrame, src: str = "u", dst: str = "v") -> Dat
     included (left join back to the input list).
     """
     spark = und.sparkSession
-    und = und.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
-    )
+    und = und.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not materialized:  # caller-pinned contract, see pagerank()
+        und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -323,6 +334,7 @@ def kcore_peel(
     src: str = "u",
     dst: str = "v",
     until_fixpoint: bool = False,
+    materialized: bool = False,
 ) -> DataFrame:
     """k-core peeling over an undirected canonical edge list: each round
     drops every node whose CURRENT degree is < k, then drops edges
@@ -348,9 +360,9 @@ def kcore_peel(
     no wedges. The edge list is re-checkpointed per round so the lineage
     stays one round deep (the iterative-plan discipline pagerank/LPA
     use)."""
-    edges = und.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
-    )
+    edges = und.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not materialized:  # caller-pinned contract, see pagerank()
+        edges = edges.localCheckpoint(eager=True)
     out = []
     # count on the already-materialized checkpoint is cheap and lets a
     # no-op first round (input already a k-core) converge immediately
@@ -400,6 +412,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    materialized: bool = False,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart to ONE seed node):
     rank_{t+1}(v) = (1−d)·[v = seed] + d·Σ_{u→v} rank_t(u)/deg(u) — the
@@ -425,7 +438,8 @@ def personalized_pagerank(
     sets) the joins fall back to shuffle against a once-materialized
     (src, dst, deg) frame instead of OOMing the executors on an
     unconditional broadcast."""
-    edges = edges.localCheckpoint(eager=True)
+    if not materialized:  # same caller-pinned contract as pagerank()
+        edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     n_nodes = deg.count()
     small = n_nodes <= BROADCAST_NODE_LIMIT

@@ -69,6 +69,43 @@ def _copurchase_edges(
     return df
 
 
+def _cosupply_sym_edges(
+    spark: SparkSession, sf_dir: str, key_col: str, even_only: bool = False
+) -> DataFrame:
+    """SYMMETRIZED (both directions) variant of the co-occurrence silver,
+    persisted once per (session, sf, variant) with columns (u, v).
+
+    Without this, every iterative-graph call symmetrized the canonical
+    u<v silver with a fresh unionAll — an UNPINNED 2x-partition union
+    that each query then re-localCheckpointed per run, and whose doubled
+    partition count leaked into every iteration stage downstream
+    (VERDICT r8 item 1: graph_pagerank_suppliers 3.15s → 5.11s was this,
+    not the kernel). The one-time repartition back to the session
+    shuffle width keeps per-iteration task counts flat."""
+    from pyspark import StorageLevel
+
+    key = ("sym", spark.sparkContext.applicationId, sf_dir, key_col, even_only)
+    df = _GRAPH_SILVER.get(key)
+    if df is None:
+        und = _copurchase_edges(spark, sf_dir, key_col, even_only)
+        # size-aware width (what AQE does for shuffle outputs, applied to
+        # the explicit repartition): iteration stages over a small graph
+        # are task-overhead-bound — 907k supplier edges ran 2.7s/query in
+        # 8 partitions vs 3.5s in 32 — while a 100 TB edge list clamps to
+        # the full session shuffle width. ~250k edge rows per partition.
+        n_edges = 2 * und.count()  # also pins the canonical silver
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        width = max(1, min(n_part, -(-n_edges // 250_000)))
+        df = (
+            und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition(width)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        df.count()  # pin eagerly: consumers skip their own materialization
+        _GRAPH_SILVER[key] = df
+    return df
+
+
 def w_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue total per return flag: pre-aggregate to one row per
     (flag, ship_date) — collapsing ~all rows map-side — then a cumulative
@@ -597,17 +634,16 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each iteration is a single (node, decimal-contribution) shuffle —
     see ``operators.graph.pagerank`` for the bit-reproducibility
     discipline. Top-25 by rank with a key tie-break."""
-    und = _copurchase_edges(spark, sf_dir, "l_suppkey")
     # pagerank's symmetric contract wants every edge in BOTH directions
-    # (degrees are per-src out-degrees); symmetrize the canonical u<v
-    # silver — two narrow projections of the persisted frame
-    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    # (degrees are per-src out-degrees): consume the PERSISTED symmetric
+    # silver and tell the operator the frame is already pinned
+    edges = _cosupply_sym_edges(spark, sf_dir, "l_suppkey").select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
     )
     from securities_pricing_data_pipeline_spark.operators.graph import pagerank
 
     # the co-supply graph is symmetric by construction (a↔b share an order)
-    pr = pagerank(edges, iters=5, damping=0.85, symmetric=True)
+    pr = pagerank(edges, iters=5, damping=0.85, symmetric=True, materialized=True)
     return (
         pr.select(F.col("node").alias("supp_key"), "rank")
         .orderBy(F.desc("rank"), "supp_key")
@@ -644,6 +680,11 @@ def graph_triangles_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from securities_pricing_data_pipeline_spark.operators.graph import triangle_stats
 
     und = _copurchase_edges(spark, sf_dir, "l_suppkey")
+    # keep the operator's own localCheckpoint here: the adjacency
+    # build's join strategy keys off the checkpointed frame's stats, and
+    # running it straight off the cached silver measured 11.1s vs 3.5s
+    # (broadcast/coalesce flips in the hot intersect stage) — the ~0.5s
+    # per-run copy buys the right plan shape
     return triangle_stats(und)
 
 
@@ -671,13 +712,11 @@ def graph_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-sized degree table); the moment aggregate is a map-side partial
     reduce to ONE row — no wedge or pair materialization anywhere, so
     the shape is strictly lighter than the triangle pass."""
-    und = _copurchase_edges(spark, sf_dir, "l_partkey")
     # the symmetrized edge list feeds THREE consumers (degree table, both
-    # endpoint joins) — materialize it once or the whole basket-pair
-    # lineage replays per consumer (measured 29 exchanges unchecked vs 7)
-    sym = und.unionAll(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    # endpoint joins) — the persisted symmetric silver serves all three
+    # without a per-run localCheckpoint copy (measured 29 exchanges
+    # unchecked vs 7 when this lineage replayed per consumer)
+    sym = _cosupply_sym_edges(spark, sf_dir, "l_partkey")
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     e = sym.join(deg.select("u", F.col("deg").alias("dx")), "u").join(
         deg.select(F.col("u").alias("v"), F.col("deg").alias("dy")), "v"
@@ -718,15 +757,13 @@ def graph_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank iteration and hub skew lands in AQE-splittable hash
     aggregates. At 100 TB the (node, label) frame stays linear in the
     node count and iteration count is fixed."""
-    und = _copurchase_edges(spark, sf_dir, "l_partkey")
     from securities_pricing_data_pipeline_spark.operators.graph import (
         label_propagation,
     )
 
-    # the edge list feeds both join sides each round — materialize once
-    sym = und.unionAll(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    # the edge list feeds both join sides each round — the persisted
+    # symmetric silver serves both without a per-run checkpoint copy
+    sym = _cosupply_sym_edges(spark, sf_dir, "l_partkey")
     return (
         label_propagation(sym, rounds=2)
         .groupBy(F.col("label").alias("community"))
@@ -1297,8 +1334,9 @@ def graph_edge_jaccard_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator's output, or the whole enumeration pipeline replays per
     # consumer (the first plan audit showed 54 exchanges / 27 SMJs; this
     # shape has 3 consumers of one cached frame)
-    und = _part_copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    sup = edge_triangle_support(und)
+    # the silver is already persisted — no per-run localCheckpoint copy
+    und = _part_copurchase_edges(spark, sf_dir)
+    sup = edge_triangle_support(und, materialized=True)
     deg_src = und.select(F.col("u").alias("node")).unionAll(
         und.select(F.col("v").alias("node"))
     )
@@ -1337,7 +1375,8 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from securities_pricing_data_pipeline_spark.operators.graph import kcore_peel
 
     und = _part_copurchase_edges(spark, sf_dir)
-    return kcore_peel(und, k=55, rounds=3)
+    # silver already persisted; round-1 peel derives from it directly
+    return kcore_peel(und, k=55, rounds=3, materialized=True)
 
 
 QUERIES["graph_edge_jaccard_parts"] = graph_edge_jaccard_parts
@@ -1429,11 +1468,10 @@ def graph_ppr_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         personalized_pagerank,
     )
 
-    und = _copurchase_edges(spark, sf_dir, "l_suppkey")
-    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    edges = _cosupply_sym_edges(spark, sf_dir, "l_suppkey").select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
     )
-    pr = personalized_pagerank(edges, seed=1, iters=4, damping=0.85)
+    pr = personalized_pagerank(edges, seed=1, iters=4, damping=0.85, materialized=True)
     return (
         pr.select(F.col("node").alias("supp_key"), "rank")
         .orderBy(F.desc("rank"), "supp_key")

@@ -25,7 +25,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {"text_bpe_encode"}
+ALLOW_NEW: set[str] = {"text_bpe_encode", "sim_rerank_blend"}
 
 
 def _latest(pattern: str) -> str | None:
@@ -82,6 +82,74 @@ def test_full_registry_oracle_artifact_is_current():
             f"the new names in ALLOW_NEW until round end"
         )
     assert doc.get("n_fail", 1) == 0, f"{path} records oracle failures"
+
+
+def test_full_registry_sf01_oracle_artifact_is_current():
+    """Standing bench-scale parity gate (VERDICT r8 item 7): the sf0.1
+    sweep caught a float-snap bug the sf0.01 gate mathematically could
+    not (~1e-6/value midpoint probability needs sf0.1 row counts to
+    surface). Every round must commit a full-registry ORACLE_r{N}_sf01
+    artifact from the SAME round as its sf0.01 one."""
+    import __spark_entry__ as entry
+
+    def roundno(p: str) -> int:
+        return int(re.search(r"_r(\d+)", os.path.basename(p)).group(1))
+
+    sf01 = _latest("ORACLE_r*_sf01.json")
+    assert sf01, "no committed ORACLE_r*_sf01.json artifact"
+    plain = [
+        p
+        for p in glob.glob(os.path.join(ROOT, "ORACLE_r*.json"))
+        if "_sf01" not in os.path.basename(p)
+    ]
+    if plain:
+        assert roundno(sf01) >= max(roundno(p) for p in plain), (
+            f"{os.path.basename(sf01)} lags the sf0.01 artifact round — "
+            f"rerun tools/check_oracle.py --json at /root/testdata/sf0.1"
+        )
+    with open(sf01) as fh:
+        doc = json.load(fh)
+    covered = doc.get("n_queries", 0) + len(ALLOW_NEW)
+    assert covered >= len(entry.queries()), (
+        f"{os.path.basename(sf01)} covers {doc.get('n_queries')} of "
+        f"{len(entry.queries())} registered queries — rerun the sf0.1 sweep "
+        f"or list the new names in ALLOW_NEW until round end"
+    )
+    assert doc.get("n_fail", 1) == 0, f"{sf01} records oracle failures"
+
+
+def test_bench_drift_is_explained():
+    """Round-over-round drift gate (VERDICT r8 item 1): the median
+    per-query new/old ratio over the common set of the two latest
+    committed local bench artifacts must stay ≤ 1.10 — a whole-session
+    slowdown on UNTOUCHED queries is exactly what r8 shipped without an
+    explanation. A genuine environmental/structural cause is allowed,
+    but it must be written down: an ``"explained"`` note in the newer
+    artifact (``SPARK_GRAFT_BENCH_NOTE`` when producing it) waives the
+    gate visibly instead of silently."""
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, "BENCH_r*_local.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if len(paths) < 2:
+        pytest.skip("fewer than two local bench artifacts")
+    with open(paths[-2]) as fh:
+        old = json.load(fh)["queries"]
+    with open(paths[-1]) as fh:
+        new_doc = json.load(fh)
+    new = new_doc["queries"]
+    common = [n for n in old if n in new and old[n] > 0]
+    assert common, "no common queries between the two latest bench artifacts"
+    ratios = sorted(new[n] / old[n] for n in common)
+    med = ratios[len(ratios) // 2]
+    if med > 1.10 and "explained" not in new_doc:
+        pytest.fail(
+            f"median per-query ratio {med:.3f} over {len(common)} common "
+            f"queries between {os.path.basename(paths[-2])} and "
+            f"{os.path.basename(paths[-1])} exceeds 1.10 with no "
+            f"'explained' note — attribute the drift (cold/warm split is "
+            f"in the artifact) and re-emit with SPARK_GRAFT_BENCH_NOTE"
+        )
 
 
 def test_oracle_and_queries_expose_identical_name_sets():
