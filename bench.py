@@ -223,6 +223,21 @@ BENCH_QUERIES = [
     "stream_events_late_audit",
     "stream_events_enrich",
     "layout_hilbert_plan",
+    # Exclusion policy for the ~60 registry names NOT listed here: the §2
+    # relational basics (p*/j*/a* single-operator shapes), the TPC-H
+    # variants already represented by a same-shape sibling, and 1-row
+    # scalar/metrics assemblies — each was spot-timed under 0.5s at sf0.1
+    # when registered. Anything that iterates, self-joins, or runs Python
+    # belongs in the set; VERDICT r8 item 6 flagged three that LOOKED
+    # heavy — measured sf0.1 medians: strings_fuzzy_match 0.99s,
+    # skew_salted_aggregate 0.58s, sql_recursive_reachability 6.02s — the
+    # recursive CTE was a genuine omission; all three are now benched.
+    "strings_fuzzy_match",
+    "skew_salted_aggregate",
+    "sql_recursive_reachability",
+    # round-9 additions
+    "sim_rerank_blend",
+    "text_bpe_encode",
     # round-8 additions (local numbers committed in BENCH_r08_local.json)
     "graph_edge_jaccard_parts",
     "graph_kcore_parts",

@@ -25,7 +25,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {"text_bpe_encode", "sim_rerank_blend"}
+ALLOW_NEW: set[str] = {
+    "text_bpe_encode",
+    "sim_rerank_blend",
+    "strings_fuzzy_match",
+    "skew_salted_aggregate",
+    "sql_recursive_reachability",
+}
 
 
 def _latest(pattern: str) -> str | None:
