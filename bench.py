@@ -238,6 +238,10 @@ BENCH_QUERIES = [
     # round-9 additions
     "sim_rerank_blend",
     "text_bpe_encode",
+    "text_bigram_logppl",
+    "events_cusum_changepoint",
+    "graph_hits_supplier_parts",
+    "sim_mmr_diversify",
     # round-8 additions (local numbers committed in BENCH_r08_local.json)
     "graph_edge_jaccard_parts",
     "graph_kcore_parts",

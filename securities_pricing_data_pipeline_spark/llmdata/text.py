@@ -92,6 +92,66 @@ def unigram_logppl(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def bigram_logppl(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bigram-LM perplexity proxy with add-one (Laplace) smoothing — the
+    next rung above ``unigram_logppl`` on the KenLM-stand-in ladder
+    (n-gram LM scoring is the classic web-corpus quality filter; Laplace
+    keeps the estimator total and deterministic, no discounting
+    hyperparameters). The LM is trained on the corpus itself; every
+    document with >= 2 tokens is scored by its mean bigram negative
+    log-likelihood: nll(w1 w2) = −ln((c(w1,w2)+1) / (c(w1)+V)).
+
+    Scale shape: bigrams are built IN-ROW (``transform`` over the token
+    array — no positional explode + self-join), so the only shuffles are
+    the (w1,w2) and unigram count aggregates, both Zipf-hot-key shapes
+    that map-side partial counts absorb; the score joins key on bigram /
+    context token and AQE broadcasts the count tables while they fit
+    (top-K vocab + OOV bucket at web scale). Parity: counts are exact
+    ints, each −ln p is snapped to the 1e-12 decimal grid and summed
+    order-independently, the mean snaps to 1e-9 (the unigram_logppl
+    contract)."""
+    from securities_pricing_data_pipeline_spark.queries.helpers import dec
+
+    t = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    arr = df.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+    toks = arr.select(F.explode("t").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    vv = toks.agg(F.count_distinct("tok").alias("v"))
+    bg = (
+        arr.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    nll = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, bg.w1 == uni.tok)
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            dec(
+                -F.log(
+                    (F.col("cb") + 1).cast("double")
+                    / (F.col("cu") + F.col("v")).cast("double")
+                ),
+                12,
+            ).alias("nll"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        (F.sum("nll").cast("double") / F.count("*"))
+        .cast("decimal(20,9)")
+        .cast("double")
+        .alias("avg_nll"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword quality signals per document."""
     toks = _tokens(text_col)

@@ -472,3 +472,70 @@ def personalized_pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    materialized: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    list — returns ``(hubs, authorities)`` as (node, h) / (node, a)
+    frames after ``iters`` mutual-reinforcement rounds with L1
+    normalization. On a bipartite src→dst graph (the intended subject —
+    e.g. supplier→part coverage) hub mass concentrates on sources that
+    cover well-covered sinks and vice versa; on a symmetric graph HITS
+    degenerates to degree centrality, so feed it directed structure.
+
+    Determinism (the pagerank discipline): contributions snap to the
+    DECIMAL(38,12) grid before each order-independent sum; each L1
+    normalizer is an exact decimal total; the per-node score is one
+    exact-decimal÷exact-decimal double division — every float op is a
+    single correctly-rounded IEEE op on bit-identical inputs, so the
+    unrolled SQL oracle reproduces scores exactly.
+
+    Scale shape: per round, two keyed equi-joins of the edge list
+    against node-sized score frames and two hash aggregates — the
+    PageRank iteration cost class; the 1-row normalizer joins broadcast.
+    Score frames localCheckpoint per round (flat lineage, node-sized
+    cost). ``materialized=True`` = caller already pinned ``edges``."""
+    if not materialized:
+        edges = edges.localCheckpoint(eager=True)
+    h = (
+        edges.select(F.col(src).alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("h"))
+    )
+    a = None
+    for i in range(iters):
+        ar = (
+            edges.join(h, edges[src] == h.node)
+            .groupBy(dst)
+            .agg(F.sum(dec(F.col("h"), CONTRIB_SCALE)).alias("ar"))
+        )
+        at = ar.agg(F.sum("ar").alias("ta"))
+        a = (
+            ar.crossJoin(F.broadcast(at))
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("ar").cast("double") / F.col("ta").cast("double")).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hr = (
+            edges.join(a, edges[dst] == a.node)
+            .groupBy(src)
+            .agg(F.sum(dec(F.col("a"), CONTRIB_SCALE)).alias("hr"))
+        )
+        ht = hr.agg(F.sum("hr").alias("th"))
+        h = (
+            hr.crossJoin(F.broadcast(ht))
+            .select(
+                F.col(src).alias("node"),
+                (F.col("hr").cast("double") / F.col("th").cast("double")).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return h, a

@@ -1661,3 +1661,88 @@ SELECT d, net_delta,
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_lines
 FROM deltas
 """
+
+
+def graph_hits_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the DIRECTED supplier→part shipping
+    graph (distinct (l_suppkey, l_partkey) pairs): hub suppliers cover
+    many well-covered parts, authority parts are covered by strong-hub
+    suppliers — the mutual-reinforcement centrality that plain degree
+    misses, and the directed complement to the symmetric-graph PageRank
+    query. Two L1-normalized rounds (``operators.graph.hits`` for the
+    decimal-snap determinism discipline); top-10 of each role with key
+    tie-breaks, role-tagged in one frame."""
+    from securities_pricing_data_pipeline_spark.operators.graph import hits
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    h, a = hits(edges, iters=2)
+    top_a = (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.col("node").alias("key"),
+            F.col("a").alias("score"),
+        )
+        .orderBy(F.desc("score"), "key")
+        .limit(10)
+    )
+    top_h = (
+        h.select(
+            F.lit("hub").alias("role"),
+            F.col("node").alias("key"),
+            F.col("h").alias("score"),
+        )
+        .orderBy(F.desc("score"), "key")
+        .limit(10)
+    )
+    return top_a.unionByName(top_h).orderBy("role", F.desc("score"), "key")
+
+
+QUERIES["graph_hits_supplier_parts"] = graph_hits_supplier_parts
+
+
+def _hits_oracle_sql(iters: int = 2) -> str:
+    """DuckDB twin of operators.graph.hits on the supplier→part graph:
+    the same decimal-snapped sums and double normalizations, unrolled."""
+    sql = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+), h0 AS (
+  SELECT DISTINCT s, CAST(1.0 AS DOUBLE) AS h FROM e
+)"""
+    for i in range(1, iters + 1):
+        sql += f""", a{i}r AS (
+  SELECT p, SUM(CAST(h AS DECIMAL(38,12))) AS ar
+  FROM e JOIN h{i - 1} USING (s) GROUP BY p
+), a{i} AS (
+  SELECT p, CAST(ar AS DOUBLE)
+            / (SELECT CAST(SUM(ar) AS DOUBLE) FROM a{i}r) AS a
+  FROM a{i}r
+), h{i}r AS (
+  SELECT s, SUM(CAST(a AS DECIMAL(38,12))) AS hr
+  FROM e JOIN a{i} USING (p) GROUP BY s
+), h{i} AS (
+  SELECT s, CAST(hr AS DOUBLE)
+            / (SELECT CAST(SUM(hr) AS DOUBLE) FROM h{i}r) AS h
+  FROM h{i}r
+)"""
+    return (
+        sql
+        + f"""
+SELECT * FROM (
+  SELECT 'authority' AS role, p AS key, a AS score FROM a{iters}
+  ORDER BY score DESC, key LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'hub' AS role, s AS key, h AS score FROM h{iters}
+  ORDER BY score DESC, key LIMIT 10
+)
+ORDER BY role, score DESC, key
+"""
+    )
+
+
+ORACLES["graph_hits_supplier_parts"] = _hits_oracle_sql(2)

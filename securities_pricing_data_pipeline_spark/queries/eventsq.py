@@ -847,3 +847,83 @@ SELECT hour_epoch, n_events, CAST(err_cnt AS BIGINT) AS err_cnt,
        err_cnt * trail_n > 2 * trail_sum AS is_spike
 FROM scored WHERE trail_n >= 6
 """
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley / CUSUM drift detection over the daily error-count
+    series — the changepoint readout behind "did the error RATE shift,
+    not just spike" (Page 1954; Hinkley 1971). The textbook recursion
+    PH_t = max(0, PH_{t-1} + x_t − x̄) is not window-expressible, but
+    its closed form is: PH_t = M_t − min_{s≤t} M_s where
+    M_t = Σ_{s≤t}(x_s − x̄) — one cumulative sum plus one running min.
+
+    Formulated ENTIRELY in integers so both engines agree bit-for-bit:
+    residuals are scaled by the day count (r_d = n·e_d − T, Σr = 0), so
+    M, the running min, and PH all stay exact int64; the alarm predicate
+    cross-multiplies (5·PH > n·T ⟺ accumulated drift mass exceeds 20 %
+    of total error mass) instead of comparing float rates; the only
+    float emitted is drift_events = PH/n, one exact-int÷int division.
+    Int64 budget: |M| ≤ n·T ≈ 4·10^2 days · 10^14 errors at a 100 TB
+    year — three orders under 2^63 (stated like the basket_rules_lift
+    note).
+
+    Plan: one day-granularity pre-aggregate (the global-window rule:
+    reduce first, window the n_days-row reduced frame), a 1-row scalar
+    broadcast, and two unbounded-preceding windows over the unique day
+    order."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.groupBy((F.expr("ts div 86400000000000") * 86400).alias("day_epoch")).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("err_cnt"),
+    )
+    scalars = days.agg(
+        F.count("*").alias("n_days"), F.sum("err_cnt").alias("total_err")
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(Window.unboundedPreceding, 0)
+    m = F.sum(F.col("n_days") * F.col("err_cnt") - F.col("total_err")).over(w)
+    scored = (
+        days.crossJoin(F.broadcast(scalars))
+        .withColumn("m_units", m)
+        .withColumn("run_min", F.min("m_units").over(w))
+        .withColumn("ph_units", F.col("m_units") - F.col("run_min"))
+    )
+    return scored.select(
+        "day_epoch",
+        "n_events",
+        "err_cnt",
+        "ph_units",
+        (F.col("ph_units").cast("double") / F.col("n_days")).alias("drift_events"),
+        (5 * F.col("ph_units") > F.col("n_days") * F.col("total_err")).alias(
+            "is_alarm"
+        ),
+    )
+
+
+QUERIES["events_cusum_changepoint"] = events_cusum_changepoint
+
+ORACLES["events_cusum_changepoint"] = """
+WITH days AS (
+  SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS day_epoch,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err_cnt
+  FROM events GROUP BY 1
+), s AS (
+  SELECT COUNT(*) AS n_days, SUM(err_cnt) AS total_err FROM days
+), m AS (
+  SELECT day_epoch, n_events, err_cnt, n_days, total_err,
+         SUM(n_days * err_cnt - total_err) OVER
+           (ORDER BY day_epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS m_units
+  FROM days, s
+), ph AS (
+  SELECT *, m_units - MIN(m_units) OVER
+           (ORDER BY day_epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ph_units
+  FROM m
+)
+SELECT day_epoch, n_events, CAST(err_cnt AS BIGINT) AS err_cnt,
+       CAST(ph_units AS BIGINT) AS ph_units,
+       CAST(ph_units AS DOUBLE) / n_days AS drift_events,
+       5 * ph_units > n_days * total_err AS is_alarm
+FROM ph
+"""

@@ -3423,3 +3423,237 @@ SELECT query_id, neighbor_id, cos_sim, rrf_score, len_score, blend_score,
          AS rerank_rank
 FROM b
 """
+
+
+def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM (Laplace-smoothed) perplexity proxy per document — see
+    ``llmdata.text.bigram_logppl`` for the model, scale shape, and the
+    decimal-snap parity contract it shares with ``text_unigram_logppl``."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bigram_logppl
+
+    return bigram_logppl(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_bigram_logppl"] = text_bigram_logppl
+
+ORACLES["text_bigram_logppl"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), toks AS (
+  SELECT unnest(t) AS tok FROM t
+), uni AS (
+  SELECT tok, COUNT(*) AS cu FROM toks GROUP BY 1
+), vv AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM toks
+), bg AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+    FROM t WHERE len(t) >= 2
+  )
+), big AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2
+), nll AS (
+  SELECT g.doc_id,
+         CAST(-ln(CAST(b.cb + 1 AS DOUBLE)
+                  / CAST(u.cu + (SELECT v FROM vv) AS DOUBLE))
+              AS DECIMAL(38,12)) AS nll
+  FROM bg g JOIN big b USING (w1, w2) JOIN uni u ON u.tok = g.w1
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       CAST(CAST(CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS DECIMAL(20,9)) AS DOUBLE)
+         AS avg_nll
+FROM nll GROUP BY doc_id
+"""
+
+
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) over the
+    RRF-fused candidate set: greedily pick k=3 of each query's fused
+    top-5 maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) with λ=0.5 —
+    the standard diversification pass between rerank and serve (don't
+    show five near-copies of the best hit). The greedy recursion is not
+    window-expressible, but k is a fixed small constant, so the three
+    selection steps UNROLL into windows + joins — the same
+    fixed-unroll discipline as the BPE merge passes and the Hilbert
+    automaton.
+
+    Parity: rel and pairwise sims are exact grid cosines; λ=0.5 is an
+    exact binary fraction; every step score is ``0.5*rel - 0.5*maxsim``
+    left-associated identically in both engines; ties break (score DESC,
+    candidate id). Plan shape: candidates are n_queries×5 rows, so every
+    join below is a broadcast-hash probe or a tiny per-query window —
+    the corpus is touched exactly once (the candidate-vector fetch)."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        cosine_with_norms,
+        norm_grid,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    fused = sim_rrf_fusion(spark, sf_dir).select("query_id", "neighbor_id")
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        norm_grid(F.col("embedding")).alias("q_norm"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("vec"),
+        norm_grid(F.col("embedding")).alias("nrm"),
+    )
+    cand = (
+        nv.join(F.broadcast(fused.withColumnRenamed("neighbor_id", "cid")), "cid")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cid",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("vec"), F.col("q_norm"), F.col("nrm")
+            ).alias("rel"),
+            "vec",
+            "nrm",
+        )
+    )
+    x, y = cand.alias("x"), cand.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.query_id") == F.col("y.query_id")) & (F.col("x.cid") != F.col("y.cid")),
+    ).select(
+        F.col("x.query_id").alias("query_id"),
+        F.col("x.cid").alias("ci"),
+        F.col("y.cid").alias("cj"),
+        cosine_with_norms(
+            F.col("x.vec"), F.col("y.vec"), F.col("x.nrm"), F.col("y.nrm")
+        ).alias("sim"),
+    )
+    slim = cand.select("query_id", "cid", "rel")
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cid")
+    s1 = (
+        slim.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("cid").alias("sel"), "rel")
+    )
+
+    def step(prev_sel: DataFrame, prev_ids: DataFrame) -> DataFrame:
+        # remaining candidates with max sim to the already-selected set
+        rem = slim.join(prev_ids, ["query_id", "cid"], "left_anti")
+        ms = (
+            pairs.join(
+                prev_ids.withColumnRenamed("cid", "cj"), ["query_id", "cj"]
+            )
+            .groupBy("query_id", "ci")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = rem.join(
+            ms, (rem.query_id == ms.query_id) & (rem.cid == ms.ci)
+        ).select(
+            rem.query_id.alias("query_id"),
+            "cid",
+            "rel",
+            "max_sim",
+            (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("max_sim")).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("cid").alias("sel"), "rel", "max_sim", "score")
+        )
+
+    ids1 = s1.select("query_id", F.col("sel").alias("cid"))
+    s2 = step(s1, ids1)
+    ids2 = ids1.unionByName(s2.select("query_id", F.col("sel").alias("cid")))
+    s3 = step(s2, ids2)
+    out1 = s1.select(
+        "query_id",
+        F.col("sel").alias("neighbor_id"),
+        F.col("rel").alias("cos_sim"),
+        F.lit(0.0).alias("max_sim_selected"),
+        (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.lit(0.0)).alias("mmr_score"),
+        F.lit(1).cast("int").alias("mmr_rank"),
+    )
+
+    def fmt(s: DataFrame, r: int) -> DataFrame:
+        return s.select(
+            "query_id",
+            F.col("sel").alias("neighbor_id"),
+            F.col("rel").alias("cos_sim"),
+            F.col("max_sim").alias("max_sim_selected"),
+            F.col("score").alias("mmr_score"),
+            F.lit(r).cast("int").alias("mmr_rank"),
+        )
+
+    return out1.unionByName(fmt(s2, 2)).unionByName(fmt(s3, 3))
+
+
+QUERIES["sim_mmr_diversify"] = sim_mmr_diversify
+
+ORACLES["sim_mmr_diversify"] = f"""
+WITH fused AS (SELECT query_id, neighbor_id FROM ({ORACLES["sim_rrf_fusion"]})),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+  FROM embeddings WHERE vec_id < 10
+), nv AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS v FROM embeddings
+), cand AS (
+  SELECT f.query_id, f.neighbor_id AS cid, {_cos_expr('q', 'v')} AS rel, v
+  FROM fused f
+  JOIN qv ON qv.query_id = f.query_id
+  JOIN nv ON nv.cid = f.neighbor_id
+), pairs AS (
+  SELECT x.query_id, x.cid AS ci, y.cid AS cj,
+         {_cos_expr('x.v', 'y.v')} AS sim
+  FROM cand x JOIN cand y
+    ON x.query_id = y.query_id AND x.cid <> y.cid
+), s1 AS (
+  SELECT query_id, cid AS sel, rel FROM (
+    SELECT query_id, cid, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rn
+    FROM cand) WHERE rn = 1
+), rem1 AS (
+  SELECT c.query_id, c.cid, c.rel FROM cand c
+  LEFT JOIN s1 ON s1.query_id = c.query_id AND s1.sel = c.cid
+  WHERE s1.sel IS NULL
+), ms1 AS (
+  SELECT p.query_id, p.ci, MAX(p.sim) AS max_sim
+  FROM pairs p JOIN s1 ON s1.query_id = p.query_id AND s1.sel = p.cj
+  GROUP BY 1, 2
+), s2 AS (
+  SELECT query_id, cid AS sel, rel, max_sim, score FROM (
+    SELECT r.query_id, r.cid, r.rel, m.max_sim,
+           0.5 * r.rel - 0.5 * m.max_sim AS score,
+           ROW_NUMBER() OVER (PARTITION BY r.query_id
+                              ORDER BY 0.5 * r.rel - 0.5 * m.max_sim DESC, r.cid)
+             AS rn
+    FROM rem1 r JOIN ms1 m ON m.query_id = r.query_id AND m.ci = r.cid
+  ) WHERE rn = 1
+), sel2 AS (
+  SELECT query_id, sel FROM s1 UNION ALL SELECT query_id, sel FROM s2
+), rem2 AS (
+  SELECT c.query_id, c.cid, c.rel FROM cand c
+  LEFT JOIN sel2 ON sel2.query_id = c.query_id AND sel2.sel = c.cid
+  WHERE sel2.sel IS NULL
+), ms2 AS (
+  SELECT p.query_id, p.ci, MAX(p.sim) AS max_sim
+  FROM pairs p JOIN sel2 ON sel2.query_id = p.query_id AND sel2.sel = p.cj
+  GROUP BY 1, 2
+), s3 AS (
+  SELECT query_id, cid AS sel, rel, max_sim, score FROM (
+    SELECT r.query_id, r.cid, r.rel, m.max_sim,
+           0.5 * r.rel - 0.5 * m.max_sim AS score,
+           ROW_NUMBER() OVER (PARTITION BY r.query_id
+                              ORDER BY 0.5 * r.rel - 0.5 * m.max_sim DESC, r.cid)
+             AS rn
+    FROM rem2 r JOIN ms2 m ON m.query_id = r.query_id AND m.ci = r.cid
+  ) WHERE rn = 1
+)
+SELECT query_id, sel AS neighbor_id, rel AS cos_sim,
+       CAST(0.0 AS DOUBLE) AS max_sim_selected,
+       0.5 * rel - 0.5 * CAST(0.0 AS DOUBLE) AS mmr_score,
+       CAST(1 AS INT) AS mmr_rank
+FROM s1
+UNION ALL
+SELECT query_id, sel, rel, max_sim, score, CAST(2 AS INT) FROM s2
+UNION ALL
+SELECT query_id, sel, rel, max_sim, score, CAST(3 AS INT) FROM s3
+"""

@@ -31,6 +31,10 @@ ALLOW_NEW: set[str] = {
     "strings_fuzzy_match",
     "skew_salted_aggregate",
     "sql_recursive_reachability",
+    "text_bigram_logppl",
+    "events_cusum_changepoint",
+    "graph_hits_supplier_parts",
+    "sim_mmr_diversify",
 }
 
 
