@@ -1244,3 +1244,23 @@ def test_poisson_bootstrap_deterministic_and_calibrated(spark):
     for n_eff, mean in a.values():
         assert 1700 < n_eff < 2300            # E[n_eff] = 2000, sd ≈ 45
         assert abs(mean - 49.5) < 3.0         # true mean of id % 100
+
+
+def test_bigram_logppl_hand_checked(spark):
+    """Corpus 'a b a' + 'b a': uni a=3 b=2, V=2; bigrams (a,b):1 (b,a):2;
+    nll(a,b)=−ln(2/5), nll(b,a)=−ln(3/4) — doc means check by hand."""
+    import math
+
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.llmdata.text import bigram_logppl
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in bigram_logppl(docs).collect()}
+    nab = -math.log(2 / 5)
+    nba = -math.log(3 / 4)
+    assert got[1][0] == 2 and got[2][0] == 1
+    assert got[1][1] == pytest.approx((nab + nba) / 2, abs=1e-8)
+    assert got[2][1] == pytest.approx(nba, abs=1e-8)

@@ -820,3 +820,25 @@ def test_transit_sweep_matches_brute_force(spark, tmp_path):
     for d, cnt in out.items():
         truth = sum(1 for s, e in ivs if s <= d <= e)
         assert cnt == truth, (d, cnt, truth)
+
+
+def test_hits_bipartite_hand_checked(spark):
+    """HITS on s1→{p10,p11}, s2→{p11}, 2 rounds by hand:
+    a1 = (1/3, 2/3) → h1 = (0.6, 0.4) → a2 = (0.375, 0.625) →
+    h2 = (0.6153846…, 0.3846153…); each side L1-sums to 1."""
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 11)], "src long, dst long"
+    )
+    h, a = hits(edges, iters=2)
+    hub = {r.node: r.h for r in h.collect()}
+    auth = {r.node: r.a for r in a.collect()}
+    assert hub[1] == pytest.approx(1.0 / 1.625, abs=1e-9)
+    assert hub[2] == pytest.approx(0.625 / 1.625, abs=1e-9)
+    assert auth[10] == pytest.approx(0.375, abs=1e-9)
+    assert auth[11] == pytest.approx(0.625, abs=1e-9)
+    assert sum(hub.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(auth.values()) == pytest.approx(1.0, abs=1e-9)
