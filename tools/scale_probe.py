@@ -561,6 +561,56 @@ def probe_cc(spark) -> list[tuple[str, int, float]]:
     return [("cc_1m star CC (chains + hub clique)", n, timed(lambda: force(agg)))]
 
 
+def probe_hits(spark) -> list[tuple[str, int, float]]:
+    """2-round HITS over a 1M-edge hub-skewed DIRECTED bipartite graph
+    (20k sources → 20k sinks, low-id sink hubs): per round two keyed
+    joins + two hash aggregates + two 1-row L1 normalizers — confirms
+    the mutual-reinforcement pass stays in the PageRank-iteration cost
+    class and hub sinks land in AQE-splittable aggregates."""
+    from securities_pricing_data_pipeline_spark.operators.graph import hits
+
+    n = 1_000_000
+    src = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(20_000))
+    rng = F.when(F.pmod(F.col("id"), F.lit(7)) == 0, F.lit(200)).otherwise(
+        F.lit(20_000)
+    )
+    dst = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), rng) + 100_000
+    edges = spark.range(n).select(src.alias("src"), dst.alias("dst")).distinct()
+
+    def run() -> None:
+        h, a = hits(edges, iters=2)
+        force(h)
+        force(a)
+
+    return [("hits_1m 2-round bipartite (hub-skewed sinks)", n, timed(run))]
+
+
+def probe_bigram(spark) -> list[tuple[str, int, float]]:
+    """Bigram-LM scoring over 1M synthetic ~20-token documents (the
+    bm25 corpus shape): prices the in-row pair construction + the two
+    Zipf-keyed count aggregates + the per-occurrence score joins — the
+    whole pipeline is 19M bigram rows through three hash shuffles."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bigram_logppl
+
+    n = 1_000_000
+    words = [f"w{i}" for i in range(29)] + ["spark", "join", "filter"]
+    vocab = F.array(*[F.lit(w) for w in words])
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.element_at(
+            vocab, (F.pmod(F.xxhash64(F.col("id"), i), F.lit(32)) + 1).cast("int")
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+    return [(
+        "bigram_1m LM scoring (20-token docs)",
+        n,
+        timed(lambda: force(bigram_logppl(docs))),
+    )]
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.md"
     spark = get_spark("scale_probe")
@@ -572,7 +622,7 @@ def main() -> None:
                   probe_quantile, probe_minhash, probe_semantic,
                   probe_pq_adc, probe_hilbert, probe_cdc, probe_keygaps,
                   probe_media, probe_triangles, probe_edge_support,
-                  probe_kcore, probe_bm25, probe_cc):
+                  probe_kcore, probe_bm25, probe_cc, probe_hits, probe_bigram):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
