@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "graph_hits_supplier_parts",
     "sim_mmr_diversify",
+    "text_prf_expansion",
     # round-8 additions (local numbers committed in BENCH_r08_local.json)
     "graph_edge_jaccard_parts",
     "graph_kcore_parts",

@@ -747,6 +747,65 @@ def bm25_topdocs(
     )
 
 
+def prf_expansion_terms(
+    df: DataFrame,
+    query_terms: list[str],
+    k_docs: int = 10,
+    k_terms: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 / RM1
+    term selection): run the seed query through BM25, pool the terms of
+    its top-``k_docs`` feedback documents, and rank candidate expansion
+    terms by an integer idf·feedback-tf weight — the classic second
+    retrieval pass that widens a sparse query with what its best hits
+    talk about. Seed terms are excluded from the candidates.
+
+    Exactness: feedback tf and corpus df are exact counts;
+    idf_scaled = 10^4·N DIV df (the TF-IDF/BM25 convention) and
+    expansion_score = idf_scaled·fb_tf are exact int64 (< 2^63 up to
+    N ~ 10^14 with 10-doc feedback pools) — no float ops.
+
+    Scale shape: the feedback pool is k_docs rows, so pooling is a
+    broadcast semi-probe of the (doc, term, tf) aggregate; corpus df is
+    computed ONLY for the candidate terms (vocab of k_docs documents)
+    via a broadcast semi-join — never a full-vocab aggregate; N is a
+    1-row broadcast; the final rank is a top-k over candidate-term
+    cardinality rows."""
+    fb = bm25_topdocs(df, query_terms, k=k_docs, text_col=text_col, id_col=id_col)
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    term_tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    fb_tf = (
+        term_tf.join(F.broadcast(fb.select(id_col)), id_col)
+        .filter(~F.col("term").isin(*query_terms))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("fb_tf"), F.count("*").alias("n_fb_docs"))
+    )
+    dfreq = (
+        term_tf.join(F.broadcast(fb_tf.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    nd = term_tf.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        fb_tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("idf_scaled", F.expr("10000 * n_docs div df").cast("long"))
+        .withColumn("expansion_score", F.col("idf_scaled") * F.col("fb_tf"))
+        .select("term", "fb_tf", "n_fb_docs", "df", "idf_scaled", "expansion_score")
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("expansion_score"), "term").limit(k_terms)
+    w = Window.orderBy(F.desc("expansion_score"), "term")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
 def bpe_pair_counts(
     df: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

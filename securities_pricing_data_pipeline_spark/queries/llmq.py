@@ -3657,3 +3657,53 @@ SELECT query_id, sel, rel, max_sim, score, CAST(2 AS INT) FROM s2
 UNION ALL
 SELECT query_id, sel, rel, max_sim, score, CAST(3 AS INT) FROM s3
 """
+
+
+def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRF query expansion for the fixed seed {spark, join, filter}:
+    top-5 expansion terms pooled from the BM25 top-10 feedback docs,
+    ranked by exact integer idf·feedback-tf
+    (``llmdata.text.prf_expansion_terms``). Completes the sparse
+    retrieval loop: BM25 retrieve → PRF expand → (re-run with the wider
+    query)."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import (
+        prf_expansion_terms,
+    )
+
+    return prf_expansion_terms(
+        load(spark, sf_dir, "documents"), ["spark", "join", "filter"],
+        k_docs=10, k_terms=5,
+    )
+
+
+QUERIES["text_prf_expansion"] = text_prf_expansion
+
+ORACLES["text_prf_expansion"] = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tt AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), fb AS (
+  SELECT doc_id FROM ({ORACLES["text_bm25_topdocs"]})
+), fbtf AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS fb_tf, COUNT(*) AS n_fb_docs
+  FROM tt JOIN fb USING (doc_id)
+  WHERE term NOT IN ('spark', 'join', 'filter')
+  GROUP BY 1
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tt
+  WHERE term IN (SELECT term FROM fbtf) GROUP BY 1
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tt
+), scored AS (
+  SELECT f.term, f.fb_tf, f.n_fb_docs, d.df,
+         (10000 * (SELECT n_docs FROM nd)) // d.df AS idf_scaled
+  FROM fbtf f JOIN dfreq d USING (term)
+)
+SELECT term, fb_tf, n_fb_docs, df, idf_scaled,
+       CAST(idf_scaled * fb_tf AS BIGINT) AS expansion_score,
+       CAST(row_number() OVER (ORDER BY idf_scaled * fb_tf DESC, term) AS INT)
+         AS rnk
+FROM scored ORDER BY expansion_score DESC, term LIMIT 5
+"""

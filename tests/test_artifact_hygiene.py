@@ -35,6 +35,7 @@ ALLOW_NEW: set[str] = {
     "events_cusum_changepoint",
     "graph_hits_supplier_parts",
     "sim_mmr_diversify",
+    "text_prf_expansion",
 }
 
 
