@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "graph_hits_supplier_parts",
     "sim_mmr_diversify",
     "text_prf_expansion",
+    "events_path_topk",
+    "sample_reservoir_stratified",
     # round-8 additions (local numbers committed in BENCH_r08_local.json)
     "graph_edge_jaccard_parts",
     "graph_kcore_parts",

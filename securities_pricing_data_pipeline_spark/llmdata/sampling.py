@@ -195,6 +195,34 @@ def weighted_sample(
     )
 
 
+def reservoir_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-k "reservoir" per stratum: rank rows inside
+    each stratum by a stable hash of the row id and keep the first k —
+    the eval-set carve (exactly k held-out docs per source) that a
+    classic random reservoir gives you, made reproducible across
+    re-runs, retries, and engines by replacing the random coin with the
+    hash (the split_assign/weighted_sample discipline).
+
+    Scale shape: Spark compiles the rank-<= filter to WindowGroupLimit —
+    each input partition keeps at most k rows per stratum BEFORE the
+    exchange, so the shuffle carries O(partitions x strata x k) rows,
+    not the corpus; there is no global sort and no driver state."""
+    from pyspark.sql import Window
+
+    h = portable_hash60(F.concat(F.lit("rsv:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h, id_col)
+    return (
+        df.withColumn("rsv_rank", F.row_number().over(w))
+        .filter(F.col("rsv_rank") <= k)
+        .withColumn("rsv_rank", F.col("rsv_rank").cast("int"))
+    )
+
+
 def poisson_bootstrap_means(
     df,
     value_col,

@@ -927,3 +927,79 @@ SELECT day_epoch, n_events, CAST(err_cnt AS BIGINT) AS err_cnt,
        5 * ph_units > n_days * total_err AS is_alarm
 FROM ph
 """
+
+
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths — the product-analytics "what do users actually
+    do" readout: gap-sessionize (the events_sessionize lag-cumsum), take
+    each session's first four event types in (ts, event_id) order as a
+    '>'-joined path, and rank paths by session count. Path construction
+    is IN-ROW array work on the session aggregate (sort_array of
+    (ts, event_id, type) structs → slice 4 → join) — no per-step
+    self-joins, and event_id breaks timestamp ties so the order is total
+    in both engines. n_sessions and lengths are exact ints; avg session
+    length is one int÷int double division. Plan: the two session windows
+    shuffle on user_id once; the path rollup is a string-keyed hash
+    aggregate; top-15 is a TakeOrdered."""
+    ev = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts") - F.lag("ts").over(w_order) > F.lit(_GAP_NS), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w_cum))
+    per = flagged.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                4,
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("session_len"),
+    )
+    return (
+        per.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            (F.sum("session_len").cast("double") / F.count("*")).alias(
+                "avg_session_len"
+            ),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(15)
+    )
+
+
+QUERIES["events_path_topk"] = events_path_topk
+
+ORACLES["events_path_topk"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id, event_type, tns,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per AS (
+  SELECT user_id, session_id,
+         array_to_string((list(event_type ORDER BY tns, event_id))[1:4], '>')
+           AS path,
+         COUNT(*) AS session_len
+  FROM sessions GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions,
+       CAST(SUM(session_len) AS DOUBLE) / COUNT(*) AS avg_session_len
+FROM per GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 15
+"""

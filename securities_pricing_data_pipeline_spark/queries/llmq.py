@@ -3707,3 +3707,33 @@ SELECT term, fb_tf, n_fb_docs, df, idf_scaled,
          AS rnk
 FROM scored ORDER BY expansion_score DESC, term LIMIT 5
 """
+
+
+def sample_reservoir_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-docs-per-source deterministic reservoir (the held-out
+    eval carve; ``llmdata.sampling.reservoir_per_stratum`` for the
+    WindowGroupLimit scale shape and the hash-coin reproducibility
+    contract)."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import (
+        reservoir_per_stratum,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return reservoir_per_stratum(docs, "source", k=20).select(
+        "source", "doc_id", "rsv_rank"
+    )
+
+
+QUERIES["sample_reservoir_stratified"] = sample_reservoir_stratified
+
+ORACLES["sample_reservoir_stratified"] = """
+SELECT source, doc_id, CAST(rn AS INT) AS rsv_rank FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)),
+                                         1, 15)) AS BIGINT),
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""

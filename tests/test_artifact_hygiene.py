@@ -36,6 +36,8 @@ ALLOW_NEW: set[str] = {
     "graph_hits_supplier_parts",
     "sim_mmr_diversify",
     "text_prf_expansion",
+    "events_path_topk",
+    "sample_reservoir_stratified",
 }
 
 
