@@ -25,20 +25,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {
-    "text_bpe_encode",
-    "sim_rerank_blend",
-    "strings_fuzzy_match",
-    "skew_salted_aggregate",
-    "sql_recursive_reachability",
-    "text_bigram_logppl",
-    "events_cusum_changepoint",
-    "graph_hits_supplier_parts",
-    "sim_mmr_diversify",
-    "text_prf_expansion",
-    "events_path_topk",
-    "sample_reservoir_stratified",
-}
+ALLOW_NEW: set[str] = set()
 
 
 def _latest(pattern: str) -> str | None:
