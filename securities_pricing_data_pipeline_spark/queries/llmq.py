@@ -3096,11 +3096,13 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: the DuckDB oracle replays the SAME merge table through the
     SAME expression generator (``bpe_encode_expr``, dialect='duckdb') —
     greedy left-fold per merge pass in both engines, so equality is
-    structural. Plan: one map-side projection, no shuffle beyond the
-    final doc_id sort."""
+    structural. Plan: one map-side projection, ZERO shuffles — the
+    oracle gate compares rows order-insensitively, so no final sort
+    (a trailing global ORDER BY on a corpus-sized projection is a full
+    range-partition pass at 100 TB for nothing)."""
     from securities_pricing_data_pipeline_spark.llmdata.text import bpe_encode
 
-    return bpe_encode(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return bpe_encode(load(spark, sf_dir, "documents"))
 
 
 QUERIES["text_bpe_encode"] = text_bpe_encode

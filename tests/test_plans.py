@@ -424,3 +424,25 @@ def test_dimsum_joins_are_keyed_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mmr_selection_joins_broadcast_never_smj(spark):
+    """The MMR unrolled selection steps join pinned (LogicalRDD) frames
+    whose stats are unknown — without explicit broadcast hints every
+    <=50-row step join planned as a sort-merge join (12 SMJs / 33
+    exchanges measured). Lock in the hinted shape."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import sim_mmr_diversify
+
+    plan = _plan(sim_mmr_diversify(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_no_global_sort(spark):
+    """text_bpe_encode is a map-side projection; the oracle gate compares
+    rows order-insensitively, so the plan must not pay a rangepartition
+    pass for a cosmetic final sort."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import text_bpe_encode
+
+    plan = _plan(text_bpe_encode(spark, SF))
+    assert "rangepartitioning" not in plan.lower()
