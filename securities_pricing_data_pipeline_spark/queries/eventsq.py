@@ -854,8 +854,12 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     series — the changepoint readout behind "did the error RATE shift,
     not just spike" (Page 1954; Hinkley 1971). The textbook recursion
     PH_t = max(0, PH_{t-1} + x_t − x̄) is not window-expressible, but
-    its closed form is: PH_t = M_t − min_{s≤t} M_s where
-    M_t = Σ_{s≤t}(x_s − x̄) — one cumulative sum plus one running min.
+    its closed form is: PH_t = M_t − min(0, min_{s≤t} M_s) where
+    M_t = Σ_{s≤t}(x_s − x̄) — one cumulative sum plus one running min;
+    the 0 in the min is the recursion's PH_0 = 0 base case (omit it and
+    an opening positive drift is silently absorbed —
+    ``tests/test_properties.py`` locks the identity against the
+    recursion on random integer series).
 
     Formulated ENTIRELY in integers so both engines agree bit-for-bit:
     residuals are scaled by the day count (r_d = n·e_d − T, Σr = 0), so
@@ -884,7 +888,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         days.crossJoin(F.broadcast(scalars))
         .withColumn("m_units", m)
-        .withColumn("run_min", F.min("m_units").over(w))
+        .withColumn(
+            "run_min", F.least(F.lit(0).cast("long"), F.min("m_units").over(w))
+        )
         .withColumn("ph_units", F.col("m_units") - F.col("run_min"))
     )
     return scored.select(
@@ -916,8 +922,8 @@ WITH days AS (
            AS m_units
   FROM days, s
 ), ph AS (
-  SELECT *, m_units - MIN(m_units) OVER
-           (ORDER BY day_epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  SELECT *, m_units - LEAST(0, MIN(m_units) OVER
+           (ORDER BY day_epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
            AS ph_units
   FROM m
 )

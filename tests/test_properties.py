@@ -273,3 +273,31 @@ def test_ansi_topn_with_dates_matches_duckdb(spark, g, m, k, n):
     dcols, drows = normalize(ddf)
     assert scols == dcols
     assert srows == drows
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_equals_page_hinkley_recursion(xs):
+    """events_cusum_changepoint relies on the identity
+    PH_t = M_t − min_{s≤t} M_s  ==  the textbook recursion
+    PH_t = max(0, PH_{t−1} + r_t), for any integer residual series r
+    (here r_t = n·x_t − T, which sums to 0 but the identity holds for
+    ANY r). Locks the window formulation to the published detector."""
+    n, total = len(xs), sum(xs)
+    rs = [n * x - total for x in xs]
+    # closed form: cumsum minus running min (cumsum prefix includes 0:
+    # min over s<=t of M_s with M_0-before-start = 0 — matching the
+    # recursion's PH_0 = 0 base case)
+    m, runmin, closed = 0, 0, []
+    for r in rs:
+        m += r
+        runmin = min(runmin, m)
+        closed.append(m - runmin)
+    # recursion
+    ph, rec = 0, []
+    for r in rs:
+        ph = max(0, ph + r)
+        rec.append(ph)
+    assert closed == rec
