@@ -1264,3 +1264,27 @@ def test_bigram_logppl_hand_checked(spark):
     assert got[1][0] == 2 and got[2][0] == 1
     assert got[1][1] == pytest.approx((nab + nba) / 2, abs=1e-8)
     assert got[2][1] == pytest.approx(nba, abs=1e-8)
+
+
+def test_reservoir_per_stratum_permutation_invariant(spark):
+    """The hash-coin reservoir must select the SAME k ids per stratum
+    regardless of input row order / partition layout — the property that
+    makes re-runs and engine swaps reproducible (a rand() reservoir
+    fails this)."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import (
+        reservoir_per_stratum,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    a = spark.createDataFrame(rows, "doc_id long, source string")
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id long, source string").repartition(7)
+    sel = lambda df: {
+        (r.source, r.doc_id, r.rsv_rank)
+        for r in reservoir_per_stratum(df, "source", k=5).collect()
+    }
+    got = sel(a)
+    assert got == sel(b)
+    per = {}
+    for s, d, r in got:
+        per.setdefault(s, []).append(r)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())

@@ -842,3 +842,24 @@ def test_hits_bipartite_hand_checked(spark):
     assert auth[11] == pytest.approx(0.625, abs=1e-9)
     assert sum(hub.values()) == pytest.approx(1.0, abs=1e-9)
     assert sum(auth.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cosupply_sym_silver_cached_and_symmetric(spark):
+    """The symmetric edge silver is built once per (session, sf, key) —
+    the second call must return the SAME persisted frame (the r9 fix for
+    the r8 pagerank drift) — and must contain every edge in both
+    directions exactly once."""
+    from securities_pricing_data_pipeline_spark.queries.analytic import (
+        _copurchase_edges,
+        _cosupply_sym_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = _cosupply_sym_edges(spark, sf, "l_suppkey")
+    b = _cosupply_sym_edges(spark, sf, "l_suppkey")
+    assert a is b  # cache hit, not a rebuild
+    und = {(r.u, r.v) for r in _copurchase_edges(spark, sf, "l_suppkey").collect()}
+    sym = [(r.u, r.v) for r in a.collect()]
+    assert len(sym) == 2 * len(und) == len(set(sym))
+    assert {(u, v) for u, v in sym if u < v} == und
+    assert {(v, u) for u, v in sym if u > v} == und
