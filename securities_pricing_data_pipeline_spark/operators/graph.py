@@ -516,6 +516,10 @@ def hits(
             .agg(F.sum(dec(F.col("h"), CONTRIB_SCALE)).alias("ar"))
         )
         at = ar.agg(F.sum("ar").alias("ta"))
+        # ``a`` IS pinned: it feeds two consumers (the hr aggregate and
+        # the returned authority frame) — dropping this checkpoint was
+        # measured SLOWER (7.9s vs 6.3s warm at sf0.1): each consumer
+        # replays the edges⋈h join + aggregate lineage
         a = (
             ar.crossJoin(F.broadcast(at))
             .select(
