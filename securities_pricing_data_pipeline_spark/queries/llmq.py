@@ -451,7 +451,16 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     small int, so both engines compute the identical correctly-rounded
     quotient and the sum is exact; the fused ordering can never diverge.
     Plan: both retrievers share the embeddings scan; fusion itself is one
-    (query, neighbor) aggregate plus a per-query rank window."""
+    (query, neighbor) aggregate plus a per-query rank window. The result
+    (n_queries×5 rows) is pinned as a per-session silver — the rerank
+    (``sim_rerank_blend``) and diversification (``sim_mmr_diversify``)
+    stages consume the SAME fused candidates, so the two-retriever
+    pipeline runs once per session, not once per serving stage (the
+    ``_DEDUP_SILVER`` discipline)."""
+    key = ("fused", spark.sparkContext.applicationId, sf_dir)
+    cached = _DEDUP_SILVER.get(key)
+    if cached is not None:
+        return cached
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     bf = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id", "rank")
@@ -463,7 +472,7 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_lists"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rrf_units"), "neighbor_id")
-    return (
+    out = (
         scored.withColumn("fused_rank", F.row_number().over(w))
         .filter(F.col("fused_rank") <= 5)
         .select(
@@ -473,7 +482,10 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lists",
             F.col("fused_rank").cast("int").alias("fused_rank"),
         )
+        .localCheckpoint(eager=True)  # candidate-set-sized pin
     )
+    _DEDUP_SILVER[key] = out
+    return out
 
 
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
