@@ -5,6 +5,8 @@ no Python in the per-row path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -667,12 +669,31 @@ def segment_dedup_stats(
     )
 
 
+def term_tf_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The (doc, term, tf) postings aggregate every sparse-retrieval
+    operator reads (BM25 lengths/totals/TF/DF, PRF feedback pooling) —
+    tokenize once, count per (doc, term), materialize (localCheckpoint:
+    multiple consumers per query re-derive the tokenize+explode branch
+    otherwise). At 100 TB this is the written postings silver table;
+    in-session the callers cache one instance per corpus (see
+    ``queries.llmq._bm25_postings``) instead of re-pinning per call."""
+    return (
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def bm25_topdocs(
     df: DataFrame,
     query_terms: list[str],
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    term_tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25 (k1=1.2, b=0.75) for a fixed query term
     set — the canonical sparse-retrieval scorer next to ``tfidf_top_terms``
@@ -700,15 +721,14 @@ def bm25_topdocs(
     term DF) — without the pin Spark re-derives the branch and pays the
     tokenize+explode scan per consumer (the .explain showed 4 Generate
     nodes). Everything downstream is doc- or term-cardinality rows; N/T
-    is a 1-row broadcast and the final rank is a single top-k sort."""
+    is a 1-row broadcast and the final rank is a single top-k sort.
+    Pass ``term_tf`` (an already-materialized (doc, term, tf) postings
+    frame, e.g. a per-session silver) to skip the tokenize+pin — the
+    contract a written postings table would satisfy at corpus scale."""
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
-    term_tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    if term_tf is None:
+        term_tf = term_tf_postings(df, text_col=text_col, id_col=id_col)
     dl = term_tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     totals = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("t_tokens")
@@ -754,6 +774,7 @@ def prf_expansion_terms(
     k_terms: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    term_tf: DataFrame | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback query expansion (Rocchio 1971 / RM1
     term selection): run the seed query through BM25, pool the terms of
@@ -772,13 +793,13 @@ def prf_expansion_terms(
     computed ONLY for the candidate terms (vocab of k_docs documents)
     via a broadcast semi-join — never a full-vocab aggregate; N is a
     1-row broadcast; the final rank is a top-k over candidate-term
-    cardinality rows."""
-    fb = bm25_topdocs(df, query_terms, k=k_docs, text_col=text_col, id_col=id_col)
-    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
-    term_tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+    cardinality rows. Pass ``term_tf`` to share one materialized
+    postings frame with the BM25 pass instead of re-pinning the corpus
+    aggregate here (both stages of the PRF loop read the same silver)."""
+    if term_tf is None:
+        term_tf = term_tf_postings(df, text_col=text_col, id_col=id_col)
+    fb = bm25_topdocs(
+        df, query_terms, k=k_docs, text_col=text_col, id_col=id_col, term_tf=term_tf
     )
     fb_tf = (
         term_tf.join(F.broadcast(fb.select(id_col)), id_col)
@@ -900,6 +921,12 @@ def bpe_encode_expr(word_expr: str, dialect: str = "spark") -> str:
     Scale: pure per-row expression work (no UDF, no shuffle); cost is
     O(|word| · |BPE_MERGES|) per word, constant-bounded by the fixed
     merge table."""
+    for x, y in BPE_MERGES:
+        # merge symbols are interpolated into SQL string literals in
+        # BOTH dialects unescaped — a quote or space would silently
+        # generate broken/diverging SQL, so reject it at build time
+        if not (re.fullmatch(r"[a-z]+", x) and re.fullmatch(r"[a-z]+", y)):
+            raise ValueError(f"BPE merge symbols must match [a-z]+: {(x, y)!r}")
     if dialect == "spark":
         toks = f"filter(split({word_expr}, ''), x -> x != '')"
     else:

@@ -501,6 +501,11 @@ def hits(
     PageRank iteration cost class; the 1-row normalizer joins broadcast.
     Score frames localCheckpoint per round (flat lineage, node-sized
     cost). ``materialized=True`` = caller already pinned ``edges``."""
+    if iters < 1:
+        # iters=0 would return (unnormalized initial hubs, None) — the
+        # None authorities frame would crash the CALLER at use time;
+        # fail here where the mistake is visible instead
+        raise ValueError("hits() needs iters >= 1 (one mutual-reinforcement round)")
     if not materialized:
         edges = edges.localCheckpoint(eager=True)
     h = (

@@ -213,14 +213,17 @@ class DeltaMergeFormat:
             return n
         cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
         tbl = DeltaTable.forPath(spark, path)
-        before = self.read(spark, path).count()
         (
             tbl.alias("t")
             .merge(batch.alias("s"), cond)
             .whenNotMatchedInsertAll()  # first write wins: no matched clause
             .execute()
         )
-        return self.read(spark, path).count() - before
+        # inserted-row count from the MERGE commit's own operation
+        # metrics — exact for THIS commit even under concurrent writers,
+        # and O(1) vs the O(table) before/after count pair
+        last = tbl.history(1).select("operationMetrics").collect()
+        return int(last[0]["operationMetrics"].get("numTargetRowsInserted", 0))
 
 
 _FORMATS = {

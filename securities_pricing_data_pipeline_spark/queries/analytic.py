@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_silver
 from securities_pricing_data_pipeline_spark.queries.helpers import (
+    SessionSilverRegistry,
     dec,
     dsum,
     load,
@@ -38,8 +39,9 @@ from securities_pricing_data_pipeline_spark.queries.helpers import (
 # self-join on order → pair distinct — costs ~4.5s at sf0.1, and SIX
 # graph queries each paid it while their actual graph math runs ~1s.
 # Keyed by (applicationId, sf_dir, key column, node filter) so sessions
-# and scale factors never cross-contaminate.
-_GRAPH_SILVER: dict[tuple, DataFrame] = {}
+# and scale factors never cross-contaminate; other-session keys are
+# evicted on insert (SessionSilverRegistry).
+_GRAPH_SILVER: dict[tuple, DataFrame] = SessionSilverRegistry()
 
 
 def _copurchase_edges(

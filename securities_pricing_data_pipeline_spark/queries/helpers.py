@@ -146,3 +146,19 @@ def sql_dsum(expr: str, scale: int) -> str:
 
 def sql_davg(expr: str, scale: int) -> str:
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE) / COUNT({expr}))"
+
+
+class SessionSilverRegistry(dict):
+    """Per-session silver cache: a dict keyed by tuples whose SECOND
+    element is the owning Spark applicationId (the `_DEDUP_SILVER` /
+    `_GRAPH_SILVER` key convention). On insert, entries belonging to any
+    OTHER applicationId are evicted — their RDDs die with their
+    SparkContext anyway, but without eviction the dict slots pin stale
+    DataFrame handles for the process lifetime (a bounded leak when test
+    suites cycle many sessions; VERDICT r9 item 2)."""
+
+    def __setitem__(self, key: tuple, value) -> None:
+        app = key[1]
+        for stale in [k for k in self if k[1] != app]:
+            super().__delitem__(stale)
+        super().__setitem__(key, value)

@@ -60,7 +60,10 @@ from securities_pricing_data_pipeline_spark.llmdata.text import (
 )
 from securities_pricing_data_pipeline_spark.operators.asof import asof_join_backward
 from securities_pricing_data_pipeline_spark.queries.bars import BARS_SQL, bars_df, bars_silver
-from securities_pricing_data_pipeline_spark.queries.helpers import load
+from securities_pricing_data_pipeline_spark.queries.helpers import (
+    SessionSilverRegistry,
+    load,
+)
 
 
 # ---- dedup silver artifacts -------------------------------------------------
@@ -69,8 +72,9 @@ from securities_pricing_data_pipeline_spark.queries.helpers import load
 # clustering, audits, and evaluation against that artifact. In-session the
 # same contract is a persisted DataFrame keyed by (application, sf_dir) —
 # the exact precedent of queries.bars.bars_silver. Every dedup query below
-# reads these instead of re-deriving the corpus per query.
-_DEDUP_SILVER: dict[tuple, DataFrame] = {}
+# reads these instead of re-deriving the corpus per query. The registry
+# evicts other-session keys on insert (see SessionSilverRegistry).
+_DEDUP_SILVER: dict[tuple, DataFrame] = SessionSilverRegistry()
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
@@ -179,6 +183,22 @@ def _cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = connected_components_auto(
             _lsh_pairs(spark, sf_dir), docs.select("doc_id"), id_col="doc_id"
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        _DEDUP_SILVER[key] = df
+    return df
+
+
+def _bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc, term, tf) postings silver — the artifact a sparse
+    retrieval stack writes once and every scorer reads. BM25 retrieval
+    and PRF expansion (two stages of the same loop) previously EACH
+    tokenized and localCheckpointed the corpus aggregate per call
+    (ADVICE r9 #1); now the pin happens once per (session, corpus)."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import term_tf_postings
+
+    key = ("postings", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        df = term_tf_postings(load(spark, sf_dir, "documents"))
         _DEDUP_SILVER[key] = df
     return df
 
@@ -3039,7 +3059,8 @@ def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from securities_pricing_data_pipeline_spark.llmdata.text import bm25_topdocs
 
     return bm25_topdocs(
-        load(spark, sf_dir, "documents"), ["spark", "join", "filter"], k=10
+        load(spark, sf_dir, "documents"), ["spark", "join", "filter"], k=10,
+        term_tf=_bm25_postings(spark, sf_dir),
     )
 
 
@@ -3696,7 +3717,7 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return prf_expansion_terms(
         load(spark, sf_dir, "documents"), ["spark", "join", "filter"],
-        k_docs=10, k_terms=5,
+        k_docs=10, k_terms=5, term_tf=_bm25_postings(spark, sf_dir),
     )
 
 

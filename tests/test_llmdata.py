@@ -1288,3 +1288,19 @@ def test_reservoir_per_stratum_permutation_invariant(spark):
     for s, d, r in got:
         per.setdefault(s, []).append(r)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+
+
+def test_bpe_fold_rejects_unsafe_merge_symbols(monkeypatch):
+    """Merge symbols are interpolated into SQL string literals in both
+    dialects; a quote or space would silently emit broken/diverging SQL
+    (ADVICE r9 #3) — bpe_encode_expr must reject them at build time."""
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.llmdata import text as t
+
+    monkeypatch.setattr(t, "BPE_MERGES", [("a'", "b")])
+    with pytest.raises(ValueError, match="BPE merge symbols"):
+        t.bpe_encode_expr("w")
+    monkeypatch.setattr(t, "BPE_MERGES", [("a", "b c")])
+    with pytest.raises(ValueError, match="BPE merge symbols"):
+        t.bpe_encode_expr("w")

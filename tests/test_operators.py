@@ -863,3 +863,184 @@ def test_cosupply_sym_silver_cached_and_symmetric(spark):
     assert len(sym) == 2 * len(und) == len(set(sym))
     assert {(u, v) for u, v in sym if u < v} == und
     assert {(v, u) for u, v in sym if u > v} == und
+
+
+def test_hits_rejects_zero_iters(spark):
+    """iters=0 would return (unnormalized hubs, None) and crash the
+    CALLER at authority-use time (ADVICE r9 #4) — must raise here."""
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 10)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters >= 1"):
+        hits(edges, iters=0)
+
+
+def test_session_silver_registry_evicts_stale_sessions():
+    """Inserting a silver for a NEW applicationId drops every entry
+    owned by other (dead) sessions, so the registry never grows across
+    session cycles (VERDICT r9 item 2). Same-session keys survive."""
+    from securities_pricing_data_pipeline_spark.queries.helpers import (
+        SessionSilverRegistry,
+    )
+
+    reg = SessionSilverRegistry()
+    reg[("shingles", "app-1", "sfA")] = "df1"
+    reg[("minhash", "app-1", "sfA", 64)] = "df2"
+    assert len(reg) == 2  # same session: both live
+    reg[("shingles", "app-2", "sfA")] = "df3"
+    assert set(reg) == {("shingles", "app-2", "sfA")}  # app-1 evicted
+    reg[("minhash", "app-2", "sfA", 64)] = "df4"
+    assert len(reg) == 2
+
+
+def _install_fake_delta(monkeypatch):
+    """Inject a minimal fake ``delta.tables`` module (VERDICT r9 item 5):
+    records merge conditions and whenMatched/whenNotMatched clause calls,
+    and EXECUTES the recorded merge with plain DataFrame ops so contents
+    and the history-metrics inserted-count can be asserted against the
+    parquet backend on the same fixture. Tables live in a dict — the
+    initial ``format('delta')`` writer path can't run without the real
+    package, so tests pre-seed the table and exercise the MERGE path
+    (the logic under test)."""
+    import re
+    import types
+
+    calls = []
+
+    class FakeMergeBuilder:
+        def __init__(self, tbl, source, cond):
+            self.tbl, self.source, self.cond = tbl, source, cond
+            self.matched_update_all = False
+            self.not_matched_insert_all = False
+
+        def whenMatchedUpdateAll(self):
+            self.matched_update_all = True
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            self.not_matched_insert_all = True
+            return self
+
+        def execute(self):
+            keys = re.findall(r"t\.`([^`]+)` = s\.`\1`", self.cond)
+            assert keys, f"unparseable merge condition: {self.cond}"
+            target = FakeDeltaTable.tables[self.tbl.path]
+            inserted = self.source.join(target, keys, "left_anti")
+            n_ins = inserted.count()
+            if self.matched_update_all:  # upsert: source wins on match
+                result = self.source.unionByName(
+                    target.join(self.source, keys, "left_anti")
+                )
+            else:  # insert-only: first write wins
+                result = target.unionByName(inserted)
+            FakeDeltaTable.tables[self.tbl.path] = result.localCheckpoint()
+            self.tbl.last_metrics = {"numTargetRowsInserted": str(n_ins)}
+            calls.append(self)
+
+    class FakeDeltaTable:
+        tables = {}
+
+        def __init__(self, spark, path):
+            self.spark, self.path = spark, path
+            self.last_metrics = {}
+
+        @classmethod
+        def isDeltaTable(cls, spark, path):
+            return path in cls.tables
+
+        @classmethod
+        def forPath(cls, spark, path):
+            return cls(spark, path)
+
+        def alias(self, name):
+            return self
+
+        def merge(self, source, cond):
+            return FakeMergeBuilder(self, source, cond)
+
+        def history(self, n):
+            return self.spark.createDataFrame(
+                [(self.last_metrics,)], "operationMetrics map<string,string>"
+            )
+
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+    return FakeDeltaTable, calls
+
+
+def test_delta_backend_contract_upsert(spark, tmp_path, monkeypatch):
+    """DeltaMergeFormat.upsert_partitions under the fake module: the
+    merge condition names exactly the keys, both clauses fire, the
+    in-batch duplicate is pre-reduced before the MERGE (one source row
+    per key — Delta requires it), and the final contents are identical
+    to the parquet backend on the same fixture."""
+    from securities_pricing_data_pipeline_spark.operators import merge as m
+
+    FakeDeltaTable, calls = _install_fake_delta(monkeypatch)
+    d1, d2 = dt.date(2026, 1, 1), dt.date(2026, 1, 2)
+    schema = "symbol string, trade_date date, v double"
+    base = spark.createDataFrame(
+        [("A", d1, 1.0), ("B", d1, 2.0), ("A", d2, 3.0)], schema
+    )
+    # in-batch dup for A@d1: desc-v keep-rule must keep 10.0 pre-merge
+    src = spark.createDataFrame(
+        [("A", d1, 10.0), ("A", d1, 4.0), ("C", d1, 5.0)], schema
+    )
+    keys = ["symbol", "trade_date"]
+    order = [F.desc("v")]
+
+    fmt = m.DeltaMergeFormat()
+    FakeDeltaTable.tables["/fake/prices"] = base
+    fmt.upsert_partitions(
+        spark, src, "/fake/prices", keys=keys, prefer_source_order=order
+    )
+
+    (call,) = calls
+    assert call.cond == "t.`symbol` = s.`symbol` AND t.`trade_date` = s.`trade_date`"
+    assert call.matched_update_all and call.not_matched_insert_all
+    per_key = call.source.groupBy(*keys).count().agg(F.max("count")).first()[0]
+    assert per_key == 1  # pre-reduced: Delta MERGE sees one row per key
+
+    # parquet backend, same fixture: seed then upsert
+    path = str(tmp_path / "pq")
+    m.upsert_partitions(spark, base, path, keys=keys)
+    m.upsert_partitions(spark, src, path, keys=keys, prefer_source_order=order)
+    cols = ["symbol", "trade_date", "v"]  # partitionBy reorders on read
+    pq = {tuple(r) for r in spark.read.parquet(path).select(cols).collect()}
+    dl = {
+        tuple(r) for r in FakeDeltaTable.tables["/fake/prices"].select(cols).collect()
+    }
+    assert dl == pq == {("A", d1, 10.0), ("B", d1, 2.0), ("C", d1, 5.0), ("A", d2, 3.0)}
+
+
+def test_delta_backend_contract_insert_if_absent(spark, tmp_path, monkeypatch):
+    """insert_if_absent under the fake module: insert-only (NO matched
+    clause), appended count comes from the commit's operationMetrics
+    (ADVICE r9 #2 — no before/after table scans), first-write-wins
+    contents match the parquet backend."""
+    from securities_pricing_data_pipeline_spark.operators import merge as m
+
+    FakeDeltaTable, calls = _install_fake_delta(monkeypatch)
+    a = spark.createDataFrame([(1, "X")], "id long, name string")
+    b = spark.createDataFrame([(1, "CHANGED"), (2, "Y")], "id long, name string")
+
+    fmt = m.DeltaMergeFormat()
+    FakeDeltaTable.tables["/fake/dim"] = a
+    assert fmt.insert_if_absent(spark, b, "/fake/dim", keys=["id"]) == 1
+
+    (call,) = calls
+    assert call.cond == "t.`id` = s.`id`"
+    assert call.not_matched_insert_all and not call.matched_update_all
+
+    path = str(tmp_path / "dim_pq")
+    m.insert_if_absent(spark, a, path, keys=["id"])
+    m.insert_if_absent(spark, b, path, keys=["id"])
+    pq = {(r.id, r.name) for r in spark.read.parquet(path).collect()}
+    dl = {(r.id, r.name) for r in FakeDeltaTable.tables["/fake/dim"].collect()}
+    assert dl == pq == {(1, "X"), (2, "Y")}
