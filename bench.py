@@ -33,12 +33,27 @@ Round-over-round drift is gated, not just recorded:
 ratio of the two latest committed BENCH_r*_local.json artifacts
 exceeds 1.10 on their common set, unless the newer artifact carries an
 ``"explained"`` note (set ``SPARK_GRAFT_BENCH_NOTE`` when producing it).
+
+Single-query movers are gated too (VERDICT r9 item 1 — the median gate
+let a 1.95x mover ship): on a full run, any query whose fresh median
+exceeds 1.5x its value in the latest committed local artifact is
+automatically RE-RUN for another $SPARK_GRAFT_BENCH_TRIALS trials and
+its median recomputed over ALL samples — the builder's hiccup policy
+("inspect movers >1.5x and rerun rather than shipping a hiccup"),
+mechanized. Re-run names land in the artifact's ``"rebenched"`` list;
+a mover that SURVIVES the re-run is a real movement and should carry a
+note in ``"explained_queries"`` (set ``SPARK_GRAFT_BENCH_QUERY_NOTES``
+to a JSON object {query: note}). The hygiene test fails on any >1.5x
+common-set mover that is neither rebenched nor explained.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
@@ -261,6 +276,32 @@ BENCH_QUERIES = [
 ]
 
 
+def _latest_local_artifact() -> dict | None:
+    """The highest-round committed BENCH_r*_local.json, parsed — the
+    baseline the >1.5x single-query mover re-run policy compares against."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = glob.glob(os.path.join(here, "BENCH_r*_local.json"))
+    if not paths:
+        return None
+    latest = max(
+        paths, key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1))
+    )
+    with open(latest) as fh:
+        return json.load(fh)
+
+
+def _time_query(spark, fn, sf_dir: str, trials: int) -> list[float]:
+    """trials wall-clock samples of plan+execute, forced with the
+    every-column hash aggregate (see module docstring)."""
+    samples: list[float] = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+        samples.append(time.perf_counter() - t0)
+    return samples
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
@@ -289,22 +330,45 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in names:
-        samples: list[float] = []
         try:
-            for _ in range(trials):
-                t0 = time.perf_counter()
-                df = queries[name](spark, sf_dir)
-                df.agg(
-                    F.max(F.xxhash64(*[F.col(c) for c in df.columns]))
-                ).collect()
-                samples.append(time.perf_counter() - t0)
+            samples = _time_query(spark, queries[name], sf_dir, trials)
             cold[name] = round(samples[0], 4)
-            samples.sort()
-            timings[name] = round(samples[len(samples) // 2], 4)
+            all_samples[name] = samples
+            timings[name] = round(statistics.median(samples), 4)
         except Exception as e:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+
+    # Hiccup policy (VERDICT r9 item 1): on a FULL run, a query whose
+    # median moved >1.5x vs the latest committed artifact gets one more
+    # trial set; the recorded median spans all samples, so a one-off
+    # session hiccup (observed 2-3x on ~1s queries under load) is voted
+    # down instead of shipped. Survivors are genuine movers — explain
+    # them via SPARK_GRAFT_BENCH_QUERY_NOTES.
+    rebenched: list[str] = []
+    prev = _latest_local_artifact() if not only else None
+    if prev and prev.get("sf") == (float(sf_dir.rstrip("/").split("sf")[-1])
+                                   if sf_dir.rstrip("/").split("sf")[-1]
+                                   .replace(".", "").isdigit() else None):
+        prev_q = prev.get("queries", {})
+        for name in [
+            n for n, sec in timings.items()
+            if prev_q.get(n, 0) > 0 and sec / prev_q[n] > 1.5
+        ]:
+            try:
+                extra = _time_query(spark, queries[name], sf_dir, trials)
+            except Exception:  # noqa: BLE001 — keep the original result
+                continue
+            all_samples[name].extend(extra)
+            timings[name] = round(statistics.median(all_samples[name]), 4)
+            rebenched.append(name)
+            print(
+                f"bench: rebenched mover {name}: prev {prev_q[name]}s, "
+                f"now {timings[name]}s over {len(all_samples[name])} samples",
+                file=sys.stderr,
+            )
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -316,9 +380,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "trials": trials,
     }
+    out["rebenched"] = sorted(rebenched)
     note = os.environ.get("SPARK_GRAFT_BENCH_NOTE")
     if note:
         out["explained"] = note
+    qnotes = os.environ.get("SPARK_GRAFT_BENCH_QUERY_NOTES")
+    if qnotes:
+        out["explained_queries"] = json.loads(qnotes)
     if errors:
         out["errors"] = errors
         out["n_errors"] = len(errors)

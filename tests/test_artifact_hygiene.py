@@ -152,6 +152,41 @@ def test_bench_drift_is_explained():
         )
 
 
+def test_bench_single_query_movers_are_rebenched_or_explained():
+    """Per-query mover gate (VERDICT r9 item 1): the median-only drift
+    gate let a 1.95x single-query mover ship, contradicting the standing
+    hiccup policy ("inspect movers >1.5x and rerun"). Now any common
+    query whose committed median moved >1.5x round-over-round must
+    either appear in the artifact's ``rebenched`` list (bench.py re-ran
+    it, so the number already voted down a one-off hiccup) or carry a
+    note in ``explained_queries`` (a genuine, attributed movement)."""
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, "BENCH_r*_local.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if len(paths) < 2:
+        pytest.skip("fewer than two local bench artifacts")
+    with open(paths[-2]) as fh:
+        old = json.load(fh)["queries"]
+    with open(paths[-1]) as fh:
+        new_doc = json.load(fh)
+    if "rebenched" not in new_doc:
+        pytest.skip("latest artifact predates the per-query mover policy")
+    new = new_doc["queries"]
+    ok = set(new_doc["rebenched"]) | set(new_doc.get("explained_queries", {}))
+    movers = [
+        n for n in old
+        if n in new and old[n] > 0 and new[n] / old[n] > 1.5 and n not in ok
+    ]
+    assert not movers, (
+        f"common queries moved >1.5x vs {os.path.basename(paths[-2])} without "
+        f"re-run or explanation: "
+        f"{ {n: (old[n], new[n]) for n in sorted(movers)} } — bench.py "
+        f"re-runs movers automatically on a full run; for genuine movement "
+        f"set SPARK_GRAFT_BENCH_QUERY_NOTES"
+    )
+
+
 def test_oracle_and_queries_expose_identical_name_sets():
     import __spark_entry__ as entry
 
