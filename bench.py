@@ -273,6 +273,8 @@ BENCH_QUERIES = [
     "events_error_spike_hours",
     "transit_timeline_sweep",
     "sample_poisson_bootstrap",
+    # round-10 additions
+    "dedup_substring_spans",
 ]
 
 

@@ -3782,3 +3782,44 @@ SELECT source, doc_id, CAST(rn AS INT) AS rsv_rank FROM (
   FROM documents
 ) WHERE rn <= 20
 """
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated substring spans (Lee et al. 2022 suffix-group
+    shape): maximal word runs whose every 8-gram occurs ≥2 times in the
+    corpus — the spans an LLM training pipeline cuts before tokenizing
+    (``llmdata.dedup.substring_duplicate_spans`` for the bucketed
+    anchor-group plan that replaces a monolithic suffix array)."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        substring_duplicate_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return substring_duplicate_spans(docs, k=8, min_count=2)
+
+
+QUERIES["dedup_substring_spans"] = dedup_substring_spans
+
+ORACLES["dedup_substring_spans"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), anchors AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS anchor
+  FROM toks, UNNEST(range(len(w) - 8 + 1)) AS t(i)
+  WHERE len(w) >= 8
+), dup AS (
+  SELECT anchor FROM anchors GROUP BY 1 HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM anchors WHERE anchor IN (SELECT anchor FROM dup)
+), runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM hits
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len,
+       COUNT(*) AS n_anchors
+FROM runs GROUP BY doc_id, rid
+ORDER BY doc_id, span_start
+"""

@@ -1304,3 +1304,39 @@ def test_bpe_fold_rejects_unsafe_merge_symbols(monkeypatch):
     monkeypatch.setattr(t, "BPE_MERGES", [("a", "b c")])
     with pytest.raises(ValueError, match="BPE merge symbols"):
         t.bpe_encode_expr("w")
+
+
+def test_substring_duplicate_spans_hand_checked(spark):
+    """Hand-built corpus: doc0/doc1 share one exact 8-gram (offset by
+    doc1's leading token); doc2 repeats its own 8-gram at pos 0 and 8
+    (within-doc duplication counts, as in Lee et al. — two maximal
+    single-anchor spans because the run ids are non-consecutive);
+    doc3/doc4 share a 10-word run = 3 consecutive duplicated anchors
+    merging into one span of length 10; doc5 is all-unique noise."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        substring_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h x y z"),
+            (1, "q a b c d e f g h i"),
+            (2, "p q r s t u v w p q r s t u v w"),
+            (3, "m n o p q r s t u v"),
+            (4, "z z m n o p q r s t u v"),
+            (5, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.n_anchors)
+        for r in substring_duplicate_spans(docs, k=8).collect()
+    }
+    assert got == {
+        (0, 0, 8, 1),
+        (1, 1, 8, 1),
+        (2, 0, 8, 1),
+        (2, 8, 8, 1),
+        (3, 0, 10, 3),
+        (4, 2, 10, 3),
+    }

@@ -611,6 +611,38 @@ def probe_bigram(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_substring(spark) -> list[tuple[str, int, float]]:
+    """Duplicated-span finder over 1M synthetic 20-token docs where 10%
+    are exact template copies (1 000 templates × ~100 docs) — the
+    anchor-group shape at 20× the sf0.1 corpus: one corpus-token-sized
+    exchange on the anchor key (count-only window, so a 100-way hot
+    template costs one counted partition, never a pair product), one
+    per-doc islands window."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        substring_duplicate_spans,
+    )
+
+    n = 1_000_000
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(32)])
+    seed = F.when(F.col("id") % 10 == 0, F.col("id") % 1000).otherwise(
+        F.col("id") + n
+    )
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.element_at(
+            vocab, (F.pmod(F.xxhash64(seed, i), F.lit(32)) + 1).cast("int")
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+    return [(
+        "substring_1m duplicated-span finder (10% template dups)",
+        n,
+        timed(lambda: force(substring_duplicate_spans(docs, k=8))),
+    )]
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.md"
     spark = get_spark("scale_probe")
@@ -622,7 +654,8 @@ def main() -> None:
                   probe_quantile, probe_minhash, probe_semantic,
                   probe_pq_adc, probe_hilbert, probe_cdc, probe_keygaps,
                   probe_media, probe_triangles, probe_edge_support,
-                  probe_kcore, probe_bm25, probe_cc, probe_hits, probe_bigram):
+                  probe_kcore, probe_bm25, probe_cc, probe_hits, probe_bigram,
+                  probe_substring):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
