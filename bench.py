@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "sample_poisson_bootstrap",
     # round-10 additions
     "dedup_substring_spans",
+    "text_bpe_train",
 ]
 
 

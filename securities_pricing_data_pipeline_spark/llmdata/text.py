@@ -970,3 +970,135 @@ def bpe_encode(
             ),
         )
     )
+
+
+def _merge_pass_col(toks, x: str, y: str):
+    """One greedy left-to-right merge pass (x, y) → xy over a token-array
+    COLUMN, built with the pyspark Column API (F.lit for the learned
+    symbols — injection-proof regardless of what tokens the corpus
+    contains, unlike the string-template ``_bpe_fold`` whose fixed table
+    is regex-guarded instead). Same left-fold-is-the-greedy-scan
+    argument as ``_bpe_fold``; returns the space-joined string."""
+    m = x + y
+    return F.aggregate(
+        toks,
+        F.lit(""),
+        lambda acc, t: F.when(
+            (acc != F.lit(""))
+            & (F.substring_index(acc, " ", -1) == F.lit(x))
+            & (t == F.lit(y)),
+            F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - F.lit(len(x))), F.lit(m)
+            ),
+        )
+        .when(acc == F.lit(""), t)
+        .otherwise(F.concat(acc, F.lit(" "), t)),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TRAIN a BPE merge table (Sennrich 2016 learn_bpe): ``n_merges``
+    rounds of count-adjacent-pairs → argmax → greedy-merge-everywhere,
+    closing the loop that ``bpe_pair_counts`` (scores one round) and
+    ``bpe_encode`` (applies a fixed table) left open. Returns the learned
+    table: (merge_round, a, b, n_pairs), where n_pairs is the
+    word-frequency-weighted corpus count that made (a, b) the argmax.
+
+    Determinism: counts are exact integers and the argmax total order is
+    (n DESC, a, b) — bit-stable cross-engine; the paired DuckDB oracle
+    (``bpe_train_oracle_sql``) RE-RUNS the identical rounds as a CTE
+    chain rather than trusting the engine's picks.
+
+    Scale shape — the classic trick that makes BPE training corpus-size-
+    independent: train on the WORD VOCABULARY with frequencies, not the
+    token stream. One corpus-sized aggregate builds (word, freq); every
+    round after that touches vocab-sized frames only (in-row pair
+    explode weighted by freq → hash aggregate → 1-row argmax collect →
+    in-row merge pass), each round's state localCheckpointed (vocab-sized
+    pin, two consumers: pair agg + next state). The K driver-side
+    collects are 1-row scalars — the merge table IS driver state, the
+    same way the fixed BPE_MERGES table is."""
+    vocab = (
+        df.select(F.explode(_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.expr("filter(split(word, ''), x -> x != '')").alias("toks"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    learned: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        best = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(toks, 1, size(toks) - 1),"
+                        " (t, i) -> struct(t AS a, toks[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # every word fully merged — nothing left to learn
+            break
+        a, b, n = best[0].a, best[0].b, int(best[0].n)
+        learned.append((rnd, a, b, n))
+        vocab = vocab.withColumn(
+            "toks", F.split(_merge_pass_col(F.col("toks"), a, b), " ")
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        learned, "merge_round int, a string, b string, n_pairs long"
+    )
+
+
+def bpe_train_oracle_sql(n_merges: int = 6, table: str = "documents") -> str:
+    """DuckDB SQL replaying ``bpe_train`` exactly: the same vocab build,
+    then ``n_merges`` CTE rounds of pair-count → (n DESC, a, b) argmax →
+    column-reference merge fold (the learned pair enters the lambda as a
+    cross-joined column, never interpolated text — the oracle recomputes
+    the argmax, it does not trust the engine's picks)."""
+    parts = [
+        rf"""WITH t0 AS (
+  SELECT word, COUNT(*) AS freq, regexp_split_to_array(word, '') AS toks
+  FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM {table}
+  ) GROUP BY 1
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(
+            f""", m{r} AS (
+  SELECT a, b, n FROM (
+    SELECT a, b, SUM(freq) AS n FROM (
+      SELECT freq, toks[i] AS a, toks[i + 1] AS b
+      FROM t{p}, UNNEST(range(1, len(toks))) AS u(i)
+    ) GROUP BY 1, 2
+  ) ORDER BY n DESC, a, b LIMIT 1
+), t{r} AS (
+  SELECT word, freq, string_split(list_reduce(toks, (acc, t) ->
+    CASE WHEN regexp_extract(acc, '[^ ]+$') = m{r}.a AND t = m{r}.b
+         THEN substr(acc, 1, length(acc) - length(m{r}.a)) || m{r}.a || m{r}.b
+         ELSE acc || ' ' || t END), ' ') AS toks
+  FROM t{p}, m{r}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, a, b, CAST(n AS BIGINT) AS n_pairs FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + union + "\nORDER BY merge_round"

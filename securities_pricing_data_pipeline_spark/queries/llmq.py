@@ -3823,3 +3823,23 @@ SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
 FROM runs GROUP BY doc_id, rid
 ORDER BY doc_id, span_start
 """
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a 6-merge BPE table from the corpus (count → argmax → merge
+    per round, Sennrich 2016; ``llmdata.text.bpe_train`` for the
+    vocab-not-corpus scale argument). Closes the BPE loop next to
+    ``text_bpe_pair_counts`` (one round's scoring) and ``text_bpe_encode``
+    (applying a fixed table)."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), n_merges=6)
+
+
+QUERIES["text_bpe_train"] = text_bpe_train
+
+from securities_pricing_data_pipeline_spark.llmdata.text import (  # noqa: E402
+    bpe_train_oracle_sql as _bpe_train_oracle_sql,
+)
+
+ORACLES["text_bpe_train"] = _bpe_train_oracle_sql(6)

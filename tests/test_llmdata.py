@@ -1340,3 +1340,17 @@ def test_substring_duplicate_spans_hand_checked(spark):
         (3, 0, 10, 3),
         (4, 2, 10, 3),
     }
+
+
+def test_bpe_train_hand_checked(spark):
+    """Vocab: aa×3 → [a,a], ab×1 → [a,b], b×1 → [b]. Round 1 pairs:
+    (a,a)=3, (a,b)=1 → learn (a,a). Round 2: only (a,b)=1 remains →
+    learn (a,b). Round 3: every word is one token — the trainer must
+    STOP early instead of emitting empty merges."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "aa ab"), (1, "aa aa b")], "doc_id long, text string"
+    )
+    got = [(r.merge_round, r.a, r.b, r.n_pairs) for r in bpe_train(docs, 5).collect()]
+    assert got == [(1, "a", "a", 3), (2, "a", "b", 1)]
