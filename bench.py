@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     # round-10 additions
     "dedup_substring_spans",
     "text_bpe_train",
+    "dedup_image_phash",
 ]
 
 

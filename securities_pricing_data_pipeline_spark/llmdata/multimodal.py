@@ -304,3 +304,52 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").cast("binary").alias("content"),
         F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")).alias("meta"),
     )
+
+
+def image_dhash(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    grid_w: int = 11,
+    grid_h: int = 6,
+) -> DataFrame:
+    """60-bit perceptual difference-hash (dHash, Krawetz 2013) per image:
+    decode → nearest-neighbor downscale to ``grid_h × grid_w`` (the
+    ``resize_nearest`` kernel — pure integer index math, so every pixel
+    is independently recomputable) → integer grayscale ((r+g+b) div 3)
+    → bit k = i·(grid_w−1)+j set iff gray[i,j] > gray[i,j+1]. The
+    default 6×11 grid yields 60 bits — the repo's portable-hash width
+    (bit 59 tops out below 2^63 in BOTH engines; DuckDB raises on a
+    64-bit left shift, the reason ``portable_hash60`` exists).
+
+    Returns (id, simhash) — schema-compatible with
+    ``simhash_near_dups(sigs=...)``, so perceptual image dedup reuses
+    the exact text-SimHash pigeonhole pipeline: 4×16-bit blocks,
+    bucketed candidate pairing (enforced skew cap), exact Hamming
+    verify. Decode+hash runs in one Arrow-batched mapInPandas (the
+    decode is the Python boundary already); everything after the 8-byte
+    signature is JVM-side."""
+    import pandas as pd
+
+    n_bits = grid_h * (grid_w - 1)
+    if n_bits > 60:
+        raise ValueError(f"{grid_h}x{grid_w} grid needs {n_bits} > 60 bits")
+
+    def _hash(batches):
+        import numpy as np
+
+        weights = np.left_shift(np.int64(1), np.arange(n_bits, dtype=np.int64))
+        for pdf in batches:
+            ids: list[int] = []
+            sigs: list[int] = []
+            for aid, buf in zip(pdf[id_col], pdf["content"]):
+                px = decode_image(bytes(buf))
+                g = resize_nearest(px, grid_w, grid_h).astype(np.int64)
+                gray = g.sum(axis=2) // 3
+                bits = (gray[:, :-1] > gray[:, 1:]).flatten()
+                ids.append(int(aid))
+                sigs.append(int(np.dot(bits.astype(np.int64), weights)))
+            yield pd.DataFrame({"id": ids, "simhash": sigs})
+
+    return assets.select(F.col(id_col), "content").mapInPandas(
+        _hash, "id long, simhash long"
+    )

@@ -3843,3 +3843,86 @@ from securities_pricing_data_pipeline_spark.llmdata.text import (  # noqa: E402
 )
 
 ORACLES["text_bpe_train"] = _bpe_train_oracle_sql(6)
+
+
+def _image_phash_oracle_sql(max_hamming: int = 3) -> str:
+    """Pixel-exact replay of dedup_image_phash: the synthetic gradient
+    image is pure doc_id arithmetic, decode is lossless (P6) and
+    resize_nearest is integer index math, so the oracle computes every
+    sampled grayscale value DIRECTLY — v(gx,gy) = (base + 3gx + 5gy +
+    7·gx·gy) mod 128 at gx=(j·w)//11, gy=(i·h)//6 — and rebuilds the
+    60-bit dHash, the 16-bit pigeonhole blocks, and the Hamming verify
+    without ever touching image bytes. Any off-by-one anywhere in the
+    codec, resampler, or hash would break value parity."""
+    terms = []
+    for k in range(60):
+        i, j = divmod(k, 10)
+
+        def v(jj: int, i=i) -> str:
+            gx = f"(({jj} * w) // 11)"
+            gy = f"(({i} * h) // 6)"
+            return f"(base + 3 * {gx} + 5 * {gy} + 7 * {gx} * {gy}) % 128"
+
+        terms.append(
+            f"CASE WHEN ({v(j)}) > ({v(j + 1)}) "
+            f"THEN (CAST(1 AS BIGINT) << {k}) ELSE 0 END"
+        )
+    sig = " + ".join(terms)
+    block_eq = " OR ".join(
+        f"((a.sim >> {16 * i}) & 65535) = ((b.sim >> {16 * i}) & 65535)"
+        for i in range(4)
+    )
+    return f"""
+WITH params AS (
+  SELECT doc_id, 12 + (doc_id % 50) % 7 AS w, 12 + (doc_id % 50) % 5 AS h,
+         ((doc_id % 50) * 11 + doc_id // 50) % 128 AS base
+  FROM documents
+), sig AS (
+  SELECT doc_id, {sig} AS sim FROM params
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({block_eq})
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal twin of
+    ``dedup_simhash``: synthesize a REAL gradient P6 image per document
+    (doc_id-derived geometry and gradient; groups of docs share
+    parameters with small per-doc shifts, so genuine near-duplicate
+    images exist), run the genuine decode → integer resample → 60-bit
+    dHash (``llmdata.multimodal.image_dhash``), then find Hamming≤3
+    near-dup pairs through the SAME 4×16-bit pigeonhole LSH machinery
+    text SimHash uses (``llmdata.dedup.simhash_near_dups``) — bucketed
+    candidate pairs with the enforced skew cap, never all-pairs."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import simhash_near_dups
+    from securities_pricing_data_pipeline_spark.llmdata.multimodal import image_dhash
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(12) + (F.col("doc_id") % 50) % 7).cast("int").alias("w"),
+        (F.lit(12) + (F.col("doc_id") % 50) % 5).cast("int").alias("h"),
+        (((F.col("doc_id") % 50) * 11 + F.expr("doc_id div 50")) % 128)
+        .cast("int")
+        .alias("base"),
+    )
+    header = F.format_string("P6\n%d %d\n255\n", F.col("w"), F.col("h"))
+    body = F.expr(
+        "array_join(transform(sequence(0, w * h - 1), i -> "
+        "repeat(char((base + 3 * (i % w) + 5 * (i div w) "
+        "+ 7 * (i % w) * (i div w)) % 128), 3)), '')"
+    )
+    assets = params.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.concat(header, body), "UTF-8").alias("content"),
+    )
+    sigs = image_dhash(assets)
+    return simhash_near_dups(sigs, sigs=sigs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+QUERIES["dedup_image_phash"] = dedup_image_phash
+ORACLES["dedup_image_phash"] = _image_phash_oracle_sql(3)

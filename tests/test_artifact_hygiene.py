@@ -25,7 +25,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {"dedup_substring_spans", "text_bpe_train"}
+ALLOW_NEW: set[str] = {
+    "dedup_substring_spans",
+    "text_bpe_train",
+    "dedup_image_phash",
+}
 
 
 def _latest(pattern: str) -> str | None:

@@ -493,3 +493,36 @@ def test_jpeg_trailing_garbage_after_eoi():
     ref = decode_jpeg(buf)
     assert out.shape == ref.shape == (16, 24, 3)
     assert (out == ref).all()
+
+
+def test_image_dhash_hand_checked(spark):
+    """A 6×11 image needs no resampling (identity index map): left half
+    bright (100), right half dark (20) → within each row, the only
+    descending adjacent pair is column 5→6, so bit i*10+5 is set for
+    every row i: sig = Σ_{i<6} 2^(10i+5). A second identical image must
+    hash identically; the horizontal mirror has only the ASCENDING step
+    (dark→bright), which sets no bits — its dHash is exactly 0."""
+    from securities_pricing_data_pipeline_spark.llmdata.multimodal import (
+        encode_ppm,
+        image_dhash,
+    )
+    import numpy as np
+
+    def img(bright_left: bool) -> bytes:
+        px = np.zeros((6, 11, 3), dtype=np.uint8)
+        if bright_left:
+            px[:, :6, :] = 100
+            px[:, 6:, :] = 20
+        else:
+            px[:, :6, :] = 20
+            px[:, 6:, :] = 100
+        return encode_ppm(px)
+
+    assets = spark.createDataFrame(
+        [(0, img(True)), (1, img(True)), (2, img(False))],
+        "asset_id long, content binary",
+    )
+    got = {r.id: r.simhash for r in image_dhash(assets).collect()}
+    expected = sum(1 << (10 * i + 5) for i in range(6))
+    assert got[0] == got[1] == expected
+    assert got[2] == 0  # mirror: no descending adjacent pair anywhere
