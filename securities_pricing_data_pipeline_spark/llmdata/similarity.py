@@ -1367,3 +1367,87 @@ def kmeans_grid_summary(pts: DataFrame, k: int = 8) -> DataFrame:
             F.sum(F.col("dist").cast("decimal(38,0)")).cast("double") / F.lit(1e14)
         ).alias("inertia"),
     )
+
+
+def mmr_select(
+    slim: DataFrame,
+    pairs: DataFrame,
+    k: int = 3,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance selection (Carbonell &
+    Goldstein 1998) over a per-query candidate set, k steps UNROLLED
+    into windows + broadcast joins (the BPE-merge / Hilbert-automaton
+    fixed-unroll discipline — the greedy recursion is not
+    window-expressible, but k is a small serving constant).
+
+    Inputs: ``slim`` = (query_id, cid, rel) candidates; ``pairs`` =
+    (query_id, ci, cj, sim) pairwise candidate sims (both already
+    materialized by the caller — they feed every step). Step score is
+    ``lam·rel − (1−lam)·max_{s∈selected} sim``; ties break (score DESC,
+    cid). ``lam`` must be an exact binary fraction (0.5, 0.25, …) or
+    engine/oracle float literals diverge. Returns one row per selection:
+    (query_id, cid, rel, max_sim, score, mmr_rank), rank 1 = pure
+    relevance (max_sim = 0.0 by convention).
+
+    Scale shape: every frame is candidate-set-sized (n_queries × c), the
+    windows are per-query, the per-step joins are broadcast-hinted
+    (pinned inputs are LogicalRDDs with unknown stats — without hints
+    they plan as SMJs). Cost is k × (3 joins + 1 window) over those
+    rows: linear in n_queries with NO driver involvement (probed at 100k
+    queries — SCALE_PROBE.md mmr_100k). Crossover note: past k ≈ 15-20
+    selections the k-fold plan repetition beats the ~0.5s fixed cost of
+    ONE Arrow stage — flip to a per-query applyInPandas greedy kernel
+    (each query's candidate list is tiny and independent), the same
+    measured-crossover rule as the numpy-vs-HOF cosine kernels."""
+    lam_c, inv_c = F.lit(lam), F.lit(1.0 - lam)
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cid")
+    s1 = (
+        slim.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cid",
+            "rel",
+            F.lit(0.0).alias("max_sim"),
+            (lam_c * F.col("rel") - inv_c * F.lit(0.0)).alias("score"),
+            F.lit(1).cast("int").alias("mmr_rank"),
+        )
+    )
+    out = s1
+    sel_ids = s1.select("query_id", "cid")
+    for rank in range(2, k + 1):
+        rem = slim.join(F.broadcast(sel_ids), ["query_id", "cid"], "left_anti")
+        ms = (
+            pairs.join(
+                F.broadcast(sel_ids.withColumnRenamed("cid", "cj")),
+                ["query_id", "cj"],
+            )
+            .groupBy("query_id", "ci")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = rem.join(
+            F.broadcast(ms), (rem.query_id == ms.query_id) & (rem.cid == ms.ci)
+        ).select(
+            rem.query_id.alias("query_id"),
+            "cid",
+            "rel",
+            "max_sim",
+            (lam_c * F.col("rel") - inv_c * F.col("max_sim")).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "cid")
+        step = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cid",
+                "rel",
+                "max_sim",
+                "score",
+                F.lit(rank).cast("int").alias("mmr_rank"),
+            )
+        )
+        out = out.unionByName(step)
+        sel_ids = sel_ids.unionByName(step.select("query_id", "cid"))
+    return out

@@ -3566,69 +3566,20 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.vec"), F.col("y.vec"), F.col("x.nrm"), F.col("y.nrm")
         ).alias("sim"),
     ).localCheckpoint(eager=True)  # 25 rows/query; read by every step
-    slim = cand.select("query_id", "cid", "rel")
-    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cid")
-    s1 = (
-        slim.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("cid").alias("sel"), "rel")
-    )
+    # Selection steps live in llmdata.similarity.mmr_select (shared with
+    # the 100k-query scale probe); the broadcast hints, per-query window
+    # discipline, and the k-crossover note are documented there.
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import mmr_select
 
-    def step(prev_sel: DataFrame, prev_ids: DataFrame) -> DataFrame:
-        # remaining candidates with max sim to the already-selected set.
-        # Explicit broadcast hints throughout: the pinned frames are
-        # LogicalRDDs with unknown stats, so without hints every one of
-        # these <=50-row joins planned as a sort-merge join (the audit
-        # showed 33 exchanges / 12 SMJs for three selection steps).
-        rem = slim.join(F.broadcast(prev_ids), ["query_id", "cid"], "left_anti")
-        ms = (
-            pairs.join(
-                F.broadcast(prev_ids.withColumnRenamed("cid", "cj")),
-                ["query_id", "cj"],
-            )
-            .groupBy("query_id", "ci")
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        scored = rem.join(
-            F.broadcast(ms), (rem.query_id == ms.query_id) & (rem.cid == ms.ci)
-        ).select(
-            rem.query_id.alias("query_id"),
-            "cid",
-            "rel",
-            "max_sim",
-            (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("max_sim")).alias("score"),
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "cid")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("query_id", F.col("cid").alias("sel"), "rel", "max_sim", "score")
-        )
-
-    ids1 = s1.select("query_id", F.col("sel").alias("cid"))
-    s2 = step(s1, ids1)
-    ids2 = ids1.unionByName(s2.select("query_id", F.col("sel").alias("cid")))
-    s3 = step(s2, ids2)
-    out1 = s1.select(
+    sel = mmr_select(cand.select("query_id", "cid", "rel"), pairs, k=3, lam=0.5)
+    return sel.select(
         "query_id",
-        F.col("sel").alias("neighbor_id"),
+        F.col("cid").alias("neighbor_id"),
         F.col("rel").alias("cos_sim"),
-        F.lit(0.0).alias("max_sim_selected"),
-        (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.lit(0.0)).alias("mmr_score"),
-        F.lit(1).cast("int").alias("mmr_rank"),
+        F.col("max_sim").alias("max_sim_selected"),
+        F.col("score").alias("mmr_score"),
+        "mmr_rank",
     )
-
-    def fmt(s: DataFrame, r: int) -> DataFrame:
-        return s.select(
-            "query_id",
-            F.col("sel").alias("neighbor_id"),
-            F.col("rel").alias("cos_sim"),
-            F.col("max_sim").alias("max_sim_selected"),
-            F.col("score").alias("mmr_score"),
-            F.lit(r).cast("int").alias("mmr_rank"),
-        )
-
-    return out1.unionByName(fmt(s2, 2)).unionByName(fmt(s3, 3))
 
 
 QUERIES["sim_mmr_diversify"] = sim_mmr_diversify

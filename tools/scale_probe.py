@@ -643,6 +643,59 @@ def probe_substring(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_mmr(spark) -> list[tuple[str, int, float]]:
+    """MMR diversification at 100k queries × 5 candidates (10,000× the
+    serving query's 10 sessions): the fixed-k unrolled greedy — 3
+    selection rounds of broadcast anti-join + max-sim aggregate +
+    per-query window — over 500k candidate rows and 2M pairwise-sim
+    rows, all synthesized from deterministic hashes. Proves the
+    per-query-window shape scales with NO driver involvement (the
+    selected-id frames broadcast at ~100k rows ≈ low MB); the
+    k-crossover to an applyInPandas kernel is documented on
+    ``mmr_select``."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import mmr_select
+
+    n_q, c = 100_000, 5
+    base = spark.range(n_q * c).select(
+        (F.col("id") % n_q).alias("query_id"), (F.col("id") / n_q).cast("int").alias("cid")
+    )
+    slim = base.select(
+        "query_id",
+        "cid",
+        (F.pmod(F.xxhash64("query_id", "cid"), F.lit(10_000)) / 10_000.0).alias("rel"),
+    ).localCheckpoint(eager=True)
+    a, b = slim.alias("a"), slim.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cid") != F.col("b.cid")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cid").alias("ci"),
+            F.col("b.cid").alias("cj"),
+            (
+                F.pmod(
+                    F.xxhash64(
+                        "a.query_id",
+                        F.least("a.cid", "b.cid"),
+                        F.greatest("a.cid", "b.cid"),
+                    ),
+                    F.lit(10_000),
+                )
+                / 10_000.0
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return [(
+        "mmr_100k 3-step greedy diversify (100k queries x 5 cands)",
+        n_q * c,
+        timed(lambda: force(mmr_select(slim, pairs, k=3, lam=0.5))),
+    )]
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.md"
     spark = get_spark("scale_probe")
@@ -655,7 +708,7 @@ def main() -> None:
                   probe_pq_adc, probe_hilbert, probe_cdc, probe_keygaps,
                   probe_media, probe_triangles, probe_edge_support,
                   probe_kcore, probe_bm25, probe_cc, probe_hits, probe_bigram,
-                  probe_substring):
+                  probe_substring, probe_mmr):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
