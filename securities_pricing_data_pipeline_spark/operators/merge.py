@@ -66,6 +66,35 @@ def _merged_frame(
     return dedup_latest(tagged, list(keys), order).drop("__is_src")
 
 
+def lww_reduce(
+    df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """One winner per key by the ``order_cols`` TOTAL order (max-struct,
+    so the reduction is a hash aggregate with map-side partial combine,
+    not a window sort) — the streaming-CDC apply reduction. ``order_cols``
+    must totally order rows within a key (e.g. (ts, event_id)); the
+    remaining columns ride along in the struct but never decide. LWW
+    under a total order is associative + commutative, which is exactly
+    what makes the apply independent of micro-batch boundaries."""
+    rest = [c for c in df.columns if c not in keys]
+    ordered = list(order_cols) + [c for c in rest if c not in order_cols]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("__s")
+    ).select(*keys, *[F.col(f"__s.{c}").alias(c) for c in rest])
+
+
+def _newer_condition(order_cols: Sequence[str]) -> str:
+    """Lexicographic 's is strictly newer than t' over ``order_cols`` —
+    the WHEN MATCHED guard a transactional MERGE needs to be
+    re-delivery-safe (an older or duplicate row must never overwrite)."""
+    clauses = []
+    for i, c in enumerate(order_cols):
+        eqs = " AND ".join(f"s.`{p}` = t.`{p}`" for p in order_cols[:i])
+        gt = f"s.`{c}` > t.`{c}`"
+        clauses.append(f"({eqs} AND {gt})" if eqs else f"({gt})")
+    return " OR ".join(clauses)
+
+
 class ParquetPartitionOverwriteFormat:
     """Default backend: plain parquet + dynamic partition overwrite.
 
@@ -126,6 +155,29 @@ class ParquetPartitionOverwriteFormat:
             new_rows.write.mode("append").parquet(path)
         new_rows.unpersist()
         return n
+
+    def merge_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        path: str,
+        keys: Sequence[str],
+        order_cols: Sequence[str],
+    ) -> None:
+        """Streaming-CDC apply unit (the foreachBatch sink body): reduce
+        the micro-batch to one winner per key by the ``order_cols`` total
+        order, LWW-merge with the current table, republish atomically.
+        Parquet cost model: |batch keys ∪ table keys| rows re-reduced per
+        batch — state lives in the table, not executor memory; the Delta
+        backend turns this into a guarded keyed MERGE INTO touching only
+        matched files (the cdc_10m probe's escape hatch)."""
+        winners = lww_reduce(batch, keys, order_cols)
+        if self.exists(spark, path):
+            winners = lww_reduce(
+                self.read(spark, path).unionByName(winners), keys, order_cols
+            )
+        # materialize before republishing over the path we just read
+        winners.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
 
 
 class DeltaMergeFormat:
@@ -224,6 +276,38 @@ class DeltaMergeFormat:
         # and O(1) vs the O(table) before/after count pair
         last = tbl.history(1).select("operationMetrics").collect()
         return int(last[0]["operationMetrics"].get("numTargetRowsInserted", 0))
+
+    def merge_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        path: str,
+        keys: Sequence[str],
+        order_cols: Sequence[str],
+    ) -> None:
+        """Streaming-CDC apply as a transactional keyed MERGE: the batch
+        is pre-reduced to one winner per key (Delta requires it), then
+        MERGE INTO with a GUARDED update — ``whenMatchedUpdateAll`` only
+        when the source row is strictly newer by the ``order_cols``
+        lexicographic order, so replayed or out-of-order micro-batches
+        can never regress a key (the re-delivery safety the parquet
+        backend gets from re-reducing the full union). Touches only the
+        files holding matched keys — the cdc_10m cost-class fix."""
+        from delta.tables import DeltaTable
+
+        winners = lww_reduce(batch, keys, order_cols)
+        if not self.exists(spark, path):
+            winners.write.format("delta").save(path)
+            return
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(winners.alias("s"), cond)
+            .whenMatchedUpdateAll(condition=_newer_condition(order_cols))
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
 
 
 _FORMATS = {

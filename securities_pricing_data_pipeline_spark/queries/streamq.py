@@ -432,25 +432,24 @@ def stream_events_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.repartition(8, "user_id").write.mode("overwrite").parquet(feed_dir)
 
-    def lww(df: DataFrame) -> DataFrame:
-        # one winner per user by the (ts, event_id) total order
-        return (
-            df.groupBy("user_id")
-            .agg(
-                F.max(
-                    F.struct("ts", "event_id", "event_type", "value")
-                ).alias("s")
-            )
-            .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
-        )
+    # the apply unit is TableFormat.merge_batch — one winner per user by
+    # the (ts, event_id) total order, re-reduced against the table
+    # (parquet backend) or applied as a guarded keyed MERGE INTO (Delta
+    # backend, same call, swap get_format("delta")). Unifying the
+    # streaming sink with the batch A5/A6 seam means a transactional
+    # format upgrades BOTH paths with one constructor (VERDICT r9 §8).
+    from securities_pricing_data_pipeline_spark.operators.merge import get_format
+
+    fmt = get_format("parquet")
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        s = batch.sparkSession
-        merged = lww(batch)
-        if Path(state_dir).exists():
-            merged = lww(s.read.parquet(state_dir).unionByName(merged))
-        # materialize before republishing over the path we just read
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_dir)
+        fmt.merge_batch(
+            batch.sparkSession,
+            batch,
+            state_dir,
+            keys=["user_id"],
+            order_cols=["ts", "event_id"],
+        )
 
     try:
         stream = (

@@ -915,8 +915,9 @@ def _install_fake_delta(monkeypatch):
             self.matched_update_all = False
             self.not_matched_insert_all = False
 
-        def whenMatchedUpdateAll(self):
+        def whenMatchedUpdateAll(self, condition=None):
             self.matched_update_all = True
+            self.matched_condition = condition
             return self
 
         def whenNotMatchedInsertAll(self):
@@ -924,17 +925,45 @@ def _install_fake_delta(monkeypatch):
             return self
 
         def execute(self):
+            # a mini MERGE engine: evaluates the RECORDED condition
+            # strings with Spark itself (t./s. aliases resolve on the
+            # joined frame), so a wrong condition produces wrong rows —
+            # not just a failed string compare
+            from pyspark.sql import functions as SF
+
             keys = re.findall(r"t\.`([^`]+)` = s\.`\1`", self.cond)
             assert keys, f"unparseable merge condition: {self.cond}"
             target = FakeDeltaTable.tables[self.tbl.path]
+            cols = target.columns
             inserted = self.source.join(target, keys, "left_anti")
             n_ins = inserted.count()
-            if self.matched_update_all:  # upsert: source wins on match
-                result = self.source.unionByName(
-                    target.join(self.source, keys, "left_anti")
+            untouched = target.join(self.source, keys, "left_anti")
+            matched = target.alias("t").join(
+                self.source.alias("s"), SF.expr(self.cond)
+            )
+            if self.matched_update_all:
+                guard = (
+                    SF.expr(self.matched_condition)
+                    if getattr(self, "matched_condition", None)
+                    else SF.lit(True)
                 )
-            else:  # insert-only: first write wins
-                result = target.unionByName(inserted)
+                upd = matched.filter(guard).select(
+                    *[SF.col(f"s.`{c}`").alias(c) for c in cols]
+                )
+                kept = matched.filter(~guard).select(
+                    *[SF.col(f"t.`{c}`").alias(c) for c in cols]
+                )
+            else:
+                upd = matched.limit(0).select(
+                    *[SF.col(f"t.`{c}`").alias(c) for c in cols]
+                )
+                kept = matched.select(*[SF.col(f"t.`{c}`").alias(c) for c in cols])
+            result = (
+                untouched.select(cols)
+                .unionByName(upd)
+                .unionByName(kept)
+                .unionByName(inserted.select(cols))
+            )
             FakeDeltaTable.tables[self.tbl.path] = result.localCheckpoint()
             self.tbl.last_metrics = {"numTargetRowsInserted": str(n_ins)}
             calls.append(self)
@@ -1044,3 +1073,49 @@ def test_delta_backend_contract_insert_if_absent(spark, tmp_path, monkeypatch):
     pq = {(r.id, r.name) for r in spark.read.parquet(path).collect()}
     dl = {(r.id, r.name) for r in FakeDeltaTable.tables["/fake/dim"].collect()}
     assert dl == pq == {(1, "X"), (2, "Y")}
+
+
+def test_delta_backend_contract_merge_batch(spark, tmp_path, monkeypatch):
+    """Streaming-CDC apply through the seam: two micro-batches, the
+    second REPLAYED OUT OF ORDER (older ts for user A, newer for B, new
+    user C). The Delta backend must issue a GUARDED update — condition
+    's strictly newer by (ts, event_id)' — so the stale A row cannot
+    regress the table; final contents must equal the parquet backend's
+    full LWW re-reduce on the same batches. The fake executes the
+    recorded condition with Spark, so a wrong guard yields wrong rows."""
+    from securities_pricing_data_pipeline_spark.operators import merge as m
+
+    FakeDeltaTable, calls = _install_fake_delta(monkeypatch)
+    schema = "user_id string, ts long, event_id long, event_type string, value double"
+    b1 = spark.createDataFrame(
+        [("A", 10, 1, "x", 1.0), ("A", 12, 2, "y", 2.0), ("B", 5, 3, "x", 3.0)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [("A", 8, 4, "z", 9.0), ("B", 7, 5, "w", 4.0), ("C", 1, 6, "x", 5.0)],
+        schema,
+    )
+    keys, order = ["user_id"], ["ts", "event_id"]
+
+    pq_path = str(tmp_path / "cdc_pq")
+    pq = m.get_format("parquet")
+    for b in (b1, b2):
+        pq.merge_batch(spark, b, pq_path, keys=keys, order_cols=order)
+
+    dl = m.DeltaMergeFormat()
+    FakeDeltaTable.tables["/fake/cdc"] = m.lww_reduce(b1, keys, order)
+    dl.merge_batch(spark, b2, "/fake/cdc", keys=keys, order_cols=order)
+
+    (call,) = calls
+    assert call.cond == "t.`user_id` = s.`user_id`"
+    assert call.matched_condition == (
+        "(s.`ts` > t.`ts`) OR (s.`ts` = t.`ts` AND s.`event_id` > t.`event_id`)"
+    )
+    assert call.not_matched_insert_all
+    per_key = call.source.groupBy(*keys).count().agg(F.max("count")).first()[0]
+    assert per_key == 1  # pre-reduced batch
+
+    want = {("A", 12, 2, "y", 2.0), ("B", 7, 5, "w", 4.0), ("C", 1, 6, "x", 5.0)}
+    got_pq = {tuple(r) for r in spark.read.parquet(pq_path).collect()}
+    got_dl = {tuple(r) for r in FakeDeltaTable.tables["/fake/cdc"].collect()}
+    assert got_pq == got_dl == want
