@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "dedup_substring_spans",
     "text_bpe_train",
     "dedup_image_phash",
+    "dedup_audio_phash",
 ]
 
 

@@ -3877,3 +3877,103 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_image_phash"] = dedup_image_phash
 ORACLES["dedup_image_phash"] = _image_phash_oracle_sql(3)
+
+
+def dedup_audio_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup — completes the modality triple next to
+    ``dedup_simhash`` (text) and ``dedup_image_phash`` (image): per
+    document, synthesize a deterministic PCM-16 WAV whose sample stream
+    is pure doc_id arithmetic (5-doc parameter groups with small per-doc
+    offsets, so genuine acoustic near-duplicates exist), run the REAL
+    RIFF encode → decode → 60-bit energy-envelope dHash
+    (``llmdata.audio.audio_dhash``), and pair Hamming≤3 fingerprints
+    through the shared 4×16-bit pigeonhole LSH. The oracle regenerates
+    the identical sample stream with generate_series and recomputes the
+    frame energies, the hash, the blocks, and the verify — sample-exact,
+    certifying the codec roundtrip inside the dedup loop."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from securities_pricing_data_pipeline_spark.llmdata.audio import (
+        audio_dhash,
+        encode_wav,
+    )
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import simhash_near_dups
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    md5g = F.md5(F.expr("CAST(doc_id div 5 AS STRING)"))
+    params = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(md5g, 1, 3), 16, 10).cast("long") % 4096
+            + (F.col("doc_id") % 5) * 3
+        ).alias("b1"),
+        (F.lit(1) + F.conv(F.substring(md5g, 4, 2), 16, 10).cast("long") % 64).alias(
+            "s1"
+        ),
+        (F.lit(1) + F.conv(F.substring(md5g, 6, 2), 16, 10).cast("long") % 32).alias(
+            "s2"
+        ),
+    )
+
+    def _mk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            i = np.arange(61 * 32, dtype=np.int64)
+            rows = {"asset_id": [], "content": []}
+            for did, b1, s1, s2 in zip(
+                pdf["doc_id"], pdf["b1"], pdf["s1"], pdf["s2"]
+            ):
+                s = (
+                    (int(b1) + int(s1) * i + int(s2) * (i // 32) * i) % 4096 - 2048
+                ).astype(np.int16)
+                rows["asset_id"].append(int(did))
+                rows["content"].append(encode_wav(s, sample_rate=8000))
+            yield pd.DataFrame(rows)
+
+    assets = params.mapInPandas(
+        _mk,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]
+        ),
+    )
+    sigs = audio_dhash(assets)
+    return simhash_near_dups(sigs, sigs=sigs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+QUERIES["dedup_audio_phash"] = dedup_audio_phash
+
+ORACLES["dedup_audio_phash"] = """
+WITH params AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 3)) AS BIGINT) % 4096
+           + (doc_id % 5) * 3 AS b1,
+         1 + CAST(('0x' || substr(md5(CAST(doc_id // 5 AS VARCHAR)), 4, 2)) AS BIGINT) % 64 AS s1,
+         1 + CAST(('0x' || substr(md5(CAST(doc_id // 5 AS VARCHAR)), 6, 2)) AS BIGINT) % 32 AS s2
+  FROM documents
+), smp AS (
+  SELECT doc_id, i // 32 AS f,
+         ((b1 + s1 * i + s2 * (i // 32) * i) % 4096 - 2048) AS s
+  FROM params, UNNEST(range(1952)) AS t(i)
+), en AS (
+  SELECT doc_id, f, SUM(s * s) AS e FROM smp GROUP BY 1, 2
+), sig AS (
+  SELECT a.doc_id,
+         SUM(CASE WHEN a.e > b.e THEN (CAST(1 AS BIGINT) << a.f) ELSE 0 END) AS sim
+  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < 60 GROUP BY 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       ((a.sim >> 0) & 65535) = ((b.sim >> 0) & 65535)
+    OR ((a.sim >> 16) & 65535) = ((b.sim >> 16) & 65535)
+    OR ((a.sim >> 32) & 65535) = ((b.sim >> 32) & 65535)
+    OR ((a.sim >> 48) & 65535) = ((b.sim >> 48) & 65535))
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+ORDER BY id_a, id_b
+"""

@@ -29,6 +29,7 @@ ALLOW_NEW: set[str] = {
     "dedup_substring_spans",
     "text_bpe_train",
     "dedup_image_phash",
+    "dedup_audio_phash",
 }
 
 

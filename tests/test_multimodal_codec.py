@@ -526,3 +526,36 @@ def test_image_dhash_hand_checked(spark):
     expected = sum(1 << (10 * i + 5) for i in range(6))
     assert got[0] == got[1] == expected
     assert got[2] == 0  # mirror: no descending adjacent pair anywhere
+
+
+def test_audio_dhash_hand_checked(spark):
+    """Constant-amplitude frames with strictly DECREASING amplitude
+    (frame f holds value 61−f → energy 32·(61−f)², monotone down) set
+    every one of the 60 bits: sig = 2^60 − 1; the strictly increasing
+    twin sets none. A short clip must raise, not hash garbage."""
+    import numpy as np
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.llmdata.audio import (
+        audio_dhash,
+        encode_wav,
+    )
+
+    def clip(decreasing: bool) -> bytes:
+        f = np.arange(61 * 32, dtype=np.int64) // 32
+        v = (61 - f) if decreasing else (f + 1)
+        return encode_wav(v.astype(np.int16), sample_rate=8000)
+
+    assets = spark.createDataFrame(
+        [(0, clip(True)), (1, clip(False))], "asset_id long, content binary"
+    )
+    got = {r.id: r.simhash for r in audio_dhash(assets).collect()}
+    assert got[0] == (1 << 60) - 1
+    assert got[1] == 0
+
+    short = spark.createDataFrame(
+        [(2, encode_wav(np.zeros(10, dtype=np.int16), 8000))],
+        "asset_id long, content binary",
+    )
+    with pytest.raises(Exception, match="samples"):
+        audio_dhash(short).collect()
