@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "text_bpe_train",
     "dedup_image_phash",
     "dedup_audio_phash",
+    "dedup_substring_cut",
 ]
 
 

@@ -833,3 +833,68 @@ def substring_duplicate_spans(
         .drop("rid")
         .orderBy(id_col, "span_start")
     )
+
+
+def substring_cut_plan(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY side of ``substring_duplicate_spans`` — Lee et al.
+    2022's keep-one cut: every occurrence of a duplicated ``k``-gram
+    anchor EXCEPT the corpus-wide first (min (doc_id, pos), a total
+    order) is redundant; overlapping redundant anchor windows
+    [pos, pos+k) merge into maximal per-doc CUT intervals. Returns one
+    row per interval: (doc_id, cut_start, cut_len, n_anchors) in word
+    positions — the actionable plan a training pipeline executes by
+    slicing those words out before tokenizing (exactly one copy of
+    every duplicated span survives somewhere in the corpus).
+
+    Plan shape: the anchor build/exchange is the span finder's (in-row
+    zip_with fold, one exchange on the anchor string); the keep-one
+    rule is a min-struct window over each anchor group (same single
+    exchange — no join-back); the interval union is the classic sweep:
+    per-doc running max of interval ends marks island starts, one
+    per-doc window + one aggregate. Everything stays corpus-linear."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    acc = toks
+    for s in range(1, k):
+        shifted = F.slice(toks, s + 1, F.greatest(F.size(toks) - s, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    anchors_arr = F.slice(acc, 1, F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    anchors = df.select(
+        F.col(id_col), F.posexplode(anchors_arr).alias("pos", "anchor")
+    )
+    wa = Window.partitionBy("anchor")
+    redundant = (
+        anchors.withColumn("n_occ", F.count("*").over(wa))
+        .withColumn(
+            "first_occ", F.min(F.struct(id_col, "pos")).over(wa)
+        )
+        .filter(
+            (F.col("n_occ") >= 2)
+            & (
+                (F.col("first_occ")[id_col] != F.col(id_col))
+                | (F.col("first_occ")["pos"] != F.col("pos"))
+            )
+        )
+        .select(id_col, "pos", (F.col("pos") + k).alias("end"))
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("end").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = redundant.withColumn(
+        "new_island", (prev_max.isNull() | (F.col("pos") > prev_max)).cast("int")
+    ).withColumn("island", F.sum("new_island").over(wd))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("cut_start"),
+            (F.max("end") - F.min("pos")).cast("long").alias("cut_len"),
+            F.count("*").alias("n_anchors"),
+        )
+        .drop("island")
+        .orderBy(id_col, "cut_start")
+    )

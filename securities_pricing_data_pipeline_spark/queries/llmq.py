@@ -3977,3 +3977,54 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
 WHERE bit_count(xor(a.sim, b.sim)) <= 3
 ORDER BY id_a, id_b
 """
+
+
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one substring-dedup cut plan (the apply side of
+    ``dedup_substring_spans``): per document, the maximal word intervals
+    to slice out so exactly one copy of every duplicated 8-gram run
+    survives corpus-wide (``llmdata.dedup.substring_cut_plan``)."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        substring_cut_plan,
+    )
+
+    return substring_cut_plan(load(spark, sf_dir, "documents"), k=8)
+
+
+QUERIES["dedup_substring_cut"] = dedup_substring_cut
+
+ORACLES["dedup_substring_cut"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), anchors AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS anchor
+  FROM toks, UNNEST(range(len(w) - 8 + 1)) AS t(i)
+  WHERE len(w) >= 8
+), marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY anchor) AS n_occ,
+         MIN(doc_id * 1000000000 + pos) OVER (PARTITION BY anchor) AS first_occ
+  FROM anchors
+), redundant AS (
+  SELECT doc_id, pos, pos + 8 AS e
+  FROM marked
+  WHERE n_occ >= 2 AND doc_id * 1000000000 + pos != first_occ
+), islands AS (
+  SELECT doc_id, pos, e,
+         SUM(CASE WHEN prev_max IS NULL OR pos > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM redundant
+  )
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS cut_start,
+       CAST(MAX(e) - MIN(pos) AS BIGINT) AS cut_len,
+       COUNT(*) AS n_anchors
+FROM islands GROUP BY doc_id, island
+ORDER BY doc_id, cut_start
+"""

@@ -30,6 +30,7 @@ ALLOW_NEW: set[str] = {
     "text_bpe_train",
     "dedup_image_phash",
     "dedup_audio_phash",
+    "dedup_substring_cut",
 }
 
 

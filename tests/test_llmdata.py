@@ -1354,3 +1354,37 @@ def test_bpe_train_hand_checked(spark):
     )
     got = [(r.merge_round, r.a, r.b, r.n_pairs) for r in bpe_train(docs, 5).collect()]
     assert got == [(1, "a", "a", 3), (2, "a", "b", 1)]
+
+
+def test_substring_cut_plan_keep_one(spark):
+    """doc0 and doc1 share the 10-word run 'm..v' (doc1 offset by 2);
+    doc2 repeats doc0's run again. Keep-one: doc0's occurrence is the
+    corpus-wide first (min (doc_id, pos)) and SURVIVES; doc1 and doc2
+    each get one merged cut interval covering the whole 10-word run
+    (3 overlapping redundant anchors → one island, cut_len 10). A doc
+    with a within-doc repeat cuts only the SECOND occurrence."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        substring_cut_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "m n o p q r s t u v"),
+            (1, "z z m n o p q r s t u v"),
+            (2, "m n o p q r s t u v"),
+            (3, "p q r s t u v w p q r s t u v w"),
+            (4, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.cut_start, r.cut_len, r.n_anchors)
+        for r in substring_cut_plan(docs, k=8).collect()
+    }
+    # doc3: its own pos-0 anchor 'p q r s t u v w' is the global first
+    # (count 2: pos 0 and pos 8) -> only pos 8 is cut
+    assert got == {
+        (1, 2, 10, 3),
+        (2, 0, 10, 3),
+        (3, 8, 8, 1),
+    }
