@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "dedup_image_phash",
     "dedup_audio_phash",
     "dedup_substring_cut",
+    "sim_ivfpq_topk",
 ]
 
 

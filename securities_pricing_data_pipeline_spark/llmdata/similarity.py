@@ -1451,3 +1451,105 @@ def mmr_select(
         out = out.unionByName(step)
         sel_ids = sel_ids.unionByName(step.select("query_id", "cid"))
     return out
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 20,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ retrieval — the composed index structure production ANN
+    actually deploys (Jégou et al. 2011 §V; Faiss ``IVFPQ`` with
+    ``by_residual=False``): a coarse quantizer restricts each query to
+    ``nprobe`` inverted lists, and candidates inside those lists are
+    scored by the ADC table-lookup scan over their PQ codes — raw
+    vectors are touched by NEITHER stage at query time. Composes the
+    repo's two existing kernels: the IVF coarse assignment/probing
+    (``ivf_topk``'s deterministic lowest-id centroids, exact grid-cosine
+    probe ranking) and the PQ codebook/ADC machinery (``pq_adc_topk``).
+
+    Scale posture — the 100 TB serving shape: per query the scan cost is
+    nprobe/n_centroids of the corpus, and each scanned vector costs
+    ``n_sub`` integer table lookups on (m, cid) code rows (n_sub bytes a
+    vector, not dim·4 floats); the ADC tables and probe lists broadcast;
+    the only corpus-sized exchange is the one-time list build. Recall
+    compounds the IVF probe miss and the PQ approximation — audit with
+    ``sim_pq_adc_recall``'s pattern and re-rank survivors on raw vectors
+    when exact order matters.
+
+    Exactness: probe ranking uses the exact grid cosine and ADC
+    distances are 1e-13-grid integer sums, so the whole result is
+    bit-reproducible in DuckDB."""
+    sub = dim // n_sub
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm_grid(F.col(vec_col)).alias("cent_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("norm"),
+    )
+    coarse = nearest_centroid(c, cents)  # (id, centroid_id)
+    codebook = _pq_codebook(corpus, id_col, vec_col, n_sub, sub, n_codes)
+    codes = (
+        pq_assignments(corpus, id_col, vec_col, dim, n_sub, n_codes)
+        .select(F.col(id_col).alias("neighbor_id"), "m", F.col("best.cid").alias("cid"))
+        .join(
+            coarse.select(F.col("id").alias("neighbor_id"), "centroid_id"),
+            "neighbor_id",
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_grid(F.col(vec_col)).alias("q_norm"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), F.asc("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn(
+            "cent_cos",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("cent_vec"), F.col("q_norm"), F.col("cent_norm")
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    adc = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _pq_slices(vec_col, n_sub, sub, "qv")
+        )
+        .join(F.broadcast(codebook), "m")
+        .select("query_id", "m", "cid", _pq_dist_units("qv", "cvec").alias("units"))
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(adc), ["query_id", "m", "cid"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("units").alias("total_units"))
+    )
+    w = Window.partitionBy("query_id").orderBy("total_units", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("total_units").cast("double") / F.lit(_SCALE)).alias("adc_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

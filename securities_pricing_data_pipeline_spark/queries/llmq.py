@@ -4028,3 +4028,81 @@ SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS cut_start,
 FROM islands GROUP BY doc_id, island
 ORDER BY doc_id, cut_start
 """
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 for every 50th vector as query — the composed
+    serving index (coarse probe → ADC code scan,
+    ``llmdata.similarity.ivfpq_topk``) next to its two single-stage
+    parents ``sim_ivf_topk`` (probe + exact rerank) and
+    ``sim_pq_adc_topk`` (whole-corpus code scan)."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5,
+        dim=20, n_sub=4, n_codes=16, n_centroids=16, nprobe=4,
+    )
+
+
+QUERIES["sim_ivfpq_topk"] = sim_ivfpq_topk
+
+ORACLES["sim_ivfpq_topk"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), ms AS (
+  SELECT unnest([0, 1, 2, 3]) AS m
+), sub AS (
+  SELECT vec_id, m, vec[m*5+1 : m*5+5] AS sv FROM v, ms
+), cb AS (
+  SELECT vec_id AS cid, m, vec[m*5+1 : m*5+5] AS cvec FROM v, ms WHERE vec_id < 16
+), dist AS (
+  SELECT s.vec_id, s.m, c.cid,
+         list_sum(list_transform(list_zip(s.sv, c.cvec),
+           p -> CAST(round((p[1] - p[2]) * (p[1] - p[2]) * 1e13) AS BIGINT))) AS dist_units
+  FROM sub s JOIN cb c ON s.m = c.m
+), best AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_units, cid) AS rn
+    FROM dist) WHERE rn = 1
+), cent AS (
+  SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < 16
+), coarse AS (
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT v.vec_id AS neighbor_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_expr('v.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM v, cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT v.vec_id AS query_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_expr('v.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM v, cent WHERE v.vec_id % 50 = 0
+  ) WHERE rn <= 4
+), adc AS (
+  SELECT s.vec_id AS query_id, c.m, c.cid,
+         list_sum(list_transform(list_zip(s.sv, c.cvec),
+           p -> CAST(round((p[1] - p[2]) * (p[1] - p[2]) * 1e13) AS BIGINT))) AS units
+  FROM sub s JOIN cb c ON s.m = c.m
+  WHERE s.vec_id % 50 = 0
+), scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id, SUM(a.units) AS total_units
+  FROM best b
+  JOIN coarse co ON b.vec_id = co.neighbor_id
+  JOIN probes p ON co.centroid_id = p.centroid_id
+  JOIN adc a ON b.m = a.m AND b.cid = a.cid AND a.query_id = p.query_id
+  WHERE b.vec_id <> a.query_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, neighbor_id, total_units,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY total_units, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       CAST(total_units AS DOUBLE) / 1e13 AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""

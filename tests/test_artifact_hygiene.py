@@ -31,6 +31,7 @@ ALLOW_NEW: set[str] = {
     "dedup_image_phash",
     "dedup_audio_phash",
     "dedup_substring_cut",
+    "sim_ivfpq_topk",
 }
 
 
