@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "dedup_audio_phash",
     "dedup_substring_cut",
     "sim_ivfpq_topk",
+    "text_dsir_logratio",
 ]
 
 

@@ -1102,3 +1102,77 @@ def bpe_train_oracle_sql(n_merges: int = 6, table: str = "documents") -> str:
         for r in range(1, n_merges + 1)
     )
     return "".join(parts) + "\n" + union + "\nORDER BY merge_round"
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target_pred,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every document by Σ_tokens ln(p_target(b)/p_raw(b)) over HASHED
+    token-feature buckets, where the target unigram model is fit on the
+    rows satisfying ``target_pred`` (the high-quality exemplar slice)
+    and the raw model on the whole corpus. High scores = documents whose
+    feature profile looks like the target domain — the importance weight
+    a resampling selection draws with. Add-one smoothing keeps both
+    models total; hashing caps the model size at ``n_buckets`` no matter
+    the vocabulary (the paper's trick that makes the estimator
+    corpus-size-independent).
+
+    Parity: bucket = md5-hash of the token mod n_buckets (exact in both
+    engines); each per-token log-ratio is computed from exact-int-derived
+    doubles and snapped to the 1e-12 decimal grid before the
+    order-independent sum; the mean snaps to 1e-9 (the unigram_logppl
+    contract).
+
+    Scale shape: two count aggregates keyed by bucket (Zipf-hot keys →
+    map-side partials absorb them; the reduce side is ≤ n_buckets rows,
+    which then BROADCASTS to the scoring join), one corpus-sized
+    tokenize pass, no Python anywhere."""
+    from securities_pricing_data_pipeline_spark.queries.helpers import dec
+
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("is_target"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    ).select(
+        id_col,
+        "is_target",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % n_buckets)
+        .alias("b"),
+    )
+    counts = toks.groupBy("b").agg(
+        F.count("*").alias("cr"), F.sum("is_target").alias("ct")
+    )
+    totals = toks.agg(
+        F.count("*").alias("nr"), F.sum("is_target").alias("nt")
+    )
+    term = (
+        toks.join(F.broadcast(counts), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            dec(
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("nt") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("nr") + n_buckets).cast("double")
+                ),
+                12,
+            ).alias("lr"),
+        )
+    )
+    return term.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        (F.sum("lr").cast("double") / F.count("*"))
+        .cast("decimal(20,9)")
+        .cast("double")
+        .alias("avg_logratio"),
+    )

@@ -4106,3 +4106,40 @@ SELECT query_id, neighbor_id,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+
+def text_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance score per document with lang='en' as the target
+    exemplar slice (``llmdata.text.dsir_logratio``) — the
+    importance-resampling selection signal next to the perplexity
+    quality filters."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import dsir_logratio
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_logratio(docs, F.col("lang") == "en", n_buckets=10_000)
+
+
+QUERIES["text_dsir_logratio"] = text_dsir_logratio
+
+ORACLES["text_dsir_logratio"] = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+         CAST(('0x' || substr(md5(unnest(string_split_regex(lower(trim(text)), '\s+'))), 1, 8))
+              AS BIGINT) % 10000 AS b
+  FROM documents
+), counts AS (
+  SELECT b, COUNT(*) AS cr, SUM(is_target) AS ct FROM toks GROUP BY 1
+), totals AS (
+  SELECT COUNT(*) AS nr, SUM(is_target) AS nt FROM toks
+), term AS (
+  SELECT t.doc_id,
+         CAST(ln(CAST(c.ct + 1 AS DOUBLE) / CAST(tt.nt + 10000 AS DOUBLE))
+              - ln(CAST(c.cr + 1 AS DOUBLE) / CAST(tt.nr + 10000 AS DOUBLE))
+              AS DECIMAL(38,12)) AS lr
+  FROM toks t JOIN counts c USING (b) CROSS JOIN totals tt
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       CAST(CAST(CAST(SUM(lr) AS DOUBLE) / COUNT(*) AS DECIMAL(20,9)) AS DOUBLE)
+         AS avg_logratio
+FROM term GROUP BY doc_id
+"""

@@ -32,6 +32,7 @@ ALLOW_NEW: set[str] = {
     "dedup_audio_phash",
     "dedup_substring_cut",
     "sim_ivfpq_topk",
+    "text_dsir_logratio",
 }
 
 

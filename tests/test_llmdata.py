@@ -1388,3 +1388,30 @@ def test_substring_cut_plan_keep_one(spark):
         (2, 0, 10, 3),
         (3, 8, 8, 1),
     }
+
+
+def test_dsir_logratio_hand_checked(spark):
+    """Two docs, one-token each, tiny bucket space via n_buckets large
+    enough that the two tokens land in distinct buckets. Target slice =
+    doc 0. Hand arithmetic with add-one smoothing over B=10000 buckets:
+    token 'aa' (doc0, target): ct=1, nt=1, cr=1, nr=2 →
+    lr = ln(2/10001) − ln(2/10002); token 'bb' (doc1): ct=0 →
+    lr = ln(1/10001) − ln(2/10002). Signs: the target-slice token scores
+    HIGHER than the non-target token."""
+    import math
+
+    from securities_pricing_data_pipeline_spark.llmdata.text import dsir_logratio
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "aa", "en"), (1, "bb", "zh")], "doc_id long, text string, lang string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logratio)
+        for r in dsir_logratio(docs, F.col("lang") == "en").collect()
+    }
+    exp0 = math.log(2 / 10001) - math.log(2 / 10002)
+    exp1 = math.log(1 / 10001) - math.log(2 / 10002)
+    assert got[0][0] == 1 and abs(got[0][1] - exp0) < 1e-8
+    assert got[1][0] == 1 and abs(got[1][1] - exp1) < 1e-8
+    assert got[0][1] > got[1][1]
