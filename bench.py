@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "dedup_substring_cut",
     "sim_ivfpq_topk",
     "text_dsir_logratio",
+    "sim_ivfpq_ndcg",
 ]
 
 

@@ -4143,3 +4143,103 @@ SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
          AS avg_logratio
 FROM term GROUP BY doc_id
 """
+
+
+# constant IDCG@5 with graded gains 5..1, each term snapped to the same
+# 1e-12 grid the per-position DCG terms use — the identical expression
+# text runs in both engines, so the ratio is bit-stable
+_IDCG5 = " + ".join(
+    f"CAST(CAST({6 - i} AS DOUBLE) / log2(CAST({i + 1} AS DOUBLE)) AS DECIMAL(38,12))"
+    for i in range(1, 6)
+)
+
+
+def sim_ivfpq_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking-quality audit of IVF-PQ: nDCG@5 of
+    ``sim_ivfpq_topk`` against exact-grid-cosine brute-force truth
+    (gain = 6 − truth_rank for truth top-5 hits, 0 otherwise; the
+    standard graded metric the recall@k audits can't express — recall
+    treats rank 1 and rank 5 as equal). Per query: hit count, DCG@5
+    (1e-12-snapped per-position terms, exact decimal sum), and nDCG
+    (1e-9-snapped quotient against the constant IDCG@5). The audit the
+    'rerank survivors on raw vectors' advice should be gated on."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from securities_pricing_data_pipeline_spark.queries.helpers import dec
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = ivfpq_topk(
+        emb, queries, k=5, dim=20, n_sub=4, n_codes=16, n_centroids=16, nprobe=4
+    )
+    truth = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").alias("truth_rank")
+    )
+    terms = (
+        approx.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce(F.lit(6) - F.col("truth_rank"), F.lit(0)).alias("gain"),
+            "rank",
+        )
+        .select(
+            "query_id",
+            "gain",
+            dec(
+                F.col("gain").cast("double")
+                / F.log2((F.col("rank") + 1).cast("double")),
+                12,
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("query_id")
+        .agg(
+            F.sum((F.col("gain") > 0).cast("int")).cast("int").alias("n_hits"),
+            F.sum("term").alias("dcg_dec"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.col("dcg_dec").cast("double").alias("dcg"),
+            (
+                F.col("dcg_dec").cast("double")
+                / F.expr(_IDCG5).cast("double")
+            )
+            .cast("decimal(20,9)")
+            .cast("double")
+            .alias("ndcg"),
+        )
+    )
+
+
+QUERIES["sim_ivfpq_ndcg"] = sim_ivfpq_ndcg
+
+ORACLES["sim_ivfpq_ndcg"] = f"""
+WITH approx AS (
+  SELECT query_id, neighbor_id, rank FROM ({ORACLES["sim_ivfpq_topk"]})
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), truth AS (
+  SELECT query_id, neighbor_id, rank AS truth_rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_expr('q.vec', 'c.vec')} DESC, c.vec_id) AS rank
+    FROM v q JOIN v c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+), terms AS (
+  SELECT a.query_id,
+         COALESCE(6 - t.truth_rank, 0) AS gain,
+         CAST(CAST(COALESCE(6 - t.truth_rank, 0) AS DOUBLE)
+              / log2(CAST(a.rank + 1 AS DOUBLE)) AS DECIMAL(38,12)) AS term
+  FROM approx a LEFT JOIN truth t USING (query_id, neighbor_id)
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS INT) AS n_hits,
+       CAST(SUM(term) AS DOUBLE) AS dcg,
+       CAST(CAST(CAST(SUM(term) AS DOUBLE) / CAST(({_IDCG5}) AS DOUBLE)
+            AS DECIMAL(20,9)) AS DOUBLE) AS ndcg
+FROM terms GROUP BY query_id
+"""

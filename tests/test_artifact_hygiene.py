@@ -33,6 +33,7 @@ ALLOW_NEW: set[str] = {
     "dedup_substring_cut",
     "sim_ivfpq_topk",
     "text_dsir_logratio",
+    "sim_ivfpq_ndcg",
 }
 
 
