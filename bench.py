@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "sim_ivfpq_topk",
     "text_dsir_logratio",
     "sim_ivfpq_ndcg",
+    "stream_events_cusum",
 ]
 
 

@@ -606,3 +606,100 @@ JOIN (SELECT user_id, MAX(session_id) AS max_sid FROM sess GROUP BY 1) m
   ON s.user_id = m.user_id AND s.session_id < m.max_sid
 """,
 }
+
+
+def stream_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE Page–Hinkley drift detection executed as a genuine
+    multi-batch stream (``streaming.stateful.cusum_stream``) — the
+    streaming twin of the batch closed form in
+    ``events_cusum_changepoint``. The feed is split into 4
+    time-partitioned files replayed one per micro-batch, so the per-key
+    state (M, running min, n, alarms — four longs) demonstrably carries
+    across batches; because the statistic is integer-exact and the file
+    ranges are disjoint in ts, the final snapshot equals the batch
+    closed form over the whole (ts, event_id)-ordered series, which is
+    exactly what the DuckDB oracle computes. Output: final cumulative
+    row per event_type."""
+    import os
+    import shutil
+    import time
+    import uuid
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+    from securities_pricing_data_pipeline_spark.streaming.stateful import cusum_stream
+
+    tag = f"{_mem_name('cusum')}_{uuid.uuid4().hex[:12]}"
+    base = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    feed_dir = base / f"{tag}_feed"
+    tmp_dir = base / f"{tag}_tmp"
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = int(hi) - int(lo) + 1
+    try:
+        feed_dir.mkdir(parents=True)
+        t0 = time.time() - 600
+        for b in range(4):
+            cut_lo = int(lo) + span * b // 4
+            cut_hi = int(lo) + span * (b + 1) // 4
+            part = ev.filter((F.col("ts") >= cut_lo) & (F.col("ts") < cut_hi))
+            part.coalesce(1).write.mode("overwrite").parquet(str(tmp_dir))
+            pf = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
+            dst = feed_dir / f"{b:03d}_quarter.parquet"
+            shutil.move(str(tmp_dir / pf), str(dst))
+            os.utime(dst, (t0 + 100 * b, t0 + 100 * b))  # mtime order = ts order
+        schema = spark.read.parquet(str(feed_dir)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed_dir))
+        )
+        name = _drain(
+            cusum_stream(stream),
+            "cusum",
+            "update",
+            state_partitions=spark.sparkContext.defaultParallelism,
+        )
+        w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+        return (
+            spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)  # final cumulative snapshot per key
+            .select("event_type", "n_seen", "m_units", "ph_units", "n_alarms")
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)  # pin before the feed dir is removed
+        )
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+QUERIES["stream_events_cusum"] = stream_events_cusum
+
+ORACLES["stream_events_cusum"] = """
+WITH x AS (
+  SELECT event_type, epoch_ns(ts) AS tsn, event_id,
+         CAST(round(value * 100) AS BIGINT) - 5000 AS d
+  FROM events
+), m AS (
+  SELECT event_type, tsn, event_id, d,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY tsn, event_id) AS m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tsn DESC, event_id DESC)
+           AS rn_desc
+  FROM x
+), ph AS (
+  SELECT event_type, rn_desc, m,
+         m - LEAST(0, MIN(m) OVER (PARTITION BY event_type ORDER BY tsn, event_id))
+           AS ph
+  FROM m
+)
+SELECT event_type,
+       COUNT(*) AS n_seen,
+       CAST(MAX(CASE WHEN rn_desc = 1 THEN m END) AS BIGINT) AS m_units,
+       CAST(MAX(CASE WHEN rn_desc = 1 THEN ph END) AS BIGINT) AS ph_units,
+       CAST(SUM(CASE WHEN ph > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+FROM ph GROUP BY event_type
+ORDER BY event_type
+"""

@@ -14,6 +14,7 @@ import datetime as dt
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -164,4 +165,74 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
         outputStructType=TOTALS_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM / Page–Hinkley drift detector (the online twin of the
+# batch closed form in queries.eventsq.events_cusum_changepoint).
+
+#: fixed reference mean in cents (the calibrated mu0 an online detector
+#: runs against — the batch query instead calibrates on the full series)
+CUSUM_MU0_CENTS = 5_000
+#: alarm threshold on the PH statistic, in cent-units
+CUSUM_PH_LAMBDA = 200_000
+
+CUSUM_STATE_SCHEMA = "m long, run_min long, n long, n_alarms long"
+CUSUM_OUT_SCHEMA = (
+    "event_type string, n_seen long, m_units long, ph_units long, n_alarms long"
+)
+
+
+def cusum_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key online Page–Hinkley over the cent-grid value stream:
+    M_t = Σ(x_cents − mu0), PH_t = M_t − least(0, min_{s≤t} M_s), alarm
+    when PH_t > λ. State carries (M, running min, n, alarm count) across
+    micro-batches, so the statistic is EXACTLY the batch closed form
+    evaluated on the concatenated stream — integer arithmetic end to
+    end, no drift across batch boundaries. Emits one cumulative
+    snapshot row per key per batch (update semantics); rows are
+    processed in (ts, event_id) order within the batch, and the feed's
+    time-partitioned files make that the global order."""
+    (event_type,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+    x = (
+        (rows["value"] * 100).round().astype("int64") - CUSUM_MU0_CENTS
+    ).to_numpy()
+    if state.exists:
+        m, run_min, n, n_alarms = state.get
+    else:
+        m, run_min, n, n_alarms = 0, 0, 0, 0
+    cm = m + np.cumsum(x)
+    rmins = np.minimum(np.minimum.accumulate(cm), run_min)
+    ph = cm - rmins
+    n += len(x)
+    n_alarms += int((ph > CUSUM_PH_LAMBDA).sum())
+    state.update((int(cm[-1]), int(rmins[-1]), int(n), int(n_alarms)))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n_seen": [n],
+            "m_units": [int(cm[-1])],
+            "ph_units": [int(ph[-1])],
+            "n_alarms": [n_alarms],
+        }
+    )
+
+
+def cusum_stream(events: DataFrame) -> DataFrame:
+    """events(event_type string, ts long, event_id long, value double) →
+    one cumulative PH snapshot per key per micro-batch. One state row
+    per key (4 longs) — memory bounded by key cardinality, not
+    history; the statistic itself is O(1) to carry, which is the whole
+    point of CUSUM as an online detector."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        cusum_fn,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

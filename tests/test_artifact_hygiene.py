@@ -34,6 +34,7 @@ ALLOW_NEW: set[str] = {
     "sim_ivfpq_topk",
     "text_dsir_logratio",
     "sim_ivfpq_ndcg",
+    "stream_events_cusum",
 }
 
 

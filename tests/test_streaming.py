@@ -463,3 +463,54 @@ def test_late_audit_drops_stragglers_and_matches_model(spark):
         .collect()
     }
     assert got == want
+
+
+def test_cusum_fn_state_carries_across_batches():
+    """Hand-checked online Page–Hinkley across two micro-batches (no
+    Spark needed — drive the stateful fn with a fake GroupState):
+    batch 1 values 51, 49, 52 → x = +100, −100, +200 → M = 100, 0, 300?
+    No: M = 100, 0, 200; run_min = 0 throughout; PH = 100, 0, 200.
+    Batch 2 value 48 → x = −200 → M = 0, PH = 0. State must carry
+    (M, run_min, n, alarms) exactly; the concatenated result equals one
+    pass over all four values."""
+    import pandas as pd
+
+    from securities_pricing_data_pipeline_spark.streaming.stateful import cusum_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    st = FakeState()
+
+    def batch(vals, ts0):
+        return pd.DataFrame(
+            {
+                "event_type": ["click"] * len(vals),
+                "ts": range(ts0, ts0 + len(vals)),
+                "event_id": range(ts0, ts0 + len(vals)),
+                "value": vals,
+            }
+        )
+
+    out1 = list(cusum_fn(("click",), iter([batch([51.0, 49.0, 52.0], 0)]), st))
+    assert st._v == (200, 0, 3, 0)
+    r1 = out1[0].iloc[0]
+    assert (r1.n_seen, r1.m_units, r1.ph_units, r1.n_alarms) == (3, 200, 200, 0)
+
+    out2 = list(cusum_fn(("click",), iter([batch([48.0], 10)]), st))
+    assert st._v == (0, 0, 4, 0)
+    r2 = out2[0].iloc[0]
+    assert (r2.n_seen, r2.m_units, r2.ph_units, r2.n_alarms) == (4, 0, 0, 0)
