@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "text_dsir_logratio",
     "sim_ivfpq_ndcg",
     "stream_events_cusum",
+    "dq_k_anonymity",
 ]
 
 

@@ -303,3 +303,22 @@ def dq_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             / F.col("n_rows")
         ).alias("pass_rate"),
     )
+
+
+def k_anonymity_violations(df, quasi_cols: list, k: int = 5):
+    """Data-governance audit (Sweeney 2002 k-anonymity): every
+    quasi-identifier combination observed in fewer than ``k`` rows — the
+    groups a release would have to suppress or generalize further.
+    Output: the quasi columns plus ``k_count``. One hash aggregate on
+    the quasi key (map-side partials absorb the Zipf-hot combinations);
+    the violating-group list is the actionable artifact a privacy
+    reviewer reads, so it is emitted directly rather than as a
+    summary scalar."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("k_count"))
+        .filter(F.col("k_count") < k)
+        .orderBy(*quasi_cols)
+    )

@@ -4243,3 +4243,37 @@ SELECT query_id,
             AS DECIMAL(20,9)) AS DOUBLE) AS ndcg
 FROM terms GROUP BY query_id
 """
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    set (nation, market segment, 500-unit balance band): groups with
+    fewer than 5 members (``operators.quality.k_anonymity_violations``)
+    — the privacy-governance gate a training-data release pipeline runs
+    before exporting user-derived tables."""
+    from securities_pricing_data_pipeline_spark.operators.quality import (
+        k_anonymity_violations,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        # exact cents then truncating integer division — double→int CAST
+        # rounds in DuckDB but truncates in Spark, so never band on a cast
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 50000").alias("bal_band"),
+    )
+    return k_anonymity_violations(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
+QUERIES["dq_k_anonymity"] = dq_k_anonymity
+
+ORACLES["dq_k_anonymity"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(round(c_acctbal * 100) AS BIGINT) // 50000 AS bal_band,
+       COUNT(*) AS k_count
+FROM customer
+GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+ORDER BY 1, 2, 3
+"""

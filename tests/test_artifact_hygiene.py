@@ -35,6 +35,7 @@ ALLOW_NEW: set[str] = {
     "text_dsir_logratio",
     "sim_ivfpq_ndcg",
     "stream_events_cusum",
+    "dq_k_anonymity",
 }
 
 
