@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "sim_ivfpq_ndcg",
     "stream_events_cusum",
     "dq_k_anonymity",
+    "graph_landmark_distances",
 ]
 
 

@@ -548,3 +548,52 @@ def hits(
             .localCheckpoint(eager=True)
         )
     return h, a
+
+
+def landmark_bfs(
+    edges: DataFrame,
+    seeds: list[int],
+    max_depth: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    materialized: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances from fixed LANDMARK nodes over a
+    SYMMETRIC edge list — the landmark-distance sketch behind closeness
+    estimation and landmark routing (Potamias et al., CIKM 2009): exact
+    closeness needs one BFS per node, so large-graph practice picks a
+    handful of landmarks and runs their BFS trees simultaneously.
+    Returns (landmark, node, dist) for every node within ``max_depth``
+    hops of a seed, dist = exact shortest-hop count (BFS level order
+    guarantees minimality; the frontier is anti-joined against the
+    visited set per landmark, so a node enters at its first — minimal —
+    level only).
+
+    Scale shape: all seeds expand in ONE frame (landmark is just a key
+    column), so each round costs one frontier⋈edges join + one distinct
+    + one anti-join regardless of landmark count — the PageRank
+    iteration class. Frontier/visited frames localCheckpoint per round
+    (cross-iteration lineage, the iterative-operator rule). Depth is
+    bounded like the recursive-CTE reachability twin; co-occurrence
+    graphs have tiny diameters, so small depths saturate."""
+    spark = edges.sparkSession
+    if not materialized:
+        edges = edges.localCheckpoint(eager=True)
+    dist = spark.createDataFrame(
+        [(s, s, 0) for s in seeds], "landmark long, node long, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges[src])
+            .select("landmark", edges[dst].alias("node"))
+            .distinct()
+            .join(dist.select("landmark", "node"), ["landmark", "node"], "left_anti")
+            .withColumn("dist", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.orderBy("landmark", "node")

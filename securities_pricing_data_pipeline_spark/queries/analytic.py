@@ -1748,3 +1748,40 @@ ORDER BY role, score DESC, key
 
 
 ORACLES["graph_hits_supplier_parts"] = _hits_oracle_sql(2)
+
+
+def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hop distances from 4 landmark suppliers over the co-supply
+    graph, depth ≤ 3 (``operators.graph.landmark_bfs``) — the
+    landmark-distance sketch large graphs use in place of all-pairs
+    closeness. Reads the shared symmetric edge silver; the oracle
+    re-runs the same BFS as a depth-bounded recursive CTE with a MIN
+    reduction."""
+    from securities_pricing_data_pipeline_spark.operators.graph import landmark_bfs
+
+    edges = _cosupply_sym_edges(spark, sf_dir, "l_suppkey")
+    return landmark_bfs(
+        edges, seeds=[1, 2, 3, 4], max_depth=3, src="u", dst="v", materialized=True
+    )
+
+
+QUERIES["graph_landmark_distances"] = graph_landmark_distances
+
+ORACLES["graph_landmark_distances"] = """
+WITH RECURSIVE ls AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.sk AS u, b.sk AS v
+  FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk <> b.sk
+), bfs(landmark, node, dist) AS (
+  SELECT sk, sk, 0 FROM (SELECT UNNEST([1, 2, 3, 4]) AS sk)
+  UNION
+  SELECT b.landmark, e.v, b.dist + 1
+  FROM bfs b JOIN edges e ON e.u = b.node
+  WHERE b.dist < 3
+)
+SELECT CAST(landmark AS BIGINT) AS landmark, CAST(node AS BIGINT) AS node,
+       CAST(MIN(dist) AS INT) AS dist
+FROM bfs GROUP BY 1, 2
+ORDER BY landmark, node
+"""

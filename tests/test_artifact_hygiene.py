@@ -36,6 +36,7 @@ ALLOW_NEW: set[str] = {
     "sim_ivfpq_ndcg",
     "stream_events_cusum",
     "dq_k_anonymity",
+    "graph_landmark_distances",
 }
 
 

@@ -1119,3 +1119,25 @@ def test_delta_backend_contract_merge_batch(spark, tmp_path, monkeypatch):
     got_pq = {tuple(r) for r in spark.read.parquet(pq_path).collect()}
     got_dl = {tuple(r) for r in FakeDeltaTable.tables["/fake/cdc"].collect()}
     assert got_pq == got_dl == want
+
+
+def test_landmark_bfs_hand_checked(spark):
+    """Path graph 1–2–3–4–5 plus isolated pair 8–9, symmetric edges,
+    seeds {1, 8}, depth 3: landmark 1 reaches 2/3/4 at dists 1/2/3 (5 is
+    4 hops — excluded); landmark 8 reaches 9 at 1. BFS level order must
+    yield MINIMAL dists even though node 3 is reachable at depth 3 via
+    1→2→1→2... (revisits are anti-joined away)."""
+    from securities_pricing_data_pipeline_spark.operators.graph import landmark_bfs
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        (r.landmark, r.node): r.dist
+        for r in landmark_bfs(edges, seeds=[1, 8], max_depth=3).collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,
+        (8, 8): 0, (8, 9): 1,
+    }
