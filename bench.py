@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "stream_events_cusum",
     "dq_k_anonymity",
     "graph_landmark_distances",
+    "text_bpe_fertility",
 ]
 
 

@@ -1064,12 +1064,11 @@ def bpe_train(
     )
 
 
-def bpe_train_oracle_sql(n_merges: int = 6, table: str = "documents") -> str:
-    """DuckDB SQL replaying ``bpe_train`` exactly: the same vocab build,
-    then ``n_merges`` CTE rounds of pair-count → (n DESC, a, b) argmax →
-    column-reference merge fold (the learned pair enters the lambda as a
-    cross-joined column, never interpolated text — the oracle recomputes
-    the argmax, it does not trust the engine's picks)."""
+def bpe_train_ctes(n_merges: int = 6, table: str = "documents") -> str:
+    """The WITH-body CTE chain replaying ``bpe_train``'s rounds — shared
+    by the training oracle (``bpe_train_oracle_sql``) and the
+    train→apply fertility-eval oracle, so both verify against the SAME
+    recomputed merge table."""
     parts = [
         rf"""WITH t0 AS (
   SELECT word, COUNT(*) AS freq, regexp_split_to_array(word, '') AS toks
@@ -1097,11 +1096,20 @@ def bpe_train_oracle_sql(n_merges: int = 6, table: str = "documents") -> str:
   FROM t{p}, m{r}
 )"""
         )
+    return "".join(parts)
+
+
+def bpe_train_oracle_sql(n_merges: int = 6, table: str = "documents") -> str:
+    """DuckDB SQL replaying ``bpe_train`` exactly: the same vocab build,
+    then ``n_merges`` CTE rounds of pair-count → (n DESC, a, b) argmax →
+    column-reference merge fold (the learned pair enters the lambda as a
+    cross-joined column, never interpolated text — the oracle recomputes
+    the argmax, it does not trust the engine's picks)."""
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INT) AS merge_round, a, b, CAST(n AS BIGINT) AS n_pairs FROM m{r}"
         for r in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n" + union + "\nORDER BY merge_round"
+    return bpe_train_ctes(n_merges, table) + "\n" + union + "\nORDER BY merge_round"
 
 
 def dsir_logratio(
@@ -1175,4 +1183,70 @@ def dsir_logratio(
         .cast("decimal(20,9)")
         .cast("double")
         .alias("avg_logratio"),
+    )
+
+
+def bpe_fertility_by_lang(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Close the BPE loop end-to-end — TRAIN a merge table on the corpus
+    (``bpe_train``), APPLY it to every word, and EVALUATE tokenizer
+    fertility (BPE tokens per word) per language: the standard tokenizer
+    health metric — a vocabulary trained on mixed data tokenizes
+    underrepresented languages into more, shorter pieces (fertility ↑),
+    the readout multilingual-tokenizer papers report. Returns one row
+    per language: word/char/token counts and fertility.
+
+    The learned merges are driver state (the K 1-row argmax collects in
+    ``bpe_train``); application is the injection-proof Column-API greedy
+    fold per merge — no Python per row, no shuffle beyond the final
+    language aggregate. The oracle RETRAINS the table in SQL
+    (``bpe_train_ctes``) and applies it with column-reference folds, so
+    train and apply are both value-verified against an independent
+    replay."""
+    merges = [
+        (r.a, r.b) for r in bpe_train(df, n_merges, text_col, id_col).collect()
+    ]
+    words = _tokens(text_col)
+
+    def encode_ntoks(w):
+        toks = F.filter(F.split(w, ""), lambda x: x != F.lit(""))
+        s = _merge_pass_col(toks, *merges[0])
+        for m in merges[1:]:
+            s = _merge_pass_col(F.split(s, F.lit(" ")), *m)
+        return F.size(F.split(s, F.lit(" "))).cast("long")
+
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        F.size(words).cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(split(lower(trim(" + text_col + ")), '\\\\s+'), 0L,"
+            " (a, w) -> a + length(w))"
+        ).alias("n_chars"),
+        F.aggregate(
+            F.transform(words, encode_ntoks), F.lit(0).cast("long"), lambda a, t: a + t
+        ).alias("n_bpe_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"))
+            .cast("decimal(20,9)")
+            .cast("double")
+            .alias("fertility"),
+        )
+        .orderBy("lang")
     )

@@ -4277,3 +4277,52 @@ FROM customer
 GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
 ORDER BY 1, 2, 3
 """
+
+
+def _bpe_apply_ntoks_sql(n_merges: int) -> str:
+    """Token count of one word encoded with the m1..mK merge CTEs
+    (column-reference folds — the oracle retrains, then applies)."""
+    s = "regexp_split_to_array(word, '')"
+    for k in range(1, n_merges + 1):
+        s = (
+            f"string_split(list_reduce({s}, (acc, t) -> "
+            f"CASE WHEN regexp_extract(acc, '[^ ]+$') = m{k}.a AND t = m{k}.b "
+            f"THEN substr(acc, 1, length(acc) - length(m{k}.a)) || m{k}.a || m{k}.b "
+            f"ELSE acc || ' ' || t END), ' ')"
+        )
+    return f"len({s})"
+
+
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 6-merge BPE table, apply it corpus-wide, report per-language
+    tokenizer fertility (``llmdata.text.bpe_fertility_by_lang``)."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import (
+        bpe_fertility_by_lang,
+    )
+
+    return bpe_fertility_by_lang(load(spark, sf_dir, "documents"), n_merges=6)
+
+
+QUERIES["text_bpe_fertility"] = text_bpe_fertility
+
+from securities_pricing_data_pipeline_spark.llmdata.text import (  # noqa: E402
+    bpe_train_ctes as _bpe_train_ctes,
+)
+
+ORACLES["text_bpe_fertility"] = rf"""
+{_bpe_train_ctes(6)}, words AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), enc AS (
+  SELECT lang, length(word) AS n_chars,
+         {_bpe_apply_ntoks_sql(6)} AS n_toks
+  FROM words, m1, m2, m3, m4, m5, m6
+)
+SELECT lang, COUNT(*) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(CAST(CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(20,9)) AS DOUBLE) AS fertility
+FROM enc GROUP BY lang
+ORDER BY lang
+"""

@@ -37,6 +37,7 @@ ALLOW_NEW: set[str] = {
     "stream_events_cusum",
     "dq_k_anonymity",
     "graph_landmark_distances",
+    "text_bpe_fertility",
 }
 
 
