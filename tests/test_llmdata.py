@@ -1415,3 +1415,21 @@ def test_dsir_logratio_hand_checked(spark):
     assert got[0][0] == 1 and abs(got[0][1] - exp0) < 1e-8
     assert got[1][0] == 1 and abs(got[1][1] - exp1) < 1e-8
     assert got[0][1] > got[1][1]
+
+
+def test_bm25_and_prf_share_one_postings_silver(spark):
+    """ADVICE r9 #1 lock-in: the BM25 retrieval and PRF expansion stages
+    read ONE per-session (doc, term, tf) postings silver — the second
+    call must be a cache hit, not a second corpus tokenize+pin."""
+    from securities_pricing_data_pipeline_spark.queries import llmq
+
+    sf = "/root/testdata/sf0.001"
+    app = spark.sparkContext.applicationId
+    key = ("postings", app, sf)
+    llmq._DEDUP_SILVER.pop(key, None)
+    a = llmq._bm25_postings(spark, sf)
+    b = llmq._bm25_postings(spark, sf)
+    assert a is b  # cache hit
+    llmq.text_bm25_topdocs(spark, sf).collect()
+    llmq.text_prf_expansion(spark, sf).collect()
+    assert llmq._DEDUP_SILVER.get(key) is a  # both queries reused it

@@ -754,7 +754,15 @@ def main() -> None:
         "MERGE INTO touches only matched files). The edge_support row pays "
         "triangle ENUMERATION + 3× per-edge attribution on top of the "
         "count-only triangle pass; the kcore row prices three peel rounds "
-        "at one degree-aggregate + two semi-joins each.",
+        "at one degree-aggregate + two semi-joins each. The substring_1m "
+        "row prices the duplicated-span anchor-group shape (one "
+        "corpus-token exchange on the anchor key + per-doc islands "
+        "window) with 10% of docs in 100-deep template groups — the "
+        "count-only window makes the hot template cost one counted "
+        "partition, never a pair product. The mmr_100k row runs the "
+        "3-step unrolled MMR greedy at 10,000x the serving query's "
+        "session count: per-query windows + broadcast selection joins, "
+        "no driver involvement — the fixed-k unroll's scale contract.",
         "",
     ]
     with open(out_path, "w") as f:
