@@ -25,20 +25,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {
-    "dedup_substring_spans",
-    "text_bpe_train",
-    "dedup_image_phash",
-    "dedup_audio_phash",
-    "dedup_substring_cut",
-    "sim_ivfpq_topk",
-    "text_dsir_logratio",
-    "sim_ivfpq_ndcg",
-    "stream_events_cusum",
-    "dq_k_anonymity",
-    "graph_landmark_distances",
-    "text_bpe_fertility",
-}
+ALLOW_NEW: set[str] = set()
 
 
 def _latest(pattern: str) -> str | None:
