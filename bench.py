@@ -286,6 +286,8 @@ BENCH_QUERIES = [
     "dq_k_anonymity",
     "graph_landmark_distances",
     "text_bpe_fertility",
+    "asof_event_bars_nearest",
+    "emb_matryoshka_recall",
 ]
 
 

@@ -307,3 +307,77 @@ def asof_join_backward_bucketed(
         )
     )
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``):
+    for each left row, the right row minimizing |right_time − left_time|
+    within ``key``; ties (equidistant before/after) break BACKWARD —
+    the stale quote wins over the future one, pandas' rule.
+
+    One union + ONE exchange: the same whole-row-struct union frame the
+    backward join builds, with TWO carries over it — the backward carry
+    (last right row at-or-before) and the forward carry (first right row
+    at-or-after). Both windows share the partition keys, so Catalyst
+    plans one shuffle and two in-partition sorts; per left row the
+    nearest pick is a pure expression over the two carried structs. No
+    join, no per-row search — the same 100 TB posture as the
+    backward/forward operators."""
+    from pyspark.sql.types import DateType
+
+    key = list(key)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(key) | {right_time}]
+    value_cols = list(value_cols)
+
+    rrow = _right_row_struct(right, right_time, value_cols)
+    lt = left.select(
+        *key,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(rrow["dtype"]).alias("__rrow"),
+    )
+    rt = right.select(
+        *key,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        rrow["expr"].alias("__rrow"),
+    )
+    wb = (
+        Window.partitionBy(*key)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*key)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = lt.unionByName(rt).select(
+        "*",
+        F.last("__rrow", ignorenulls=True).over(wb).alias("__b"),
+        F.first("__rrow", ignorenulls=True).over(wf).alias("__f"),
+    )
+    if isinstance(left.schema[left_time].dataType, DateType):
+        dist = F.datediff
+    else:
+        dist = lambda a, b: a - b  # noqa: E731 — numeric time axis
+    bt, ft = F.col("__b")["__asof_t"], F.col("__f")["__asof_t"]
+    pick_back = ft.isNull() | (
+        bt.isNotNull() & (dist(F.col("__t"), bt) <= dist(ft, F.col("__t")))
+    )
+    chosen = F.when(pick_back, F.col("__b")).otherwise(F.col("__f"))
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        *[chosen[c].alias(c) for c in value_cols],
+        chosen["__asof_t"].alias("asof_time"),
+    )

@@ -4326,3 +4326,160 @@ SELECT lang, COUNT(*) AS n_words,
 FROM enc GROUP BY lang
 ORDER BY lang
 """
+
+
+def asof_event_bars_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (merge_asof direction='nearest'): each event aligned
+    to the CLOSEST bar of its symbol in either direction, equidistant
+    ties to the earlier bar (``operators.asof.asof_join_nearest`` — one
+    exchange, two in-partition carries). Completes the as-of direction
+    family next to backward / forward / tolerance / bucketed-skew."""
+    from securities_pricing_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    left = _asof_events(spark, sf_dir)
+    b = bars_silver(spark, sf_dir).select(
+        "symbol", "trade_date", F.col("close").cast("double").alias("close")
+    )
+    joined = asof_join_nearest(
+        left, b, key=["symbol"], left_time="event_date", right_time="trade_date",
+        value_cols=["close"],
+    )
+    return joined.filter(F.col("asof_time").isNotNull()).select(
+        "event_id", "symbol", "event_date", F.col("asof_time").alias("bar_date"), "close"
+    )
+
+
+QUERIES["asof_event_bars_nearest"] = asof_event_bars_nearest
+
+ORACLES["asof_event_bars_nearest"] = BARS_SQL + """
+, ev AS (
+  SELECT event_id,
+         'P' || CAST(user_id % 200 AS VARCHAR) AS symbol,
+         DATE '1995-01-01'
+           + CAST((EXTRACT(DAY FROM ts) * 73 + user_id * 7) % 2400 AS INT) AS event_date
+  FROM events
+), back AS (
+  SELECT e.event_id, e.symbol, e.event_date,
+         b.trade_date AS bd, CAST(b.close AS DOUBLE) AS bc
+  FROM ev e ASOF LEFT JOIN bars b
+    ON e.symbol = b.symbol AND e.event_date >= b.trade_date
+), fwd AS (
+  SELECT e.event_id, b.trade_date AS fd, CAST(b.close AS DOUBLE) AS fc
+  FROM ev e ASOF LEFT JOIN bars b
+    ON e.symbol = b.symbol AND e.event_date <= b.trade_date
+), pick AS (
+  SELECT k.event_id, k.symbol, k.event_date,
+         CASE WHEN fd IS NULL OR (bd IS NOT NULL
+                   AND k.event_date - bd <= fd - k.event_date)
+              THEN bd ELSE fd END AS bar_date,
+         CASE WHEN fd IS NULL OR (bd IS NOT NULL
+                   AND k.event_date - bd <= fd - k.event_date)
+              THEN bc ELSE fc END AS close
+  FROM back k JOIN fwd USING (event_id)
+)
+SELECT event_id, symbol, event_date, bar_date, close
+FROM pick WHERE bar_date IS NOT NULL
+"""
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, MRL): recall@5
+    of brute-force retrieval over the FIRST d dimensions (d = 8, 16, 64)
+    against the full-dimension ground truth — the measurement behind
+    'can we serve a cheaper prefix of this embedding'. MRL-trained
+    embeddings degrade gracefully under prefix truncation; this audit is
+    how a serving stack picks the cheapest d that holds recall (the
+    d=64 row is the full dimension and must read recall 1.0 — a
+    built-in sanity anchor).
+
+    Exactness: every ranking is the exact 1e-13 grid cosine over the
+    sliced arrays; recall is an exact-int quotient snapped at 1e-9.
+    Scale: 3 small-query-side brute-force passes (the documented ANN
+    baseline shape) — at corpus scale the truncated pass runs the SAME
+    IVF/PQ index machinery, just over narrower vectors."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    full = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    full = full.localCheckpoint(eager=True)  # 3 consumers, one per dim
+    out = None
+    for d in (8, 16, 64):
+        tr = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        topd = brute_force_topk(tr, tr.filter(F.col("vec_id") < 10), k=5).select(
+            "query_id", "neighbor_id"
+        )
+        row = (
+            topd.join(full, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .crossJoin(
+                F.broadcast(
+                    full.agg(F.count("*").alias("n_truth"))
+                )
+            )
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                "n_hits",
+                "n_truth",
+                (F.col("n_hits").cast("double") / F.col("n_truth").cast("double"))
+                .cast("decimal(20,9)")
+                .cast("double")
+                .alias("recall_at_5"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")
+
+
+QUERIES["emb_matryoshka_recall"] = emb_matryoshka_recall
+
+
+ORACLES["emb_matryoshka_recall"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), t20 AS (
+  SELECT vec_id AS query_id, cid AS neighbor_id FROM (
+    SELECT q.vec_id, c.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cos_expr('q.vec', 'c.vec')} DESC, c.vec_id) AS rnk
+    FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+), t8 AS (
+  SELECT vec_id AS query_id, cid AS neighbor_id FROM (
+    SELECT q.vec_id, c.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cos_expr('q.vec[1:8]', 'c.vec[1:8]')} DESC, c.vec_id) AS rnk
+    FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+), t16 AS (
+  SELECT vec_id AS query_id, cid AS neighbor_id FROM (
+    SELECT q.vec_id, c.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cos_expr('q.vec[1:16]', 'c.vec[1:16]')} DESC, c.vec_id) AS rnk
+    FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+), nt AS (SELECT COUNT(*) AS n_truth FROM t20)
+SELECT CAST(8 AS INT) AS dim,
+       (SELECT COUNT(*) FROM t8 JOIN t20 USING (query_id, neighbor_id)) AS n_hits,
+       (SELECT n_truth FROM nt) AS n_truth,
+       CAST(CAST(CAST((SELECT COUNT(*) FROM t8 JOIN t20 USING (query_id, neighbor_id)) AS DOUBLE)
+            / CAST((SELECT n_truth FROM nt) AS DOUBLE) AS DECIMAL(20,9)) AS DOUBLE) AS recall_at_5
+UNION ALL
+SELECT CAST(16 AS INT),
+       (SELECT COUNT(*) FROM t16 JOIN t20 USING (query_id, neighbor_id)),
+       (SELECT n_truth FROM nt),
+       CAST(CAST(CAST((SELECT COUNT(*) FROM t16 JOIN t20 USING (query_id, neighbor_id)) AS DOUBLE)
+            / CAST((SELECT n_truth FROM nt) AS DOUBLE) AS DECIMAL(20,9)) AS DOUBLE)
+UNION ALL
+SELECT CAST(64 AS INT),
+       (SELECT COUNT(*) FROM t20 JOIN t20 t USING (query_id, neighbor_id)),
+       (SELECT n_truth FROM nt),
+       CAST(CAST(CAST((SELECT COUNT(*) FROM t20 JOIN t20 t USING (query_id, neighbor_id)) AS DOUBLE)
+            / CAST((SELECT n_truth FROM nt) AS DOUBLE) AS DECIMAL(20,9)) AS DOUBLE)
+ORDER BY dim
+"""

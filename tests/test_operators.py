@@ -1141,3 +1141,32 @@ def test_landmark_bfs_hand_checked(spark):
         (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,
         (8, 8): 0, (8, 9): 1,
     }
+
+
+def test_asof_nearest_hand_checked(spark):
+    """merge_asof(direction='nearest') semantics with right times
+    {7, 11, 12}: left t=10 → 11 (dist 1 beats backward 7's dist 3);
+    left t=9 equidistant between 7 and 11 → tie breaks BACKWARD to 7;
+    left t=1 has no earlier right → forward 7; a key with no right rows
+    survives with a null match."""
+    from securities_pricing_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [("A", 10, 1), ("A", 9, 2), ("A", 1, 3), ("B", 5, 4)],
+        "k string, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("A", 7, 70.0), ("A", 12, 120.0), ("A", 11, 110.0)],
+        "k string, t long, px double",
+    )
+    out = {
+        r.lid: (r.asof_time, r.px)
+        for r in asof_join_nearest(
+            left, right, key=["k"], left_time="t", right_time="t",
+            value_cols=["px"],
+        ).collect()
+    }
+    assert out[1] == (11, 110.0)
+    assert out[2] == (7, 70.0)  # equidistant -> backward
+    assert out[3] == (7, 70.0)  # nothing earlier -> forward
+    assert out[4] == (None, None)  # no right rows for key B
