@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "text_bpe_fertility",
     "asof_event_bars_nearest",
     "emb_matryoshka_recall",
+    "sim_ivfpq_residual_topk",
 ]
 
 

@@ -1194,6 +1194,7 @@ def pq_assignments(
     dim: int = 20,
     n_sub: int = 4,
     n_codes: int = 16,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest-codeword assignment per (vector, subspace): one row per
     ``(id, m)`` with ``best.cid`` / ``best.dist_units`` — the shared core
@@ -1201,7 +1202,8 @@ def pq_assignments(
     scan). Codebook broadcasts; slices join map-side; the argmin
     aggregate shuffles only narrow ``(id, m, dist, cid)`` rows."""
     sub = dim // n_sub
-    codebook = _pq_codebook(corpus, id_col, vec_col, n_sub, sub, n_codes)
+    if codebook is None:  # pass one to train on a different frame (residual PQ)
+        codebook = _pq_codebook(corpus, id_col, vec_col, n_sub, sub, n_codes)
     sliced = corpus.select(F.col(id_col), _pq_slices(vec_col, n_sub, sub, "sub"))
     return (
         sliced.join(F.broadcast(codebook), "m")
@@ -1538,6 +1540,132 @@ def ivfpq_topk(
     scored = (
         codes.join(F.broadcast(probes), "centroid_id")
         .join(F.broadcast(adc), ["query_id", "m", "cid"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("units").alias("total_units"))
+    )
+    w = Window.partitionBy("query_id").orderBy("total_units", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("total_units").cast("double") / F.lit(_SCALE)).alias("adc_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 20,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    cb_lo: int = 16,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the Faiss default
+    (``IVFPQ by_residual=True``; Jégou et al. 2011 §V.B): PQ quantizes
+    r = x − c(x) (the vector's offset from its coarse centroid), which
+    concentrates the quantized distribution near the origin and is why
+    residual IVFPQ beats the plain variant at equal code budget. At
+    query time each probed list gets its OWN ADC table over
+    q − c_list — the per-(query, list) table build is the price of
+    residual encoding, bounded by nprobe × n_sub × n_codes tiny rows per
+    query. Codebook: residual slices of ids [cb_lo, cb_lo + n_codes)
+    (ids < n_centroids are the centroids themselves — their residuals
+    are ~0 and would degenerate the codebook; same reproducible-init
+    spirit as the lowest-id conventions elsewhere).
+
+    Scale: identical to ``ivfpq_topk`` — one corpus-sized list build +
+    residual projection, code rows thereafter; ADC tables and probe
+    lists broadcast. All distances on the 1e-13 integer grid; residual
+    components are single exact IEEE subtractions — bit-reproducible."""
+    sub = dim // n_sub
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm_grid(F.col(vec_col)).alias("cent_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("norm"),
+    )
+    coarse = nearest_centroid(c, cents)  # (id, centroid_id)
+    resid = (
+        c.join(coarse, "id")
+        .join(F.broadcast(cents.select("centroid_id", "cent_vec")), "centroid_id")
+        .select(
+            "id",
+            "centroid_id",
+            # cast BEFORE subtracting: the source arrays are float32, and
+            # a float subtraction then widened differs from the oracle's
+            # double subtraction in the last ~8 digits
+            F.zip_with(
+                F.col("vec").cast("array<double>"),
+                F.col("cent_vec").cast("array<double>"),
+                lambda a, b: a - b,
+            ).alias("rvec"),
+        )
+        .localCheckpoint(eager=True)  # codebook + code assignment both read it
+    )
+    cb_frame = resid.filter(
+        (F.col("id") >= cb_lo) & (F.col("id") < cb_lo + n_codes)
+    ).select((F.col("id") - cb_lo).alias("rid"), "rvec")
+    codebook = _pq_codebook(cb_frame, "rid", "rvec", n_sub, sub, n_codes)
+    codes = (
+        pq_assignments(resid, "id", "rvec", dim, n_sub, n_codes, codebook=codebook)
+        .select(F.col("id").alias("neighbor_id"), "m", F.col("best.cid").alias("cid"))
+        .join(
+            resid.select(F.col("id").alias("neighbor_id"), "centroid_id"),
+            "neighbor_id",
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_grid(F.col(vec_col)).alias("q_norm"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), F.asc("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn(
+            "cent_cos",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("cent_vec"), F.col("q_norm"), F.col("cent_norm")
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "centroid_id",
+            F.zip_with(
+                F.col("q_vec").cast("array<double>"),
+                F.col("cent_vec").cast("array<double>"),
+                lambda a, b: a - b,
+            ).alias("qrvec"),
+        )
+    )
+    adc = (
+        probes.select("query_id", "centroid_id", _pq_slices("qrvec", n_sub, sub, "qv"))
+        .join(F.broadcast(codebook), "m")
+        .select(
+            "query_id", "centroid_id", "m", "cid",
+            _pq_dist_units("qv", "cvec").alias("units"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["centroid_id", "m", "cid"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("units").alias("total_units"))

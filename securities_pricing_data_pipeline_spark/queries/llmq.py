@@ -4483,3 +4483,88 @@ SELECT CAST(64 AS INT),
             / CAST((SELECT n_truth FROM nt) AS DOUBLE) AS DECIMAL(20,9)) AS DOUBLE)
 ORDER BY dim
 """
+
+
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ top-5 (Faiss ``by_residual=True`` default;
+    ``llmdata.similarity.ivfpq_residual_topk``) — per probed list the
+    query builds its own ADC table over q − c_list, and codes quantize
+    x − c(x) rather than x."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        ivfpq_residual_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5,
+        dim=20, n_sub=4, n_codes=16, n_centroids=16, nprobe=4, cb_lo=16,
+    )
+
+
+QUERIES["sim_ivfpq_residual_topk"] = sim_ivfpq_residual_topk
+
+ORACLES["sim_ivfpq_residual_topk"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < 16
+), coarse AS (
+  SELECT id, centroid_id FROM (
+    SELECT v.vec_id AS id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_expr('v.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM v, cent
+  ) WHERE rn = 1
+), resid AS (
+  SELECT v.vec_id AS id, co.centroid_id,
+         list_transform(list_zip(v.vec, ct.cvec), p -> p[1] - p[2]) AS rvec
+  FROM v JOIN coarse co ON v.vec_id = co.id
+         JOIN cent ct ON co.centroid_id = ct.centroid_id
+), ms AS (
+  SELECT unnest([0, 1, 2, 3]) AS m
+), cb AS (
+  SELECT id - 16 AS cid, m, rvec[m*5+1 : m*5+5] AS cvec
+  FROM resid, ms WHERE id >= 16 AND id < 32
+), sub AS (
+  SELECT id, centroid_id, m, rvec[m*5+1 : m*5+5] AS sv FROM resid, ms
+), dist AS (
+  SELECT s.id, s.m, c.cid,
+         list_sum(list_transform(list_zip(s.sv, c.cvec),
+           p -> CAST(round((p[1] - p[2]) * (p[1] - p[2]) * 1e13) AS BIGINT))) AS dist_units
+  FROM sub s JOIN cb c ON s.m = c.m
+), best AS (
+  SELECT id, m, cid FROM (
+    SELECT id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist_units, cid) AS rn
+    FROM dist) WHERE rn = 1
+), probes AS (
+  SELECT query_id, centroid_id,
+         list_transform(list_zip(qv, cvec), p -> p[1] - p[2]) AS qrvec
+  FROM (
+    SELECT v.vec_id AS query_id, v.vec AS qv, cent.centroid_id, cent.cvec,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_expr('v.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM v, cent WHERE v.vec_id % 50 = 0
+  ) WHERE rn <= 4
+), adc AS (
+  SELECT p.query_id, p.centroid_id, c.m, c.cid,
+         list_sum(list_transform(list_zip(p.qrvec[c.m*5+1 : c.m*5+5], c.cvec),
+           p2 -> CAST(round((p2[1] - p2[2]) * (p2[1] - p2[2]) * 1e13) AS BIGINT))) AS units
+  FROM probes p, cb c
+), scored AS (
+  SELECT a.query_id, b.id AS neighbor_id, SUM(a.units) AS total_units
+  FROM best b
+  JOIN resid r ON b.id = r.id
+  JOIN adc a ON r.centroid_id = a.centroid_id AND b.m = a.m AND b.cid = a.cid
+  WHERE b.id <> a.query_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, neighbor_id, total_units,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY total_units, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       CAST(total_units AS DOUBLE) / 1e13 AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
