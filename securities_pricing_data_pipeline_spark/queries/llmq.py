@@ -4415,7 +4415,9 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id"
         )
         row = (
-            topd.join(full, ["query_id", "neighbor_id"])
+            # broadcast hint: the pinned truth frame is a LogicalRDD with
+            # unknown stats — unhinted, each per-dim join planned as an SMJ
+            topd.join(F.broadcast(full), ["query_id", "neighbor_id"])
             .agg(F.count("*").alias("n_hits"))
             .crossJoin(
                 F.broadcast(

@@ -25,11 +25,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {
-    "asof_event_bars_nearest",
-    "emb_matryoshka_recall",
-    "sim_ivfpq_residual_topk",
-}
+ALLOW_NEW: set[str] = set()
 
 
 def _latest(pattern: str) -> str | None:
