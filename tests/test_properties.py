@@ -301,3 +301,140 @@ def test_cusum_closed_form_equals_page_hinkley_recursion(xs):
         ph = max(0, ph + r)
         rec.append(ph)
     assert closed == rec
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    quotes=st.lists(st.tuples(_SYMS, _DATES, st.floats(1, 100)), min_size=1, max_size=12),
+    events=st.lists(st.tuples(_SYMS, _DATES), min_size=1, max_size=12),
+)
+def test_asof_nearest_matches_pandas_merge_asof(spark, quotes, events):
+    """asof_join_nearest == pandas merge_asof(direction='nearest') on
+    random (symbol, date) data — including pandas' backward tie-break."""
+    from securities_pricing_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    qmap = {(s, d): px for s, d, px in quotes}
+    qrows = [(s, d, px) for (s, d), px in qmap.items()]
+    erows = [(i, s, d) for i, (s, d) in enumerate(events)]
+    qdf = spark.createDataFrame(qrows, "symbol string, qdate date, px double")
+    edf = spark.createDataFrame(erows, "event_id long, symbol string, edate date")
+    got = {
+        r.event_id: (r.asof_time, r.px)
+        for r in asof_join_nearest(
+            edf, qdf, key=["symbol"], left_time="edate", right_time="qdate",
+            value_cols=["px"],
+        ).collect()
+    }
+    qp = pd.DataFrame(qrows, columns=["symbol", "qdate", "px"]).sort_values("qdate")
+    ep = pd.DataFrame(erows, columns=["event_id", "symbol", "edate"]).sort_values(
+        "edate"
+    )
+    qp["qdate"] = pd.to_datetime(qp["qdate"])  # merge_asof needs numeric/dt64
+    ep["edate"] = pd.to_datetime(ep["edate"])
+    ref = pd.merge_asof(
+        ep, qp, left_on="edate", right_on="qdate", by="symbol", direction="nearest"
+    )
+    for _, row in ref.iterrows():
+        want = (
+            (None, None)
+            if pd.isna(row["qdate"])
+            else (row["qdate"].date(), row["px"])
+        )
+        assert got[row["event_id"]] == want, (row["event_id"], got[row["event_id"]], want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_substring_spans_match_bruteforce(spark, docs, k):
+    """substring_duplicate_spans == a brute-force Python reference on
+    random tiny-vocab corpora: positions whose k-gram occurs >= 2 times
+    corpus-wide, merged into maximal runs."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        substring_duplicate_spans,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.n_anchors)
+        for r in substring_duplicate_spans(sdf, k=k).collect()
+    }
+    # reference
+    from collections import Counter
+
+    grams: Counter = Counter()
+    pos_by_doc: dict[int, list[int]] = {}
+    for i, t in rows:
+        w = t.split()
+        for p in range(len(w) - k + 1):
+            grams[" ".join(w[p : p + k])] += 1
+    want = set()
+    for i, t in rows:
+        w = t.split()
+        dup = [
+            p for p in range(len(w) - k + 1) if grams[" ".join(w[p : p + k])] >= 2
+        ]
+        run: list[int] = []
+        for p in dup + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                want.add((i, run[0], run[-1] - run[0] + k, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rels=st.lists(st.floats(0, 1), min_size=2, max_size=5),
+    sims=st.lists(st.floats(0, 1), min_size=25, max_size=25),
+    k=st.integers(min_value=2, max_value=3),
+)
+def test_mmr_select_matches_python_greedy(spark, rels, sims, k):
+    """mmr_select == the straight Python greedy on one query's candidate
+    set with random rel/sim values (ties broken by cid, lam=0.5)."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import mmr_select
+
+    c = len(rels)
+    slim = spark.createDataFrame(
+        [(0, i, float(rels[i])) for i in range(c)], "query_id long, cid long, rel double"
+    ).localCheckpoint(eager=True)
+    smap = {}
+    idx = 0
+    for i in range(c):
+        for j in range(c):
+            if i != j:
+                smap[(i, j)] = float(sims[idx % len(sims)])
+                idx += 1
+    pairs = spark.createDataFrame(
+        [(0, i, j, s) for (i, j), s in smap.items()],
+        "query_id long, ci long, cj long, sim double",
+    ).localCheckpoint(eager=True)
+    k = min(k, c)
+    got = {
+        r.mmr_rank: r.cid
+        for r in mmr_select(slim, pairs, k=k, lam=0.5).collect()
+    }
+    # python greedy
+    sel: list[int] = []
+    rest = set(range(c))
+    first = max(rest, key=lambda i: (rels[i], -i))
+    sel.append(first)
+    rest.remove(first)
+    for _ in range(k - 1):
+        if not rest:
+            break
+        best = max(
+            rest,
+            key=lambda i: (0.5 * rels[i] - 0.5 * max(smap[(i, s)] for s in sel), -i),
+        )
+        sel.append(best)
+        rest.remove(best)
+    assert [got[r] for r in sorted(got)] == sel
