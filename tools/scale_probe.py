@@ -696,6 +696,66 @@ def probe_mmr(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_phash(spark) -> list[tuple[str, int, float]]:
+    """Perceptual image dedup at 100k assets (20× the sf0.1 corpus):
+    synthesize gradient P6 images (5% template-duplicate groups), run
+    the REAL decode → integer resample → 60-bit dHash → 4×16-bit
+    pigeonhole pairing end-to-end. Prices the Arrow decode boundary
+    (the dominant cost) plus the bucketed pairing — never all-pairs."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import simhash_near_dups
+    from securities_pricing_data_pipeline_spark.llmdata.multimodal import image_dhash
+
+    n = 100_000
+    grp = F.when(F.col("id") % 20 == 0, F.col("id") % 5000).otherwise(
+        F.col("id") + n
+    )
+    params = spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        (F.lit(12) + grp % 7).cast("int").alias("w"),
+        (F.lit(12) + grp % 5).cast("int").alias("h"),
+        ((grp * 11 + F.col("id") % 3) % 128).cast("int").alias("base"),
+    )
+    header = F.format_string("P6\n%d %d\n255\n", F.col("w"), F.col("h"))
+    body = F.expr(
+        "array_join(transform(sequence(0, w * h - 1), i -> "
+        "repeat(char((base + 3 * (i % w) + 5 * (i div w) "
+        "+ 7 * (i % w) * (i div w)) % 128), 3)), '')"
+    )
+    assets = params.select(
+        "asset_id", F.encode(F.concat(header, body), "UTF-8").alias("content")
+    )
+    sigs = image_dhash(assets)
+    out = simhash_near_dups(sigs, sigs=sigs, max_hamming=3)
+    return [(
+        "phash_100k image dHash dedup (decode+resample+pigeonhole)",
+        n,
+        timed(lambda: force(out)),
+    )]
+
+
+def probe_landmark(spark) -> list[tuple[str, int, float]]:
+    """4-landmark BFS to depth 3 over the 1M-edge hub-skewed graph the
+    triangle probes use — per round one frontier⋈edges join + distinct +
+    anti-join regardless of seed count (the PageRank iteration class)."""
+    from securities_pricing_data_pipeline_spark.operators.graph import landmark_bfs
+
+    n = 1_000_000
+    edges = spark.range(n).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(20_000)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(2) ), F.lit(20_000)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    return [(
+        "landmark_1m 4-seed BFS depth 3 (20k nodes)",
+        n,
+        timed(lambda: force(
+            landmark_bfs(sym, seeds=[1, 2, 3, 4], max_depth=3, materialized=True)
+        )),
+    )]
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.md"
     spark = get_spark("scale_probe")
@@ -708,7 +768,7 @@ def main() -> None:
                   probe_pq_adc, probe_hilbert, probe_cdc, probe_keygaps,
                   probe_media, probe_triangles, probe_edge_support,
                   probe_kcore, probe_bm25, probe_cc, probe_hits, probe_bigram,
-                  probe_substring, probe_mmr):
+                  probe_substring, probe_mmr, probe_phash, probe_landmark):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
@@ -762,7 +822,15 @@ def main() -> None:
         "partition, never a pair product. The mmr_100k row runs the "
         "3-step unrolled MMR greedy at 10,000x the serving query's "
         "session count: per-query windows + broadcast selection joins, "
-        "no driver involvement — the fixed-k unroll's scale contract.",
+        "no driver involvement — the fixed-k unroll's scale contract. "
+        "The phash_100k row is decode-BOUND (real P6 parse + integer "
+        "resample per image inside Arrow batches) — the 8-byte signature "
+        "pairing after it is the same sub-second pigeonhole the text "
+        "SimHash family prices; a production deployment swaps the "
+        "pure-python codec for libvips and keeps the plumbing. The "
+        "landmark_1m row prices one BFS frontier round at roughly one "
+        "pagerank iteration on the same graph, independent of seed "
+        "count (all seeds ride one keyed frame).",
         "",
     ]
     with open(out_path, "w") as f:
