@@ -446,3 +446,34 @@ def test_bpe_encode_no_global_sort(spark):
 
     plan = _plan(text_bpe_encode(spark, SF))
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ivfpq_small_side_joins_broadcast(spark):
+    """IVF-PQ's probe lists and ADC tables are query-set-sized and must
+    BROADCAST into the code scan; the one legitimate shuffle join is the
+    corpus-sized codes⋈coarse list build. Lock in: no cartesian blowup,
+    and at most ONE sort-merge join in the plan (the list build)."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import sim_ivfpq_topk
+
+    import re
+
+    plan = _plan(sim_ivfpq_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    # formatted mode prints each operator twice (tree + numbered detail):
+    # count the detail headers, expect exactly the one list-build SMJ
+    smjs = re.findall(r"\(\d+\) SortMergeJoin", plan)
+    assert len(smjs) <= 1, smjs
+    assert "BroadcastHashJoin" in plan
+
+
+def test_matryoshka_truth_joins_broadcast_never_smj(spark):
+    """The pinned 50-row truth frame has unknown stats — unhinted, each
+    per-dim recall join planned as an SMJ (3 measured). Lock in the
+    broadcast-hinted shape."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        emb_matryoshka_recall,
+    )
+
+    plan = _plan(emb_matryoshka_recall(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
