@@ -289,6 +289,11 @@ BENCH_QUERIES = [
     "asof_event_bars_nearest",
     "emb_matryoshka_recall",
     "sim_ivfpq_residual_topk",
+    "sim_sq8_topk",
+    "sim_sq8_recall",
+    "graph_modularity_parts",
+    "corpus_drift_ks",
+    "dq_l_diversity",
 ]
 
 

@@ -159,6 +159,70 @@ def distribution_drift(
     )
 
 
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the train and
+    holdout hash-split slices on a NUMERIC column — the distributional
+    twin of :func:`distribution_drift` (which monitors categorical mix):
+    KL answers "did the category shares move", KS answers "did a numeric
+    signal's whole distribution move" (doc length, quality score) — the
+    standard drift alarm between corpus versions.
+
+    Exactness: D = sup_x |F_a(x) − F_b(x)| evaluated at the observed ECDF
+    step points, computed as integer cross-products — at each distinct
+    value, |ca·n_b − cb·n_a| with exact cumulative counts, widened to
+    DECIMAL(38,0) so the products stay exact past the int64 budget at
+    100 TB row counts; the argmax row (ties to the smallest value) and
+    the one final double division are engine-identical.
+
+    Plan: ONE hash aggregate collapses the scan to value-cardinality
+    rows; the cumulative ECDFs ride a single global-order window over
+    that reduced frame (the pareto/global-window rule: windows only ever
+    run post-reduction) and the argmax is a 1-row TakeOrdered."""
+    from pyspark.sql import Window
+
+    is_tr = (hash_bucket(F.col(id_col)) < train_pct).cast("int")
+    t = df.select(F.col(value_col).cast("long").alias("x"), is_tr.alias("is_tr"))
+    per_v = t.groupBy("x").agg(
+        F.sum("is_tr").alias("ct"),
+        F.sum(F.lit(1) - F.col("is_tr")).alias("ch"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = per_v.select(
+        "x",
+        F.sum("ct").over(w_cum).alias("ca"),
+        F.sum("ch").over(w_cum).alias("cb"),
+        F.sum("ct").over(w_all).alias("na"),
+        F.sum("ch").over(w_all).alias("nb"),
+        F.count("*").over(w_all).alias("nv"),
+    )
+    dec = "decimal(38,0)"
+    dnum = F.abs(
+        F.col("ca").cast(dec) * F.col("nb").cast(dec)
+        - F.col("cb").cast(dec) * F.col("na").cast(dec)
+    )
+    best = (
+        cum.select("x", "na", "nb", "nv", dnum.alias("dnum"))
+        .orderBy(F.desc("dnum"), F.asc("x"))
+        .limit(1)
+    )
+    return best.select(
+        F.col("na").cast("long").alias("n_train"),
+        F.col("nb").cast("long").alias("n_holdout"),
+        F.col("nv").cast("long").alias("n_values"),
+        F.col("x").alias("ks_at"),
+        (
+            F.col("dnum").cast("double")
+            / (F.col("na").cast(dec) * F.col("nb").cast(dec)).cast("double")
+        ).alias("ks_stat"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

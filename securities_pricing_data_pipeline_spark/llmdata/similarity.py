@@ -118,6 +118,87 @@ def brute_force_topk(
     )
 
 
+# SQ8 scalar quantization (Faiss IndexScalarQuantizer QT_8bit_uniform
+# shape): per-vector symmetric int8 codes over the repo's 1e6 snap grid.
+# Quantizer and dequantizer are the same pure-integer round-half-away-
+# from-zero rationals as emb_int8_quant_error (queries/llmq.py), so codes
+# and reconstructions are engine-identical by construction:
+#   g_i = round(x_i · 1e6)            (snap grid, bigint)
+#   m   = max(max_i |g_i|, 1)         (per-vector scale)
+#   q_i = sign(g_i) · ((254·|g_i| + m) div (2m))      ∈ [−127, 127]
+#   r_i = sign(g_i) · ((2·|q_i|·m + 127) div 254)     (dequant, bigint)
+_SQ8_RECON = (
+    "transform({g}, gi -> (case when gi < 0 then -1 else 1 end)"
+    " * ((2 * ((254 * abs(gi) + {m}) div (2 * {m})) * {m} + 127) div 254))"
+)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) retrieval: corpus vectors are symmetric-int8
+    quantized per row and ranking runs over the DEQUANTIZED corpus against
+    the full-precision query — the asymmetric-distance convention of
+    Faiss's ``IndexScalarQuantizer`` (QT_8bit). The compression audit twin
+    is ``emb_int8_quant_error`` (same quantizer); the retrieval-quality
+    audit is ``sim_sq8_recall`` against exact-cosine ground truth.
+
+    Exactness: the snap grid ``g``, the codes, and the reconstructions
+    ``r`` are pure-integer in both engines; dot and self-dot sums are
+    exact int64 (|g|,|r| ≲ 3e6 at 64 dims → Σ ≤ ~6e14 < 2^53), so the one
+    cosine division and the (cos DESC, id ASC) window rank identically.
+
+    Scale shape: quantize + reconstruct is per-row codegen — no shuffle,
+    no Python; queries broadcast; ONE corpus scan; per-query top-k via the
+    same window class as ``brute_force_topk``. In a real deployment the
+    scan side reads 1-byte codes + one scale per vector instead of 4-byte
+    floats (4× scan I/O at 100 TB); here both live in the same parquet,
+    so the benefit shows in the recall audit, not I/O.
+    """
+    g = "transform({v}, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(g.format(v=vec_col)).alias("cg"),
+        )
+        .withColumn("m", F.expr("greatest(array_max(transform(cg, a -> abs(a))), 1L)"))
+        .withColumn("r", F.expr(_SQ8_RECON.format(g="cg", m="m")))
+        .select(
+            "neighbor_id",
+            "r",
+            F.expr("aggregate(r, 0L, (acc, x) -> acc + x * x)").alias("rn"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(g.format(v=vec_col)).alias("qg"),
+    ).select(
+        "query_id",
+        "qg",
+        F.expr("aggregate(qg, 0L, (acc, x) -> acc + x * x)").alias("qn"),
+    )
+    dot = F.expr("aggregate(zip_with(qg, r, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        _safe_cos(
+            dot.cast("double"),
+            F.col("qn").cast("double"),
+            F.col("rn").cast("double"),
+        ).alias("cos_sq8"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sq8"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sq8", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def brute_force_topk_np(
     corpus: DataFrame,
     queries: DataFrame,

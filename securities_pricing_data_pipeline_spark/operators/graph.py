@@ -239,6 +239,69 @@ def label_propagation(
     return labels
 
 
+def modularity(
+    sym: DataFrame, labels: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Newman modularity per community (Newman & Girvan 2004) over a
+    SYMMETRIC unweighted edge list and a (node, label) assignment —
+    the quality score that turns a community DETECTION (LPA) into a
+    community EVALUATION: Q_c = l_c/m − (d_c/(2m))² where l_c is the
+    intra-community undirected edge count, d_c the community's degree
+    sum, m the total undirected edge count. Σ_c Q_c is the partition's
+    modularity; per-community rows expose which communities carry it.
+
+    Exactness (the assortativity moments discipline): l_c, d_c, m are
+    exact int64 counts; the contribution is computed as the rational
+    (4·m·l_c − d_c²) / (4·m²) with the numerator and denominator in
+    DECIMAL(38,0) — exact beyond the int64 budget at 100 TB edge counts
+    — and the single decimal→double division is the only float op, so
+    both engines emit bit-identical contributions.
+
+    Plan: intra-edge counting joins the node-sized label frame onto the
+    canonical (u < v) half of the edge list twice (AQE broadcasts the
+    label side when small); degree sums are one edge-list aggregate plus
+    a label join; the 1-row m scalar broadcasts onto the community-sized
+    result. Shuffles carry id pairs and (community, count) partials only
+    — no adjacency arrays, no pair materialization."""
+    und = sym.filter(F.col(src) < F.col(dst))
+    lu = labels.select(F.col("node").alias(src), F.col("label").alias("cu"))
+    lv = labels.select(F.col("node").alias(dst), F.col("label").alias("cv"))
+    intra = (
+        und.join(lu, src)
+        .join(lv, dst)
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    deg = sym.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("deg"))
+    per_c = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    m_row = und.agg(F.count("*").alias("m_edges"))
+    j = (
+        per_c.join(intra, "community", "left")
+        .na.fill({"intra_edges": 0})
+        .crossJoin(F.broadcast(m_row))
+    )
+    dec = "decimal(38,0)"
+    m = F.col("m_edges").cast(dec)
+    d = F.col("degree_sum").cast(dec)
+    num = F.lit(4).cast(dec) * m * F.col("intra_edges").cast(dec) - d * d
+    den = F.lit(4).cast(dec) * m * m
+    return j.select(
+        "community",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("intra_edges").cast("long").alias("intra_edges"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        (num.cast("double") / den.cast("double")).alias("q_contrib"),
+    )
+
+
 def edge_triangle_support(
     und: DataFrame, src: str = "u", dst: str = "v", materialized: bool = False
 ) -> DataFrame:

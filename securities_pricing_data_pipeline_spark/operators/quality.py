@@ -322,3 +322,25 @@ def k_anonymity_violations(df, quasi_cols: list, k: int = 5):
         .filter(F.col("k_count") < k)
         .orderBy(*quasi_cols)
     )
+
+
+def l_diversity_violations(df, quasi_cols: list, sensitive_col: str, l: int = 3):
+    """Data-governance audit (Machanavajjhala 2007 ℓ-diversity): k-anonymity's
+    required companion — a group can be k-anonymous yet leak the sensitive
+    attribute outright when every member shares one value. Emits every
+    quasi-identifier group whose SENSITIVE attribute takes fewer than ``l``
+    distinct values, with the group size and its diversity, so the reviewer
+    sees both audits over the same grouping. One hash aggregate on the quasi
+    key (count + count_distinct partials combine map-side); Zipf-hot
+    combinations land in AQE-splittable aggregates, never a window."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").alias("k_count"),
+            F.count_distinct(F.col(sensitive_col)).alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < l)
+        .orderBy(*quasi_cols)
+    )

@@ -1785,3 +1785,79 @@ SELECT CAST(landmark AS BIGINT) AS landmark, CAST(node AS BIGINT) AS node,
 FROM bfs GROUP BY 1, 2
 ORDER BY landmark, node
 """
+
+
+def graph_modularity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q per LPA community on the part co-purchase graph
+    (``operators.graph.modularity`` over the same 2-round deterministic
+    label propagation as graph_communities_parts) — closes the
+    detect→evaluate loop: LPA proposes the partition, modularity scores
+    it, the number a curator checks before trusting community ids as a
+    grouping key. Per-community rows (members, intra edges, degree sum,
+    exact-rational Q contribution); the partition's modularity is their
+    sum. Reads the shared symmetric edge silver; labels and degrees are
+    node-sized frames; contributions are DECIMAL(38,0) rationals with
+    one final double division (the assortativity moments discipline)."""
+    from securities_pricing_data_pipeline_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    sym = _cosupply_sym_edges(spark, sf_dir, "l_partkey")
+    return modularity(sym, label_propagation(sym, rounds=2))
+
+
+QUERIES["graph_modularity_parts"] = graph_modularity_parts
+
+# Replays the LPA rounds of ORACLES["graph_communities_parts"] verbatim,
+# then scores each community: intra-edge count over the canonical (u < v)
+# edge half, degree sums over the symmetric list, and the exact
+# DECIMAL(38,0) rational (4·m·l_c − d_c²)/(4·m²) as the only float op.
+ORACLES["graph_modularity_parts"] = """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk FROM lineitem
+), und AS (
+  SELECT DISTINCT a.sk AS u, b.sk AS v
+  FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk
+), e AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), c1 AS (
+  SELECT u AS node, v AS nl, COUNT(*) AS c FROM e GROUP BY 1, 2
+), l1 AS (
+  SELECT node, nl AS label FROM (
+    SELECT node, nl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn
+    FROM c1) WHERE rn = 1
+), c2 AS (
+  SELECT e.u AS node, l1.label AS nl, COUNT(*) AS c
+  FROM e JOIN l1 ON e.v = l1.node GROUP BY 1, 2
+), l2 AS (
+  SELECT node, nl AS label FROM (
+    SELECT node, nl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn
+    FROM c2) WHERE rn = 1
+), deg AS (
+  SELECT u AS node, COUNT(*) AS deg FROM e GROUP BY 1
+), per_c AS (
+  SELECT l.label AS community,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+  FROM l2 l JOIN deg d ON l.node = d.node GROUP BY 1
+), intra AS (
+  SELECT lu.label AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM und
+  JOIN l2 lu ON und.u = lu.node
+  JOIN l2 lv ON und.v = lv.node
+  WHERE lu.label = lv.label GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM und
+)
+SELECT p.community, p.n_members,
+       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       p.degree_sum,
+       CAST(CAST(4 AS DECIMAL(38,0)) * CAST(m.m_edges AS DECIMAL(38,0))
+              * CAST(COALESCE(i.intra_edges, 0) AS DECIMAL(38,0))
+            - CAST(p.degree_sum AS DECIMAL(38,0)) * CAST(p.degree_sum AS DECIMAL(38,0))
+            AS DOUBLE)
+       / CAST(CAST(4 AS DECIMAL(38,0)) * CAST(m.m_edges AS DECIMAL(38,0))
+              * CAST(m.m_edges AS DECIMAL(38,0)) AS DOUBLE) AS q_contrib
+FROM per_c p LEFT JOIN intra i ON p.community = i.community, m
+"""

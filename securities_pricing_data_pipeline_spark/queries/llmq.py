@@ -3254,6 +3254,166 @@ FROM sse GROUP BY 1
 """
 
 
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized retrieval (``llmdata.similarity.sq8_topk``):
+    top-5 by asymmetric distance — full-precision query against the
+    int8-dequantized corpus, the Faiss ``IndexScalarQuantizer`` shape.
+    Completes the quantized-retrieval family next to PQ/ADC
+    (codebook quantization) and IVF-PQ (coarse+fine): SQ8 is the
+    no-codebook variant a pipeline reaches for first, because its codes
+    need no training pass. Same 10-query set as sim_bruteforce_topk, so
+    the recall audit (sim_sq8_recall) is a direct overlay."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import sq8_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+QUERIES["sim_sq8_topk"] = sim_sq8_topk
+
+# DuckDB twin of llmdata.similarity.sq8_topk: identical snap grid,
+# identical integer quantize/dequantize rationals, identical int64 dot
+# and norm sums; the single cos division is IEEE-identical.
+ORACLES["sim_sq8_topk"] = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS g
+  FROM embeddings
+), gm AS (
+  SELECT vec_id, g,
+         greatest(list_max(list_transform(g, a -> abs(a))), 1) AS m
+  FROM base
+), rec AS (
+  SELECT vec_id, g,
+         list_transform(g, gi -> (CASE WHEN gi < 0 THEN -1 ELSE 1 END)
+             * ((2 * ((254 * abs(gi) + m) // (2 * m)) * m + 127) // 254)) AS r
+  FROM gm
+), c AS (
+  SELECT vec_id AS neighbor_id, r,
+         CAST(list_sum(list_transform(r, x -> x * x)) AS BIGINT) AS rn
+  FROM rec
+), q AS (
+  SELECT vec_id AS query_id, g AS qg,
+         CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS qn
+  FROM rec WHERE vec_id < 10
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN qn = 0 OR rn = 0 THEN 0.0
+              ELSE CAST(CAST(list_sum(list_transform(list_zip(qg, r),
+                       p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(qn AS DOUBLE) * CAST(rn AS DOUBLE)) END AS cos_sq8
+  FROM c, q WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sq8,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sq8 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sq8, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SQ8 quantized ranking against exact-cosine ground
+    truth on the same 10-query set — the audit run before trusting SQ8
+    codes at corpus scale (the PQ family's sim_pq_adc_recall, for the
+    scalar quantizer). Counts are ints; the one ratio is an int÷int
+    double division — engine-stable."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = sq8_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    t = truth.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_true"),
+    )
+    h = hits.agg(F.count("*").alias("n_hits"))
+    return t.join(h).select(
+        "n_queries",
+        F.lit(5).cast("int").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall_at_k"),
+    )
+
+
+QUERIES["sim_sq8_recall"] = sim_sq8_recall
+
+ORACLES["sim_sq8_recall"] = f"""
+WITH bf AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["sim_bruteforce_topk"]})
+), sq AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["sim_sq8_topk"]})
+), t AS (
+  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         COUNT(*) AS n_true
+  FROM bf
+), h AS (
+  SELECT COUNT(*) AS n_hits
+  FROM (SELECT query_id, neighbor_id FROM sq
+        INTERSECT SELECT query_id, neighbor_id FROM bf)
+)
+SELECT t.n_queries, CAST(5 AS INT) AS k, CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits AS DOUBLE) / t.n_true AS recall_at_k
+FROM t, h
+"""
+
+
+def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift on document length between the
+    train and holdout hash splits (``llmdata.sampling.ks_drift``) — the
+    numeric-distribution twin of corpus_drift_kl's categorical-mix
+    monitor, same stable md5 split. Exact integer ECDF cross-products in
+    DECIMAL(38,0); one double division; argmax ties to the smallest
+    length."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import ks_drift
+
+    docs = load(spark, sf_dir, "documents")
+    return ks_drift(docs, "n_chars")
+
+
+QUERIES["corpus_drift_ks"] = corpus_drift_ks
+
+ORACLES["corpus_drift_ks"] = """
+WITH t AS (
+  SELECT n_chars AS x,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 100 < 80
+              THEN 1 ELSE 0 END AS is_tr
+  FROM documents
+), per_v AS (
+  SELECT x, SUM(is_tr) AS ct, SUM(1 - is_tr) AS ch FROM t GROUP BY 1
+), cum AS (
+  SELECT x,
+         SUM(ct) OVER (ORDER BY x) AS ca,
+         SUM(ch) OVER (ORDER BY x) AS cb,
+         SUM(ct) OVER () AS na,
+         SUM(ch) OVER () AS nb,
+         COUNT(*) OVER () AS nv
+  FROM per_v
+), scored AS (
+  SELECT x, na, nb, nv,
+         abs(CAST(ca AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+             - CAST(cb AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0))) AS dnum
+  FROM cum
+)
+SELECT CAST(na AS BIGINT) AS n_train,
+       CAST(nb AS BIGINT) AS n_holdout,
+       CAST(nv AS BIGINT) AS n_values,
+       CAST(x AS BIGINT) AS ks_at,
+       CAST(dnum AS DOUBLE)
+         / CAST(CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) AS DOUBLE) AS ks_stat
+FROM scored ORDER BY dnum DESC, x LIMIT 1
+"""
+
+
 def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidate-quality eval: precision/recall of the Hamming≤3
     pigeonhole-LSH pairs against the same exact n-gram-Jaccard ground
@@ -4276,6 +4436,43 @@ SELECT c_nationkey, c_mktsegment,
 FROM customer
 GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
 ORDER BY 1, 2, 3
+"""
+
+
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ℓ-diversity audit of the customer table
+    (``operators.quality.l_diversity_violations``): quasi-identifier
+    groups (nation, 500-unit balance band) whose SENSITIVE attribute —
+    the market segment — takes fewer than 3 distinct values. k-anonymity's
+    required companion (a k-anonymous group still leaks when every member
+    shares one segment); same exact-cents banding as dq_k_anonymity so
+    the two audits read over the same grouping discipline."""
+    from securities_pricing_data_pipeline_spark.operators.quality import (
+        l_diversity_violations,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        # exact cents then truncating integer division (the dq_k_anonymity
+        # rule: double→int CAST rounds in DuckDB but truncates in Spark)
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 50000").alias("bal_band"),
+    )
+    return l_diversity_violations(
+        cust, ["c_nationkey", "bal_band"], sensitive_col="c_mktsegment", l=3
+    )
+
+
+QUERIES["dq_l_diversity"] = dq_l_diversity
+
+ORACLES["dq_l_diversity"] = """
+SELECT c_nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) // 50000 AS bal_band,
+       COUNT(*) AS k_count,
+       COUNT(DISTINCT c_mktsegment) AS l_distinct
+FROM customer
+GROUP BY 1, 2 HAVING COUNT(DISTINCT c_mktsegment) < 3
+ORDER BY 1, 2
 """
 
 

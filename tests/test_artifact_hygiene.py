@@ -25,7 +25,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = set()
+ALLOW_NEW: set[str] = {
+    "sim_sq8_topk",
+    "sim_sq8_recall",
+    "graph_modularity_parts",
+    "corpus_drift_ks",
+    "dq_l_diversity",
+}
 
 
 def _latest(pattern: str) -> str | None:

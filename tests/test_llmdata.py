@@ -1433,3 +1433,126 @@ def test_bm25_and_prf_share_one_postings_silver(spark):
     llmq.text_bm25_topdocs(spark, sf).collect()
     llmq.text_prf_expansion(spark, sf).collect()
     assert llmq._DEDUP_SILVER.get(key) is a  # both queries reused it
+
+
+def test_sq8_topk_matches_python_replay(spark):
+    """sq8_topk must be bit-identical to a pure-Python integer replay of
+    the same kernel — snap grid, quantize/dequantize rationals, exact
+    int64 dot/norms, and the two IEEE float ops (double·double, sqrt,
+    divide) in the same order — including scores and tie-breaks. Also
+    pins losslessness on half-grid vectors: ±0.5/0.0 components hit
+    |g| = m exactly, so the replayed reconstruction equals the grid."""
+    import itertools
+    import math
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import sq8_topk
+
+    pats = [p for p in itertools.product([-0.5, 0.0, 0.5], repeat=4) if any(p)][:20]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pats)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def grid(p):
+        return [round(x * 1_000_000) for x in p]
+
+    def recon(g):
+        m = max(max(abs(a) for a in g), 1)
+        out = []
+        for gi in g:
+            qa = (254 * abs(gi) + m) // (2 * m)
+            r = (2 * qa * m + 127) // 254
+            out.append(-r if gi < 0 else r)
+        return out
+
+    # half-grid losslessness: reconstruction equals the snap grid
+    for p in pats:
+        assert recon(grid(p)) == grid(p)
+
+    def cos(qg, r):
+        dot = sum(a * b for a, b in zip(qg, r))
+        qn, rn = sum(a * a for a in qg), sum(b * b for b in r)
+        if qn == 0 or rn == 0:
+            return 0.0
+        return float(dot) / math.sqrt(float(qn) * float(rn))
+
+    expected = {}
+    for qi in range(3):
+        qg = grid(pats[qi])
+        scored = sorted(
+            ((-cos(qg, recon(grid(pats[ni]))), ni) for ni in range(len(pats)) if ni != qi),
+        )
+        for rank, (negc, ni) in enumerate(scored[:4], start=1):
+            expected[(qi, rank)] = (ni, -negc)
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sq8)
+        for r in sq8_topk(df, df.filter(F.col("vec_id") < 3), k=4).collect()
+    }
+    assert got == expected
+
+
+def test_sq8_quantization_error_bounded(spark):
+    """On arbitrary vectors the SQ8 reconstruction must stay within one
+    quantization half-step (+1 grid unit of integer-division slack) of
+    the snap grid per dimension: |g_i − r_i| ≤ m/254 + 1."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import _SQ8_RECON
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(32, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    g = "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+    checked = (
+        df.select(F.expr(g).alias("g"))
+        .withColumn("m", F.expr("greatest(array_max(transform(g, a -> abs(a))), 1L)"))
+        .withColumn("r", F.expr(_SQ8_RECON.format(g="g", m="m")))
+        .select(
+            F.expr(
+                "aggregate(zip_with(g, r, (a, b) -> abs(a - b)), 0L,"
+                " (acc, d) -> greatest(acc, d))"
+            ).alias("max_err"),
+            F.col("m"),
+        )
+        .collect()
+    )
+    for row in checked:
+        assert row.max_err <= row.m / 254.0 + 1.0
+
+
+def test_ks_drift_matches_bruteforce_fractions(spark):
+    """ks_drift must equal an exact-Fraction Python replay of the same
+    md5 split and two-sample ECDF sup on a small frame — statistic,
+    argmax location (ties to the smallest value), and side counts."""
+    import hashlib
+    from fractions import Fraction
+
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import ks_drift
+
+    rows = [(i, (i * 37) % 23 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def is_train(doc_id: int) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 100 < 80
+
+    tr = sorted(v for i, v in rows if is_train(i))
+    ho = sorted(v for i, v in rows if not is_train(i))
+    na, nb = len(tr), len(ho)
+    best = (Fraction(0), None)
+    for x in sorted(set(tr + ho)):
+        ca = sum(1 for v in tr if v <= x)
+        cb = sum(1 for v in ho if v <= x)
+        d = abs(Fraction(ca, na) - Fraction(cb, nb))
+        if d > best[0]:
+            best = (d, x)
+    got = ks_drift(df, "n_chars").collect()[0]
+    assert (got.n_train, got.n_holdout) == (na, nb)
+    assert got.ks_at == best[1]
+    # engine: double(dnum)/double(na·nb); Fraction→float is correctly
+    # rounded — the two can differ by the division's final ulp only
+    assert abs(got.ks_stat - float(best[0])) < 1e-15

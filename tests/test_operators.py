@@ -1170,3 +1170,52 @@ def test_asof_nearest_hand_checked(spark):
     assert out[2] == (7, 70.0)  # equidistant -> backward
     assert out[3] == (7, 70.0)  # nothing earlier -> forward
     assert out[4] == (None, None)  # no right rows for key B
+
+
+def test_modularity_two_triangle_bridge(spark):
+    """Hand-computed Newman modularity on K3{1,2,3} — 3-4 — K3{4,5,6}
+    with the triangle partition: m = 7, each community has 3 intra edges
+    and degree sum 7 → Q_c = (4·7·3 − 49)/(4·49) = 35/196 exactly, both
+    sides; total Q = 70/196. Also pins the zero-intra path (singleton
+    labels ⇒ q_contrib = −d²/(4m²))."""
+    from securities_pricing_data_pipeline_spark.operators.graph import modularity
+
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+    sym = spark.createDataFrame(und + [(b, a) for a, b in und], ["u", "v"])
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], ["node", "label"]
+    )
+    rows = {r.community: r for r in modularity(sym, labels).collect()}
+    assert set(rows) == {1, 4}
+    for c in (1, 4):
+        assert rows[c].n_members == 3
+        assert rows[c].intra_edges == 3
+        assert rows[c].degree_sum == 7
+        assert rows[c].q_contrib == 35.0 / 196.0
+    # singleton labels: no intra edges anywhere, q = −d²/(4m²)
+    singles = spark.createDataFrame([(i, i) for i in range(1, 7)], ["node", "label"])
+    srows = {r.community: r for r in modularity(sym, singles).collect()}
+    assert all(r.intra_edges == 0 for r in srows.values())
+    assert srows[3].q_contrib == -9.0 / 196.0
+
+
+def test_l_diversity_violations(spark):
+    """Groups are flagged iff the sensitive attribute has < l distinct
+    values, regardless of group size — the leak k-anonymity misses."""
+    from securities_pricing_data_pipeline_spark.operators.quality import (
+        l_diversity_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "X"), ("a", 1, "X"), ("a", 1, "X"),  # big but 1 value
+            ("b", 2, "X"), ("b", 2, "Y"),                 # 2 values
+            ("c", 3, "X"), ("c", 3, "Y"), ("c", 3, "Z"),  # diverse enough
+        ],
+        ["qi1", "qi2", "sens"],
+    )
+    got = {
+        (r.qi1, r.qi2): (r.k_count, r.l_distinct)
+        for r in l_diversity_violations(df, ["qi1", "qi2"], "sens", l=3).collect()
+    }
+    assert got == {("a", 1): (3, 1), ("b", 2): (2, 2)}
