@@ -294,6 +294,8 @@ BENCH_QUERIES = [
     "graph_modularity_parts",
     "corpus_drift_ks",
     "dq_l_diversity",
+    "text_ppl_buckets",
+    "emb_dim_covariance",
 ]
 
 

@@ -199,6 +199,83 @@ def sq8_topk(
     )
 
 
+def dim_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Embedding-DIMENSION covariance/correlation audit: population
+    covariance and Pearson correlation for every dimension pair (i ≤ j)
+    across the corpus — the dimension-collapse / redundancy diagnostic a
+    pipeline reads before trusting a space (near-1 off-diagonal
+    correlations mean wasted dims; near-0 diagonal variance means dead
+    dims) and the input statistic for any whitening decision.
+
+    Exactness: components snap to the 1e6 grid; per-row pair products
+    are exact int64 (≤ ~9e12); all moment sums widen to DECIMAL(38,0)
+    (exact past int64 at 100 TB row counts); covariance and the
+    correlation numerator are decimal rationals with one double division
+    each; the two variance factors cast to double BEFORE the multiply
+    (their decimal product could exceed 38 digits) — IEEE-identical in
+    both engines. Zero-variance dims yield NULL correlation (NULLIF).
+
+    Scale shape: the upper-triangle products are built IN-ROW (nested
+    ``transform`` + ``flatten`` — no self-join) and one posexplode feeds
+    a (i, j)-keyed hash aggregate whose map-side partials collapse each
+    partition to d(d+1)/2 rows, so the shuffle carries
+    #partitions·d(d+1)/2 moment rows, never corpus-sized data; the
+    d-row marginal table broadcasts onto the pair moments. Explode cost
+    is d(d+1)/2 struct rows per vector — the honest price of exact
+    second moments; at 100 TB with large d, sample rows first, not
+    pairs (sampling pairs biases the estimate, sampling rows doesn't).
+    """
+    g = df.select(
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("g")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(sequence(0, size(g) - 1), i ->"
+        " transform(sequence(i, size(g) - 1), j ->"
+        " struct(i AS i, j AS j, g[i] * g[j] AS xy))))"
+    )
+    dec = "decimal(38,0)"
+    pairs = (
+        g.select(F.explode(pair_structs).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("xy").cast(dec)).alias("sxy"),
+        )
+    )
+    marg = (
+        g.select(F.posexplode("g").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        )
+    )
+    mi = marg.select(F.col("i"), F.col("sx").alias("sx_i"), F.col("sxx").alias("sxx_i"))
+    mj = marg.select(
+        F.col("i").alias("j"), F.col("sx").alias("sx_j"), F.col("sxx").alias("sxx_j")
+    )
+    jn = pairs.join(F.broadcast(mi), "i").join(F.broadcast(mj), "j")
+    n = F.col("n").cast(dec)
+    num = n * F.col("sxy") - F.col("sx_i") * F.col("sx_j")
+    var_i = (n * F.col("sxx_i") - F.col("sx_i") * F.col("sx_i")).cast("double")
+    var_j = (n * F.col("sxx_j") - F.col("sx_j") * F.col("sx_j")).cast("double")
+    grid2 = F.lit(1.0e12)  # (1e6 grid)² → original embedding units²
+    return jn.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.col("n").cast("long").alias("n_vectors"),
+        (num.cast("double") / (n * n).cast("double") / grid2).alias("cov"),
+        F.when(
+            (var_i <= 0) | (var_j <= 0), F.lit(None).cast("double")
+        )
+        .otherwise(num.cast("double") / F.sqrt(var_i * var_j))
+        .alias("corr"),
+    )
+
+
 def brute_force_topk_np(
     corpus: DataFrame,
     queries: DataFrame,

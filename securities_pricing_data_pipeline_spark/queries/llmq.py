@@ -3366,6 +3366,64 @@ FROM t, h
 """
 
 
+def emb_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension-pair covariance and Pearson correlation of the
+    embedding space (``llmdata.similarity.dim_covariance``) — the
+    dimension-collapse/redundancy audit next to emb_norm_stats (norms)
+    and emb_int8_quant_error (quantization): d(d+1)/2 rows of exact
+    DECIMAL(38,0) moments with one double division each; in-row
+    upper-triangle products, no self-join."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        dim_covariance,
+    )
+
+    return dim_covariance(load(spark, sf_dir, "embeddings"))
+
+
+QUERIES["emb_dim_covariance"] = emb_dim_covariance
+
+ORACLES["emb_dim_covariance"] = """
+WITH g AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS g
+  FROM embeddings
+), pr AS (
+  SELECT p.i AS i, p.j AS j, p.xy AS xy FROM (
+    SELECT unnest(flatten(list_transform(generate_series(0, len(g) - 1), i ->
+           list_transform(generate_series(i, len(g) - 1), j ->
+           struct_pack(i := i, j := j, xy := g[i + 1] * g[j + 1]))))) AS p
+    FROM g
+  )
+), pairs AS (
+  SELECT i, j, COUNT(*) AS n, SUM(CAST(xy AS DECIMAL(38,0))) AS sxy
+  FROM pr GROUP BY 1, 2
+), mg AS (
+  SELECT m.i AS i, m.x AS x FROM (
+    SELECT unnest(list_transform(generate_series(0, len(g) - 1), i ->
+           struct_pack(i := i, x := g[i + 1]))) AS m
+    FROM g
+  )
+), marg AS (
+  SELECT i, SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM mg GROUP BY 1
+)
+SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+       CAST(p.n AS BIGINT) AS n_vectors,
+       CAST(CAST(p.n AS DECIMAL(38,0)) * p.sxy - a.sx * b.sx AS DOUBLE)
+         / CAST(CAST(p.n AS DECIMAL(38,0)) * CAST(p.n AS DECIMAL(38,0)) AS DOUBLE)
+         / 1e12 AS cov,
+       CASE WHEN CAST(CAST(p.n AS DECIMAL(38,0)) * a.sxx - a.sx * a.sx AS DOUBLE) <= 0
+              OR CAST(CAST(p.n AS DECIMAL(38,0)) * b.sxx - b.sx * b.sx AS DOUBLE) <= 0
+            THEN NULL
+            ELSE CAST(CAST(p.n AS DECIMAL(38,0)) * p.sxy - a.sx * b.sx AS DOUBLE)
+                 / sqrt(CAST(CAST(p.n AS DECIMAL(38,0)) * a.sxx - a.sx * a.sx AS DOUBLE)
+                        * CAST(CAST(p.n AS DECIMAL(38,0)) * b.sxx - b.sx * b.sx AS DOUBLE))
+       END AS corr
+FROM pairs p JOIN marg a ON p.i = a.i JOIN marg b ON p.j = b.i
+"""
+
+
 def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift on document length between the
     train and holdout hash splits (``llmdata.sampling.ks_drift``) — the
@@ -3659,6 +3717,97 @@ SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
        CAST(CAST(CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS DECIMAL(20,9)) AS DOUBLE)
          AS avg_nll
 FROM nll GROUP BY doc_id
+"""
+
+
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity-bucket selection (Wenzek et al. 2020 §4.3): score
+    every document with the bigram-LM proxy (text_bigram_logppl), split
+    the corpus into head / middle / tail TERTILES by perplexity, report
+    each bucket's size and mean score/length — the table a curator reads
+    before keeping head+middle and dropping tail.
+
+    Buckets come from exact tertile THRESHOLDS, not a global ntile: the
+    per-doc scores collapse to a (distinct score, count) frame first
+    (scores live on a 1e-9 snap grid, so the distinct set is small), the
+    two cut values ride one post-reduction cumulative window — cut_k =
+    min{v : 3·cum(v) ≥ k·n} — and docs bucket by broadcast comparison.
+    Threshold semantics (ties share a bucket) is also what CCNet does,
+    and it keeps the full corpus out of any global sort at 100 TB.
+
+    Parity: avg_nll values are 1e-9-grid doubles (bit-equal both
+    engines), cuts are integer-arithmetic selections over them, bucket
+    means re-snap to the 1e-9 grid after one exact DECIMAL(20,9) sum."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import bigram_logppl
+
+    docs = load(spark, sf_dir, "documents")
+    ppl = bigram_logppl(docs)
+    vals = ppl.groupBy("avg_nll").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy("avg_nll").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = vals.select(
+        "avg_nll",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("avg_nll"))).alias("c1"),
+        F.min(F.when(F.col("cum") * 3 >= F.col("n") * 2, F.col("avg_nll"))).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("c1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    tagged = ppl.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_bigrams", "avg_nll", bucket.alias("bucket")
+    )
+    out = tagged.join(docs.select("doc_id", "n_chars"), "doc_id").groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        (
+            F.sum(F.col("avg_nll").cast("decimal(20,9)")).cast("double")
+            / F.count("*")
+        )
+        .cast("decimal(20,9)")
+        .cast("double")
+        .alias("mean_nll"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+    )
+    return out.orderBy("bucket")
+
+
+QUERIES["text_ppl_buckets"] = text_ppl_buckets
+
+ORACLES["text_ppl_buckets"] = f"""
+WITH ppl AS (
+  SELECT * FROM ({ORACLES["text_bigram_logppl"]})
+), vals AS (
+  SELECT avg_nll, COUNT(*) AS c FROM ppl GROUP BY 1
+), cum AS (
+  SELECT avg_nll,
+         SUM(c) OVER (ORDER BY avg_nll) AS cum,
+         SUM(c) OVER () AS n
+  FROM vals
+), cuts AS (
+  SELECT MIN(CASE WHEN cum * 3 >= n THEN avg_nll END) AS c1,
+         MIN(CASE WHEN cum * 3 >= n * 2 THEN avg_nll END) AS c2
+  FROM cum
+), tagged AS (
+  SELECT p.doc_id, p.n_bigrams, p.avg_nll,
+         CASE WHEN p.avg_nll <= c.c1 THEN 'head'
+              WHEN p.avg_nll <= c.c2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ppl p, cuts c
+)
+SELECT t.bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(t.n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(CAST(CAST(SUM(CAST(t.avg_nll AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*)
+            AS DECIMAL(20,9)) AS DOUBLE) AS mean_nll,
+       CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM tagged t JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
 """
 
 

@@ -31,6 +31,8 @@ ALLOW_NEW: set[str] = {
     "graph_modularity_parts",
     "corpus_drift_ks",
     "dq_l_diversity",
+    "text_ppl_buckets",
+    "emb_dim_covariance",
 }
 
 

@@ -1556,3 +1556,65 @@ def test_ks_drift_matches_bruteforce_fractions(spark):
     # engine: double(dnum)/double(na·nb); Fraction→float is correctly
     # rounded — the two can differ by the division's final ulp only
     assert abs(got.ks_stat - float(best[0])) < 1e-15
+
+
+def test_dim_covariance_matches_numpy_moments(spark):
+    """dim_covariance must equal an exact integer-moment replay: snap to
+    the 1e6 grid, population cov = (n·Σxy − Σx·Σy)/n²/1e12 and Pearson
+    corr from the same moments, with the engine's exact float-op order
+    (decimal→double, divide, sqrt of the double product)."""
+    import math
+
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import dim_covariance
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(8, 5).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    G = [[round(float(x) * 1_000_000) for x in row] for row in vecs]
+    n = len(G)
+    got = {(r.i, r.j): (r.n_vectors, r.cov, r.corr) for r in dim_covariance(df).collect()}
+    assert len(got) == 5 * 6 // 2
+    for i in range(5):
+        for j in range(i, 5):
+            sxy = sum(g[i] * g[j] for g in G)
+            sxi, sxj = sum(g[i] for g in G), sum(g[j] for g in G)
+            sxxi = sum(g[i] * g[i] for g in G)
+            sxxj = sum(g[j] * g[j] for g in G)
+            num = n * sxy - sxi * sxj
+            cov = float(num) / float(n * n) / 1e12
+            vi = float(n * sxxi - sxi * sxi)
+            vj = float(n * sxxj - sxj * sxj)
+            corr = None if vi <= 0 or vj <= 0 else float(num) / math.sqrt(vi * vj)
+            assert got[(i, j)][0] == n
+            assert got[(i, j)][1] == cov
+            assert got[(i, j)][2] == corr
+    # perfectly correlated pair: duplicate dim → corr exactly 1.0
+    df2 = spark.createDataFrame(
+        [(i, [float(vecs[i][0]), float(vecs[i][0])]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    r01 = {(r.i, r.j): r.corr for r in dim_covariance(df2).collect()}[(0, 1)]
+    assert r01 == 1.0
+
+
+def test_ppl_buckets_threshold_semantics(spark, sf_dir):
+    """Tertile thresholds on the snapped scores: buckets cover all scored
+    docs, head/middle hold ≥ ceil(n/3) and ≥ ceil(2n/3) cumulative docs
+    (ties share a bucket), and mean perplexity is monotone across
+    head ≤ middle ≤ tail."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import text_ppl_buckets
+    from securities_pricing_data_pipeline_spark.llmdata.text import bigram_logppl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_scored = bigram_logppl(docs).count()
+    rows = {r.bucket: r for r in text_ppl_buckets(spark, sf_dir).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    assert sum(r.n_docs for r in rows.values()) == n_scored
+    assert rows["head"].n_docs * 3 >= n_scored
+    assert (rows["head"].n_docs + rows["middle"].n_docs) * 3 >= 2 * n_scored
+    assert rows["head"].mean_nll <= rows["middle"].mean_nll <= rows["tail"].mean_nll
