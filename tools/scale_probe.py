@@ -756,6 +756,76 @@ def probe_landmark(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_modularity(spark) -> list[tuple[str, int, float]]:
+    """2-round LPA + per-community modularity over the 1M-edge hub-skewed
+    graph — LPA rounds are the PageRank iteration class; the modularity
+    score adds two label joins on the canonical half plus one degree
+    aggregate, all id-pair shuffles."""
+    from securities_pricing_data_pipeline_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    n = 1_000_000
+    edges = spark.range(n).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(20_000)).alias("u"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(20_000)).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    return [(
+        "modularity_1m LPA(2) + per-community Q (20k nodes)",
+        n,
+        timed(lambda: force(modularity(sym, label_propagation(sym, rounds=2)))),
+    )]
+
+
+def probe_ks(spark) -> list[tuple[str, int, float]]:
+    """Two-sample KS at 50M rows — one hash aggregate collapses the scan
+    to the ~25k distinct values; the ECDF window and argmax run on that
+    reduced frame, so the wall is scan+agg-bound (the ks_drift contract:
+    windows only post-reduction)."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import ks_drift
+
+    n = 50_000_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # two genuinely different distributions across the hash split's
+        # rows: value = hash % 25000 with a skewed second term
+        (
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(20_000))
+            + F.pmod(F.col("id"), F.lit(5_000))
+        ).alias("n_chars"),
+    )
+    return [(
+        "ks_50m two-sample KS over ~25k distinct values",
+        n,
+        timed(lambda: force(ks_drift(df, "n_chars"))),
+    )]
+
+
+def probe_dimcov(spark) -> list[tuple[str, int, float]]:
+    """Dimension covariance at 50k×64-dim vectors — prices the in-row
+    upper-triangle explode (d(d+1)/2 = 2080 struct rows per vector,
+    ~104M total) against the map-side (i,j) partial aggregate that
+    collapses each partition to 2080 moment rows."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import dim_covariance
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.expr(
+            "transform(sequence(0, 63), d ->"
+            " cast(pmod(xxhash64(id, d), 2000000) - 1000000 as double) / 1e6)"
+        ).cast("array<float>").alias("embedding")
+    )
+    return [(
+        "dimcov_50k 64-dim pair moments (104M pair rows)",
+        n,
+        timed(lambda: force(dim_covariance(df))),
+    )]
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.md"
     spark = get_spark("scale_probe")
@@ -768,7 +838,8 @@ def main() -> None:
                   probe_pq_adc, probe_hilbert, probe_cdc, probe_keygaps,
                   probe_media, probe_triangles, probe_edge_support,
                   probe_kcore, probe_bm25, probe_cc, probe_hits, probe_bigram,
-                  probe_substring, probe_mmr, probe_phash, probe_landmark):
+                  probe_substring, probe_mmr, probe_phash, probe_landmark,
+                  probe_modularity, probe_ks, probe_dimcov):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
