@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "dq_l_diversity",
     "text_ppl_buckets",
     "emb_dim_covariance",
+    "events_ab_chi2",
+    "emb_pca_power",
 ]
 
 

@@ -276,6 +276,94 @@ def dim_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def pca_power_top(
+    df: DataFrame, vec_col: str = "embedding", iters: int = 3
+) -> DataFrame:
+    """Top principal component of the embedding space via ``iters``
+    UNROLLED power iterations on the exact dimension-covariance matrix
+    (:func:`dim_covariance`) — the first step of any whitening/PCA
+    decision, kept fully inside the engine: the corpus is touched once
+    (the covariance moments), and every iteration is a d²-row
+    matrix-vector product — joins + aggregates over frames of at most
+    d(d+1)/2 rows, nothing corpus-sized. Same fixed-unroll discipline as
+    the BPE merge rounds and the Hilbert automaton.
+
+    Determinism/parity: v₀ = 0.125·1 (an exact binary fraction); v is
+    carried as INTEGER 1e-9-grid units; each matvec product snaps with
+    ``floor(C·v_units·1e3)`` to exact 1e-12-unit longs summed
+    order-independently; the norm and the one division per component are
+    IEEE-identical; every re-snap is a floor (no decimal-cast midpoint
+    hazard). Covariance entries are themselves oracle-stable doubles, so
+    the whole recursion is bit-reproducible in both engines. Output: one
+    row per dimension with its loading, the Rayleigh eigenvalue estimate
+    (‖C·v‖ at the final unit v — exact for the converged dominant pair,
+    the standard power-iteration readout), and the explained-variance
+    ratio against the exact-snapped trace."""
+    cov = dim_covariance(df, vec_col).select("i", "j", "cov")
+    # 3+ consumers below; 2080-row frame — pin once, never replay the
+    # corpus-moment scan per iteration (the distribution_drift rule)
+    cov = cov.localCheckpoint(eager=True)
+    sym = cov.unionAll(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
+        )
+    )
+    v = sym.select("i").distinct().select(
+        "i", F.lit(125_000_000).cast("long").alias("vu")  # 0.125 in 1e-9 units
+    )
+    norm = None
+    for _ in range(iters):
+        w = (
+            sym.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "vu")), "j"
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.floor(F.col("cov") * F.col("vu").cast("double") * F.lit(1e3))
+                ).alias("su")  # 1e-12 units of (C·v)_i
+            )
+            .withColumn("w", F.col("su").cast("double") / F.lit(1e12))
+            # w feeds the norm AND the renormalized carry; v's lineage
+            # otherwise doubles per round (measured 45 exchanges unpinned
+            # vs 12 pinned for iters=3) — pin the d-row frame each round
+            .localCheckpoint(eager=True)
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e12))).cast("double")
+                / F.lit(1e12)
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                "i",
+                F.when(F.col("nrm") == 0, F.lit(0).cast("long"))
+                .otherwise(F.floor(F.col("w") / F.col("nrm") * F.lit(1e9)).cast("long"))
+                .alias("vu"),
+            )
+        )
+        norm = nrm
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        (F.sum(F.floor(F.col("cov") * F.lit(1e12))).cast("double") / F.lit(1e12)).alias(
+            "trace"
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            (F.col("vu").cast("double") / F.lit(1e9)).alias("loading"),
+            F.col("nrm").alias("eigenvalue"),
+            F.when(F.col("trace") <= 0, F.lit(None).cast("double"))
+            .otherwise(F.col("nrm") / F.col("trace"))
+            .alias("explained_ratio"),
+        )
+    )
+
+
 def brute_force_topk_np(
     corpus: DataFrame,
     queries: DataFrame,

@@ -264,6 +264,10 @@ def modularity(
     result. Shuffles carry id pairs and (community, count) partials only
     — no adjacency arrays, no pair materialization."""
     und = sym.filter(F.col(src) < F.col(dst))
+    # labels feeds THREE consumers (both intra-edge sides + the degree
+    # rollup); unpinned, Catalyst replays the whole producing lineage
+    # (e.g. 2 LPA rounds) per consumer — pin the node-sized frame once
+    labels = labels.localCheckpoint(eager=True)
     lu = labels.select(F.col("node").alias(src), F.col("label").alias("cu"))
     lv = labels.select(F.col("node").alias(dst), F.col("label").alias("cv"))
     intra = (

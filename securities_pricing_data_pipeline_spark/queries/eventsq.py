@@ -1009,3 +1009,95 @@ SELECT path, COUNT(*) AS n_sessions,
 FROM per GROUP BY path
 ORDER BY n_sessions DESC, path LIMIT 15
 """
+
+
+def events_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment evaluation: users split into two arms by the stable
+    md5 hash (the sampling family's split discipline — assignment is
+    reproducible across engines and re-runs), conversion = the user is a
+    heavy purchaser (>= 14 purchase events; per-user event rates are
+    scale-constant in this corpus, so the definition is stable across
+    SFs), scored with the 2×2 chi-square statistic
+    χ² = N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) and the 0.05 significance
+    gate (χ²₁ > 3.841) — the readout an experimentation pipeline emits.
+
+    Exactness: all four cells are exact integer counts from one
+    user-level aggregate; the statistic converts each exact count to
+    double once and applies an explicitly parenthesized op order, so
+    both engines run the identical IEEE sequence (counts can exceed
+    DECIMAL(38,0) budgets when squared at 100 TB, so the double path —
+    not a decimal widening — is the portable choice here).
+
+    Plan: one scan → user-level (max purchase flag) hash aggregate →
+    one 4-way conditional-sum reduce to a single row. No windows, no
+    joins; the user aggregate's map-side partials absorb hot users."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import hash_bucket
+
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        ).cast("int").alias("converted")
+    )
+    arm_b = (hash_bucket(F.col("user_id")) % 2 == 1).cast("int")
+    cells = users.select("converted", arm_b.alias("arm_b")).agg(
+        F.sum(F.expr("CASE WHEN arm_b = 0 AND converted = 1 THEN 1 ELSE 0 END")).alias("a"),
+        F.sum(F.expr("CASE WHEN arm_b = 0 AND converted = 0 THEN 1 ELSE 0 END")).alias("b"),
+        F.sum(F.expr("CASE WHEN arm_b = 1 AND converted = 1 THEN 1 ELSE 0 END")).alias("c"),
+        F.sum(F.expr("CASE WHEN arm_b = 1 AND converted = 0 THEN 1 ELSE 0 END")).alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    n = a + b + c + d
+    diff = (a * d) - (b * c)
+    den = ((a + b) * (c + d)) * ((a + c) * (b + d))
+    # degenerate table (an empty margin) → χ² defined as 0, not an error
+    chi2 = F.when(den == 0, F.lit(0.0)).otherwise((n * (diff * diff)) / den)
+    return cells.select(
+        F.col("a").cast("long").alias("conv_a"),
+        F.col("b").cast("long").alias("nonconv_a"),
+        F.col("c").cast("long").alias("conv_b"),
+        F.col("d").cast("long").alias("nonconv_b"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("significant"),
+    )
+
+
+QUERIES["events_ab_chi2"] = events_ab_chi2
+
+ORACLES["events_ab_chi2"] = """
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY 1
+), tagged AS (
+  SELECT converted,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 100 % 2 = 1
+              THEN 1 ELSE 0 END AS arm_b
+  FROM users
+), cells AS (
+  SELECT SUM(CASE WHEN arm_b = 0 AND converted = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN arm_b = 0 AND converted = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN arm_b = 1 AND converted = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN arm_b = 1 AND converted = 0 THEN 1 ELSE 0 END) AS d
+  FROM tagged
+)
+SELECT CAST(a AS BIGINT) AS conv_a, CAST(b AS BIGINT) AS nonconv_a,
+       CAST(c AS BIGINT) AS conv_b, CAST(d AS BIGINT) AS nonconv_b,
+       CASE WHEN ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d))
+                 * ((CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)) = 0 THEN 0.0
+            ELSE ((CAST(a AS DOUBLE) + b + c + d)
+                  * ((CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                     * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)))
+                 / (((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d))
+                    * ((CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d))) END AS chi2,
+       CASE WHEN ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d))
+                 * ((CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)) = 0 THEN 0.0
+            ELSE ((CAST(a AS DOUBLE) + b + c + d)
+                  * ((CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                     * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)))
+                 / (((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d))
+                    * ((CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d))) END > 3.841 AS significant
+FROM cells
+"""

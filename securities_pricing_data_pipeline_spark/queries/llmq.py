@@ -3424,6 +3424,72 @@ FROM pairs p JOIN marg a ON p.i = a.i JOIN marg b ON p.j = b.i
 """
 
 
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component + explained-variance ratio of the embedding
+    space via 3 unrolled power iterations over the exact covariance
+    moments (``llmdata.similarity.pca_power_top``): corpus touched once,
+    every iteration a d²-row matvec with floor-snapped integer carries —
+    the PCA/whitening decision input, produced without any driver-side
+    linear algebra. Oracle replays the identical rounds as a CTE chain."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        pca_power_top,
+    )
+
+    return pca_power_top(load(spark, sf_dir, "embeddings"), iters=3)
+
+
+QUERIES["emb_pca_power"] = emb_pca_power
+
+
+def _pca_power_round_ctes(k: int) -> str:
+    """DuckDB twins of pca_power_top's unrolled rounds: matvec with
+    floor(C·v_units·1e3) 1e-12-unit sums, floored-square norm, floored
+    1e-9-unit renormalized carry — op-for-op the Spark expressions."""
+    parts = []
+    prev = "v0"
+    for r in range(1, k + 1):
+        parts.append(f"""w{r} AS (
+  SELECT s.i AS i,
+         SUM(CAST(floor(s.cov * CAST(v.vu AS DOUBLE) * 1e3) AS BIGINT)) AS su
+  FROM sym s JOIN {prev} v ON s.j = v.i GROUP BY 1
+), n{r} AS (
+  SELECT sqrt(CAST(SUM(CAST(floor((CAST(su AS DOUBLE) / 1e12)
+                                  * (CAST(su AS DOUBLE) / 1e12) * 1e12) AS BIGINT))
+                   AS DOUBLE) / 1e12) AS nrm
+  FROM w{r}
+), v{r} AS (
+  SELECT i, CASE WHEN n{r}.nrm = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor((CAST(su AS DOUBLE) / 1e12) / n{r}.nrm * 1e9) AS BIGINT)
+            END AS vu
+  FROM w{r}, n{r}
+)""")
+        prev = f"v{r}"
+    return ",\n".join(parts)
+
+
+ORACLES["emb_pca_power"] = f"""
+WITH covf AS (
+  SELECT i, j, cov FROM ({ORACLES["emb_dim_covariance"]})
+), sym AS (
+  SELECT i, j, cov FROM covf
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM covf WHERE i <> j
+), v0 AS (
+  SELECT DISTINCT i, CAST(125000000 AS BIGINT) AS vu FROM sym
+),
+{_pca_power_round_ctes(3)},
+tr AS (
+  SELECT CAST(SUM(CAST(floor(cov * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS trace
+  FROM covf WHERE i = j
+)
+SELECT CAST(v.i AS INT) AS i,
+       CAST(v.vu AS DOUBLE) / 1e9 AS loading,
+       n3.nrm AS eigenvalue,
+       CASE WHEN tr.trace <= 0 THEN NULL ELSE n3.nrm / tr.trace END AS explained_ratio
+FROM v3 v, n3, tr
+"""
+
+
 def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift on document length between the
     train and holdout hash splits (``llmdata.sampling.ks_drift``) — the
@@ -3741,7 +3807,10 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from securities_pricing_data_pipeline_spark.llmdata.text import bigram_logppl
 
     docs = load(spark, sf_dir, "documents")
-    ppl = bigram_logppl(docs)
+    # the scored frame feeds the threshold spine AND the bucket tagging;
+    # unpinned, the whole bigram-LM pipeline (two count aggregates + two
+    # joins) replays per consumer — pin the 3-column doc-cardinality frame
+    ppl = bigram_logppl(docs).localCheckpoint(eager=True)
     vals = ppl.groupBy("avg_nll").agg(F.count("*").alias("c"))
     w_cum = Window.orderBy("avg_nll").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()

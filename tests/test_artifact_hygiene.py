@@ -33,6 +33,8 @@ ALLOW_NEW: set[str] = {
     "dq_l_diversity",
     "text_ppl_buckets",
     "emb_dim_covariance",
+    "events_ab_chi2",
+    "emb_pca_power",
 }
 
 

@@ -1618,3 +1618,64 @@ def test_ppl_buckets_threshold_semantics(spark, sf_dir):
     assert rows["head"].n_docs * 3 >= n_scored
     assert (rows["head"].n_docs + rows["middle"].n_docs) * 3 >= 2 * n_scored
     assert rows["head"].mean_nll <= rows["middle"].mean_nll <= rows["tail"].mean_nll
+
+
+def test_pca_power_top_finds_dominant_direction(spark):
+    """On a spectrum with one dominant axis, 3 power iterations must align
+    with numpy's top eigenvector of the same population covariance
+    (|cos| > 0.99), carry a near-unit loading norm (1e-9 snap slack), and
+    estimate the top eigenvalue within a few percent."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import pca_power_top
+
+    rng = np.random.RandomState(11)
+    n, d = 400, 8
+    base = rng.randn(n, d) * 0.05
+    base[:, 2] += rng.randn(n) * 0.8  # dominant axis on dim 2
+    base = np.clip(base, -0.999999, 0.999999).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = sorted(pca_power_top(df, iters=3).collect(), key=lambda r: r.i)
+    v = np.array([r.loading for r in rows])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    G = np.round(base.astype("float64") * 1e6) / 1e6  # the engine's snap grid
+    C = np.cov(G, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    assert abs(float(v @ top)) > 0.99
+    assert abs(rows[0].eigenvalue - evals[-1]) / evals[-1] < 0.05
+    assert 0.0 < rows[0].explained_ratio <= 1.0
+
+
+def test_events_ab_chi2_formula_and_split(spark, sf_dir):
+    """The four cells must replay the md5 arm assignment and the >= 14
+    purchases conversion rule exactly, and chi2 must equal the textbook
+    2x2 statistic computed from those cells in the same float-op order."""
+    import hashlib
+
+    from securities_pricing_data_pipeline_spark.queries.eventsq import events_ab_chi2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = {
+        r.user_id: r.np
+        for r in ev.groupBy("user_id")
+        .agg(F.sum((F.col("event_type") == "purchase").cast("int")).alias("np"))
+        .collect()
+    }
+    cells = [0, 0, 0, 0]  # a, b, c, d
+    for uid, np_ in per_user.items():
+        arm_b = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 100 % 2
+        conv = 1 if np_ >= 14 else 0
+        cells[2 * arm_b + (1 - conv)] += 1
+    a, b, c, d = (float(x) for x in cells)
+    n = a + b + c + d
+    diff = (a * d) - (b * c)
+    den = ((a + b) * (c + d)) * ((a + c) * (b + d))
+    chi2 = 0.0 if den == 0 else (n * (diff * diff)) / den
+    got = events_ab_chi2(spark, sf_dir).collect()[0]
+    assert (got.conv_a, got.nonconv_a, got.conv_b, got.nonconv_b) == tuple(cells)
+    assert got.chi2 == chi2
+    assert got.significant == (chi2 > 3.841)
