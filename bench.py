@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "emb_dim_covariance",
     "events_ab_chi2",
     "emb_pca_power",
+    "multimodal_gif_pixels",
 ]
 
 

@@ -80,8 +80,11 @@ def decode_image(content: bytes):
     * **PNG**, 8-bit grey/RGB/RGBA non-interlaced — ``llmdata.png``
       over stdlib zlib; all five scanline filters; CRC-checked
       (palette/16-bit/Adam7 raise ``NotImplementedError``)
+    * **GIF**, 87a/89a single-image with a global color table — real
+      variable-width LZW in ``llmdata.gif`` (interlace/local tables
+      raise ``NotImplementedError``; 89a extensions are skipped)
 
-    Anything else (GIF/TIFF/…) raises ``NotImplementedError`` — those
+    Anything else (TIFF/WebP/…) raises ``NotImplementedError`` — those
     codecs aren't in this container; swap in PIL/libvips at deploy time.
     Malformed payloads of a recognized format raise ``ValueError``.
     """
@@ -97,6 +100,10 @@ def decode_image(content: bytes):
         from securities_pricing_data_pipeline_spark.llmdata.png import decode_png
 
         return decode_png(bytes(content))
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from securities_pricing_data_pipeline_spark.llmdata.gif import decode_gif
+
+        return decode_gif(bytes(content))
     if content[:2] == b"P6":
         (maybe_wh, pos) = _ppm_tokens(content, 2, 3)
         width, height, maxval = maybe_wh
@@ -134,7 +141,8 @@ def decode_image(content: bytes):
             px = px[::-1]
         return px[:, :, 2::-1].copy()  # BGR(A) → RGB, alpha dropped
     raise NotImplementedError(
-        "only P6 PPM, uncompressed BMP, baseline JPEG, and 8-bit PNG are decodable here"
+        "only P6 PPM, uncompressed BMP, baseline JPEG, 8-bit PNG, and "
+        "single-image GIF are decodable here"
     )
 
 
@@ -226,10 +234,11 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
     """Resize each asset payload to ``width × height``.
 
     Payloads that ``decode_image`` understands (P6 PPM, uncompressed
-    24/32-bit BMP, baseline 4:4:4 JPEG, 8-bit PNG) take the REAL path:
+    24/32-bit BMP, baseline 4:4:4 JPEG, 8-bit PNG, single-image GIF)
+    take the REAL path:
     decode → nearest-neighbor resample → re-encode as P6, with
     ``meta['codec']`` recording the source format. Unsupported formats
-    (GIF/…) fall back to the
+    (TIFF/WebP/…) fall back to the
     deterministic byte-truncation stand-in (``meta['codec'] = 'raw'``)
     so arbitrary binaries still flow through the same Arrow-batched
     plumbing; swap the decoder for PIL/libvips at deploy time to widen
@@ -253,6 +262,7 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
                 "bmp" if head[:2] == b"BM"
                 else "jpeg" if head[:2] == b"\xff\xd8"
                 else "png" if head == b"\x89PNG"
+                else "gif" if head[:3] == b"GIF"
                 else "ppm"
             )
             return encode_ppm(resize_nearest(px, width, height)), codec, None

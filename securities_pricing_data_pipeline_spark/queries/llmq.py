@@ -670,6 +670,70 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end GIF path, byte-exact: per document, build a 4-color
+    diagonal-stripe GIF87a (geometry, palette, and pattern pure functions
+    of doc_id) through the real LZW encoder, run the genuine GIF decode →
+    nearest-neighbor resample → P6 re-encode pipeline, and value-check
+    the OUTPUT pixels byte-for-byte — the oracle reconstructs the
+    expected 16×16 P6 payload arithmetically (source pixel (j·h div 16,
+    i·w div 16), stripe k = (sx+sy+did) mod 4, ASCII-range palette).
+    GIF is lossless, so this certifies exact pixel recovery through
+    variable-width LZW dictionary coding — the third compression class
+    in the codec family after DEFLATE (PNG) and DCT+Huffman (JPEG).
+    Synthesis and decode both run inside Arrow-batched mapInPandas; no
+    shuffle until the final projection."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def _mk(batches):
+        import numpy as np
+
+        from securities_pricing_data_pipeline_spark.llmdata.gif import encode_gif
+
+        for pdf in batches:
+            rows = {"asset_id": [], "media_type": [], "content": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 9, 4 + did % 7
+                palette = [
+                    (
+                        32 + (did * (k + 1)) % 96,
+                        32 + (did * (k + 3)) % 96,
+                        32 + (did * (k + 7)) % 96,
+                    )
+                    for k in range(4)
+                ]
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                idx = ((x + y + did) % 4).astype(np.uint8)
+                rows["asset_id"].append(did)
+                rows["media_type"].append("image")
+                rows["content"].append(encode_gif(idx, palette))
+                rows["meta"].append({"synth": "stripe-gif"})
+            yield pd.DataFrame(rows)
+
+    asset_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        ]
+    )
+    assets = docs.mapInPandas(_mk, asset_schema)
+    resized = resize_images(assets, width=16, height=16)
+    return resized.select(
+        "asset_id",
+        F.octet_length(F.col("content")).cast("int").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("digest"),
+        F.col("meta")["codec"].alias("codec"),
+    )
+
+
 def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audio path: per document, synthesize a deterministic
     PCM-16 mono WAV (sample i = ((doc_id·13 + i·7919) mod 65536) −
@@ -3252,6 +3316,43 @@ SELECT label,
        sqrt(CAST(SUM(sse) AS DOUBLE) / CAST(SUM(dims) AS DOUBLE)) AS rms_err_grid
 FROM sse GROUP BY 1
 """
+
+
+QUERIES["multimodal_gif_pixels"] = multimodal_gif_pixels
+
+ORACLES["multimodal_gif_pixels"] = """
+WITH params AS (
+  SELECT doc_id AS asset_id, doc_id AS did,
+         CAST(5 + doc_id % 9 AS BIGINT) AS w,
+         CAST(4 + doc_id % 7 AS BIGINT) AS h
+  FROM documents
+), grid AS (
+  -- GIF is lossless: decode -> nearest resample -> P6 is constructible
+  -- arithmetically from the stripe pattern at the resampled source px
+  SELECT p.asset_id, p.did, j.j, i.i,
+         ((i.i * p.w) // 16 + (j.j * p.h) // 16 + p.did) % 4 AS k
+  FROM params p
+  CROSS JOIN generate_series(0, 15) AS j(j)
+  CROSS JOIN generate_series(0, 15) AS i(i)
+), body AS (
+  SELECT asset_id,
+         string_agg(chr(CAST(32 + (did * (k + 1)) % 96 AS INT))
+                    || chr(CAST(32 + (did * (k + 3)) % 96 AS INT))
+                    || chr(CAST(32 + (did * (k + 7)) % 96 AS INT)),
+                    '' ORDER BY j, i) AS s
+  FROM grid GROUP BY asset_id
+), payload AS (
+  SELECT asset_id,
+         'P6' || chr(10) || '16 16' || chr(10) || '255' || chr(10) || s AS s
+  FROM body
+)
+SELECT asset_id,
+       CAST(octet_length(encode(s)) AS INT) AS n_bytes,
+       md5(hex(encode(s))) AS digest,
+       'gif' AS codec
+FROM payload
+"""
+
 
 
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

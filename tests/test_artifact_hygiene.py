@@ -35,6 +35,7 @@ ALLOW_NEW: set[str] = {
     "emb_dim_covariance",
     "events_ab_chi2",
     "emb_pca_power",
+    "multimodal_gif_pixels",
 }
 
 

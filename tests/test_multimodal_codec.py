@@ -559,3 +559,75 @@ def test_audio_dhash_hand_checked(spark):
     )
     with pytest.raises(Exception, match="samples"):
         audio_dhash(short).collect()
+
+
+def test_gif_lzw_hand_vector():
+    """Hand-derived spec trace for pixels [0,1,1,2] at min-code-size 2:
+    codes (CLEAR,0,1,1 at 3 bits; 2,EOI at 4 bits — the width grows
+    exactly between the third and fourth data codes on BOTH sides of the
+    one-entry encoder/decoder offset), LSB-packed to 44 22 05."""
+    from securities_pricing_data_pipeline_spark.llmdata.gif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    data = _lzw_encode([0, 1, 1, 2], 2)
+    assert data == bytes([0x44, 0x22, 0x05])
+    assert _lzw_decode(data, 2, 4) == bytes([0, 1, 1, 2])
+
+
+def test_gif_roundtrip_and_dispatch():
+    """encode_gif → decode_gif recovers every palette pixel exactly for
+    stripe patterns across geometries (including >255-byte LZW payloads
+    that span sub-blocks), and decode_image dispatches on the magic."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.gif import decode_gif, encode_gif
+    from securities_pricing_data_pipeline_spark.llmdata.multimodal import decode_image
+
+    palette = [(10, 20, 30), (200, 100, 0), (0, 255, 128), (77, 66, 55)]
+    for w, h in [(3, 2), (16, 16), (61, 47)]:
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        idx = ((x + y) % 4).astype(np.uint8)
+        payload = encode_gif(idx, palette)
+        assert payload[:6] == b"GIF87a" and payload[-1:] == b"\x3b"
+        px = decode_gif(payload)
+        assert px.shape == (h, w, 3)
+        expected = np.array(palette, dtype=np.uint8)[idx]
+        assert (px == expected).all()
+        assert (decode_image(payload) == expected).all()
+
+
+def test_gif_lzw_table_overflow_clear():
+    """A high-entropy 8-bit-palette stream long enough to fill the 4096
+    LZW table must hit the CLEAR/reset path and still roundtrip."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(5)
+    idx = rng.randint(0, 256, size=(120, 120)).astype(np.uint8)
+    palette = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+    px = decode_gif(encode_gif(idx, palette))
+    assert (px == np.array(palette, dtype=np.uint8)[idx]).all()
+
+
+def test_gif_feature_guards():
+    """Interlaced flags and missing global tables raise honestly."""
+    import numpy as np
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.llmdata.gif import decode_gif, encode_gif
+
+    payload = bytearray(
+        encode_gif(np.zeros((2, 2), dtype=np.uint8), [(0, 0, 0), (1, 1, 1)])
+    )
+    flags_off = 6 + 7 + 3 * 2 + 9  # header + LSD + GCT + descriptor head
+    payload[flags_off] |= 0x40  # interlace bit
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(payload))
+    no_gct = bytearray(payload)
+    no_gct[10] &= 0x7F
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(no_gct[:13] + no_gct[13 + 6:]))
