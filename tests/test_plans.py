@@ -477,3 +477,57 @@ def test_matryoshka_truth_joins_broadcast_never_smj(spark):
     plan = _plan(emb_matryoshka_recall(spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sq8_query_side_broadcast_corpus_scanned_once(spark):
+    """SQ8 retrieval: the 10-row query side must BROADCAST into the one
+    corpus scan (the brute_force_topk contract) — no sort-merge join, no
+    cartesian product, quantize/dequantize fully codegen'd map-side."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import sim_sq8_topk
+
+    plan = _plan(sim_sq8_topk(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_modularity_no_cartesian_and_one_row_m_broadcast(spark):
+    """Modularity's 1-row edge-count scalar joins the community frame via
+    a broadcast nested loop by design; everything else must stay keyed —
+    no cartesian product, and the label frame is pinned (LogicalRDD) so
+    the LPA lineage can't replay per consumer."""
+    from securities_pricing_data_pipeline_spark.queries.analytic import (
+        graph_modularity_parts,
+    )
+
+    plan = _plan(graph_modularity_parts(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_ks_drift_windows_post_reduction_only(spark):
+    """ks_drift's global ECDF window must ride the value-cardinality
+    aggregate, never the raw scan: exactly one hash aggregate upstream
+    of the single-partition exchange, and no Python in the plan."""
+    import re
+
+    from securities_pricing_data_pipeline_spark.queries.llmq import corpus_drift_ks
+
+    plan = _plan(corpus_drift_ks(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted-mode operator ids number bottom-up = execution order: the
+    # value-cardinality aggregate must execute before any window
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids)
+
+
+def test_dim_covariance_marginals_broadcast(spark):
+    """The d-row marginal tables must broadcast onto the pair moments —
+    a shuffle join on a 64-row side would put two corpus-wide exchanges
+    where zero belong."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import emb_dim_covariance
+
+    plan = _plan(emb_dim_covariance(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
