@@ -276,6 +276,55 @@ def dim_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-signature retrieval — the 1-bit extreme of the quantization
+    ladder (binary → SQ8 → PQ → IVF-PQ): each vector collapses to a sign
+    bitmap (bit i = 1 iff the 1e6-grid component is strictly positive)
+    packed into 32-bit words, and ranking is Hamming distance — the
+    cheap-prefilter mode real systems run before an exact rerank (64
+    dims → 8 bytes per vector, XOR+popcount per comparison).
+
+    Parity: the signature is pure integer (grid sign test + left
+    shifts ≤ 31, positive in every engine); Hamming is
+    Σ bit_count(xor(word, word)) — exact ints; ties (Hamming is
+    coarse) break to the smaller neighbor id, so rankings are
+    engine-identical by construction. ``sim_bin_hamming_recall``
+    measures what the 1-bit collapse costs against exact cosine.
+
+    Scale shape: signatures are per-row codegen; queries broadcast; one
+    corpus scan; the per-query top-k window is the brute_force_topk
+    class over (id, distance) pairs — and in a real deployment the scan
+    reads 8-byte signatures, 32× less I/O than float vectors."""
+    words = F.expr(
+        "transform(sequence(0, (size({v}) + 31) div 32 - 1), w ->"
+        " aggregate(sequence(w * 32, least(w * 32 + 31, size({v}) - 1)), 0L,"
+        " (acc, i) -> acc + (case when cast(round(cast({v}[i] as double)"
+        " * 1000000.0) as bigint) > 0 then shiftleft(1L, i - w * 32)"
+        " else 0L end)))".format(v=vec_col)
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), words.alias("cw"))
+    q = queries.select(F.col(id_col).alias("query_id"), words.alias("qw"))
+    ham = F.expr(
+        "aggregate(zip_with(qw, cw, (a, b) -> bit_count(a ^ b)), 0,"
+        " (acc, x) -> acc + x)"
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", ham.cast("int").alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def pca_power_top(
     df: DataFrame, vec_col: str = "embedding", iters: int = 3
 ) -> DataFrame:

@@ -3591,6 +3591,108 @@ FROM v3 v, n3, tr
 """
 
 
+def sim_bin_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary-signature retrieval
+    (``llmdata.similarity.binary_hamming_topk``): sign bitmaps packed
+    into 32-bit words, Hamming ranking, ties to the smaller id — the
+    cheap-prefilter extreme of the quantization ladder, same 10-query
+    set as the rest of the sim family."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        binary_hamming_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return binary_hamming_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+QUERIES["sim_bin_hamming_topk"] = sim_bin_hamming_topk
+
+# DuckDB twin: identical grid sign test, identical 32-bit word packing
+# (shifts <= 31, always positive), identical xor+bit_count Hamming fold.
+_BIN_WORDS_SQL = """list_transform(generate_series(0, (len(g) + 31) // 32 - 1), w ->
+           CAST(list_sum(list_transform(generate_series(w * 32, least(w * 32 + 31, len(g) - 1)), i ->
+             CASE WHEN g[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - w * 32))
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT))"""
+
+ORACLES["sim_bin_hamming_topk"] = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS g
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, {_BIN_WORDS_SQL} AS wds
+  FROM base
+), c AS (
+  SELECT vec_id AS neighbor_id, wds AS cw FROM sig
+), q AS (
+  SELECT vec_id AS query_id, wds AS qw FROM sig WHERE vec_id < 10
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(list_zip(qw, cw),
+              p -> bit_count(xor(p[1], p[2])))) AS INT) AS hamming
+  FROM c, q WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def sim_bin_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 1-bit Hamming ranking against exact-cosine truth —
+    what the 32× scan-compression costs in quality; read next to
+    sim_sq8_recall (8-bit) and sim_pq_adc_recall (codebook) to pick the
+    cheapest index that clears a recall bar."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        binary_hamming_topk,
+        brute_force_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = binary_hamming_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    t = truth.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_true"),
+    )
+    h = hits.agg(F.count("*").alias("n_hits"))
+    return t.join(h).select(
+        "n_queries",
+        F.lit(5).cast("int").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall_at_k"),
+    )
+
+
+QUERIES["sim_bin_hamming_recall"] = sim_bin_hamming_recall
+
+ORACLES["sim_bin_hamming_recall"] = f"""
+WITH bf AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["sim_bruteforce_topk"]})
+), bh AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["sim_bin_hamming_topk"]})
+), t AS (
+  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         COUNT(*) AS n_true
+  FROM bf
+), h AS (
+  SELECT COUNT(*) AS n_hits
+  FROM (SELECT query_id, neighbor_id FROM bh
+        INTERSECT SELECT query_id, neighbor_id FROM bf)
+)
+SELECT t.n_queries, CAST(5 AS INT) AS k, CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits AS DOUBLE) / t.n_true AS recall_at_k
+FROM t, h
+"""
+
+
 def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift on document length between the
     train and holdout hash splits (``llmdata.sampling.ks_drift``) — the

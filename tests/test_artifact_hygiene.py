@@ -36,6 +36,8 @@ ALLOW_NEW: set[str] = {
     "events_ab_chi2",
     "emb_pca_power",
     "multimodal_gif_pixels",
+    "sim_bin_hamming_topk",
+    "sim_bin_hamming_recall",
 }
 
 

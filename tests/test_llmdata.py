@@ -1679,3 +1679,52 @@ def test_events_ab_chi2_formula_and_split(spark, sf_dir):
     assert (got.conv_a, got.nonconv_a, got.conv_b, got.nonconv_b) == tuple(cells)
     assert got.chi2 == chi2
     assert got.significant == (chi2 > 3.841)
+
+
+def test_binary_hamming_topk_matches_python_replay(spark):
+    """binary_hamming_topk must equal a pure-Python replay: same grid
+    sign test, same 32-bit word packing, same XOR-popcount Hamming and
+    (hamming ASC, id ASC) tie order — including on >32-dim vectors that
+    span two words."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        binary_hamming_topk,
+    )
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(25, 40).astype("float32")
+    vecs[3] = 0.0  # all-zero → all-zero signature
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(25)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def sig(row):
+        g = [round(float(x) * 1_000_000) for x in row]
+        words = []
+        for w in range((len(g) + 31) // 32):
+            acc = 0
+            for i in range(w * 32, min(w * 32 + 32, len(g))):
+                if g[i] > 0:
+                    acc |= 1 << (i - w * 32)
+            words.append(acc)
+        return words
+
+    sigs = [sig(vecs[i]) for i in range(25)]
+    expected = {}
+    for qi in range(3):
+        scored = sorted(
+            (
+                (sum(bin(a ^ b).count("1") for a, b in zip(sigs[qi], sigs[ni])), ni)
+                for ni in range(25)
+                if ni != qi
+            )
+        )
+        for rank, (hm, ni) in enumerate(scored[:5], start=1):
+            expected[(qi, rank)] = (ni, hm)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.hamming)
+        for r in binary_hamming_topk(df, df.filter(F.col("vec_id") < 3), k=5).collect()
+    }
+    assert got == expected
