@@ -826,6 +826,39 @@ def probe_dimcov(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_quant_scan(spark) -> list[tuple[str, int, float]]:
+    """SQ8 and 1-bit Hamming retrieval over a 1M-vector 64-dim corpus,
+    10 broadcast queries — prices the quantize/rank scan kernels (per-row
+    codegen + one corpus pass + per-query top-k window) at 200× the
+    bench corpus."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        binary_hamming_topk,
+        sq8_topk,
+    )
+
+    n = 1_000_000
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d ->"
+            " cast(pmod(xxhash64(id, d), 2000000) - 1000000 as double) / 1e6)"
+        ).cast("array<float>").alias("embedding"),
+    ).localCheckpoint(eager=True)
+    q = emb.filter(F.col("vec_id") < 10)
+    return [
+        (
+            "sq8_1m int8 asymmetric scan, 10 queries x 1M x 64d",
+            n,
+            timed(lambda: force(sq8_topk(emb, q, k=5))),
+        ),
+        (
+            "hamming_1m 1-bit signature scan, 10 queries x 1M x 64d",
+            n,
+            timed(lambda: force(binary_hamming_topk(emb, q, k=5))),
+        ),
+    ]
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.md"
     spark = get_spark("scale_probe")
@@ -839,7 +872,7 @@ def main() -> None:
                   probe_media, probe_triangles, probe_edge_support,
                   probe_kcore, probe_bm25, probe_cc, probe_hits, probe_bigram,
                   probe_substring, probe_mmr, probe_phash, probe_landmark,
-                  probe_modularity, probe_ks, probe_dimcov):
+                  probe_modularity, probe_ks, probe_dimcov, probe_quant_scan):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
