@@ -934,7 +934,22 @@ def main() -> None:
         "pure-python codec for libvips and keeps the plumbing. The "
         "landmark_1m row prices one BFS frontier round at roughly one "
         "pagerank iteration on the same graph, independent of seed "
-        "count (all seeds ride one keyed frame).",
+        "count (all seeds ride one keyed frame). The modularity_1m row "
+        "adds two label joins on the canonical edge half plus a degree "
+        "aggregate on top of the 2-round LPA it scores — id-pair "
+        "shuffles only. The ks_50m row shows the two-sample KS contract: "
+        "one hash aggregate collapses 50M rows to ~25k distinct values "
+        "and the ECDF windows ride that reduced frame, so the wall is "
+        "scan+agg-bound. The dimcov_50k row prices the in-row "
+        "upper-triangle explode (2080 struct rows per 64-dim vector, "
+        "~104M total) against map-side (i,j) partial aggregation — the "
+        "honest cost of exact second moments; sample ROWS, not pairs, "
+        "to cut it at 100 TB. The sq8_1m / hamming_1m rows price the "
+        "quantized-retrieval scan kernels (per-row codegen quantize + "
+        "one corpus pass + per-query top-k window); in a real "
+        "deployment those scans read 1-byte codes / 8-byte signatures "
+        "instead of float vectors, so the probe numbers are upper "
+        "bounds on the I/O-reduced production shape.",
         "",
     ]
     with open(out_path, "w") as f:
