@@ -25,20 +25,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {
-    "sim_sq8_topk",
-    "sim_sq8_recall",
-    "graph_modularity_parts",
-    "corpus_drift_ks",
-    "dq_l_diversity",
-    "text_ppl_buckets",
-    "emb_dim_covariance",
-    "events_ab_chi2",
-    "emb_pca_power",
-    "multimodal_gif_pixels",
-    "sim_bin_hamming_topk",
-    "sim_bin_hamming_recall",
-}
+ALLOW_NEW: set[str] = set()
 
 
 def _latest(pattern: str) -> str | None:
