@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "multimodal_gif_pixels",
     "sim_bin_hamming_topk",
     "sim_bin_hamming_recall",
+    "dedup_cdc_chunks",
 ]
 
 

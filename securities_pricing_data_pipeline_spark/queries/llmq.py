@@ -3591,6 +3591,58 @@ FROM v3 v, n3, tr
 """
 
 
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking cross-document dedup stats
+    (``llmdata.text.cdc_chunk_stats``, 8-gram boundary hash, ~64-char
+    average chunks) — the offset-shift-robust twin of the fixed-window
+    text_segment_dedup, completing the dedup family's chunking axis:
+    fixed windows, winnowing fingerprints, substring anchor groups, and
+    now content-defined chunks."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import cdc_chunk_stats
+
+    return cdc_chunk_stats(load(spark, sf_dir, "documents"))
+
+
+QUERIES["dedup_cdc_chunks"] = dedup_cdc_chunks
+
+# DuckDB twin: identical 60-bit md5-prefix boundary hash, identical
+# 1-based chunk slicing, identical digest-DF rollup.
+ORACLES["dedup_cdc_chunks"] = """
+WITH t AS (
+  SELECT doc_id, text AS t FROM documents
+), b AS (
+  SELECT doc_id, t,
+         CASE WHEN length(t) >= 9 THEN
+           list_filter(generate_series(2, length(t) - 7),
+             p -> CAST(('0x' || substr(md5(substr(t, p, 8)), 1, 15)) AS BIGINT)
+                  % 64 = 0)
+         ELSE [] END AS bnd
+  FROM t
+), s AS (
+  SELECT doc_id, t, list_prepend(1, bnd) AS starts FROM b
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(starts)), i ->
+           CASE WHEN i < len(starts)
+                THEN substr(t, starts[i], starts[i + 1] - starts[i])
+                ELSE substr(t, starts[i]) END)) AS chunk
+  FROM s
+), ex AS (
+  SELECT doc_id AS id, md5(chunk) AS h FROM ch
+), freq AS (
+  SELECT h, COUNT(DISTINCT id) AS df FROM ex GROUP BY 1
+), per AS (
+  SELECT id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM ex JOIN freq USING (h) GROUP BY 1
+)
+SELECT id AS doc_id, CAST(n_chunks AS INT) AS n_chunks,
+       CAST(n_dup AS BIGINT) AS n_dup_chunks,
+       CAST(n_dup AS DOUBLE) / n_chunks AS dup_chunk_frac
+FROM per
+"""
+
+
 def sim_bin_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-bit binary-signature retrieval
     (``llmdata.similarity.binary_hamming_topk``): sign bitmaps packed

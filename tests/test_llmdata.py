@@ -1728,3 +1728,48 @@ def test_binary_hamming_topk_matches_python_replay(spark):
         for r in binary_hamming_topk(df, df.filter(F.col("vec_id") < 3), k=5).collect()
     }
     assert got == expected
+
+
+def test_cdc_chunks_python_replay_and_shift_robustness(spark):
+    """cdc_chunk_stats must equal a pure-Python replay of the boundary
+    hash + slicing, and exhibit THE content-defined property: prepending
+    a prefix to a document re-chunks only the neighborhood of the edit,
+    so most chunk digests survive — while fixed-width windows would
+    shift every boundary."""
+    import hashlib
+
+    from securities_pricing_data_pipeline_spark.llmdata.text import cdc_chunk_stats
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles partitions across executors and the oracle replays every "
+        "expression on the same parquet tables for value parity " * 6
+    )
+    shifted = "INSERTED PREFIX >> " + base
+    df = spark.createDataFrame([(1, base), (2, shifted)], ["doc_id", "text"])
+
+    def chunks(t):
+        bnd = [
+            p
+            for p in range(2, len(t) - 6)
+            if int(hashlib.md5(t[p - 1 : p + 7].encode()).hexdigest()[:15], 16) % 64
+            == 0
+        ]
+        starts = [1] + bnd
+        out = []
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else len(t) + 1
+            out.append(t[s - 1 : e - 1])
+        return out
+
+    got = {r.doc_id: r for r in cdc_chunk_stats(df).collect()}
+    ca, cb = chunks(base), chunks(shifted)
+    assert got[1].n_chunks == len(ca) and got[2].n_chunks == len(cb)
+    shared = set(ca) & set(cb)
+    exp_dup_a = sum(1 for c in ca if c in set(cb))
+    assert got[1].n_dup_chunks == exp_dup_a
+    # the content-defined property: boundaries depend only on local
+    # content, so past the edit the chunking re-synchronizes and most
+    # DISTINCT chunk strings survive the 19-char prefix insertion
+    assert len(shared) / len(set(ca)) > 0.5
+    assert got[1].dup_chunk_frac == exp_dup_a / len(ca)
