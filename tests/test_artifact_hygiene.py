@@ -25,7 +25,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {"dedup_cdc_chunks"}
+ALLOW_NEW: set[str] = set()
 
 
 def _latest(pattern: str) -> str | None:
