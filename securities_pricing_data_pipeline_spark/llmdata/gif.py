@@ -160,7 +160,19 @@ def encode_gif(indices, palette) -> bytes:
 def decode_gif(data: bytes):
     """Decode a GIF87a/89a payload to an ``H×W×3`` uint8 RGB array.
     Single image, global color table, non-interlaced (feature guards
-    raise on the rest); 89a extension blocks are skipped."""
+    raise on the rest); 89a extension blocks are skipped.
+
+    Truncation contract: like the other codecs, any out-of-bounds read on
+    a truncated payload surfaces as ``ValueError('truncated GIF')`` so
+    resize_images/_one can take the ``codec='corrupt'`` fallback instead
+    of failing the Spark task with an IndexError."""
+    try:
+        return _decode_gif_inner(data)
+    except IndexError as exc:
+        raise ValueError("truncated GIF") from exc
+
+
+def _decode_gif_inner(data: bytes):
     import numpy as np
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):

@@ -182,11 +182,28 @@ def ks_drift(
     Plan: ONE hash aggregate collapses the scan to value-cardinality
     rows; the cumulative ECDFs ride a single global-order window over
     that reduced frame (the pareto/global-window rule: windows only ever
-    run post-reduction) and the argmax is a 1-row TakeOrdered."""
-    from pyspark.sql import Window
+    run post-reduction) and the argmax is a 1-row TakeOrdered.
 
+    Value grid: integral columns are compared exactly (``cast('long')``
+    is lossless there). Fractional columns are snapped to a fixed 1e-6
+    grid — ``round(x * 1e6)`` as a long — NOT truncated, so distinct
+    fractional values (quality scores, ratios) stay distinct; KS is
+    invariant under monotone transforms, so the statistic on the grid
+    equals the exact statistic up to grid resolution. For fractional
+    inputs ``ks_at`` is reported in grid units (value × 1e6)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    dtype = dict(df.dtypes).get(value_col, "")
+    integral = dtype in ("tinyint", "smallint", "int", "bigint") or dtype.startswith(
+        "decimal"
+    ) and dtype.endswith(",0)")
+    if integral:
+        xcol = F.col(value_col).cast("long")
+    else:
+        xcol = F.round(F.col(value_col).cast("double") * F.lit(1000000.0)).cast("long")
     is_tr = (hash_bucket(F.col(id_col)) < train_pct).cast("int")
-    t = df.select(F.col(value_col).cast("long").alias("x"), is_tr.alias("is_tr"))
+    t = df.select(xcol.alias("x"), is_tr.alias("is_tr"))
     per_v = t.groupBy("x").agg(
         F.sum("is_tr").alias("ct"),
         F.sum(F.lit(1) - F.col("is_tr")).alias("ch"),

@@ -348,6 +348,10 @@ def pca_power_top(
     (‖C·v‖ at the final unit v — exact for the converged dominant pair,
     the standard power-iteration readout), and the explained-variance
     ratio against the exact-snapped trace."""
+    if iters < 1:
+        # norm/eigenvalue are only defined after at least one matvec;
+        # iters=0 would broadcast a None norm and crash opaquely.
+        raise ValueError("pca_power_top requires iters >= 1")
     cov = dim_covariance(df, vec_col).select("i", "j", "cov")
     # 3+ consumers below; 2080-row frame — pin once, never replay the
     # corpus-moment scan per iteration (the distribution_drift rule)

@@ -1773,3 +1773,52 @@ def test_cdc_chunks_python_replay_and_shift_robustness(spark):
     # DISTINCT chunk strings survive the 19-char prefix insertion
     assert len(shared) / len(set(ca)) > 0.5
     assert got[1].dup_chunk_frac == exp_dup_a / len(ca)
+
+
+def test_ks_drift_fractional_grid_not_truncated(spark):
+    """A fractional column must NOT be truncated to long: distinct
+    scores 0.1..0.9 would all collapse to 0 under cast('long') and give
+    D=0 or garbage. The 1e-6 grid snap keeps them distinct, and the
+    statistic equals the exact-Fraction replay of the same split (KS is
+    invariant under the monotone 1e6 scaling)."""
+    import hashlib
+    from fractions import Fraction
+
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import ks_drift
+
+    rows = [(i, ((i * 37) % 23 + (i % 7)) / 10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+
+    def is_train(doc_id: int) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 100 < 80
+
+    tr = sorted(v for i, v in rows if is_train(i))
+    ho = sorted(v for i, v in rows if not is_train(i))
+    na, nb = len(tr), len(ho)
+    best = (Fraction(0), None)
+    for x in sorted(set(tr + ho)):
+        ca = sum(1 for v in tr if v <= x)
+        cb = sum(1 for v in ho if v <= x)
+        d = abs(Fraction(ca, na) - Fraction(cb, nb))
+        if d > best[0]:
+            best = (d, x)
+    got = ks_drift(df, "score").collect()[0]
+    assert got.n_values == len(set(tr + ho))  # distinct values survived
+    assert (got.n_train, got.n_holdout) == (na, nb)
+    assert got.ks_at == round(best[1] * 1e6)  # grid units for fractional input
+    assert abs(got.ks_stat - float(best[0])) < 1e-15
+
+
+def test_pca_power_top_rejects_zero_iters(spark):
+    """iters<1 leaves norm/eigenvalue undefined — must raise ValueError
+    up front, not crash inside F.broadcast(None)."""
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import pca_power_top
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        pca_power_top(df, iters=0)

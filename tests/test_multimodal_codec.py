@@ -631,3 +631,22 @@ def test_gif_feature_guards():
     no_gct[10] &= 0x7F
     with pytest.raises(NotImplementedError):
         decode_gif(bytes(no_gct[:13] + no_gct[13 + 6:]))
+
+
+def test_gif_truncation_raises_valueerror():
+    """EVERY prefix truncation of a valid GIF must surface as ValueError
+    or NotImplementedError — never IndexError — so resize_images' _one
+    can take the codec='corrupt' fallback (the shared truncation
+    contract across all codecs)."""
+    import numpy as np
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.llmdata.gif import decode_gif, encode_gif
+
+    idx = (np.arange(48).reshape(6, 8) % 4).astype(np.uint8)
+    payload = encode_gif(idx, [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)])
+    # len-1 drops only the 0x3b trailer: all pixel data is present, and
+    # decoding it successfully is the correct lenient behavior.
+    for cut in range(len(payload) - 1):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_gif(payload[:cut])

@@ -791,8 +791,11 @@ def probe_ks(spark) -> list[tuple[str, int, float]]:
     n = 50_000_000
     df = spark.range(n).select(
         F.col("id").alias("doc_id"),
-        # two genuinely different distributions across the hash split's
-        # rows: value = hash % 25000 with a skewed second term
+        # NB: n_chars is a pure function of id, independent of the md5
+        # split arm — both samples draw from the SAME distribution, so
+        # this probe prices the null-drift case. Perf shape is identical
+        # either way (the cost is scan + one hash agg + reduced-frame
+        # windows); only the reported D value would differ.
         (
             F.pmod(F.xxhash64("id", F.lit(7)), F.lit(20_000))
             + F.pmod(F.col("id"), F.lit(5_000))
