@@ -196,3 +196,33 @@ def test_oracle_and_queries_expose_identical_name_sets():
     # every registered query has one; if that changes, document the
     # exception here rather than letting names silently diverge.
     assert o == q, f"queries()/oracle_sql() diverge: {sorted(q ^ o)}"
+
+
+def test_bench_session_canary_recorded():
+    """Whole-session hiccup gate (VERDICT r10 item 2): any full local
+    bench artifact produced after the canary policy landed must record
+    the canary outcome — queries probed, per-attempt median ratios, and
+    an ok/slow status — so a whole-session discard/proceed decision is a
+    recorded gate. A 'slow' status is allowed only alongside an
+    'explained' note (the same visible-waiver rule the drift gate uses)."""
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, "BENCH_r*_local.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not paths:
+        pytest.skip("no local bench artifacts")
+    with open(paths[-1]) as fh:
+        doc = json.load(fh)
+    if int(re.search(r"_r(\d+)", os.path.basename(paths[-1])).group(1)) < 11:
+        pytest.skip("latest artifact predates the session-canary policy")
+    canary = doc.get("canary")
+    assert canary is not None, (
+        f"{os.path.basename(paths[-1])} lacks a 'canary' record — produce "
+        f"full artifacts with bench.py, which probes the session before the sweep"
+    )
+    assert canary.get("attempts"), "canary record has no attempt ratios"
+    if canary.get("status") != "ok":
+        assert "explained" in doc, (
+            f"canary status {canary.get('status')!r} without an 'explained' "
+            f"note — a knowingly-slow session must be visibly waived"
+        )

@@ -531,3 +531,20 @@ def test_dim_covariance_marginals_broadcast(spark):
     plan = _plan(emb_dim_covariance(spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phash_sigs_pinned_decode_runs_once(spark):
+    """The perceptual-hash dedup queries must pin their (id, simhash)
+    frame before pairing: simhash_near_dups scans its sigs input three
+    times, and an unpinned frame re-runs the pure-Python codec chain per
+    scan (the r10 16.7s-vs-2.7s driver bench gap). Lock-in: ZERO
+    MapInPandas nodes in the pairing plan — the decode lives entirely in
+    the one-time checkpoint."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        dedup_audio_phash,
+        dedup_image_phash,
+    )
+
+    for q in (dedup_audio_phash, dedup_image_phash):
+        plan = _plan(q(spark, SF))
+        assert "MapInPandas" not in plan, q.__name__
