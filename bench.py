@@ -310,6 +310,9 @@ BENCH_QUERIES = [
     "sim_bin_hamming_topk",
     "sim_bin_hamming_recall",
     "dedup_cdc_chunks",
+    # round-11 additions
+    "corpus_drift_psi",
+    "dq_t_closeness",
 ]
 
 

@@ -344,3 +344,84 @@ def l_diversity_violations(df, quasi_cols: list, sensitive_col: str, l: int = 3)
         .filter(F.col("l_distinct") < l)
         .orderBy(*quasi_cols)
     )
+
+
+def t_closeness_violations(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    t: float = 0.2,
+):
+    """Data-governance audit (Li, Li & Venkatasubramanian 2007
+    t-closeness): the third rung of the privacy ladder — a group can be
+    k-anonymous AND ℓ-diverse yet still leak when its sensitive-attribute
+    DISTRIBUTION differs sharply from the table's (e.g. a group holding
+    only the two highest salary bands). Emits every quasi-identifier
+    group whose ordered-EMD between the group's sensitive distribution
+    and the global one exceeds ``t``.
+
+    For an ORDERED sensitive attribute the paper's EMD closed form is
+    (1/(m−1))·Σ_{i<m} |Σ_{j≤i}(p_j − q_j)| over the m globally observed
+    values. Exactness: the inner cumulative difference is
+    (cum_c·N − cum_g·n_g)/(n_g·N) with integer numerators, so the audit
+    sums |cum_c·N − cum_g·n_g| in DECIMAL(38,0) (exact far past int64 at
+    warehouse row counts) and performs ONE double division per group at
+    the end — the emitted emd is bit-stable across engines.
+
+    Plan shape: one hash aggregate collapses the scan to (group, value)
+    cells (localCheckpoint'd — cell-cardinality-sized); the dense
+    group×value grid, global marginals, and 1-row total are all derived
+    from that frame and broadcast; the cumulative window partitions by
+    group over m rows — strictly post-reduction, never over the scan."""
+    cells = (
+        df.groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vals = cells.select(sensitive_col).distinct()
+    glob = cells.groupBy(sensitive_col).agg(F.sum("c").alias("gc"))
+    groups = cells.groupBy(*quasi_cols).agg(F.sum("c").alias("n_g"))
+    nm = vals.agg(F.count("*").alias("m"))
+    ntot = glob.agg(F.sum("gc").alias("n_total"))
+    grid = groups.crossJoin(F.broadcast(vals))
+    full = (
+        grid.join(F.broadcast(cells), [*quasi_cols, sensitive_col], "left")
+        .na.fill({"c": 0})
+        .join(F.broadcast(glob), sensitive_col)
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(ntot))
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(38,0)"
+    cum = full.select(
+        *quasi_cols,
+        "n_g",
+        "m",
+        "n_total",
+        F.row_number().over(Window.partitionBy(*quasi_cols).orderBy(sensitive_col)).alias("rn"),
+        (
+            F.sum("c").over(w_cum).cast(dec) * F.col("n_total").cast(dec)
+            - F.sum("gc").over(w_cum).cast(dec) * F.col("n_g").cast(dec)
+        ).alias("cum_diff_num"),
+    )
+    per_group = (
+        cum.filter(F.col("rn") < F.col("m"))  # the m-th cumulative diff is 0
+        .groupBy(*quasi_cols, "n_g", "m", "n_total")
+        .agg(F.sum(F.abs(F.col("cum_diff_num"))).alias("num"))
+    )
+    emd = F.col("num").cast("double") / (
+        (F.col("m") - 1).cast(dec) * F.col("n_g").cast(dec) * F.col("n_total").cast(dec)
+    ).cast("double")
+    return (
+        per_group.select(
+            *quasi_cols, F.col("n_g").alias("k_count"), emd.alias("emd")
+        )
+        .filter(F.col("emd") > t)
+        .orderBy(*quasi_cols)
+    )

@@ -5252,3 +5252,145 @@ SELECT query_id, neighbor_id,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index on document length between the train
+    and holdout hash splits (``llmdata.sampling.psi_drift``) — completes
+    the drift-monitor family: KL (categorical mix), KS (whole numeric
+    distribution), PSI (the banded score-drift index model-risk teams
+    read against the standard 0.1/0.25 thresholds). 50-char bands,
+    Laplace-smoothed shares, decimal-snapped terms, exact decimal total
+    → the stable/moderate/shifted verdict string is engine-stable."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import psi_drift
+
+    return psi_drift(load(spark, sf_dir, "documents"), "n_chars", band_width=50)
+
+
+QUERIES["corpus_drift_psi"] = corpus_drift_psi
+
+ORACLES["corpus_drift_psi"] = """
+WITH tagged AS (
+  SELECT CAST(n_chars AS BIGINT) // 50 AS band,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 100 < 80
+              THEN 'train' ELSE 'holdout' END AS grp
+  FROM documents
+), spine AS (
+  SELECT DISTINCT band FROM tagged
+), grps AS (
+  SELECT 'train' AS grp UNION ALL SELECT 'holdout'
+), cells AS (
+  SELECT grp, band, COUNT(*) AS cnt FROM tagged GROUP BY 1, 2
+), counts AS (
+  SELECT g.grp, s.band, COALESCE(c.cnt, 0) AS cnt
+  FROM spine s CROSS JOIN grps g
+  LEFT JOIN cells c ON c.grp = g.grp AND c.band = s.band
+), totals AS (
+  SELECT grp, COUNT(*) AS tot FROM tagged GROUP BY 1
+), nc AS (
+  SELECT COUNT(*) AS n_cells FROM spine
+), per AS (
+  SELECT t.band, t.cnt AS n_train, h.cnt AS n_holdout,
+         t.p AS p_train, h.p AS p_holdout,
+         CAST((t.p - h.p) * ln(t.p / h.p) AS DECIMAL(20,14)) AS dec_term
+  FROM (SELECT grp, band, cnt,
+               CAST(cnt + 1 AS DOUBLE) / CAST(tot + n_cells AS DOUBLE) AS p
+        FROM counts JOIN totals USING (grp) CROSS JOIN nc) t
+  JOIN (SELECT grp, band, cnt,
+               CAST(cnt + 1 AS DOUBLE) / CAST(tot + n_cells AS DOUBLE) AS p
+        FROM counts JOIN totals USING (grp) CROSS JOIN nc) h
+    ON t.band = h.band
+  WHERE t.grp = 'train' AND h.grp = 'holdout'
+), tot AS (
+  SELECT CAST(SUM(dec_term) AS DOUBLE) AS psi_total FROM per
+)
+SELECT band, n_train, n_holdout, p_train, p_holdout,
+       CAST(dec_term AS DOUBLE) AS psi_term, psi_total,
+       CASE WHEN psi_total < 0.1 THEN 'stable'
+            WHEN psi_total < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS psi_level
+FROM per, tot ORDER BY band
+"""
+
+
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of the customer table
+    (``operators.quality.t_closeness_violations``) — the third rung of
+    the privacy ladder after dq_k_anonymity and dq_l_diversity: QI
+    groups (nation, market segment) whose ordered-EMD between their
+    balance-band distribution and the global one exceeds t=0.05. The
+    balance band shifts cents non-negative BEFORE the integer division
+    (truncation == floor only ≥ 0 — the dq_k_anonymity banding rule,
+    hardened). EMD numerators are exact DECIMAL(38,0) integer
+    cross-products; one double division per group."""
+    from securities_pricing_data_pipeline_spark.operators.quality import (
+        t_closeness_violations,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(round(c_acctbal * 100) + 100000 AS BIGINT) div 50000").alias(
+            "bal_band"
+        ),
+    )
+    return t_closeness_violations(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", t=0.05
+    )
+
+
+QUERIES["dq_t_closeness"] = dq_t_closeness
+
+ORACLES["dq_t_closeness"] = """
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) + 100000 AS BIGINT) // 50000 AS bal_band
+  FROM customer
+), cells AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS c
+  FROM cust GROUP BY 1, 2, 3
+), vals AS (
+  SELECT DISTINCT bal_band FROM cells
+), gmarg AS (
+  SELECT bal_band, SUM(c) AS gc FROM cells GROUP BY 1
+), grps AS (
+  SELECT c_nationkey, c_mktsegment, SUM(c) AS n_g FROM cells GROUP BY 1, 2
+), consts AS (
+  SELECT (SELECT COUNT(*) FROM vals) AS m,
+         (SELECT SUM(gc) FROM gmarg) AS n_total
+), fullg AS (
+  SELECT g.c_nationkey, g.c_mktsegment, v.bal_band, g.n_g,
+         COALESCE(cl.c, 0) AS c, gl.gc
+  FROM grps g
+  CROSS JOIN vals v
+  JOIN gmarg gl ON gl.bal_band = v.bal_band
+  LEFT JOIN cells cl ON cl.c_nationkey = g.c_nationkey
+                    AND cl.c_mktsegment = g.c_mktsegment
+                    AND cl.bal_band = v.bal_band
+), cum AS (
+  SELECT c_nationkey, c_mktsegment, n_g,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY bal_band) AS rn,
+         SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY bal_band) AS cum_c,
+         SUM(gc) OVER (PARTITION BY c_nationkey, c_mktsegment
+                       ORDER BY bal_band) AS cum_g
+  FROM fullg
+), per AS (
+  SELECT c_nationkey, c_mktsegment, n_g,
+         SUM(ABS(CAST(cum_c AS DECIMAL(38,0)) * k.n_total
+                 - CAST(cum_g AS DECIMAL(38,0)) * n_g)) AS num
+  FROM cum, consts k
+  WHERE rn < k.m
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(n_g AS BIGINT) AS k_count,
+       CAST(num AS DOUBLE)
+         / CAST(CAST(k.m - 1 AS DECIMAL(38,0)) * n_g * k.n_total AS DOUBLE) AS emd
+FROM per, consts k
+WHERE CAST(num AS DOUBLE)
+        / CAST(CAST(k.m - 1 AS DECIMAL(38,0)) * n_g * k.n_total AS DOUBLE) > 0.05
+ORDER BY 1, 2
+"""

@@ -25,7 +25,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = set()
+ALLOW_NEW: set[str] = {
+    # round-11 queries pending the end-of-round sf0.1 oracle sweep
+    "corpus_drift_psi",
+    "dq_t_closeness",
+}
 
 
 def _latest(pattern: str) -> str | None:

@@ -1822,3 +1822,86 @@ def test_pca_power_top_rejects_zero_iters(spark):
     )
     with pytest.raises(ValueError, match="iters"):
         pca_power_top(df, iters=0)
+
+
+def test_psi_drift_matches_bruteforce(spark):
+    """psi_drift must equal a pure-Python replay: same md5 split, same
+    50-wide bands, Laplace(+1) shares, per-band (p−q)·ln(p/q) terms, and
+    the total = sum of decimal-snapped terms with the standard verdict."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import psi_drift
+
+    rows = [(i, 40 + (i * 37) % 400) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def is_train(doc_id: int) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 100 < 80
+
+    tr = Counter(v // 50 for i, v in rows if is_train(i))
+    ho = Counter(v // 50 for i, v in rows if not is_train(i))
+    bands = sorted(set(tr) | set(ho))
+    n_tr, n_ho, m = sum(tr.values()), sum(ho.values()), len(bands)
+    terms = {}
+    for b in bands:
+        p = (tr[b] + 1) / (n_tr + m)
+        q = (ho[b] + 1) / (n_ho + m)
+        terms[b] = Decimal(repr((p - q) * math.log(p / q))).quantize(
+            Decimal("1e-14")
+        )
+    total = float(sum(terms.values()))
+    got = {r.band: r for r in psi_drift(df, "n_chars", band_width=50).collect()}
+    assert sorted(got) == bands
+    for b in bands:
+        assert got[b].n_train == tr[b] and got[b].n_holdout == ho[b]
+        assert abs(got[b].psi_term - float(terms[b])) < 1e-12
+        assert abs(got[b].psi_total - total) < 1e-12
+    want_level = "stable" if total < 0.1 else ("moderate" if total < 0.25 else "shifted")
+    assert all(r.psi_level == want_level for r in got.values())
+
+
+def test_t_closeness_matches_bruteforce(spark):
+    """t_closeness_violations must equal an exact-Fraction Python replay
+    of the ordered-EMD closed form (1/(m−1))·Σ|cum(p−q)| over the global
+    value grid, including zero-count cells, on a frame crafted so one
+    group concentrates in the top band (the classic leak k-anonymity and
+    ℓ-diversity both miss)."""
+    from fractions import Fraction
+
+    from securities_pricing_data_pipeline_spark.operators.quality import (
+        t_closeness_violations,
+    )
+
+    # group A: uniform over bands 0..3; group B: all in band 3
+    rows = [("A", b) for b in (0, 1, 2, 3) * 6] + [("B", 3)] * 8
+    df = spark.createDataFrame(rows, "grp string, band long")
+    vals = sorted({b for _, b in rows})
+    m, n = len(vals), len(rows)
+    gcount = {v: sum(1 for _, b in rows if b == v) for v in vals}
+    want = {}
+    for g in ("A", "B"):
+        mine = [b for gg, b in rows if gg == g]
+        ng = len(mine)
+        cum = Fraction(0)
+        acc = Fraction(0)
+        for v in vals[:-1]:
+            cum += Fraction(sum(1 for b in mine if b == v), ng) - Fraction(
+                gcount[v], n
+            )
+            acc += abs(cum)
+        want[g] = float(acc / (m - 1))
+    got = {
+        r.grp: r
+        for r in t_closeness_violations(df, ["grp"], "band", t=0.0).collect()
+    }
+    assert set(got) == {"A", "B"}  # t=0 emits every group with emd > 0
+    for g in ("A", "B"):
+        assert abs(got[g].emd - want[g]) < 1e-15
+    assert got["B"].emd > got["A"].emd  # the concentrated group leaks more
+    # and the threshold filter actually filters
+    only_b = t_closeness_violations(df, ["grp"], "band", t=want["A"] + 1e-9).collect()
+    assert [r.grp for r in only_b] == ["B"]
