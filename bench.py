@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     # round-11 additions
     "corpus_drift_psi",
     "dq_t_closeness",
+    "dedup_video_phash",
 ]
 
 

@@ -25,6 +25,7 @@ import struct
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -156,3 +157,66 @@ def decode_video_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(_rows, VIDEO_FRAME_SCHEMA)
+
+
+def video_frame_dhash(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    n_frames: int = 4,
+    grid_w: int = 11,
+    grid_h: int = 6,
+) -> DataFrame:
+    """Per-frame 60-bit perceptual dHash of a video column — the video
+    rung of the perceptual-dedup family (text SimHash, image dHash,
+    audio energy dHash): walk the real AVI container, take ``n_frames``
+    uniformly spaced frames (the decode_video_frames pick rule), decode
+    each through the image codec, and compute the SAME
+    resize_nearest → integer-grayscale → row-difference hash
+    ``multimodal.image_dhash`` uses, one row per (asset, frame).
+
+    Output (id, frame_idx, simhash) — the signature column is pluggable
+    into ``simhash_near_dups(sigs=...)`` after encoding (id, frame) into
+    a single key, so video near-dup detection = "any pair of sampled
+    frames within Hamming ≤ k", found by the standard 4×16-bit
+    pigeonhole with NO new LSH machinery. Container extraction + decode
+    + hash run in ONE Arrow-batched mapInPandas; downstream pairing
+    touches only 20-byte signature rows (pin this frame before pairing —
+    the dedup_audio_phash lesson)."""
+    import pandas as pd
+
+    from securities_pricing_data_pipeline_spark.llmdata.multimodal import (
+        decode_image,
+        resize_nearest,
+    )
+
+    n_bits = grid_h * (grid_w - 1)
+    if n_bits > 60:
+        raise ValueError(f"{grid_h}x{grid_w} grid needs {n_bits} > 60 bits")
+
+    def _hash(batches):
+        weights = np.left_shift(np.int64(1), np.arange(n_bits, dtype=np.int64))
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sigs: list[int] = []
+            for aid, content in zip(pdf[id_col], pdf["content"]):
+                aid = int(aid)
+                frames = extract_frames_avi(bytes(content))
+                total = len(frames)
+                picks = sorted(
+                    {i * total // n_frames for i in range(n_frames)}
+                    & set(range(total))
+                )
+                for idx in picks:
+                    px = decode_image(frames[idx])
+                    g = resize_nearest(px, grid_w, grid_h).astype(np.int64)
+                    gray = g.sum(axis=2) // 3
+                    bits = (gray[:, :-1] > gray[:, 1:]).flatten()
+                    ids.append(aid)
+                    idxs.append(idx)
+                    sigs.append(int(np.dot(bits.astype(np.int64), weights)))
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "simhash": sigs})
+
+    return assets.select(F.col(id_col), "content").mapInPandas(
+        _hash, "id long, frame_idx long, simhash long"
+    )

@@ -5394,3 +5394,163 @@ WHERE CAST(num AS DOUBLE)
         / CAST(CAST(k.m - 1 AS DECIMAL(38,0)) * n_g * k.n_total AS DOUBLE) > 0.05
 ORDER BY 1, 2
 """
+
+
+def _video_phash_oracle_sql(max_hamming: int = 3) -> str:
+    """Frame-exact replay of dedup_video_phash: the synthetic gradient
+    frames are pure (doc_id, frame) arithmetic and the frame payloads
+    are LOSSLESS P6 inside the real AVI container, so the oracle
+    computes every sampled grayscale value directly — v(gx,gy) =
+    (base_f + ca·gx² + cb·gy² + cc·gx·gy) mod 128 (quadratic with
+    GROUP-derived coefficients, so unrelated groups are genuinely
+    different patterns — not shift-variants — and bit
+    patterns stay diverse and no pigeonhole bucket degenerates) at
+    gx=(j·w)//11,
+    gy=(i·h)//6 with base_f = (g·11 + doc%5 + 13·f) mod 128 — rebuilds
+    each frame's 60-bit dHash, pairs frames through the identical
+    4×16-bit pigeonhole + Hamming verify, and rolls frame pairs up to
+    video pairs by MIN Hamming. Any fault in the container walk, frame
+    pick, codec, resampler, or hash breaks value parity."""
+    terms = []
+    for k in range(60):
+        i, j = divmod(k, 10)
+
+        def v(jj: int, i=i) -> str:
+            gx = f"(({jj} * w) // 11)"
+            gy = f"(({i} * h) // 6)"
+            return (
+                f"(base + ca * {gx} * {gx} + cb * {gy} * {gy} "
+                f"+ cc * {gx} * {gy}) % 128"
+            )
+
+        terms.append(
+            f"CASE WHEN ({v(j)}) > ({v(j + 1)}) "
+            f"THEN (CAST(1 AS BIGINT) << {k}) ELSE 0 END"
+        )
+    sig = " + ".join(terms)
+    block_eq = " OR ".join(
+        f"((a.sim >> {16 * i}) & 65535) = ((b.sim >> {16 * i}) & 65535)"
+        for i in range(4)
+    )
+    return f"""
+WITH params AS (
+  SELECT doc_id, f,
+         12 + (doc_id // 5) % 7 AS w,
+         12 + (doc_id // 5) % 5 AS h,
+         1 + (doc_id // 5) % 13 AS ca,
+         1 + (doc_id // 5) % 11 AS cb,
+         1 + (doc_id // 5) % 7 AS cc,
+         ((doc_id // 5) * 11 + doc_id % 5 + 13 * f) % 128 AS base
+  FROM documents, UNNEST(range(4)) AS t(f)
+), sig AS (
+  SELECT doc_id, f, {sig} AS sim FROM params
+), fp AS (
+  SELECT a.doc_id AS va, b.doc_id AS vb,
+         bit_count(xor(a.sim, b.sim)) AS ham
+  FROM sig a JOIN sig b
+    ON (a.doc_id * 8 + a.f) < (b.doc_id * 8 + b.f)
+   AND a.doc_id <> b.doc_id
+   AND ({block_eq})
+  WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+)
+SELECT va AS id_a, vb AS id_b,
+       CAST(MIN(ham) AS INT) AS min_hamming,
+       COUNT(*) AS n_frame_matches
+FROM fp GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup — the final rung of the perceptual family
+    (text SimHash → image dHash → audio energy-dHash → video keyframe
+    signature sets), the standard large-scale video-corpus dedup shape:
+    two videos are near-duplicates when ANY pair of their sampled
+    keyframes is within Hamming ≤ 3, reported with the pair's MIN
+    Hamming and how many keyframe pairs matched.
+
+    Per document: 4 gradient frames (5-doc parameter groups with small
+    per-doc and per-frame shifts, so genuine near-duplicate videos
+    exist), each a LOSSLESS P6 payload packed into a REAL AVI container
+    (the honest-codec trade: video_mjpeg_frames certifies the lossy
+    JPEG-in-AVI path under an error envelope; dedup needs exact oracle
+    replay, so its frames use the lossless intra codec). The pipeline is
+    fully real: RIFF/AVI walk → frame pick → decode → resize_nearest →
+    dHash (``llmdata.video.video_frame_dhash``), then (video, frame)
+    keys ride the SAME 4×16-bit pigeonhole LSH every other modality
+    uses, and frame pairs roll up to video pairs by MIN Hamming. The
+    signature frame is pinned before pairing (the dedup_audio_phash
+    lesson: simhash_near_dups scans sigs 3×)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import simhash_near_dups
+    from securities_pricing_data_pipeline_spark.llmdata.video import (
+        encode_avi_mjpeg,
+        video_frame_dhash,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def _mk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"asset_id": [], "content": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did // 5
+                w, h = 12 + g % 7, 12 + g % 5
+                ca, cb, cc = 1 + g % 13, 1 + g % 11, 1 + g % 7
+                jj, ii = np.meshgrid(
+                    np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
+                )
+                frames = []
+                for f in range(4):
+                    base = (g * 11 + did % 5 + 13 * f) % 128
+                    v = (
+                        (base + ca * jj * jj + cb * ii * ii + cc * jj * ii)
+                        % 128
+                    ).astype(
+                        np.uint8
+                    )
+                    px = np.repeat(v[:, :, None], 3, axis=2)
+                    frames.append(
+                        f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+                    )
+                rows["asset_id"].append(did)
+                rows["content"].append(encode_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(
+        _mk,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]
+        ),
+    )
+    fsigs = (
+        video_frame_dhash(assets, n_frames=4)
+        .select(
+            (F.col("id") * 8 + F.col("frame_idx")).alias("id"),
+            "simhash",
+        )
+        .localCheckpoint(eager=True)
+    )
+    fpairs = simhash_near_dups(fsigs, sigs=fsigs, max_hamming=3)
+    va = F.expr("id_a div 8")
+    vb = F.expr("id_b div 8")
+    return (
+        fpairs.filter(va != vb)
+        .groupBy(va.alias("id_a"), vb.alias("id_b"))
+        .agg(
+            F.min("hamming").cast("int").alias("min_hamming"),
+            F.count("*").alias("n_frame_matches"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+QUERIES["dedup_video_phash"] = dedup_video_phash
+ORACLES["dedup_video_phash"] = _video_phash_oracle_sql(3)

@@ -29,6 +29,7 @@ ALLOW_NEW: set[str] = {
     # round-11 queries pending the end-of-round sf0.1 oracle sweep
     "corpus_drift_psi",
     "dq_t_closeness",
+    "dedup_video_phash",
 }
 
 

@@ -650,3 +650,50 @@ def test_gif_truncation_raises_valueerror():
     for cut in range(len(payload) - 1):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_gif(payload[:cut])
+
+
+def test_video_frame_dhash_matches_direct_computation(spark):
+    """video_frame_dhash through a REAL AVI container must equal the
+    dHash computed directly from the source pixel arrays (container walk
+    + P6 decode are lossless), including the uniform frame-pick rule on
+    a 10-frame video sampled down to 4."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.multimodal import (
+        resize_nearest,
+    )
+    from securities_pricing_data_pipeline_spark.llmdata.video import (
+        encode_avi_mjpeg,
+        video_frame_dhash,
+    )
+
+    w, h, total = 20, 14, 10
+    jj, ii = np.meshgrid(np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64))
+    frames_px = [
+        ((7 * f + 3 * jj * jj + 5 * ii + 2 * jj * ii) % 251).astype(np.uint8)
+        for f in range(total)
+    ]
+    payloads = [
+        f"P6\n{w} {h}\n255\n".encode() + np.repeat(px[:, :, None], 3, axis=2).tobytes()
+        for px in frames_px
+    ]
+    avi = encode_avi_mjpeg(payloads, w, h)
+    df = spark.createDataFrame([(1, bytearray(avi))], "asset_id long, content binary")
+    got = {
+        (r.id, r.frame_idx): r.simhash
+        for r in video_frame_dhash(df, n_frames=4).collect()
+    }
+    picks = sorted({i * total // 4 for i in range(4)})
+    assert sorted(k[1] for k in got) == picks
+    for idx in picks:
+        px3 = np.repeat(frames_px[idx][:, :, None], 3, axis=2)
+        g = resize_nearest(px3, 11, 6).astype(np.int64)
+        gray = g.sum(axis=2) // 3
+        bits = (gray[:, :-1] > gray[:, 1:]).flatten()
+        want = int(
+            np.dot(
+                bits.astype(np.int64),
+                np.left_shift(np.int64(1), np.arange(60, dtype=np.int64)),
+            )
+        )
+        assert got[(1, idx)] == want

@@ -543,8 +543,9 @@ def test_phash_sigs_pinned_decode_runs_once(spark):
     from securities_pricing_data_pipeline_spark.queries.llmq import (
         dedup_audio_phash,
         dedup_image_phash,
+        dedup_video_phash,
     )
 
-    for q in (dedup_audio_phash, dedup_image_phash):
+    for q in (dedup_audio_phash, dedup_image_phash, dedup_video_phash):
         plan = _plan(q(spark, SF))
         assert "MapInPandas" not in plan, q.__name__
