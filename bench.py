@@ -314,6 +314,10 @@ BENCH_QUERIES = [
     "corpus_drift_psi",
     "dq_t_closeness",
     "dedup_video_phash",
+    "sim_crossmodal_topk",
+    "sim_crossmodal_recall",
+    "sim_nsw_topk",
+    "sim_nsw_recall",
 ]
 
 

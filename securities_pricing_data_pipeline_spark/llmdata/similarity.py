@@ -1980,3 +1980,225 @@ def ivfpq_residual_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def crossmodal_project(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, w: int = 4
+) -> DataFrame:
+    """Deterministic second-encoder projection for the CLIP-shaped
+    cross-modal retrieval eval: image_vec[i] = w·v[i] + v[(i+1) mod d] —
+    a fixed full-rank circulant map, so the "image" embedding of an item
+    is strongly correlated with (but not equal to) its "text" embedding,
+    exactly the joint-space geometry a two-tower contrastive encoder
+    produces for paired items. Cosine is scale-invariant, so the
+    unnormalized map needs no renormalization.
+
+    Parity: every element casts to double BEFORE the arithmetic (the
+    parquet column is float32; DuckDB's ``::DOUBLE[]`` cast happens
+    first too), and w·x + y is two IEEE ops on identical doubles — the
+    projected vector is bit-equal in both engines, after which the
+    standard 1e13 grid-snap cosine discipline applies unchanged. Pure
+    codegen projection: no shuffle, no Python."""
+    expr = (
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"cast({w} as double) * cast(element_at({vec_col}, i + 1) as double)"
+        f" + cast(element_at({vec_col}, (i + 1) % {dim} + 1) as double))"
+    )
+    return df.withColumn(vec_col, F.expr(expr))
+
+
+def nsw_build_edges(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    m_neighbors: int = 16,
+) -> DataFrame:
+    """NSW graph build — the INDEX-BUILD half of :func:`nsw_topk`, split
+    out so callers can materialize it once per session/corpus (a real
+    deployment writes it as a silver table and serves many searches from
+    it; paying the build per query would misprice the paradigm). Output:
+    (src, dst, dvec, dnrm) — each node's ``m_neighbors`` best LSH-banded
+    candidates by exact grid cosine, symmetrized, with destination
+    vector+norm denormalized on so beam rounds never re-join the
+    corpus."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        candidate_pairs_in_buckets,
+    )
+
+    planes = random_planes(dim=dim, n_planes=n_planes, seed=seed)
+    rpb = n_planes // bands
+    mask = (1 << rpb) - 1
+    sig = plane_signatures(corpus, planes, id_col=id_col, vec_col=vec_col)
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("sig"), rpb * i).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    blocked = sig.select("id", F.explode(block_arr).alias("bb")).select(
+        "id", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val")
+    )
+    pairs = candidate_pairs_in_buckets(blocked, ["blk", "val"])
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("nrm"),
+    )
+    sp = (
+        pairs.join(
+            c.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")),
+            "id_a",
+        )
+        .join(
+            c.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos"),
+            "va", "na", "vb", "nb",
+        )
+    )
+    sym = sp.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+        "cos", F.col("vb").alias("dvec"), F.col("nb").alias("dnrm"),
+    ).unionByName(
+        sp.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+            "cos", F.col("va").alias("dvec"), F.col("na").alias("dnrm"),
+        )
+    )
+    we = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        sym.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= m_neighbors)
+        .select("src", "dst", "dvec", "dnrm")
+    )
+
+
+def nsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    m_neighbors: int = 16,
+    beam: int = 16,
+    rounds: int = 4,
+    n_entry: int = 32,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Graph-traversal ANN (the NSW/HNSW layer-0 shape of Malkov &
+    Yashunin 2016 — what production vector DBs serve from), completing
+    the third ANN paradigm next to the tree/list family (IVF) and the
+    quantization family (PQ/SQ8/Hamming):
+
+    1. GRAPH BUILD (one-time index): LSH-banded candidate pairs (the
+       same signed-random-projection signatures ``lsh_topk`` uses, so
+       the build is deterministic and oracle-replayable) → exact grid
+       cosine → each node keeps its ``m_neighbors`` best neighbors,
+       symmetrized. Edges carry the DESTINATION vector+norm, so beam
+       rounds never re-join the corpus. The edge frame is pinned
+       (localCheckpoint) — it is the index artifact; at 100 TB it is a
+       written silver table built once and served many times.
+    2. BEAM SEARCH (``rounds`` UNROLLED expansions — the BPE/PCA fixed
+       unroll discipline): the frontier starts at ``n_entry`` fixed
+       entry nodes, each round expands the frontier's graph neighbors
+       via a BROADCAST frontier-side hash join against the pinned edge
+       frame, scores candidates with the exact grid cosine against the
+       broadcast query side, and keeps the per-query ``beam`` best
+       (ties: cos DESC, node ASC). Monotone: the frontier is unioned
+       with its expansion before the cut, so scores never regress.
+
+    Self-matches are excluded throughout (query ids live in the corpus
+    id space, as in every sim_* eval). Scale shape: after the build,
+    each round touches |frontier|·m rows — independent of corpus size —
+    and every join is broadcast (the plan-lock test asserts no
+    SortMergeJoin survives in the search plan)."""
+    if edges is None:
+        edges = nsw_build_edges(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            n_planes=n_planes,
+            bands=bands,
+            seed=seed,
+            m_neighbors=m_neighbors,
+        ).localCheckpoint(eager=True)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("nrm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_grid(F.col(vec_col)).alias("qn"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
+    frontier = (
+        q.crossJoin(F.broadcast(c.filter(F.col("id") < n_entry)))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("node"),
+            cosine_with_norms(F.col("qv"), F.col("vec"), F.col("qn"), F.col("nrm")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= beam)
+        .drop("rn")
+    )
+    for _ in range(rounds):
+        # pin the incoming frontier: it feeds BOTH the expansion and the
+        # union below, so an unpinned plan doubles per round (2^rounds
+        # replays + one broadcast exchange per replay — measured 11.5s →
+        # 0.9s search at sf0.1). ≤ |queries|·beam rows. Pinning at the
+        # TOP of the round keeps the LAST round's join shape visible in
+        # the final plan for the broadcast lock-in test.
+        frontier = frontier.localCheckpoint(eager=True)
+        exp = edges.join(
+            F.broadcast(frontier.select("query_id", F.col("node").alias("src"))),
+            "src",
+        ).select("query_id", F.col("dst").alias("node"), "dvec", "dnrm")
+        scored = (
+            exp.join(F.broadcast(q), "query_id")
+            .filter(F.col("node") != F.col("query_id"))
+            .select(
+                "query_id",
+                "node",
+                cosine_with_norms(
+                    F.col("qv"), F.col("dvec"), F.col("qn"), F.col("dnrm")
+                ).alias("cos"),
+            )
+        )
+        frontier = (
+            frontier.unionByName(scored)
+            .groupBy("query_id", "node")
+            .agg(F.max("cos").alias("cos"))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= beam)
+            .drop("rn")
+        )
+    return (
+        frontier.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.col("cos").alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

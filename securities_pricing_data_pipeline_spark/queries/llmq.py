@@ -5554,3 +5554,348 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_video_phash"] = dedup_video_phash
 ORACLES["dedup_video_phash"] = _video_phash_oracle_sql(3)
+
+
+_CROSSMODAL_OFFSET = 10_000_000
+
+
+def _crossmodal_queries(emb: DataFrame) -> DataFrame:
+    """Image-side query set: every 50th vector pushed through the
+    deterministic second-encoder projection, with ids offset so the two
+    modalities never alias (and the paired text item stays retrievable —
+    the self-exclusion in the retrieval kernels keys on the raw id)."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        crossmodal_project,
+    )
+
+    return crossmodal_project(emb.filter(F.col("vec_id") % 50 == 0)).select(
+        (F.col("vec_id") + F.lit(_CROSSMODAL_OFFSET)).alias("vec_id"), "embedding"
+    )
+
+
+def sim_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-shaped cross-modal retrieval: image-side queries (the
+    deterministic second-encoder projection of every 50th embedding,
+    ``llmdata.similarity.crossmodal_project``) retrieve their text-side
+    top-5 through the IVF index — the asymmetric-modality join a
+    multimodal training pipeline runs to mine image↔caption pairs.
+    Query ids are offset by 10M so the modalities never alias; the
+    paired text item is findable (and usually found — the audit twin
+    ``sim_crossmodal_recall`` measures it). Same plan contract as
+    sim_ivf_topk: centroids broadcast, one corpus scan, cost ∝ probed
+    lists."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _crossmodal_queries(emb), k=5, n_centroids=16, nprobe=4
+    )
+
+
+QUERIES["sim_crossmodal_topk"] = sim_crossmodal_topk
+
+
+def _crossmodal_q_cte(dim: int = 64, w: int = 4) -> str:
+    """DuckDB twin of crossmodal_project over the every-50th query set."""
+    return f"""
+  SELECT vec_id + {_CROSSMODAL_OFFSET} AS vec_id,
+         list_transform(range({dim}), i ->
+           {w} * vec[i + 1] + vec[((i + 1) % {dim}) + 1]) AS vec
+  FROM v WHERE vec_id % 50 = 0
+"""
+
+
+def _crossmodal_topk_oracle_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), q AS (
+{_crossmodal_q_cte()}
+), cent AS (
+  SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < {n_centroids}
+), assigned AS (
+  SELECT neighbor_id, c_vec, centroid_id FROM (
+    SELECT v.vec_id AS neighbor_id, v.vec AS c_vec, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_expr('v.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM v, cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, q_vec, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.vec AS q_vec, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_expr('q.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM q, cent
+  ) WHERE rn <= {nprobe}
+), ranked AS (
+  SELECT p.query_id, a.neighbor_id, {_cos_expr('p.q_vec', 'a.c_vec')} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY {_cos_expr('p.q_vec', 'a.c_vec')} DESC, a.neighbor_id) AS rank
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLES["sim_crossmodal_topk"] = _crossmodal_topk_oracle_sql()
+
+
+def sim_crossmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval audit, two numbers in one row: recall@5 of
+    the IVF cross-modal scan against exact-cosine ground truth on the
+    same image-side queries (the index-quality check), and the paired-
+    item hit rate — the fraction of image queries whose OWN text item
+    lands in the exact top-5 (the standard CLIP-style retrieval eval).
+    Counts are ints; the two ratios are single int÷int divisions —
+    engine-stable."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _crossmodal_queries(emb)
+    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    truth = truth.localCheckpoint(eager=True)  # 3 consumers below
+    approx = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    t = truth.agg(
+        F.count_distinct("query_id").alias("n_queries"), F.count("*").alias("n_true")
+    )
+    h = hits.agg(F.count("*").alias("n_hits"))
+    p = truth.filter(
+        F.col("neighbor_id") == F.col("query_id") - F.lit(_CROSSMODAL_OFFSET)
+    ).agg(F.count("*").alias("n_paired_hits"))
+    return (
+        t.crossJoin(h)
+        .crossJoin(p)
+        .select(
+            "n_queries",
+            F.lit(5).alias("k"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall_at_k"),
+            "n_paired_hits",
+            (F.col("n_paired_hits").cast("double") / F.col("n_queries")).alias(
+                "paired_hit_rate"
+            ),
+        )
+    )
+
+
+QUERIES["sim_crossmodal_recall"] = sim_crossmodal_recall
+
+ORACLES["sim_crossmodal_recall"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), q AS (
+{_crossmodal_q_cte()}
+), bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_expr('q.vec', 'v.vec')} DESC, v.vec_id) AS rank
+    FROM q, v WHERE v.vec_id != q.vec_id
+  ) WHERE rank <= 5
+), iv AS (
+  SELECT query_id, neighbor_id FROM ({_crossmodal_topk_oracle_sql()})
+), t AS (
+  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         COUNT(*) AS n_true
+  FROM bf
+), h AS (
+  SELECT COUNT(*) AS n_hits
+  FROM (SELECT query_id, neighbor_id FROM iv
+        INTERSECT SELECT query_id, neighbor_id FROM bf)
+), p AS (
+  SELECT COUNT(*) AS n_paired_hits
+  FROM bf WHERE neighbor_id = query_id - {_CROSSMODAL_OFFSET}
+)
+SELECT t.n_queries, CAST(5 AS INT) AS k,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits AS DOUBLE) / t.n_true AS recall_at_k,
+       CAST(p.n_paired_hits AS BIGINT) AS n_paired_hits,
+       CAST(p.n_paired_hits AS DOUBLE) / t.n_queries AS paired_hit_rate
+FROM t, h, p
+"""
+
+
+def _nsw_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session NSW edge index over the embeddings — the graph-ANN
+    index artifact (``llmdata.similarity.nsw_build_edges``), built once
+    per (app, sf) and served to every NSW search, exactly the
+    _portable_sigs / bars_silver discipline: a real deployment writes
+    this as a silver table; pricing the build into every query would
+    misstate the paradigm's serving cost (the build is the r10 lesson's
+    3×-scan hazard writ large — ~500k candidate cosines at sf0.1)."""
+    from pyspark import StorageLevel
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        nsw_build_edges,
+    )
+
+    key = ("nsw_edges", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        df = nsw_build_edges(load(spark, sf_dir, "embeddings")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _DEDUP_SILVER[key] = df
+    return df
+
+
+def sim_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-traversal ANN over the embeddings (NSW layer-0 beam search,
+    ``llmdata.similarity.nsw_topk``) — certifies the third ANN paradigm
+    next to IVF (lists) and PQ/SQ8/Hamming (quantization): LSH-built
+    m=16 neighbor graph, 4 unrolled beam-16 expansions from 32 fixed
+    entry points (recall@5 = 0.94 at sf0.01 / 0.80 at sf0.1 vs exact), exact grid cosine everywhere. The recall audit twin is
+    ``sim_nsw_recall``."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import nsw_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return nsw_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        edges=_nsw_edge_silver(spark, sf_dir),
+    )
+
+
+QUERIES["sim_nsw_topk"] = sim_nsw_topk
+
+
+def _nsw_topk_oracle_sql(
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    m_neighbors: int = 16,
+    beam: int = 16,
+    rounds: int = 4,
+    n_entry: int = 32,
+) -> str:
+    """Unrolled DuckDB replay of nsw_topk: same planes/signatures/banded
+    candidate pairs as the lsh family, per-node top-m symmetric edges,
+    then ``rounds`` frontier CTEs — expansion ∪ frontier, per-query
+    beam cut with identical (cos DESC, node ASC) ties."""
+    rpb = n_planes // bands
+    mask = (1 << rpb) - 1
+    block_eq = " OR ".join(
+        f"((a.sig >> {rpb * i}) & {mask}) = ((b.sig >> {rpb * i}) & {mask})"
+        for i in range(bands)
+    )
+    parts = [f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), sig AS (
+  SELECT vec_id, vec, {_plane_sig_sql('vec', n_planes=n_planes)} AS sig FROM v
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_expr('a.vec', 'b.vec')} AS cos
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({block_eq})
+), sym AS (
+  SELECT id_a AS src, id_b AS dst, cos FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, cos FROM pairs
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+    FROM sym
+  ) WHERE rn <= {m_neighbors}
+), q AS (
+  SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10
+), f0 AS (
+  SELECT query_id, node, cos FROM (
+    SELECT q.query_id, e.vec_id AS node, {_cos_expr('q.qv', 'e.vec')} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_expr('q.qv', 'e.vec')} DESC, e.vec_id) AS rn
+    FROM q, v e WHERE e.vec_id < {n_entry} AND e.vec_id != q.query_id
+  ) WHERE rn <= {beam}
+)"""]
+    for r in range(1, rounds + 1):
+        prev = f"f{r - 1}"
+        parts.append(f""", s{r} AS (
+  SELECT f.query_id, ed.dst AS node, {_cos_expr('q.qv', 'nv.vec')} AS cos
+  FROM {prev} f
+  JOIN edges ed ON ed.src = f.node
+  JOIN v nv ON nv.vec_id = ed.dst
+  JOIN q ON q.query_id = f.query_id
+  WHERE ed.dst != f.query_id
+), f{r} AS (
+  SELECT query_id, node, cos FROM (
+    SELECT query_id, node, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, node) AS rn
+    FROM (
+      SELECT query_id, node, MAX(cos) AS cos FROM (
+        SELECT query_id, node, cos FROM {prev}
+        UNION ALL
+        SELECT query_id, node, cos FROM s{r}
+      ) GROUP BY 1, 2
+    )
+  ) WHERE rn <= {beam}
+)""")
+    parts.append(f"""
+SELECT query_id, node AS neighbor_id, cos AS cos_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, node, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rank
+  FROM f{rounds}
+) WHERE rank <= {k}
+""")
+    return "".join(parts)
+
+
+ORACLES["sim_nsw_topk"] = _nsw_topk_oracle_sql()
+
+
+def sim_nsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN quality audit: recall@5 of the NSW beam search against
+    exact brute-force cosine on the same queries — the paradigm-level
+    recall ladder entry next to sim_ivf_recall_eval, sim_sq8_recall and
+    sim_bin_hamming_recall. Counts are ints; one int÷int division."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        nsw_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = nsw_topk(
+        emb, queries, k=5, edges=_nsw_edge_silver(spark, sf_dir)
+    ).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    t = truth.agg(
+        F.count_distinct("query_id").alias("n_queries"), F.count("*").alias("n_true")
+    )
+    h = hits.agg(F.count("*").alias("n_hits"))
+    return t.crossJoin(h).select(
+        "n_queries",
+        F.lit(5).alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall_at_k"),
+    )
+
+
+QUERIES["sim_nsw_recall"] = sim_nsw_recall
+
+ORACLES["sim_nsw_recall"] = f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({ORACLES["sim_bruteforce_topk"]})),
+nw AS (SELECT query_id, neighbor_id FROM ({_nsw_topk_oracle_sql()})),
+t AS (
+  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         COUNT(*) AS n_true
+  FROM bf
+), h AS (
+  SELECT COUNT(*) AS n_hits
+  FROM (SELECT query_id, neighbor_id FROM nw
+        INTERSECT SELECT query_id, neighbor_id FROM bf)
+)
+SELECT t.n_queries, CAST(5 AS INT) AS k, CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits AS DOUBLE) / t.n_true AS recall_at_k
+FROM t, h
+"""

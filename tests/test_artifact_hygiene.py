@@ -30,6 +30,10 @@ ALLOW_NEW: set[str] = {
     "corpus_drift_psi",
     "dq_t_closeness",
     "dedup_video_phash",
+    "sim_crossmodal_topk",
+    "sim_crossmodal_recall",
+    "sim_nsw_topk",
+    "sim_nsw_recall",
 }
 
 

@@ -1905,3 +1905,80 @@ def test_t_closeness_matches_bruteforce(spark):
     # and the threshold filter actually filters
     only_b = t_closeness_violations(df, ["grp"], "band", t=want["A"] + 1e-9).collect()
     assert [r.grp for r in only_b] == ["B"]
+
+
+def test_nsw_topk_exact_on_complete_graph(spark):
+    """With an explicitly COMPLETE edge set (via the ``edges=`` index
+    seam) and a beam covering the whole corpus, ONE expansion round from
+    two entry points (each query's own id is excluded, so one entry must
+    survive the self-filter) makes NSW beam search exact: it must return
+    precisely brute_force_topk's rows (same neighbors, same cos_sim,
+    same ranks) — pinning the search machinery (expansion, dedup,
+    monotone cut, final rank) independent of graph quality. (The
+    LSH-built graph is deliberately NOT complete — candidate pairs must
+    share a band — so exactness is only provable through the seam.)"""
+    from pyspark.sql import functions as F
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        norm_grid,
+        nsw_topk,
+    )
+
+    rows = [
+        (i, [float(((i * 37 + d * 11) % 19) - 9) / 10.0 for d in range(8)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    c = df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm_grid(F.col("embedding")).alias("nrm"),
+    )
+    complete = (
+        c.select(F.col("id").alias("src"))
+        .crossJoin(
+            c.select(
+                F.col("id").alias("dst"),
+                F.col("vec").alias("dvec"),
+                F.col("nrm").alias("dnrm"),
+            )
+        )
+        .filter("src != dst")
+    )
+    exact = sorted(
+        brute_force_topk(df, q, k=4).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    got = sorted(
+        nsw_topk(
+            df, q, k=4, dim=8, beam=40, rounds=1, n_entry=2, edges=complete
+        ).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in got] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in exact
+    ]
+    for a, b in zip(got, exact):
+        assert a.cos_sim == b.cos_sim
+
+
+def test_crossmodal_project_matches_numpy(spark):
+    """crossmodal_project must equal the numpy circulant map computed in
+    float64 on the float32-cast inputs (the cast-before-arithmetic
+    parity rule)."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        crossmodal_project,
+    )
+
+    v = np.array([0.11 * i - 0.3 for i in range(8)], dtype=np.float32)
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in v])], "vec_id long, embedding array<float>"
+    )
+    got = crossmodal_project(df, dim=8, w=4).collect()[0].embedding
+    d = v.astype(np.float64)
+    want = 4.0 * d + np.roll(d, -1)
+    assert got == list(want)

@@ -549,3 +549,17 @@ def test_phash_sigs_pinned_decode_runs_once(spark):
     for q in (dedup_audio_phash, dedup_image_phash, dedup_video_phash):
         plan = _plan(q(spark, SF))
         assert "MapInPandas" not in plan, q.__name__
+
+
+def test_nsw_search_joins_broadcast_never_smj(spark):
+    """nsw_topk's beam search must stay broadcast: the edge index is
+    pinned (ExistingRDD), the frontier and query sides broadcast into
+    every expansion round, and NO SortMergeJoin appears in the search
+    plan — each round's cost is |frontier|·m rows, independent of corpus
+    size (the graph-ANN scale contract)."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import sim_nsw_topk
+
+    plan = _plan(sim_nsw_topk(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5  # one expansion join per round
