@@ -449,3 +449,65 @@ def poisson_bootstrap_means(
         F.col("n_eff").cast("long").alias("n_eff"),
         (F.col("wsum").cast("double") / F.col("n_eff").cast("double")).alias("mean_value"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_cols: list[str],
+    value_col: str,
+    n_total: int = 1000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): the
+    sample budget each stratum should receive to minimize the variance
+    of the stratified mean of ``value_col`` — n_h ∝ N_h·S_h — the
+    planning step BEFORE stratified_sample/stratified reservoir runs,
+    and the standard answer to "how many documents per source should the
+    eval set draw". Emits per stratum: size, the exact integer moments,
+    the population std, the Neyman weight and share, and the integer
+    allocation ``floor(n_total · w_h / Σw)`` (the deterministic floor
+    allocation; the ≤|strata| leftover is the caller's largest-remainder
+    choice).
+
+    Exactness: for an integral value column, N_h·S_h = sqrt(N_h·Σv² −
+    (Σv)²) EXACTLY — the radicand is an integer (DECIMAL(38,0)), so the
+    only float ops are one sqrt per stratum (same double in, same double
+    out in both engines) and the final divisions; the weight snaps to
+    DECIMAL(24,6) before the cross-strata sum, so Σw is order-independent.
+    Plan: ONE hash aggregate to |strata| rows; everything after is
+    arithmetic on that reduced frame with the 1-row Σw broadcast."""
+    dec = "decimal(38,0)"
+    g = df.groupBy(*strata_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(value_col).cast("long")).alias("sv"),
+        F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long")).alias(
+            "svv"
+        ),
+    )
+    radicand = (
+        F.col("n_rows").cast(dec) * F.col("svv").cast(dec)
+        - F.col("sv").cast(dec) * F.col("sv").cast(dec)
+    )
+    w = g.select(
+        *strata_cols,
+        "n_rows",
+        (F.sqrt(radicand.cast("double")) / F.col("n_rows").cast("double")).alias(
+            "std_pop"
+        ),
+        F.sqrt(radicand.cast("double")).cast("decimal(24,6)").alias("w_dec"),
+    )
+    tot = w.agg(F.sum("w_dec").alias("w_sum"))
+    share = F.col("w_dec").cast("double") / F.col("w_sum").cast("double")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            *strata_cols,
+            "n_rows",
+            "std_pop",
+            F.col("w_dec").cast("double").alias("neyman_weight"),
+            share.alias("share"),
+            F.floor(F.lit(n_total).cast("double") * share).cast("long").alias(
+                "alloc_n"
+            ),
+        )
+        .orderBy(*strata_cols)
+    )

@@ -1316,3 +1316,65 @@ def bpe_fertility_by_lang(
         )
         .orderBy("lang")
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus-distribution fingerprint: vocabulary size, total
+    token count, hapax-legomena count (tokens seen exactly once — the
+    standard noisiness signal of a crawl slice), top-1 token share, and
+    the ZIPF SLOPE — the least-squares slope of ln(freq) on ln(rank)
+    over the frequency-ranked vocabulary (clean natural language sits
+    near −1; boilerplate/template corpora flatten, OCR noise steepens).
+    The corpus-level twin of the per-document quality scores: drift in
+    any of these between crawl versions is the first sign the tokenizer
+    or the source mix changed.
+
+    Exactness: ln() is the one non-bit-identical op, so x = round(ln(rank)·1e6)
+    and y = round(ln(freq)·1e6) snap to integer grid units (the
+    embedding-grid discipline); Σx, Σy, Σxy, Σx² then accumulate in
+    DECIMAL(38,0) (xy ≤ ~4e14 per term — int64 would overflow the sum at
+    web-corpus vocab sizes) and the closed-form slope
+    (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) performs ONE double division — the
+    grid units cancel, so the slope is in natural ln/ln units.
+
+    Plan: one token hash-aggregate collapses the scan to vocab-sized
+    rows (Zipf-hot keys absorbed map-side); the rank window and the
+    regression fold run strictly post-reduction on that frame."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    dec = "decimal(38,0)"
+    ranked = counts.select(
+        "freq", F.row_number().over(w).alias("rank")
+    ).select(
+        "freq",
+        F.round(F.log(F.col("rank").cast("double")) * 1e6).cast("long").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum((F.col("freq") == 1).cast("long")).alias("hapax_count"),
+        F.max(F.col("freq")).alias("top_freq"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).alias("sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
+    )
+    n = F.col("vocab_size").cast(dec)
+    slope = (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return agg.select(
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("hapax_count").cast("long").alias("hapax_count"),
+        (F.col("hapax_count").cast("double") / F.col("vocab_size")).alias("hapax_ratio"),
+        (F.col("top_freq").cast("double") / F.col("n_tokens")).alias("top1_share"),
+        slope.alias("zipf_slope"),
+    )

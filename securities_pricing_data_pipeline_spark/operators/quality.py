@@ -425,3 +425,56 @@ def t_closeness_violations(
         .filter(F.col("emd") > t)
         .orderBy(*quasi_cols)
     )
+
+
+def t_closeness_violations_categorical(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    t: float = 0.2,
+):
+    """Categorical (unordered) t-closeness — the companion of
+    :func:`t_closeness_violations`: with a 0/1 ground distance the
+    paper's EMD reduces to total-variation distance
+    ½·Σ_j |p_j − q_j|, the right metric when the sensitive attribute has
+    no order (diagnosis codes, market segments). Emits every
+    quasi-identifier group whose TVD against the global sensitive
+    distribution exceeds ``t``.
+
+    Exactness: per cell |c_j·N − g_j·n_g| is an exact DECIMAL(38,0)
+    integer; the group sum divides ONCE by 2·n_g·N into a double.
+    Plan: same single hash aggregate + broadcast grid as the ordered
+    audit, but with NO window at all — TVD needs no cumulative pass."""
+    cells = (
+        df.groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vals = cells.select(sensitive_col).distinct()
+    gmarg = cells.groupBy(sensitive_col).agg(F.sum("c").alias("gc"))
+    groups = cells.groupBy(*quasi_cols).agg(F.sum("c").alias("n_g"))
+    ntot = gmarg.agg(F.sum("gc").alias("n_total"))
+    grid = groups.crossJoin(F.broadcast(vals))
+    dec = "decimal(38,0)"
+    full = (
+        grid.join(F.broadcast(cells), [*quasi_cols, sensitive_col], "left")
+        .na.fill({"c": 0})
+        .join(F.broadcast(gmarg), sensitive_col)
+        .crossJoin(F.broadcast(ntot))
+    )
+    per_group = full.groupBy(*quasi_cols, "n_g", "n_total").agg(
+        F.sum(
+            F.abs(
+                F.col("c").cast(dec) * F.col("n_total").cast(dec)
+                - F.col("gc").cast(dec) * F.col("n_g").cast(dec)
+            )
+        ).alias("num")
+    )
+    tvd = F.col("num").cast("double") / (
+        F.lit(2).cast(dec) * F.col("n_g").cast(dec) * F.col("n_total").cast(dec)
+    ).cast("double")
+    return (
+        per_group.select(*quasi_cols, F.col("n_g").alias("k_count"), tvd.alias("tvd"))
+        .filter(F.col("tvd") > t)
+        .orderBy(*quasi_cols)
+    )

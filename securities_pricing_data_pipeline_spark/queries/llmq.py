@@ -5899,3 +5899,161 @@ SELECT t.n_queries, CAST(5 AS INT) AS k, CAST(h.n_hits AS BIGINT) AS n_hits,
        CAST(h.n_hits AS DOUBLE) / t.n_true AS recall_at_k
 FROM t, h
 """
+
+
+def dq_t_closeness_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical t-closeness audit
+    (``operators.quality.t_closeness_violations_categorical``): the
+    UNORDERED companion of dq_t_closeness — QI groups (nation, balance
+    band — dq_l_diversity's exact grouping) whose total-variation
+    distance between their market-segment distribution and the global
+    one exceeds t=0.3. With a 0/1 ground distance the paper's EMD
+    reduces to TVD = ½Σ|p−q|; numerators are exact DECIMAL(38,0)
+    products, one double division per group."""
+    from securities_pricing_data_pipeline_spark.operators.quality import (
+        t_closeness_violations_categorical,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(round(c_acctbal * 100) + 100000 AS BIGINT) div 50000").alias(
+            "bal_band"
+        ),
+    )
+    return t_closeness_violations_categorical(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", t=0.3
+    )
+
+
+QUERIES["dq_t_closeness_cat"] = dq_t_closeness_cat
+
+ORACLES["dq_t_closeness_cat"] = """
+WITH cust AS (
+  SELECT c_nationkey,
+         CAST(round(c_acctbal * 100) + 100000 AS BIGINT) // 50000 AS bal_band,
+         c_mktsegment
+  FROM customer
+), cells AS (
+  SELECT c_nationkey, bal_band, c_mktsegment, COUNT(*) AS c
+  FROM cust GROUP BY 1, 2, 3
+), vals AS (
+  SELECT DISTINCT c_mktsegment FROM cells
+), gm AS (
+  SELECT c_mktsegment, SUM(c) AS gc FROM cells GROUP BY 1
+), grps AS (
+  SELECT c_nationkey, bal_band, SUM(c) AS n_g FROM cells GROUP BY 1, 2
+), nt AS (
+  SELECT SUM(gc) AS n_total FROM gm
+), fullg AS (
+  SELECT g.c_nationkey, g.bal_band, v.c_mktsegment, g.n_g,
+         COALESCE(cl.c, 0) AS c, m.gc
+  FROM grps g
+  CROSS JOIN vals v
+  JOIN gm m ON m.c_mktsegment = v.c_mktsegment
+  LEFT JOIN cells cl ON cl.c_nationkey = g.c_nationkey
+                    AND cl.bal_band = g.bal_band
+                    AND cl.c_mktsegment = v.c_mktsegment
+), per AS (
+  SELECT c_nationkey, bal_band, n_g,
+         CAST(SUM(ABS(CAST(c AS DECIMAL(38,0)) * nt.n_total
+                      - CAST(gc AS DECIMAL(38,0)) * n_g)) AS DOUBLE)
+           / CAST(2 * n_g * nt.n_total AS DOUBLE) AS tvd
+  FROM fullg, nt GROUP BY 1, 2, 3, nt.n_total
+)
+SELECT c_nationkey, bal_band, CAST(n_g AS BIGINT) AS k_count, tvd
+FROM per WHERE tvd > 0.3 ORDER BY 1, 2
+"""
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-distribution fingerprint (``llmdata.text.zipf_fit``):
+    vocabulary size, token count, hapax count/ratio, top-1 share, and
+    the Zipf slope of ln(freq) on ln(rank) — the corpus-level drift
+    signals a crawl-refresh pipeline monitors next to the per-document
+    quality scores. Integer 1e6-grid ln values, DECIMAL(38,0) regression
+    moments, one double division."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import zipf_fit
+
+    return zipf_fit(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_zipf_fit"] = text_zipf_fit
+
+ORACLES["text_zipf_fit"] = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS freq FROM toks WHERE tok != '' GROUP BY 1
+), ranked AS (
+  SELECT freq,
+         CAST(round(ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+                            AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM counts
+), agg AS (
+  SELECT COUNT(*) AS vocab_size, SUM(freq) AS n_tokens,
+         SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS hapax_count,
+         MAX(freq) AS top_freq,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+  FROM ranked
+)
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(hapax_count AS BIGINT) AS hapax_count,
+       CAST(hapax_count AS DOUBLE) / vocab_size AS hapax_ratio,
+       CAST(top_freq AS DOUBLE) / n_tokens AS top1_share,
+       CAST(CAST(vocab_size AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+         / CAST(CAST(vocab_size AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+         AS zipf_slope
+FROM agg
+"""
+
+
+def sample_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a 1000-document eval budget across
+    (source, lang) strata by document-length variability
+    (``llmdata.sampling.neyman_allocation``) — the planning twin of
+    sample_stratified/sample_reservoir_stratified: high-variance strata
+    earn more samples. Exact integer radicand per stratum; one sqrt and
+    two divisions; weights snapped to DECIMAL(24,6) before the
+    cross-strata sum."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import (
+        neyman_allocation,
+    )
+
+    return neyman_allocation(
+        load(spark, sf_dir, "documents"), ["source", "lang"], "n_chars", n_total=1000
+    )
+
+
+QUERIES["sample_neyman_alloc"] = sample_neyman_alloc
+
+ORACLES["sample_neyman_alloc"] = """
+WITH g AS (
+  SELECT source, lang, COUNT(*) AS n_rows,
+         SUM(CAST(n_chars AS BIGINT)) AS sv,
+         SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS svv
+  FROM documents GROUP BY 1, 2
+), w AS (
+  SELECT source, lang, n_rows,
+         sqrt(CAST(CAST(n_rows AS DECIMAL(38,0)) * svv
+                   - CAST(sv AS DECIMAL(38,0)) * sv AS DOUBLE))
+           / CAST(n_rows AS DOUBLE) AS std_pop,
+         CAST(sqrt(CAST(CAST(n_rows AS DECIMAL(38,0)) * svv
+                        - CAST(sv AS DECIMAL(38,0)) * sv AS DOUBLE))
+              AS DECIMAL(24,6)) AS w_dec
+  FROM g
+), t AS (
+  SELECT SUM(w_dec) AS w_sum FROM w
+)
+SELECT source, lang, n_rows, std_pop,
+       CAST(w_dec AS DOUBLE) AS neyman_weight,
+       CAST(w_dec AS DOUBLE) / CAST(w_sum AS DOUBLE) AS share,
+       CAST(floor(1000.0 * (CAST(w_dec AS DOUBLE) / CAST(w_sum AS DOUBLE)))
+            AS BIGINT) AS alloc_n
+FROM w, t ORDER BY 1, 2
+"""

@@ -34,6 +34,9 @@ ALLOW_NEW: set[str] = {
     "sim_crossmodal_recall",
     "sim_nsw_topk",
     "sim_nsw_recall",
+    "dq_t_closeness_cat",
+    "text_zipf_fit",
+    "sample_neyman_alloc",
 }
 
 

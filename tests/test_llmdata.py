@@ -1982,3 +1982,112 @@ def test_crossmodal_project_matches_numpy(spark):
     d = v.astype(np.float64)
     want = 4.0 * d + np.roll(d, -1)
     assert got == list(want)
+
+
+def test_t_closeness_categorical_matches_bruteforce(spark):
+    """Categorical TVD t-closeness must equal the exact-Fraction replay
+    of ½·Σ|p_j − q_j| over the global value set — on a frame where one
+    group is single-valued (the classic leak) and another mirrors the
+    global mix (TVD ~ 0)."""
+    from fractions import Fraction
+
+    from securities_pricing_data_pipeline_spark.operators.quality import (
+        t_closeness_violations_categorical,
+    )
+
+    rows = (
+        [("A", v) for v in ("x", "y", "z") * 4]
+        + [("B", "x")] * 12
+        + [("C", v) for v in ("x", "y") * 3]
+    )
+    df = spark.createDataFrame(rows, "grp string, sens string")
+    vals = sorted({v for _, v in rows})
+    n = len(rows)
+    gcount = {v: sum(1 for _, s in rows if s == v) for v in vals}
+    want = {}
+    for g in ("A", "B", "C"):
+        mine = [s for gg, s in rows if gg == g]
+        ng = len(mine)
+        want[g] = float(
+            sum(
+                abs(Fraction(sum(1 for s in mine if s == v), ng) - Fraction(gcount[v], n))
+                for v in vals
+            )
+            / 2
+        )
+    got = {
+        r.grp: r.tvd
+        for r in t_closeness_violations_categorical(df, ["grp"], "sens", t=-1.0).collect()
+    }
+    assert set(got) == {"A", "B", "C"}
+    for g in want:
+        assert abs(got[g] - want[g]) < 1e-15
+    assert got["B"] > got["A"]  # single-valued group leaks most
+
+
+def test_zipf_fit_matches_bruteforce(spark):
+    """zipf_fit must equal a pure-Python replay: same tokenization, same
+    (freq DESC, token ASC) ranking, same 1e6 ln grid, same closed-form
+    least-squares slope — on a corpus with a known Zipf-ish head."""
+    import math
+
+    from collections import Counter
+
+    from securities_pricing_data_pipeline_spark.llmdata.text import zipf_fit
+
+    texts = [
+        "the the the the cat sat on the mat",
+        "the cat ran and the dog sat",
+        "a dog and a cat and a bird",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    counts = Counter(w for t in texts for w in t.lower().strip().split())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [round(math.log(r + 1) * 1e6) for r in range(len(ranked))]
+    ys = [round(math.log(f) * 1e6) for _, f in ranked]
+    nv = len(ranked)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (nv * sxy - sx * sy) / (nv * sxx - sx * sx)
+    got = zipf_fit(df).collect()[0]
+    assert got.vocab_size == nv
+    assert got.n_tokens == sum(counts.values())
+    assert got.hapax_count == sum(1 for f in counts.values() if f == 1)
+    assert abs(got.top1_share - max(counts.values()) / sum(counts.values())) < 1e-15
+    assert abs(got.zipf_slope - slope) < 1e-12
+
+
+def test_neyman_allocation_matches_bruteforce(spark):
+    """neyman_allocation must equal the textbook n_h ∝ N_h·S_h with the
+    exact integer radicand N·Σv² − (Σv)², DECIMAL(24,6)-snapped weights,
+    and the floor allocation — including a zero-variance stratum getting
+    weight (and allocation) zero."""
+    import math
+    from decimal import Decimal
+
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import (
+        neyman_allocation,
+    )
+
+    rows = (
+        [("a", v) for v in (10, 20, 30, 40)]
+        + [("b", v) for v in (5, 5, 5)]       # zero variance
+        + [("c", v) for v in (1, 100, 1, 100)]
+    )
+    df = spark.createDataFrame(rows, "src string, v long")
+    want = {}
+    for g in ("a", "b", "c"):
+        vals = [v for s, v in rows if s == g]
+        n = len(vals)
+        rad = n * sum(v * v for v in vals) - sum(vals) ** 2
+        want[g] = (n, Decimal(repr(math.sqrt(rad))).quantize(Decimal("1e-6")))
+    wsum = sum(w for _, w in want.values())
+    got = {r.src: r for r in neyman_allocation(df, ["src"], "v", n_total=100).collect()}
+    for g, (n, w) in want.items():
+        assert got[g].n_rows == n
+        assert abs(got[g].neyman_weight - float(w)) < 1e-12
+        assert got[g].alloc_n == math.floor(100.0 * (float(w) / float(wsum)))
+    assert got["b"].alloc_n == 0 and got["b"].neyman_weight == 0.0
