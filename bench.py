@@ -321,6 +321,8 @@ BENCH_QUERIES = [
     "dq_t_closeness_cat",
     "text_zipf_fit",
     "sample_neyman_alloc",
+    "sim_ivf_trained_topk",
+    "sim_ivf_trained_recall",
 ]
 
 

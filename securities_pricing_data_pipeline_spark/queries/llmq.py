@@ -6057,3 +6057,216 @@ SELECT source, lang, n_rows, std_pop,
             AS BIGINT) AS alloc_n
 FROM w, t ORDER BY 1, 2
 """
+
+
+def _ivf_trained_centroids(spark: SparkSession, sf_dir: str, k: int = 16) -> DataFrame:
+    """Exact-grid-trained IVF centroids: ONE Lloyd update (the emb_kmeans
+    integer discipline — 1e7 snap grid, L2 argmin assignment, offset
+    floored-integer mean so Spark DIV and DuckDB // agree) over the
+    k lowest-id seeds. The resulting integer centroids divide back to
+    doubles identically in both engines, so the downstream cosine
+    probe/list assignment stays bit-stable. Clusters that lose all
+    members drop out (deterministically, both engines). NB: the float
+    ``llmdata.similarity.kmeans_centroids`` is the production trainer —
+    its avg() means are order-dependent, fine for a real index, wrong
+    for a value-hash oracle; this exact twin exists so TRAINED lists can
+    be certified."""
+    OFF = "CAST(20000000 AS BIGINT)"
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 10000000).cast("long").alias("g"),
+    )
+    c0 = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("g").alias("c")
+    )
+    d = pts.join(F.broadcast(c0), "dim")
+    diff = F.col("g") - F.col("c")
+    dist = d.groupBy("vec_id", "cid").agg(F.sum(diff * diff).alias("dist"))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    a1 = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    c1 = (
+        pts.join(a1.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "dim")
+        .agg(F.count("*").alias("n"), F.sum("g").alias("sg"))
+        .select("cid", "dim", F.expr(f"(sg + n * {OFF}) DIV n - {OFF}").alias("c"))
+    )
+    return (
+        c1.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            F.col("cid").alias("centroid_id"),
+            F.expr("transform(dc, s -> cast(s.c as double) / 10000000.0)").alias(
+                "cent_vec"
+            ),
+        )
+        .withColumn(
+            "cent_norm",
+            F.expr(
+                "cast(aggregate(zip_with(cent_vec, cent_vec, (x, y) -> "
+                "cast(round(x * y * 1e13) as bigint)), 0L, (a, p) -> a + p) as double)"
+            ),
+        )
+    )
+
+
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF retrieval over TRAINED inverted lists — one exact-grid Lloyd
+    update of the 16 deterministic seeds (``_ivf_trained_centroids``)
+    instead of the raw seeds sim_ivf_topk probes. Same ivf_topk plan
+    contract (broadcast centroids, one corpus scan, cost ∝ probed
+    lists); the quality DELTA is measured by sim_ivf_trained_recall —
+    and on this corpus it is slightly negative (0.90 vs 0.92 at sf0.01,
+    0.98 vs 1.00 at sf0.1): the raw seeds ARE corpus vectors, and one
+    L2 Lloyd step moves them off the cosine-probed manifold. Exactly
+    the decision the audit exists to inform."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = _ivf_trained_centroids(spark, sf_dir).localCheckpoint(eager=True)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4, centroids=cent
+    )
+
+
+QUERIES["sim_ivf_trained_topk"] = sim_ivf_trained_topk
+
+
+_IVF_TRAINED_CENT_CTE = """
+pts AS (
+  SELECT vec_id, d AS dim, CAST(round(vec[d] * 10000000) AS BIGINT) AS g
+  FROM v, UNNEST(range(1, 65)) AS t(d)
+), c0 AS (
+  SELECT vec_id AS cid, dim, g AS c FROM pts WHERE vec_id < 16
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY SUM((p.g - c0.c) * (p.g - c0.c)), c0.cid) AS rn
+    FROM pts p JOIN c0 ON p.dim = c0.dim
+    GROUP BY p.vec_id, c0.cid
+  ) WHERE rn = 1
+), c1 AS (
+  SELECT cid, dim,
+         (SUM(g) + COUNT(*) * CAST(20000000 AS BIGINT)) // COUNT(*)
+           - CAST(20000000 AS BIGINT) AS c
+  FROM pts JOIN a1 USING (vec_id)
+  GROUP BY cid, dim
+), cent AS (
+  SELECT cid AS centroid_id,
+         list_transform(array_agg(c ORDER BY dim), x -> CAST(x AS DOUBLE) / 10000000.0)
+           AS cvec
+  FROM c1 GROUP BY cid
+)"""
+
+
+def _ivf_trained_topk_oracle_sql(k: int = 5, nprobe: int = 4) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), {_IVF_TRAINED_CENT_CTE.strip()}
+, assigned AS (
+  SELECT neighbor_id, c_vec, centroid_id FROM (
+    SELECT v.vec_id AS neighbor_id, v.vec AS c_vec, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_expr('v.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM v, cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, q_vec, centroid_id FROM (
+    SELECT v.vec_id AS query_id, v.vec AS q_vec, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_expr('v.vec', 'cent.cvec')} DESC, cent.centroid_id) AS rn
+    FROM v, cent WHERE v.vec_id < 10
+  ) WHERE rn <= {nprobe}
+), ranked AS (
+  SELECT p.query_id, a.neighbor_id, {_cos_expr('p.q_vec', 'a.c_vec')} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY {_cos_expr('p.q_vec', 'a.c_vec')} DESC, a.neighbor_id) AS rank
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLES["sim_ivf_trained_topk"] = _ivf_trained_topk_oracle_sql()
+
+
+def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does training the lists help? Recall@5 of the TRAINED-centroid IVF
+    vs the deterministic-seed IVF, both against exact brute-force truth
+    on the same queries — the before/after number that justifies paying
+    a Lloyd pass at index-build time. Counts int; two int÷int ratios."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    cent = _ivf_trained_centroids(spark, sf_dir).localCheckpoint(eager=True)
+    trained = ivf_topk(emb, queries, k=5, nprobe=4, centroids=cent).select(
+        "query_id", "neighbor_id"
+    )
+    plain = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    t = truth.agg(
+        F.count_distinct("query_id").alias("n_queries"), F.count("*").alias("n_true")
+    )
+    ht = trained.join(truth, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("n_hits_trained")
+    )
+    hp = plain.join(truth, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("n_hits_plain")
+    )
+    return (
+        t.crossJoin(ht)
+        .crossJoin(hp)
+        .select(
+            "n_queries",
+            F.lit(5).alias("k"),
+            "n_hits_trained",
+            (F.col("n_hits_trained").cast("double") / F.col("n_true")).alias(
+                "recall_trained"
+            ),
+            "n_hits_plain",
+            (F.col("n_hits_plain").cast("double") / F.col("n_true")).alias(
+                "recall_plain"
+            ),
+        )
+    )
+
+
+QUERIES["sim_ivf_trained_recall"] = sim_ivf_trained_recall
+
+ORACLES["sim_ivf_trained_recall"] = f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({ORACLES["sim_bruteforce_topk"]})),
+tr AS (SELECT query_id, neighbor_id FROM ({_ivf_trained_topk_oracle_sql()})),
+pl AS (SELECT query_id, neighbor_id FROM ({ORACLES["sim_ivf_topk"]})),
+t AS (
+  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         COUNT(*) AS n_true
+  FROM bf
+), ht AS (
+  SELECT COUNT(*) AS n_hits_trained
+  FROM (SELECT query_id, neighbor_id FROM tr
+        INTERSECT SELECT query_id, neighbor_id FROM bf)
+), hp AS (
+  SELECT COUNT(*) AS n_hits_plain
+  FROM (SELECT query_id, neighbor_id FROM pl
+        INTERSECT SELECT query_id, neighbor_id FROM bf)
+)
+SELECT t.n_queries, CAST(5 AS INT) AS k,
+       CAST(ht.n_hits_trained AS BIGINT) AS n_hits_trained,
+       CAST(ht.n_hits_trained AS DOUBLE) / t.n_true AS recall_trained,
+       CAST(hp.n_hits_plain AS BIGINT) AS n_hits_plain,
+       CAST(hp.n_hits_plain AS DOUBLE) / t.n_true AS recall_plain
+FROM t, ht, hp
+"""

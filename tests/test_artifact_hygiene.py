@@ -37,6 +37,8 @@ ALLOW_NEW: set[str] = {
     "dq_t_closeness_cat",
     "text_zipf_fit",
     "sample_neyman_alloc",
+    "sim_ivf_trained_topk",
+    "sim_ivf_trained_recall",
 }
 
 
