@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "sample_neyman_alloc",
     "sim_ivf_trained_topk",
     "sim_ivf_trained_recall",
+    "text_heaps_growth",
 ]
 
 

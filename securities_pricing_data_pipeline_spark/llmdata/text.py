@@ -1378,3 +1378,86 @@ def zipf_fit(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
         (F.col("top_freq").cast("double") / F.col("n_tokens")).alias("top1_share"),
         slope.alias("zipf_slope"),
     )
+
+
+def heaps_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth — the companion of :func:`zipf_fit`:
+    split the corpus into ``buckets`` equal document slices in id order
+    (the crawl-order proxy), and report, per slice, the cumulative token
+    count and cumulative vocabulary (tokens whose FIRST occurrence falls
+    in or before the slice), plus the fitted Heaps exponent β from the
+    ln(vocab) ~ ln(tokens) regression over the growth points (English
+    corpora sit near β≈0.5; a flat β says the crawl stopped finding new
+    language — dedup/filter feedback a refresh pipeline reads).
+
+    Exactness: counts are exact ints; the regression rides the same 1e6
+    ln grid + DECIMAL(38,0) moments as zipf_fit, one double division.
+    Plan: one token aggregate to (token, first_slice) — Zipf-hot tokens
+    collapse map-side — then all growth math runs on a ``buckets``-row
+    frame; the ntile window runs over document KEYS only (narrow rows),
+    never token rows."""
+    from pyspark.sql import Window
+
+    dec = df.select(
+        F.col(id_col),
+        F.ntile(buckets).over(Window.orderBy(F.col(id_col))).alias("slice_id"),
+        F.col(text_col),
+    )
+    toks = dec.select(
+        "slice_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_slice = toks.groupBy("slice_id").agg(F.count("*").alias("n_toks"))
+    n_docs = dec.groupBy("slice_id").agg(F.count("*").alias("n_docs"))
+    new_vocab = (
+        toks.groupBy("tok")
+        .agg(F.min("slice_id").alias("slice_id"))
+        .groupBy("slice_id")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w_cum = Window.orderBy("slice_id").rowsBetween(Window.unboundedPreceding, 0)
+    grow = (
+        per_slice.join(n_docs, "slice_id")
+        .join(new_vocab, "slice_id", "left")
+        .na.fill({"n_new": 0})
+        .select(
+            "slice_id",
+            "n_docs",
+            F.sum("n_toks").over(w_cum).alias("tokens_cum"),
+            F.sum("n_new").over(w_cum).alias("vocab_cum"),
+        )
+        .select(
+            "slice_id",
+            "n_docs",
+            "tokens_cum",
+            "vocab_cum",
+            F.round(F.log(F.col("tokens_cum").cast("double")) * 1e6)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("vocab_cum").cast("double")) * 1e6)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec38 = "decimal(38,0)"
+    reg = grow.agg(
+        F.count("*").alias("np"),
+        F.sum(F.col("x").cast(dec38)).alias("sx"),
+        F.sum(F.col("y").cast(dec38)).alias("sy"),
+        F.sum(F.col("x").cast(dec38) * F.col("y").cast(dec38)).alias("sxy"),
+        F.sum(F.col("x").cast(dec38) * F.col("x").cast(dec38)).alias("sxx"),
+    )
+    npc = F.col("np").cast(dec38)
+    beta = (npc * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        npc * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return (
+        grow.crossJoin(F.broadcast(reg.select(beta.alias("heaps_beta"))))
+        .select("slice_id", "n_docs", "tokens_cum", "vocab_cum", "heaps_beta")
+        .orderBy("slice_id")
+    )

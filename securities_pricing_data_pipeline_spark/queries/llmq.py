@@ -6270,3 +6270,62 @@ SELECT t.n_queries, CAST(5 AS INT) AS k,
        CAST(hp.n_hits_plain AS DOUBLE) / t.n_true AS recall_plain
 FROM t, ht, hp
 """
+
+
+def text_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth over 10 crawl-order slices
+    (``llmdata.text.heaps_growth``) — the growth-curve companion of
+    text_zipf_fit: cumulative tokens vs cumulative vocabulary per slice
+    with the fitted Heaps exponent β. Same 1e6 ln grid + DECIMAL(38,0)
+    regression moments."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import heaps_growth
+
+    return heaps_growth(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_heaps_growth"] = text_heaps_growth
+
+ORACLES["text_heaps_growth"] = r"""
+WITH dec AS (
+  SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id) AS slice_id, text
+  FROM documents
+), toks AS (
+  SELECT slice_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM dec
+), tok2 AS (
+  SELECT slice_id, tok FROM toks WHERE tok != ''
+), per_slice AS (
+  SELECT slice_id, COUNT(*) AS n_toks FROM tok2 GROUP BY 1
+), nd AS (
+  SELECT slice_id, COUNT(*) AS n_docs FROM dec GROUP BY 1
+), nv AS (
+  SELECT slice_id, COUNT(*) AS n_new
+  FROM (SELECT tok, MIN(slice_id) AS slice_id FROM tok2 GROUP BY 1)
+  GROUP BY 1
+), grow AS (
+  SELECT p.slice_id, nd.n_docs,
+         SUM(p.n_toks) OVER (ORDER BY p.slice_id) AS tokens_cum,
+         SUM(COALESCE(nv.n_new, 0)) OVER (ORDER BY p.slice_id) AS vocab_cum
+  FROM per_slice p
+  JOIN nd ON nd.slice_id = p.slice_id
+  LEFT JOIN nv ON nv.slice_id = p.slice_id
+), pts AS (
+  SELECT slice_id, n_docs, tokens_cum, vocab_cum,
+         CAST(round(ln(CAST(tokens_cum AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(CAST(vocab_cum AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM grow
+), reg AS (
+  SELECT COUNT(*) AS np,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+  FROM pts
+)
+SELECT slice_id, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(tokens_cum AS BIGINT) AS tokens_cum,
+       CAST(vocab_cum AS BIGINT) AS vocab_cum,
+       CAST(CAST(np AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+         / CAST(CAST(np AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS heaps_beta
+FROM pts, reg ORDER BY slice_id
+"""

@@ -39,6 +39,7 @@ ALLOW_NEW: set[str] = {
     "sample_neyman_alloc",
     "sim_ivf_trained_topk",
     "sim_ivf_trained_recall",
+    "text_heaps_growth",
 }
 
 

@@ -2091,3 +2091,39 @@ def test_neyman_allocation_matches_bruteforce(spark):
         assert abs(got[g].neyman_weight - float(w)) < 1e-12
         assert got[g].alloc_n == math.floor(100.0 * (float(w) / float(wsum)))
     assert got["b"].alloc_n == 0 and got["b"].neyman_weight == 0.0
+
+
+def test_heaps_growth_matches_bruteforce(spark):
+    """heaps_growth must equal a pure-Python replay: ntile slices in id
+    order, cumulative tokens/vocab by first occurrence, and the grid
+    least-squares β over the growth points."""
+    import math
+
+    from securities_pricing_data_pipeline_spark.llmdata.text import heaps_growth
+
+    texts = [(i, f"w{i % 7} w{i % 3} common word{i // 4} x") for i in range(20)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    buckets = 5
+    # ntile over 20 rows → 4 docs per slice, in doc_id order
+    slices = {i: (i // 4) + 1 for i in range(20)}
+    seen: set = set()
+    toks_cum = 0
+    pts = []
+    per = {}
+    for s in range(1, buckets + 1):
+        docs = [t for i, t in texts if slices[i] == s]
+        words = [w for t in docs for w in t.lower().strip().split()]
+        toks_cum += len(words)
+        for w in words:
+            seen.add(w)
+        per[s] = (len(docs), toks_cum, len(seen))
+        pts.append((round(math.log(toks_cum) * 1e6), round(math.log(len(seen)) * 1e6)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    got = {r.slice_id: r for r in heaps_growth(df, buckets=buckets).collect()}
+    assert sorted(got) == list(range(1, buckets + 1))
+    for s, (ndocs, tc, vc) in per.items():
+        assert (got[s].n_docs, got[s].tokens_cum, got[s].vocab_cum) == (ndocs, tc, vc)
+        assert abs(got[s].heaps_beta - beta) < 1e-12
