@@ -324,6 +324,7 @@ BENCH_QUERIES = [
     "sim_ivf_trained_topk",
     "sim_ivf_trained_recall",
     "text_heaps_growth",
+    "sim_rank_agreement_rbo",
 ]
 
 

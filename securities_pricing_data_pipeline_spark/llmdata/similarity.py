@@ -2202,3 +2202,82 @@ def nsw_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def rank_agreement_rbo(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 5,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    retrieval runs over the same queries — the standard top-weighted
+    ranker-agreement audit (Kendall/Spearman need conjoint lists;
+    retrieval top-k lists aren't). Inputs: (query_id, neighbor_id, rank)
+    frames. Output: per query, the common-item count and the truncated
+    RBO@k normalized so identical rankings score 1.0, plus the mean over
+    queries (queries with zero overlap count as 0 — the spine comes from
+    run_a's query set).
+
+    Exactness trick: truncated RBO@k = Σ_d (1−p)·p^(d−1)·ov_d/d, and a
+    common pair first counted at depth m = max(rank_a, rank_b)
+    contributes the SUFFIX sum S(m) = Σ_{d≥m} (1−p)p^(d−1)/d — for
+    p = 0.9 every S(m) is an exact terminating decimal, precomputed here
+    with ``decimal.Decimal`` and summed in DECIMAL(20,10) per query, so
+    the only float op is the final normalization division. Plan: one
+    (query, neighbor) equi-join of two k-row-per-query frames, one hash
+    aggregate, one broadcast mean — nothing corpus-sized."""
+    from decimal import Decimal
+
+    dp = Decimal(repr(p))
+    coef = [(Decimal(1) - dp) * dp ** (d - 1) / d for d in range(1, k + 1)]
+    for c in coef:
+        # p must make (1−p)·p^(d−1)/d terminate (p=0.9 does for k ≤ 5);
+        # a non-terminating coefficient would raise InvalidOperation here
+        assert c == c.quantize(Decimal("1e-10")), "p yields non-exact RBO weights"
+    suffix = [sum(coef[m:], Decimal(0)) for m in range(k)]  # S(m+1)
+    # identical rankings have ov_d = d at every depth, so the normalizer
+    # is Σ d·coef_d = Σ (1−p)p^(d−1) = 1 − p^k — NOT Σ coef_d
+    full = Decimal(1) - dp ** k  # RBO of identical rankings
+    a = run_a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
+    b = run_b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    m = F.greatest(F.col("rank_a"), F.col("rank_b"))
+    weight = F.lit(None).cast("decimal(20,10)")
+    for i, s in enumerate(suffix):
+        weight = F.when(m == i + 1, F.lit(str(s)).cast("decimal(20,10)")).otherwise(
+            weight
+        )
+    pairs = a.join(b, ["query_id", "neighbor_id"]).select(
+        "query_id", weight.alias("w")
+    )
+    spine = a.select("query_id").distinct()
+    per_q = (
+        spine.join(
+            pairs.groupBy("query_id").agg(
+                F.count("*").alias("n_common"), F.sum("w").alias("rbo_dec")
+            ),
+            "query_id",
+            "left",
+        )
+        .na.fill({"n_common": 0})
+        .select(
+            "query_id",
+            "n_common",
+            (
+                F.coalesce(F.col("rbo_dec"), F.lit(0).cast("decimal(20,10)"))
+                .cast("double")
+                / F.lit(float(full))
+            ).alias("rbo"),
+        )
+    )
+    mean = per_q.agg(
+        (
+            F.sum(F.col("rbo").cast("decimal(20,14)")).cast("double")
+            / F.count("*")
+        ).alias("mean_rbo")
+    )
+    return (
+        per_q.crossJoin(F.broadcast(mean))
+        .select("query_id", "n_common", "rbo", "mean_rbo")
+        .orderBy("query_id")
+    )

@@ -6329,3 +6329,60 @@ SELECT slice_id, CAST(n_docs AS BIGINT) AS n_docs,
          / CAST(CAST(np AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS heaps_beta
 FROM pts, reg ORDER BY slice_id
 """
+
+
+def sim_rank_agreement_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the exact brute-force and LSH
+    retrieval runs (``llmdata.similarity.rank_agreement_rbo``) — the
+    top-weighted ranker-agreement audit that tells a serving team HOW
+    the approximate ranking differs, not just how much recall it loses
+    (sim_lsh's recall twin counts set hits; RBO weights the head). Per
+    query plus the mean, normalized to 1.0 for identical rankings."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        rank_agreement_rbo,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return rank_agreement_rbo(
+        brute_force_topk(emb, q, k=5), lsh_topk(emb, q, k=5), k=5, p=0.9
+    )
+
+
+QUERIES["sim_rank_agreement_rbo"] = sim_rank_agreement_rbo
+
+ORACLES["sim_rank_agreement_rbo"] = f"""
+WITH a AS (SELECT query_id, neighbor_id, rank AS rank_a
+           FROM ({ORACLES["sim_bruteforce_topk"]})),
+b AS (SELECT query_id, neighbor_id, rank AS rank_b
+      FROM ({ORACLES["sim_lsh_topk"]})),
+pairs AS (
+  SELECT a.query_id,
+         CASE GREATEST(a.rank_a, b.rank_b)
+           WHEN 1 THEN CAST(0.203347 AS DECIMAL(20,10))
+           WHEN 2 THEN CAST(0.103347 AS DECIMAL(20,10))
+           WHEN 3 THEN CAST(0.058347 AS DECIMAL(20,10))
+           WHEN 4 THEN CAST(0.031347 AS DECIMAL(20,10))
+           WHEN 5 THEN CAST(0.013122 AS DECIMAL(20,10))
+         END AS w
+  FROM a JOIN b ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+), spine AS (
+  SELECT DISTINCT query_id FROM a
+), per_q AS (
+  SELECT s.query_id,
+         COALESCE(p.n_common, 0) AS n_common,
+         CAST(COALESCE(p.rbo_dec, CAST(0 AS DECIMAL(20,10))) AS DOUBLE)
+           / 0.40951 AS rbo
+  FROM spine s
+  LEFT JOIN (SELECT query_id, COUNT(*) AS n_common, SUM(w) AS rbo_dec
+             FROM pairs GROUP BY 1) p
+    ON p.query_id = s.query_id
+), m AS (
+  SELECT CAST(SUM(CAST(rbo AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*) AS mean_rbo
+  FROM per_q
+)
+SELECT query_id, CAST(n_common AS BIGINT) AS n_common, rbo, mean_rbo
+FROM per_q, m ORDER BY query_id
+"""

@@ -40,6 +40,7 @@ ALLOW_NEW: set[str] = {
     "sim_ivf_trained_topk",
     "sim_ivf_trained_recall",
     "text_heaps_growth",
+    "sim_rank_agreement_rbo",
 }
 
 

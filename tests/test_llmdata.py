@@ -2127,3 +2127,45 @@ def test_heaps_growth_matches_bruteforce(spark):
     for s, (ndocs, tc, vc) in per.items():
         assert (got[s].n_docs, got[s].tokens_cum, got[s].vocab_cum) == (ndocs, tc, vc)
         assert abs(got[s].heaps_beta - beta) < 1e-12
+
+
+def test_rank_agreement_rbo_matches_bruteforce(spark):
+    """rank_agreement_rbo must equal the exact-Fraction truncated RBO on
+    hand-built rankings: identical lists score 1.0, disjoint lists 0.0,
+    and a known partial overlap matches Σ_d (1−p)p^(d−1)·ov_d/d up to
+    the one normalization division."""
+    from fractions import Fraction
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        rank_agreement_rbo,
+    )
+
+    a_rows = [(q, n, r) for q in (0, 1, 2) for r, n in enumerate(
+        {0: [10, 11, 12, 13, 14], 1: [20, 21, 22, 23, 24], 2: [30, 31, 32, 33, 34]}[q],
+        start=1)]
+    b_lists = {0: [10, 11, 12, 13, 14],      # identical → 1.0
+               1: [90, 91, 92, 93, 94],      # disjoint → 0.0
+               2: [31, 30, 32, 99, 98]}      # partial/reordered
+    b_rows = [(q, n, r) for q, lst in b_lists.items() for r, n in enumerate(lst, start=1)]
+    schema = "query_id long, neighbor_id long, rank int"
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    p = Fraction(9, 10)
+    k = 5
+
+    def rbo_exact(la, lb):
+        raw = sum(
+            (1 - p) * p ** (d - 1) * Fraction(len(set(la[:d]) & set(lb[:d])), d)
+            for d in range(1, k + 1)
+        )
+        return raw  # normalizer applied below in float, like the engine
+
+    full = 1 - p ** k
+    got = {r.query_id: r for r in rank_agreement_rbo(a, b, k=5, p=0.9).collect()}
+    assert got[0].rbo == 1.0 and got[0].n_common == 5
+    assert got[1].rbo == 0.0 and got[1].n_common == 0
+    la = [10, 11, 12, 13, 14]
+    want2 = float(rbo_exact([30, 31, 32, 33, 34], b_lists[2])) / float(full)
+    assert abs(got[2].rbo - want2) < 1e-12 and got[2].n_common == 3
+    mean = (got[0].rbo + got[1].rbo + got[2].rbo) / 3
+    assert abs(got[0].mean_rbo - mean) < 1e-12
