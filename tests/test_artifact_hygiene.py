@@ -25,23 +25,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {
-    # round-11 queries pending the end-of-round sf0.1 oracle sweep
-    "corpus_drift_psi",
-    "dq_t_closeness",
-    "dedup_video_phash",
-    "sim_crossmodal_topk",
-    "sim_crossmodal_recall",
-    "sim_nsw_topk",
-    "sim_nsw_recall",
-    "dq_t_closeness_cat",
-    "text_zipf_fit",
-    "sample_neyman_alloc",
-    "sim_ivf_trained_topk",
-    "sim_ivf_trained_recall",
-    "text_heaps_growth",
-    "sim_rank_agreement_rbo",
-}
+ALLOW_NEW: set[str] = set()
 
 
 def _latest(pattern: str) -> str | None:
