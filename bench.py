@@ -325,6 +325,9 @@ BENCH_QUERIES = [
     "sim_ivf_trained_recall",
     "text_heaps_growth",
     "sim_rank_agreement_rbo",
+    "text_gopher_rules",
+    "corpus_mix_doremi",
+    "dedup_video_keep",
 ]
 
 

@@ -511,3 +511,90 @@ def neyman_allocation(
         )
         .orderBy(*strata_cols)
     )
+
+
+def doremi_mix(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eta: float = 1.0,
+) -> DataFrame:
+    """One DoReMi-style exponentiated-gradient update of the domain mix
+    (Xie et al. 2023, arXiv:2305.10429, Group-DRO step): score every
+    domain by its token-weighted mean unigram NLL (the same
+    corpus-trained LM as ``llmdata.text.unigram_logppl`` — the cheap
+    proxy/reference loss gap), take each domain's EXCESS loss over the
+    best domain, and reweight w'_d ∝ exp(η·excess_d) from a uniform
+    baseline (which cancels in the normalization) — hard domains earn
+    more sampling weight, the core curriculum move of data-mixture
+    tuning. One update, not the full minimax loop: the iterative
+    proxy-model training lives outside any SQL engine; the
+    data-pipeline half — loss rollup, excess, EG step, renormalize — is
+    exactly what belongs here.
+
+    Parity: per-token −ln p snaps to the 1e-12 decimal grid (exact
+    order-independent sums), the per-domain mean to 1e-9; exp() is libm
+    like ln so each exp term snaps to 1e-12 decimals BEFORE the exact
+    cross-domain normalization sum; the final share is one double
+    division. Plan: one token aggregate + one broadcast vocab join
+    (the unigram_logppl shape) + domain-cardinality frames."""
+    from securities_pricing_data_pipeline_spark.queries.helpers import dec
+
+    toks = df.select(
+        F.col(strata_col).alias("dom"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("n_total"))
+    nll = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dom",
+            dec(
+                -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double")),
+                12,
+            ).alias("nll"),
+        )
+    )
+    dom = nll.groupBy("dom").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("nll").cast("double") / F.count("*"))
+        .cast("decimal(20,9)")
+        .cast("double")
+        .alias("mean_nll"),
+    )
+    ndocs = df.groupBy(F.col(strata_col).alias("dom")).agg(
+        F.count("*").alias("n_docs")
+    )
+    mn = dom.agg(F.min("mean_nll").alias("min_nll"))
+    terms = (
+        dom.join(ndocs, "dom")
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "dom",
+            "n_docs",
+            "n_tokens",
+            "mean_nll",
+            (F.col("mean_nll") - F.col("min_nll")).alias("excess_nll"),
+            F.exp(F.lit(eta) * (F.col("mean_nll") - F.col("min_nll")))
+            .cast("decimal(20,12)")
+            .alias("term"),
+        )
+    )
+    norm = terms.agg(F.sum("term").alias("z"))
+    return (
+        terms.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("dom").alias(strata_col),
+            "n_docs",
+            "n_tokens",
+            "mean_nll",
+            "excess_nll",
+            (F.col("term").cast("double") / F.col("z").cast("double")).alias(
+                "new_weight"
+            ),
+        )
+        .orderBy(strata_col)
+    )

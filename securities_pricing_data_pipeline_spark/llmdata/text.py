@@ -1461,3 +1461,58 @@ def heaps_growth(
         .select("slice_id", "n_docs", "tokens_cum", "vocab_cum", "heaps_beta")
         .orderBy("slice_id")
     )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The Gopher document-quality rule bundle (Rae et al. 2021 §A1.1) —
+    the standard pretraining filter stack, emitted as per-document
+    booleans plus the combined verdict so a curator can see WHICH rule
+    fires, not just that one did (the actionable form of
+    text_quality_score's scalar):
+
+      word count in [50, 100000]; mean word length in [3, 10]; symbol
+      ('#' or '…' spelled '...')-to-word ratio ≤ 0.1; ≥ 80% of words
+      contain an alphabetic character; ≥ 2 of 8 canonical English
+      stopwords present; ≤ 90% of lines bullet-started; ≤ 30% of lines
+      ellipsis-terminated.
+
+    Exactness: every threshold is evaluated by INTEGER cross-
+    multiplication (e.g. mean-word-length ∈ [3,10] ⇔ 3n ≤ Σlen ≤ 10n;
+    symbol ratio ≤ 0.1 ⇔ 10·nsym ≤ nwords) — no division, no float,
+    so the flags are trivially engine-identical. Ellipsis counting uses
+    replace-subtraction in both engines (identical non-overlapping
+    semantics). Pure narrow projection: no shuffle, scan-fused."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    lines = f"split({text_col}, '\\n')"
+    nw = f"size({toks})"
+    sumlen = f"aggregate(transform({toks}, w -> length(w)), 0L, (a, x) -> a + x)"
+    nsym = (
+        f"(length({text_col}) - length(replace({text_col}, '#', '')))"
+        f" + (length({text_col}) - length(replace({text_col}, '...', ''))) div 3"
+    )
+    nalpha = f"size(filter({toks}, w -> w rlike '[a-zA-Z]'))"
+    stop = (
+        f"size(filter(array('the','be','to','of','and','that','have','with'), "
+        f"s -> array_contains(transform({toks}, w -> lower(w)), s)))"
+    )
+    nlines = f"size({lines})"
+    nbullet = (
+        f"size(filter({lines}, l -> ltrim(l) rlike '^(\\\\- |\\\\* |\\u2022)'))"
+    )
+    nell = f"size(filter({lines}, l -> rtrim(l) rlike '\\\\.\\\\.\\\\.$'))"
+    flags = {
+        "ok_word_count": f"{nw} >= 50 AND {nw} <= 100000",
+        "ok_mean_word_len": f"3 * {nw} <= {sumlen} AND {sumlen} <= 10 * {nw}",
+        "ok_symbol_ratio": f"10 * ({nsym}) <= {nw}",
+        "ok_alpha_words": f"5 * {nalpha} >= 4 * {nw}",
+        "ok_stopwords": f"{stop} >= 2",
+        "ok_bullet_lines": f"10 * {nbullet} <= 9 * {nlines}",
+        "ok_ellipsis_lines": f"10 * {nell} <= 3 * {nlines}",
+    }
+    cols = [F.col(id_col), F.expr(nw).cast("int").alias("n_words")]
+    cols += [F.expr(e).alias(k) for k, e in flags.items()]
+    out = df.select(*cols)
+    allok = None
+    for k in flags:
+        allok = F.col(k) if allok is None else (allok & F.col(k))
+    return out.withColumn("gopher_pass", allok)

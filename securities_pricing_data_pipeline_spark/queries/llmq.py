@@ -6386,3 +6386,152 @@ pairs AS (
 SELECT query_id, CAST(n_common AS BIGINT) AS n_common, rbo, mean_rbo
 FROM per_q, m ORDER BY query_id
 """
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule bundle over the documents table
+    (``llmdata.text.gopher_rules``): per-document pass/fail flags for
+    each published rule plus the combined verdict — integer
+    cross-multiplied thresholds, zero float ops. On this synthetic
+    corpus the stopword rule (≥2 of the paper's fixed 8-word list)
+    fails everywhere — the vocabulary only contains 'the' — so
+    gopher_pass is all-false by construction; the per-rule flags (word
+    count varies doc to doc) are the checked signal, and the rule
+    constants stay the published ones rather than being tuned to make
+    the synthetic data look clean."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import gopher_rules
+
+    return gopher_rules(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+QUERIES["text_gopher_rules"] = text_gopher_rules
+
+ORACLES["text_gopher_rules"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS nsym
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS nw,
+         list_sum(list_transform(toks, w -> length(w))) AS sumlen,
+         nsym,
+         len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS nalpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(toks, w -> lower(w)), s))) AS stop,
+         len(lines) AS nlines,
+         len(list_filter(lines, l -> regexp_matches(ltrim(l), '^(\- |\* |•)'))) AS nbullet,
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS nell
+  FROM t
+)
+SELECT doc_id,
+       CAST(nw AS INT) AS n_words,
+       (nw >= 50 AND nw <= 100000) AS ok_word_count,
+       (3 * nw <= sumlen AND sumlen <= 10 * nw) AS ok_mean_word_len,
+       (10 * nsym <= nw) AS ok_symbol_ratio,
+       (5 * nalpha >= 4 * nw) AS ok_alpha_words,
+       (stop >= 2) AS ok_stopwords,
+       (10 * nbullet <= 9 * nlines) AS ok_bullet_lines,
+       (10 * nell <= 3 * nlines) AS ok_ellipsis_lines,
+       ((nw >= 50 AND nw <= 100000) AND (3 * nw <= sumlen AND sumlen <= 10 * nw)
+        AND (10 * nsym <= nw) AND (5 * nalpha >= 4 * nw) AND (stop >= 2)
+        AND (10 * nbullet <= 9 * nlines) AND (10 * nell <= 3 * nlines)) AS gopher_pass
+FROM m ORDER BY doc_id
+"""
+
+
+def corpus_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style exponentiated-gradient domain reweighting over the
+    documents sources (``llmdata.sampling.doremi_mix``): per source, the
+    token-weighted mean unigram NLL, its excess over the easiest source,
+    and the renormalized exp(η·excess) mix weight — the data-pipeline
+    half of data-mixture tuning, next to the static corpus_mix_plan."""
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import doremi_mix
+
+    return doremi_mix(load(spark, sf_dir, "documents"), eta=1.0)
+
+
+QUERIES["corpus_mix_doremi"] = corpus_mix_doremi
+
+ORACLES["corpus_mix_doremi"] = r"""
+WITH toks AS (
+  SELECT source AS dom, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM toks
+), nll AS (
+  SELECT t.dom,
+         CAST(-ln(CAST(v.cnt AS DOUBLE) / (SELECT n_total FROM tot))
+              AS DECIMAL(38,12)) AS nll
+  FROM toks t JOIN vocab v USING (tok)
+), dom AS (
+  SELECT dom, COUNT(*) AS n_tokens,
+         CAST(CAST(CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS DECIMAL(20,9))
+              AS DOUBLE) AS mean_nll
+  FROM nll GROUP BY dom
+), nd AS (
+  SELECT source AS dom, COUNT(*) AS n_docs FROM documents GROUP BY 1
+), mn AS (
+  SELECT MIN(mean_nll) AS min_nll FROM dom
+), terms AS (
+  SELECT d.dom, nd.n_docs, d.n_tokens, d.mean_nll,
+         d.mean_nll - mn.min_nll AS excess_nll,
+         CAST(exp(1.0 * (d.mean_nll - mn.min_nll)) AS DECIMAL(20,12)) AS term
+  FROM dom d JOIN nd USING (dom), mn
+), z AS (
+  SELECT SUM(term) AS z FROM terms
+)
+SELECT dom AS source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       mean_nll, excess_nll,
+       CAST(term AS DOUBLE) / CAST(z.z AS DOUBLE) AS new_weight
+FROM terms, z ORDER BY source
+"""
+
+
+def dedup_video_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE ending of the video perceptual-dedup pipeline —
+    what dedup_cluster_canonical is to MinHash text pairs: cluster the
+    keyframe near-dup pairs (``dedup_video_phash``) into connected
+    components and keep one canonical video (the cluster-min id) per
+    component. A curator drops every row where ``is_kept`` is false;
+    singleton videos keep themselves."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        connected_components,
+    )
+
+    pairs = dedup_video_phash(spark, sf_dir).select("id_a", "id_b")
+    vertices = load(spark, sf_dir, "documents").select("doc_id")
+    cc = connected_components(pairs, vertices, id_col="doc_id")
+    return cc.select(
+        F.col("doc_id").alias("video_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+    ).orderBy("video_id")
+
+
+QUERIES["dedup_video_keep"] = dedup_video_keep
+
+ORACLES["dedup_video_keep"] = f"""
+WITH RECURSIVE pairs AS ({_video_phash_oracle_sql(3)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS video_id, MIN(r) AS cluster_id,
+       (MIN(r) = id) AS is_kept
+FROM reach
+GROUP BY id
+ORDER BY video_id
+"""

@@ -25,7 +25,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = set()
+ALLOW_NEW: set[str] = {
+    # round-11 late additions pending the final artifact refresh
+    "text_gopher_rules",
+    "corpus_mix_doremi",
+    "dedup_video_keep",
+}
 
 
 def _latest(pattern: str) -> str | None:

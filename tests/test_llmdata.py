@@ -2169,3 +2169,79 @@ def test_rank_agreement_rbo_matches_bruteforce(spark):
     assert abs(got[2].rbo - want2) < 1e-12 and got[2].n_common == 3
     mean = (got[0].rbo + got[1].rbo + got[2].rbo) / 3
     assert abs(got[0].mean_rbo - mean) < 1e-12
+
+
+def test_gopher_rules_flags_each_rule(spark):
+    """Each Gopher rule must fire on a crafted violator and pass on a
+    clean doc — exercising every integer cross-multiplied threshold."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import gopher_rules
+
+    clean = "the cat and the dog have that be to of with " + " ".join(
+        f"word{i} and the" for i in range(20)
+    )
+    docs = [
+        (0, clean),                                     # passes everything
+        (1, "short text the and"),                      # word count < 50
+        (2, " ".join(["a"] * 60) + " the and"),         # mean word len < 3
+        (3, " ".join([f"w{i}###" for i in range(60)]) + " the and"),  # symbols
+        (4, " ".join(["123456"] * 60) + " the and"),    # alpha < 80%
+        (5, " ".join(f"word{i}" for i in range(60))),   # no stopwords
+        (6, "\n".join(f"- item{i} the and of" for i in range(20))),  # bullets
+        (7, "\n".join(f"line{i} the and of..." for i in range(20))), # ellipsis
+    ]
+    got = {r.doc_id: r for r in gopher_rules(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+    assert got[0].gopher_pass
+    assert not got[1].ok_word_count
+    assert not got[2].ok_mean_word_len
+    assert not got[3].ok_symbol_ratio
+    assert not got[4].ok_alpha_words
+    assert not got[5].ok_stopwords
+    assert not got[6].ok_bullet_lines and not got[6].gopher_pass
+    assert not got[7].ok_ellipsis_lines
+
+
+def test_doremi_mix_matches_bruteforce(spark):
+    """doremi_mix must equal a pure-Python replay: corpus-trained unigram
+    NLL (decimal-snapped per token), token-weighted per-domain mean,
+    excess over the easiest domain, exp(η·excess) snapped, exact
+    normalization — and the hardest domain must gain weight."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from securities_pricing_data_pipeline_spark.llmdata.sampling import doremi_mix
+
+    rows = [
+        (0, "easy", "common common common word"),
+        (1, "easy", "common common word word"),
+        (2, "hard", "rare1 rare2 rare3 common"),
+        (3, "hard", "rare4 rare5 rare6 rare7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    toks = [(s, w) for _, s, t in rows for w in t.lower().strip().split()]
+    vocab = Counter(w for _, w in toks)
+    n_total = len(toks)
+    want = {}
+    for d in ("easy", "hard"):
+        mine = [w for s, w in toks if s == d]
+        nlls = [
+            Decimal(repr(-math.log(vocab[w] / n_total))).quantize(Decimal("1e-12"))
+            for w in mine
+        ]
+        mean = float(
+            Decimal(repr(float(sum(nlls)) / len(mine))).quantize(Decimal("1e-9"))
+        )
+        want[d] = (len(mine), mean)
+    mn = min(m for _, m in want.values())
+    terms = {
+        d: Decimal(repr(math.exp(1.0 * (m - mn)))).quantize(Decimal("1e-12"))
+        for d, (_, m) in want.items()
+    }
+    z = sum(terms.values())
+    got = {r.source: r for r in doremi_mix(df).collect()}
+    for d, (ntok, mean) in want.items():
+        assert got[d].n_tokens == ntok
+        assert abs(got[d].mean_nll - mean) < 1e-12
+        assert abs(got[d].new_weight - float(terms[d]) / float(z)) < 1e-12
+    assert got["hard"].new_weight > got["easy"].new_weight
