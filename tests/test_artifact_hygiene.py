@@ -25,13 +25,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {
-    # benched but awaiting a clean full-session artifact (external host
-    # load tripped the drift gate on two successive full runs)
-    "text_gopher_rules",
-    "corpus_mix_doremi",
-    "dedup_video_keep",
-}
+ALLOW_NEW: set[str] = set()
 
 
 def _latest(pattern: str) -> str | None:
