@@ -52,7 +52,10 @@ the latest committed artifact; a slow session (canary median ratio
 > 1.3) is retried up to 3 times with a wait, and the outcome — every
 attempt's ratio plus the final ok/slow status — lands in the
 artifact's ``"canary"`` field, replacing the r10 commit-message-only
-session-discard judgment call with a recorded gate.
+session-discard judgment call with a recorded gate. The same canary
+set is re-probed AFTER the sweep (``"end_ratio"``) so mid-run
+degradation — which the start gate cannot see — is recorded evidence
+rather than a post-hoc inference from rebenched-mover counts.
 """
 
 from __future__ import annotations
@@ -488,6 +491,28 @@ def main() -> None:
                 f"now {timings[name]}s over {len(all_samples[name])} samples",
                 file=sys.stderr,
             )
+    # End-of-sweep canary re-probe (round-11 lesson: a session can pass
+    # the START canary and degrade mid-run — one such run showed 1.255 at
+    # the gate, then a 1.216 common-set median with 66 auto-rebenched
+    # movers). One more timed pass of the same canary set AFTER the sweep
+    # records whether the session stayed healthy; purely observational —
+    # the drift/mover gates remain the enforcement, this is the evidence
+    # that attributes their findings to session health vs real movement.
+    if canary is not None and prev_for_canary is not None:
+        prev_q = prev_for_canary.get("queries", {})
+        names_c = [
+            n for n in CANARY_QUERIES if prev_q.get(n, 0) > 0 and n in queries
+        ]
+        try:
+            end_ratios = [
+                statistics.median(_time_query(spark, queries[n], sf_dir, 3))
+                / prev_q[n]
+                for n in names_c
+            ]
+            canary["end_ratio"] = round(statistics.median(end_ratios), 3)
+        except Exception:  # noqa: BLE001 — observational only
+            pass
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
