@@ -476,12 +476,17 @@ def neyman_allocation(
     Plan: ONE hash aggregate to |strata| rows; everything after is
     arithmetic on that reduced frame with the 1-row Σw broadcast."""
     dec = "decimal(38,0)"
+    # per-row value and square snap to decimal BEFORE the sum (the
+    # zipf_fit discipline): Spark's non-ANSI long sum wraps silently on
+    # overflow while DuckDB sums in HUGEINT, so at web-corpus magnitudes
+    # a long-sum here would be a silent engine-parity break
     g = df.groupBy(*strata_cols).agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col(value_col).cast("long")).alias("sv"),
-        F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long")).alias(
-            "svv"
-        ),
+        F.sum(F.col(value_col).cast("long").cast(dec)).alias("sv"),
+        F.sum(
+            F.col(value_col).cast("long").cast(dec)
+            * F.col(value_col).cast("long").cast(dec)
+        ).alias("svv"),
     )
     radicand = (
         F.col("n_rows").cast(dec) * F.col("svv").cast(dec)

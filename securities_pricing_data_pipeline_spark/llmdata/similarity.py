@@ -2021,17 +2021,28 @@ def nsw_build_edges(
     out so callers can materialize it once per session/corpus (a real
     deployment writes it as a silver table and serves many searches from
     it; paying the build per query would misprice the paradigm). Output:
-    (src, dst, dvec, dnrm) — each node's ``m_neighbors`` best LSH-banded
-    candidates by exact grid cosine, symmetrized, with destination
-    vector+norm denormalized on so beam rounds never re-join the
-    corpus."""
-    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
-        candidate_pairs_in_buckets,
-    )
+    NARROW ``(src, dst)`` adjacency — each node's ``m_neighbors`` best
+    LSH-banded candidates by exact grid cosine, symmetrized.
+
+    r11 → r12 shape change: the edges used to denormalize the
+    destination vector+norm on (``dvec``/``dnrm``) so beam rounds never
+    re-joined the corpus. That made the index ~16× the corpus bytes
+    (m=16 copies of every 64-double vector): the cached silver ran
+    ~500 MB at sf0.1, the top-m window shuffled ~550 B rows, and — the
+    r11 driver-bench lesson — under session memory pressure the frame
+    evicted to disk and EVERY beam round paid a full ~500 MB deserialize
+    scan (driver 11.0 s vs local 2.3 s for the same query). Narrow
+    adjacency is ~16 B/row (~15 MB at sf0.1, corpus-linear not
+    corpus×m×dim at 100 TB); rounds fetch candidate vectors by joining
+    the tiny frontier-expansion set against a pinned corpus-vector
+    frame instead (one |corpus| scan per round of 1× data beats one
+    scan of 16× data — denormalizing avoided a JOIN, not a SCAN)."""
+    from pyspark.sql import types as T
 
     planes = random_planes(dim=dim, n_planes=n_planes, seed=seed)
     rpb = n_planes // bands
     mask = (1 << rpb) - 1
+    max_bucket = 2000  # same enforced degenerate-band cap as candidate_pairs_in_buckets
     sig = plane_signatures(corpus, planes, id_col=id_col, vec_col=vec_col)
     block_arr = F.array(
         *[
@@ -2045,42 +2056,81 @@ def nsw_build_edges(
     blocked = sig.select("id", F.explode(block_arr).alias("bb")).select(
         "id", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val")
     )
-    pairs = candidate_pairs_in_buckets(blocked, ["blk", "val"])
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm_grid(F.col(vec_col)).alias("nrm"),
+    # Per-bucket EXACT-grid scoring kernel (applyInPandas), replacing the
+    # r11 enumerate-pairs → join-both-vector-sides → interpreted-HOF-cosine
+    # plan: that plan shuffled every candidate pair carrying BOTH 64-double
+    # arrays (~1 KB/pair — ~0.5 GB at sf0.1) and paid ~60M interpreted
+    # zip_with/aggregate lambda evals; here Arrow moves O(members·dim)
+    # vectors once and one numpy pass per bucket scores all pairs. The
+    # grid dot is computed EXACTLY in int64 (np.sign·floor(|x|+0.5) ≡
+    # Spark round() HALF_UP on identical float64 products — the sig_np
+    # rounding identity, parity-tested), and the division is the same
+    # IEEE double op in both engines, so per-node (cos DESC, dst ASC)
+    # ordering is bit-identical to the JVM/oracle formulation. Each
+    # member's per-bucket top-m is a superset of its contribution to the
+    # global top-m (standard distributed top-k), so the JVM window below
+    # reproduces the oracle's all-pairs window exactly.
+    out_schema = T.StructType(
+        [
+            T.StructField("src", T.LongType(), False),
+            T.StructField("dst", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
     )
-    sp = (
-        pairs.join(
-            c.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")),
-            "id_a",
+    m = m_neighbors
+
+    def _topm_np(key, pdf):
+        sz = len(pdf)
+        if sz < 2 or sz > max_bucket:
+            return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
+                {"src": np.int64, "dst": np.int64, "cos": np.float64}
+            )
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)  # ascending ids → stable argsort = dst-asc ties
+        ids = ids[order]
+        V = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
+        prods_self = V * V * _SCALE
+        norms = (np.sign(prods_self) * np.floor(np.abs(prods_self) + 0.5)).sum(
+            axis=1
+        )  # exact: int-valued doubles < 2^53
+        keep = min(m, sz - 1)
+        srcs, dsts, coss = [], [], []
+        chunk = 64  # bounds the chunk×sz×dim product tensor (≤ 65 MB at cap)
+        for lo in range(0, sz, chunk):
+            hi = min(lo + chunk, sz)
+            P = V[lo:hi, None, :] * V[None, :, :] * _SCALE
+            dot = (np.sign(P) * np.floor(np.abs(P) + 0.5)).sum(axis=2)
+            denom = np.sqrt(norms[lo:hi, None] * norms[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                C = dot / denom
+            C[~np.isfinite(C)] = 0.0  # zero-norm convention (_safe_cos)
+            C[np.arange(lo, hi)[:, None] == np.arange(sz)[None, :]] = -np.inf
+            rk = np.argsort(-C, axis=1, kind="stable")[:, :keep]
+            rows = np.repeat(np.arange(hi - lo), keep)
+            cols = rk.ravel()
+            srcs.append(np.repeat(ids[lo:hi], keep))
+            dsts.append(ids[cols])
+            coss.append(C[rows, cols])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "cos": np.concatenate(coss),
+            }
         )
-        .join(
-            c.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos"),
-            "va", "na", "vb", "nb",
-        )
+
+    mem = blocked.join(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "id"
     )
-    sym = sp.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
-        "cos", F.col("vb").alias("dvec"), F.col("nb").alias("dnrm"),
-    ).unionByName(
-        sp.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
-            "cos", F.col("va").alias("dvec"), F.col("na").alias("dnrm"),
-        )
-    )
+    directed = mem.groupBy("blk", "val").applyInPandas(_topm_np, out_schema)
+    # a pair can share up to `bands` buckets — dedup before the global
+    # window (cos is identical in every copy, so max() is a no-op pick)
+    best = directed.groupBy("src", "dst").agg(F.max("cos").alias("cos"))
     we = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
     return (
-        sym.withColumn("rn", F.row_number().over(we))
+        best.withColumn("rn", F.row_number().over(we))
         .filter(F.col("rn") <= m_neighbors)
-        .select("src", "dst", "dvec", "dnrm")
+        .select("src", "dst")
     )
 
 
@@ -2099,6 +2149,7 @@ def nsw_topk(
     rounds: int = 4,
     n_entry: int = 32,
     edges: DataFrame | None = None,
+    cvec: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-traversal ANN (the NSW/HNSW layer-0 shape of Malkov &
     Yashunin 2016 — what production vector DBs serve from), completing
@@ -2109,24 +2160,36 @@ def nsw_topk(
        same signed-random-projection signatures ``lsh_topk`` uses, so
        the build is deterministic and oracle-replayable) → exact grid
        cosine → each node keeps its ``m_neighbors`` best neighbors,
-       symmetrized. Edges carry the DESTINATION vector+norm, so beam
-       rounds never re-join the corpus. The edge frame is pinned
-       (localCheckpoint) — it is the index artifact; at 100 TB it is a
+       symmetrized, stored as NARROW ``(src, dst)`` adjacency (see
+       :func:`nsw_build_edges` for why narrow — the r11 driver bench
+       showed the denormalized-vector variant evicting to disk and
+       recharging ~500 MB of scan into every beam round). The edge
+       frame is pinned — it is the index artifact; at 100 TB it is a
        written silver table built once and served many times.
     2. BEAM SEARCH (``rounds`` UNROLLED expansions — the BPE/PCA fixed
        unroll discipline): the frontier starts at ``n_entry`` fixed
-       entry nodes, each round expands the frontier's graph neighbors
-       via a BROADCAST frontier-side hash join against the pinned edge
-       frame, scores candidates with the exact grid cosine against the
-       broadcast query side, and keeps the per-query ``beam`` best
-       (ties: cos DESC, node ASC). Monotone: the frontier is unioned
-       with its expansion before the cut, so scores never regress.
+       entry nodes; each round (a) expands the frontier's graph
+       neighbors via a BROADCAST frontier-side hash join against the
+       pinned adjacency, (b) fetches candidate vectors by broadcasting
+       the ≤|queries|·beam·m expansion set into ONE scan of the
+       corpus-vector frame (pass ``cvec`` to serve this from a pinned
+       silver instead of re-reading the source), (c) scores with the
+       exact grid cosine against the broadcast query side, and keeps
+       the per-query ``beam`` best (ties: cos DESC, node ASC).
+       Monotone: the frontier is unioned with its expansion before the
+       cut, so scores never regress.
+
+    Entry points are the nodes with ``id < n_entry`` — a documented
+    DENSE-ID precondition (corpus ids must include [0, n_entry); the
+    driver's `embeddings.vec_id` does). A corpus violating it would
+    silently return empty results, so an empty entry set raises.
 
     Self-matches are excluded throughout (query ids live in the corpus
     id space, as in every sim_* eval). Scale shape: after the build,
-    each round touches |frontier|·m rows — independent of corpus size —
-    and every join is broadcast (the plan-lock test asserts no
-    SortMergeJoin survives in the search plan)."""
+    each round touches |frontier|·m candidate rows plus one scan of 1×
+    corpus bytes — never corpus×m×dim — and every join is broadcast
+    (the plan-lock test asserts no SortMergeJoin survives in the
+    search plan)."""
     if edges is None:
         edges = nsw_build_edges(
             corpus,
@@ -2138,19 +2201,30 @@ def nsw_topk(
             seed=seed,
             m_neighbors=m_neighbors,
         ).localCheckpoint(eager=True)
-    c = corpus.select(
+    c = cvec if cvec is not None else corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm_grid(F.col(vec_col)).alias("nrm"),
     )
+    # pin the query frame once: it is broadcast into EVERY round's
+    # scoring join, and unpinned each broadcast re-runs the query-side
+    # source scan (a parquet read per round in the llmq wrappers)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm_grid(F.col(vec_col)).alias("qn"),
-    )
+    ).localCheckpoint(eager=True)
+    entries = c.filter(F.col("id") < n_entry)
+    if not entries.take(1):
+        raise ValueError(
+            f"nsw_topk: empty entry set — no corpus ids in [0, {n_entry}); "
+            "entry selection assumes dense ids from 0 (documented "
+            "precondition), so a sparse/offset id space must remap ids "
+            "or raise rather than silently return no neighbors"
+        )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
     frontier = (
-        q.crossJoin(F.broadcast(c.filter(F.col("id") < n_entry)))
+        q.crossJoin(F.broadcast(entries))
         .filter(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
@@ -2169,18 +2243,23 @@ def nsw_topk(
         # TOP of the round keeps the LAST round's join shape visible in
         # the final plan for the broadcast lock-in test.
         frontier = frontier.localCheckpoint(eager=True)
+        # (a) adjacency expansion: narrow (src, dst) scan, frontier side
+        # broadcast; (b) vector fetch: the ≤|q|·beam·m expansion set is
+        # broadcast into ONE pass over the corpus-vector frame — 1×
+        # corpus bytes per round, vs 16× when edges carried dvec/dnrm
         exp = edges.join(
             F.broadcast(frontier.select("query_id", F.col("node").alias("src"))),
             "src",
-        ).select("query_id", F.col("dst").alias("node"), "dvec", "dnrm")
+        ).select("query_id", F.col("dst").alias("id"))
         scored = (
-            exp.join(F.broadcast(q), "query_id")
-            .filter(F.col("node") != F.col("query_id"))
+            c.join(F.broadcast(exp), "id")
+            .join(F.broadcast(q), "query_id")
+            .filter(F.col("id") != F.col("query_id"))
             .select(
                 "query_id",
-                "node",
+                F.col("id").alias("node"),
                 cosine_with_norms(
-                    F.col("qv"), F.col("dvec"), F.col("qn"), F.col("dnrm")
+                    F.col("qv"), F.col("vec"), F.col("qn"), F.col("nrm")
                 ).alias("cos"),
             )
         )
@@ -2233,8 +2312,15 @@ def rank_agreement_rbo(
     coef = [(Decimal(1) - dp) * dp ** (d - 1) / d for d in range(1, k + 1)]
     for c in coef:
         # p must make (1−p)·p^(d−1)/d terminate (p=0.9 does for k ≤ 5);
-        # a non-terminating coefficient would raise InvalidOperation here
-        assert c == c.quantize(Decimal("1e-10")), "p yields non-exact RBO weights"
+        # a non-terminating coefficient would raise InvalidOperation
+        # here. ValueError, not assert: the exactness contract must
+        # survive ``python -O`` (ADVICE r11)
+        if c != c.quantize(Decimal("1e-10")):
+            raise ValueError(
+                f"rank_agreement_rbo: p={p} yields non-exact RBO weights "
+                f"at k={k} — pick p whose (1−p)·p^(d−1)/d terminate in "
+                "10 decimal digits"
+            )
     suffix = [sum(coef[m:], Decimal(0)) for m in range(k)]  # S(m+1)
     # identical rankings have ov_d = d at every depth, so the normalizer
     # is Σ d·coef_d = Σ (1−p)p^(d−1) = 1 − p^k — NOT Σ coef_d
@@ -2270,9 +2356,14 @@ def rank_agreement_rbo(
             ).alias("rbo"),
         )
     )
+    # snap rbo on an explicit round(…, 14) grid BEFORE the decimal cast:
+    # Spark's bare double→decimal(20,14) cast rounds HALF_UP while
+    # DuckDB's casts round half-even — a 1-ulp mean_rbo parity hazard on
+    # exact-tie fractions; after round() both engines cast the same
+    # already-snapped double (ADVICE r11)
     mean = per_q.agg(
         (
-            F.sum(F.col("rbo").cast("decimal(20,14)")).cast("double")
+            F.sum(F.round(F.col("rbo"), 14).cast("decimal(20,14)")).cast("double")
             / F.count("*")
         ).alias("mean_rbo")
     )

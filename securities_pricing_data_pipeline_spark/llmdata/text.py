@@ -1403,11 +1403,15 @@ def heaps_growth(
     never token rows."""
     from pyspark.sql import Window
 
-    dec = df.select(
+    # the ntile window is a global single-partition sort — run it over an
+    # id-ONLY projection (8-byte rows) and join the slice assignment back,
+    # so the full text column never funnels through one partition (ADVICE
+    # r11: the previous plan projected text alongside the window)
+    slices = df.select(F.col(id_col)).select(
         F.col(id_col),
         F.ntile(buckets).over(Window.orderBy(F.col(id_col))).alias("slice_id"),
-        F.col(text_col),
     )
+    dec = df.select(F.col(id_col), F.col(text_col)).join(slices, id_col)
     toks = dec.select(
         "slice_id",
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),

@@ -174,14 +174,21 @@ def video_frame_dhash(
     resize_nearest → integer-grayscale → row-difference hash
     ``multimodal.image_dhash`` uses, one row per (asset, frame).
 
-    Output (id, frame_idx, simhash) — the signature column is pluggable
-    into ``simhash_near_dups(sigs=...)`` after encoding (id, frame) into
-    a single key, so video near-dup detection = "any pair of sampled
-    frames within Hamming ≤ k", found by the standard 4×16-bit
-    pigeonhole with NO new LSH machinery. Container extraction + decode
-    + hash run in ONE Arrow-batched mapInPandas; downstream pairing
-    touches only 20-byte signature rows (pin this frame before pairing —
-    the dedup_audio_phash lesson)."""
+    Output (id, frame_idx, pick_idx, simhash) — ``frame_idx`` is the
+    ORIGINAL container frame index (provenance: which frame was
+    sampled), ``pick_idx`` is the DENSE 0..n_picked−1 pick ordinal.
+    Consumers packing (id, frame) into one key must pack on
+    ``pick_idx`` with stride ≥ n_frames: frame_idx values are
+    ``i·total//n_frames`` and exceed any fixed small stride for long
+    videos (ADVICE r11 — ``id*8 + frame_idx`` aliases neighboring ids
+    once a video has more than 8 frames). The signature column is
+    pluggable into ``simhash_near_dups(sigs=...)`` after that packing,
+    so video near-dup detection = "any pair of sampled frames within
+    Hamming ≤ k", found by the standard 4×16-bit pigeonhole with NO new
+    LSH machinery. Container extraction + decode + hash run in ONE
+    Arrow-batched mapInPandas; downstream pairing touches only 20-byte
+    signature rows (pin this frame before pairing — the
+    dedup_audio_phash lesson)."""
     import pandas as pd
 
     from securities_pricing_data_pipeline_spark.llmdata.multimodal import (
@@ -198,6 +205,7 @@ def video_frame_dhash(
         for pdf in batches:
             ids: list[int] = []
             idxs: list[int] = []
+            picks_out: list[int] = []
             sigs: list[int] = []
             for aid, content in zip(pdf[id_col], pdf["content"]):
                 aid = int(aid)
@@ -207,16 +215,24 @@ def video_frame_dhash(
                     {i * total // n_frames for i in range(n_frames)}
                     & set(range(total))
                 )
-                for idx in picks:
+                for pick, idx in enumerate(picks):
                     px = decode_image(frames[idx])
                     g = resize_nearest(px, grid_w, grid_h).astype(np.int64)
                     gray = g.sum(axis=2) // 3
                     bits = (gray[:, :-1] > gray[:, 1:]).flatten()
                     ids.append(aid)
                     idxs.append(idx)
+                    picks_out.append(pick)
                     sigs.append(int(np.dot(bits.astype(np.int64), weights)))
-            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "simhash": sigs})
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "pick_idx": picks_out,
+                    "simhash": sigs,
+                }
+            )
 
     return assets.select(F.col(id_col), "content").mapInPandas(
-        _hash, "id long, frame_idx long, simhash long"
+        _hash, "id long, frame_idx long, pick_idx long, simhash long"
     )

@@ -5535,21 +5535,29 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (this query, dedup_video_keep) — the same index-artifact
     # discipline as _nsw_edge_silver; simhash_near_dups scans its sigs
     # input 3×, so the pin also prevents the audio-phash 3×-decode bug.
+    # pack (video, frame) on the DENSE pick ordinal with stride
+    # n_frames: pick_idx < n_frames by construction, so keys never alias
+    # into a neighboring video id — packing on the ORIGINAL container
+    # frame_idx (i·total//n_frames) would collide for any video with
+    # more than n_frames·stride/n_frames frames (ADVICE r11). For these
+    # 4-frame assets pick_idx == frame_idx, so the oracle's f∈0..3
+    # replay is unchanged.
+    _STRIDE = 4
     key = ("video_fsigs", spark.sparkContext.applicationId, sf_dir)
     fsigs = _DEDUP_SILVER.get(key)
     if fsigs is None:
         fsigs = (
             video_frame_dhash(assets, n_frames=4)
             .select(
-                (F.col("id") * 8 + F.col("frame_idx")).alias("id"),
+                (F.col("id") * _STRIDE + F.col("pick_idx")).alias("id"),
                 "simhash",
             )
             .localCheckpoint(eager=True)
         )
         _DEDUP_SILVER[key] = fsigs
     fpairs = simhash_near_dups(fsigs, sigs=fsigs, max_hamming=3)
-    va = F.expr("id_a div 8")
-    vb = F.expr("id_b div 8")
+    va = F.expr("id_a div 4")
+    vb = F.expr("id_b div 4")
     return (
         fpairs.filter(va != vb)
         .groupBy(va.alias("id_a"), vb.alias("id_b"))
@@ -5739,7 +5747,14 @@ def _nsw_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     _portable_sigs / bars_silver discipline: a real deployment writes
     this as a silver table; pricing the build into every query would
     misstate the paradigm's serving cost (the build is the r10 lesson's
-    3×-scan hazard writ large — ~500k candidate cosines at sf0.1)."""
+    3×-scan hazard writ large — ~500k candidate cosines at sf0.1).
+
+    r12: the index is NARROW (src, dst) adjacency (~15 MB at sf0.1 vs
+    ~500 MB when edges denormalized dvec/dnrm on) — the r11 driver
+    bench evicted the fat variant to disk mid-session and recharged its
+    full scan into every beam round (driver 11.0 s vs local 2.3 s for
+    sim_nsw_topk); candidate vectors now come from the pinned
+    :func:`_nsw_cvec_silver` instead."""
     from pyspark import StorageLevel
 
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
@@ -5751,6 +5766,32 @@ def _nsw_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         df = nsw_build_edges(load(spark, sf_dir, "embeddings")).persist(
             StorageLevel.MEMORY_AND_DISK
+        )
+        _DEDUP_SILVER[key] = df
+    return df
+
+
+def _nsw_cvec_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (id, vec, nrm) corpus-vector frame the NSW beam rounds
+    fetch candidate vectors from — one corpus-sized cache serving every
+    search, instead of either (a) re-reading the parquet per round or
+    (b) carrying m=16 denormalized vector copies on the edges (the r11
+    driver-bench eviction hazard; see :func:`_nsw_edge_silver`)."""
+    from pyspark import StorageLevel
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import norm_grid
+
+    key = ("nsw_cvec", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        df = (
+            load(spark, sf_dir, "embeddings")
+            .select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("vec"),
+                norm_grid(F.col("embedding")).alias("nrm"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _DEDUP_SILVER[key] = df
     return df
@@ -5771,6 +5812,7 @@ def sim_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         k=5,
         edges=_nsw_edge_silver(spark, sf_dir),
+        cvec=_nsw_cvec_silver(spark, sf_dir),
     )
 
 
@@ -5875,7 +5917,11 @@ def sim_nsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     truth = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     approx = nsw_topk(
-        emb, queries, k=5, edges=_nsw_edge_silver(spark, sf_dir)
+        emb,
+        queries,
+        k=5,
+        edges=_nsw_edge_silver(spark, sf_dir),
+        cvec=_nsw_cvec_silver(spark, sf_dir),
     ).select("query_id", "neighbor_id")
     hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
     t = truth.agg(
@@ -6389,7 +6435,11 @@ pairs AS (
              FROM pairs GROUP BY 1) p
     ON p.query_id = s.query_id
 ), m AS (
-  SELECT CAST(SUM(CAST(rbo AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*) AS mean_rbo
+  -- ROUND(…, 14) before the decimal cast, mirroring the Spark side:
+  -- both engines then cast the same snapped double (DuckDB's bare
+  -- double→decimal rounds half-even, Spark HALF_UP — ADVICE r11)
+  SELECT CAST(SUM(CAST(ROUND(rbo, 14) AS DECIMAL(20,14))) AS DOUBLE)
+           / COUNT(*) AS mean_rbo
   FROM per_q
 )
 SELECT query_id, CAST(n_common AS BIGINT) AS n_common, rbo, mean_rbo

@@ -1938,13 +1938,7 @@ def test_nsw_topk_exact_on_complete_graph(spark):
     )
     complete = (
         c.select(F.col("id").alias("src"))
-        .crossJoin(
-            c.select(
-                F.col("id").alias("dst"),
-                F.col("vec").alias("dvec"),
-                F.col("nrm").alias("dnrm"),
-            )
-        )
+        .crossJoin(c.select(F.col("id").alias("dst")))
         .filter("src != dst")
     )
     exact = sorted(

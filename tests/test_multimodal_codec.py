@@ -679,12 +679,15 @@ def test_video_frame_dhash_matches_direct_computation(spark):
     ]
     avi = encode_avi_mjpeg(payloads, w, h)
     df = spark.createDataFrame([(1, bytearray(avi))], "asset_id long, content binary")
-    got = {
-        (r.id, r.frame_idx): r.simhash
-        for r in video_frame_dhash(df, n_frames=4).collect()
-    }
+    rows = video_frame_dhash(df, n_frames=4).collect()
+    got = {(r.id, r.frame_idx): r.simhash for r in rows}
     picks = sorted({i * total // 4 for i in range(4)})
     assert sorted(k[1] for k in got) == picks
+    # pick_idx is the DENSE pack-safe ordinal: 0..3 even though the
+    # container frame indices (0,2,5,7) exceed a fixed stride of 4
+    assert sorted((r.pick_idx, r.frame_idx) for r in rows) == list(
+        enumerate(picks)
+    )
     for idx in picks:
         px3 = np.repeat(frames_px[idx][:, :, None], 3, axis=2)
         g = resize_nearest(px3, 11, 6).astype(np.int64)
