@@ -331,6 +331,12 @@ BENCH_QUERIES = [
     "text_gopher_rules",
     "corpus_mix_doremi",
     "dedup_video_keep",
+    # round-12 additions
+    "text_langid",
+    "text_langid_eval",
+    "decontam_semantic",
+    "sim_hnsw_topk",
+    "sim_hnsw_recall",
 ]
 
 

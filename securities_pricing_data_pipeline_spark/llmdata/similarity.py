@@ -2134,6 +2134,61 @@ def nsw_build_edges(
     )
 
 
+def _beam_rounds(
+    frontier: DataFrame,
+    edges: DataFrame,
+    c: DataFrame,
+    q: DataFrame,
+    beam: int,
+    rounds: int,
+) -> DataFrame:
+    """``rounds`` unrolled NSW beam expansions over one graph layer —
+    the shared search loop of :func:`nsw_topk` (layer 0 alone) and
+    :func:`hnsw_topk` (greedy-descent upper layers, then layer 0).
+
+    Per round: (a) adjacency expansion — narrow (src, dst) scan with the
+    frontier side broadcast; (b) vector fetch — the ≤|q|·beam·m
+    expansion set is broadcast into ONE pass over the corpus-vector
+    frame ``c`` (1× corpus bytes per round, vs 16× when edges carried
+    denormalized vectors — the r11 lesson); (c) exact grid-cosine
+    scoring against the broadcast query frame ``q``; (d) monotone cut —
+    the frontier unions its expansion before the per-query ``beam`` cut
+    (cos DESC, node ASC), so scores never regress. The incoming
+    frontier is pinned at the TOP of each round: it feeds BOTH the
+    expansion and the union, and an unpinned plan doubles per round
+    (2^rounds replays — measured 11.5s → 0.9s at sf0.1); pinning at the
+    top also keeps the last round's join shape visible for the
+    broadcast plan-lock test."""
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
+    for _ in range(rounds):
+        frontier = frontier.localCheckpoint(eager=True)
+        exp = edges.join(
+            F.broadcast(frontier.select("query_id", F.col("node").alias("src"))),
+            "src",
+        ).select("query_id", F.col("dst").alias("id"))
+        scored = (
+            c.join(F.broadcast(exp), "id")
+            .join(F.broadcast(q), "query_id")
+            .filter(F.col("id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("id").alias("node"),
+                cosine_with_norms(
+                    F.col("qv"), F.col("vec"), F.col("qn"), F.col("nrm")
+                ).alias("cos"),
+            )
+        )
+        frontier = (
+            frontier.unionByName(scored)
+            .groupBy("query_id", "node")
+            .agg(F.max("cos").alias("cos"))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= beam)
+            .drop("rn")
+        )
+    return frontier
+
+
 def nsw_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2235,42 +2290,7 @@ def nsw_topk(
         .filter(F.col("rn") <= beam)
         .drop("rn")
     )
-    for _ in range(rounds):
-        # pin the incoming frontier: it feeds BOTH the expansion and the
-        # union below, so an unpinned plan doubles per round (2^rounds
-        # replays + one broadcast exchange per replay — measured 11.5s →
-        # 0.9s search at sf0.1). ≤ |queries|·beam rows. Pinning at the
-        # TOP of the round keeps the LAST round's join shape visible in
-        # the final plan for the broadcast lock-in test.
-        frontier = frontier.localCheckpoint(eager=True)
-        # (a) adjacency expansion: narrow (src, dst) scan, frontier side
-        # broadcast; (b) vector fetch: the ≤|q|·beam·m expansion set is
-        # broadcast into ONE pass over the corpus-vector frame — 1×
-        # corpus bytes per round, vs 16× when edges carried dvec/dnrm
-        exp = edges.join(
-            F.broadcast(frontier.select("query_id", F.col("node").alias("src"))),
-            "src",
-        ).select("query_id", F.col("dst").alias("id"))
-        scored = (
-            c.join(F.broadcast(exp), "id")
-            .join(F.broadcast(q), "query_id")
-            .filter(F.col("id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("id").alias("node"),
-                cosine_with_norms(
-                    F.col("qv"), F.col("vec"), F.col("qn"), F.col("nrm")
-                ).alias("cos"),
-            )
-        )
-        frontier = (
-            frontier.unionByName(scored)
-            .groupBy("query_id", "node")
-            .agg(F.max("cos").alias("cos"))
-            .withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= beam)
-            .drop("rn")
-        )
+    frontier = _beam_rounds(frontier, edges, c, q, beam, rounds)
     return (
         frontier.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
@@ -2371,4 +2391,214 @@ def rank_agreement_rbo(
         per_q.crossJoin(F.broadcast(mean))
         .select("query_id", "n_common", "rbo", "mean_rbo")
         .orderBy("query_id")
+    )
+
+
+def semantic_decontam(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of the n-gram ``text.decontaminate`` gate: flag every
+    TRAIN item whose embedding cosine to ANY benchmark item reaches
+    ``threshold`` (the modern eval-hygiene pass — n-gram overlap misses
+    paraphrased contamination, so pipelines since Phi/Llama-3 run a
+    cosine screen against the eval sets too). Output: one row per
+    flagged train item — (train id, its BEST-matching benchmark id by
+    (cos DESC, bench ASC), the exact grid cosine).
+
+    Bucketed, never all-pairs (the SemDeDup kernel pointed at a
+    benchmark table instead of self-pairs): BOTH sides take the same
+    deterministic nearest-centroid assignment ``semantic_dedup_pairs``
+    uses (lowest-``n_centroids``-id anchors from the TRAIN side, exact
+    grid-cosine argmax, (cos DESC, centroid ASC) ties — the shared
+    two-phase ``nearest_centroid`` kernel), and train×benchmark
+    candidates form only WITHIN a shared cluster. Per-cluster cost is
+    |train_cluster|·|bench_cluster| with a SMALL bench side (an eval
+    set), so no cluster cap is needed — the benchmark side bounds the
+    fan-out, not a cap. Same miss model as SemDeDup: a contaminated
+    pair split across a cluster boundary is not compared; grow
+    ``n_centroids`` (or pass trained centroids through the same seam)
+    to tighten.
+
+    Parity: scoring is the exact integer-grid cosine with precomputed
+    norms — emitted values are bit-identical to the oracle's replay."""
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm_grid(F.col(vec_col)).alias("cent_norm"),
+    )
+    t = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("norm"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("norm"),
+    )
+    ta = nearest_centroid(t, cents).join(t, "id")
+    ba = (
+        nearest_centroid(b, cents)
+        .join(b, "id")
+        .select(
+            F.col("id").alias("bench_id"),
+            "centroid_id",
+            F.col("vec").alias("bvec"),
+            F.col("norm").alias("bnorm"),
+        )
+    )
+    scored = (
+        ta.join(F.broadcast(ba), "centroid_id")
+        .filter(F.col("id") != F.col("bench_id"))
+        .select(
+            "id",
+            "bench_id",
+            cosine_with_norms(
+                F.col("vec"), F.col("bvec"), F.col("norm"), F.col("bnorm")
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("bench_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias(id_col), "bench_id", "cos_sim")
+    )
+
+
+def hnsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    m_neighbors: int = 16,
+    layer_mod: int = 8,
+    n_entry_top: int = 16,
+    beam_top: int = 16,
+    rounds_top: int = 2,
+    beam: int = 16,
+    rounds: int = 4,
+    edges: DataFrame | None = None,
+    edges_top: DataFrame | None = None,
+    cvec: DataFrame | None = None,
+) -> DataFrame:
+    """HIERARCHICAL graph ANN — the full HNSW shape of Malkov & Yashunin
+    2016 on top of :func:`nsw_topk`'s layer 0: a sparse UPPER layer
+    (every node whose hashed id ≡ 0 mod ``layer_mod`` — the
+    deterministic, oracle-replayable stand-in for the paper's
+    exponential level draw) gets its own NSW graph; search greedy-
+    descends — a cheap beam pass over the upper layer picks per-query
+    entry points, which seed the layer-0 beam instead of nsw_topk's
+    FIXED low-id entries. The hierarchy is what keeps recall at
+    10–100× corpus: fixed entries drift arbitrarily far from a query
+    as the corpus grows, while upper-layer descent lands the layer-0
+    beam in the query's neighborhood after O(log n) coarse hops.
+
+    Measured honestly (the trained-IVF discipline): at the SANDBOX
+    corpus sizes the descent does NOT yet beat nsw_topk's fixed seed —
+    recall@5 0.90 vs 0.94 at sf0.01 (500 vecs) and 0.74 vs 0.80 at
+    sf0.1 (2000 vecs) with these defaults — because 32 fixed entries
+    already cover 1.6% of a 2000-vector corpus; the crossover is a
+    large-N property (fixed-entry coverage decays as 1/n while descent
+    cost stays O(log n)), which is exactly why the hierarchical shape
+    is certified here rather than waiting for a corpus big enough to
+    show it.
+
+    Entry points on the upper layer are its ``n_entry_top`` smallest
+    ids via row_number — NO dense-id precondition (unlike nsw_topk's
+    ``id < n_entry`` filter): the upper layer is a hash-selected subset,
+    so rank-based selection is the only deterministic choice. An empty
+    upper layer (corpus smaller than ``layer_mod``) raises.
+
+    Index artifacts: TWO pinned silvers — layer-0 adjacency (shared
+    with nsw_topk) and the upper-layer adjacency (built by the same
+    :func:`nsw_build_edges` kernel over the subset, |corpus|/layer_mod
+    nodes). Search plan is broadcast-only end to end (same plan-lock
+    contract as NSW); every scoring join fetches vectors from the one
+    corpus-vector frame ``cvec``. Exact grid cosine everywhere —
+    bit-identical to the DuckDB replay."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import portable_hash60
+
+    if edges is None:
+        edges = nsw_build_edges(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+            n_planes=n_planes, bands=bands, seed=seed, m_neighbors=m_neighbors,
+        ).localCheckpoint(eager=True)
+    layer_pred = (
+        portable_hash60(F.col(id_col).cast("string")) % layer_mod == 0
+    )
+    if edges_top is None:
+        edges_top = nsw_build_edges(
+            corpus.filter(layer_pred), id_col=id_col, vec_col=vec_col, dim=dim,
+            n_planes=n_planes, bands=bands, seed=seed, m_neighbors=m_neighbors,
+        ).localCheckpoint(eager=True)
+    c = cvec if cvec is not None else corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("nrm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_grid(F.col(vec_col)).alias("qn"),
+    ).localCheckpoint(eager=True)
+    # upper-layer membership + rank-based entry selection on an id-ONLY
+    # projection (the heaps_growth lesson: never funnel wide rows
+    # through a global window); entries join vectors back after the cut
+    member_ids = c.select("id").filter(
+        portable_hash60(F.col("id").cast("string")) % layer_mod == 0
+    )
+    we = Window.orderBy("id")
+    entry_ids = (
+        member_ids.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= n_entry_top)
+        .select("id")
+    )
+    entries = c.join(F.broadcast(entry_ids), "id")
+    if not entries.take(1):
+        raise ValueError(
+            f"hnsw_topk: empty upper layer — no corpus id hashes to "
+            f"0 mod {layer_mod}; shrink layer_mod below the corpus size"
+        )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
+    frontier = (
+        q.crossJoin(F.broadcast(entries))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("node"),
+            cosine_with_norms(
+                F.col("qv"), F.col("vec"), F.col("qn"), F.col("nrm")
+            ).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= beam_top)
+        .drop("rn")
+    )
+    # greedy descent: coarse beam over the sparse upper graph...
+    frontier = _beam_rounds(frontier, edges_top, c, q, beam_top, rounds_top)
+    # ...whose survivors seed the layer-0 beam (all upper-layer nodes
+    # are layer-0 nodes, so the frontier is valid as-is)
+    frontier = _beam_rounds(frontier, edges, c, q, beam, rounds)
+    return (
+        frontier.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.col("cos").alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

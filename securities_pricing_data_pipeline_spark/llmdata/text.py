@@ -1520,3 +1520,130 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     for k in flags:
         allok = F.col(k) if allok is None else (allok & F.col(k))
     return out.withColumn("gopher_pass", allok)
+
+
+def langid_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n: int = 3,
+    buckets: int = 256,
+) -> DataFrame:
+    """Hashed char-n-gram multinomial language classifier — the langid
+    GATE every real pretraining pipeline runs before the quality stack
+    (CCNet's first stage is fastText langid, Wenzek et al. 2020 §3;
+    Joulin et al. 2016's fastText is itself a hashed-n-gram linear
+    model). The quality operators here (Gopher rules, CCNet ppl, DSIR)
+    assume monolingual input; this completes the filter funnel.
+
+    Naive-Bayes shape: character ``n``-grams of the lowercased text are
+    hashed into ``buckets`` buckets (``portable_hash60 % buckets`` — the
+    oracle-replayable hash), per-language bucket profiles are trained on
+    the corpus's own ``lang_col`` labels with Laplace smoothing
+    P(b|L) = (cnt+1)/(total_L+buckets), and every document is scored per
+    language by Σ ln P(b|L) over its gram occurrences plus the ln prior
+    (doc-frequency); argmax wins, ties broken by language code ASC.
+    Documents shorter than ``n`` chars score on the prior alone.
+
+    Exactness: every ln snaps to the 1e-12 decimal grid before the
+    per-(doc, lang) sum (order-independent DECIMAL(38,12) addition — the
+    unigram_logppl contract), so the argmax compares exact decimals and
+    both engines pick identical winners up to cross-engine libm-ln
+    last-ULP spread (~1e-12/term — across-language score gaps are O(1),
+    so flips are out of reach); the EMITTED score re-snaps to a 1e-6
+    round grid because the raw 1e-12 sum visibly carries that spread
+    (~5e-12 over a 300-gram document, measured). Scale shape: one gram-count
+    aggregate per (lang, bucket) — |langs|·buckets rows, broadcast — and
+    the scoring join is gram-rows × |langs| NARROW rows into a map-side
+    partial agg; the argmax window partitions by document. No
+    corpus-sized shuffle carries text. Note: character semantics match
+    because both engines substring by CODE POINT and hash the UTF-8
+    bytes via md5."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import portable_hash60
+    from securities_pricing_data_pipeline_spark.queries.helpers import dec
+
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.lower(F.trim(F.col(text_col))).alias("t"),
+    )
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.char_length("t") >= n,
+                F.expr(
+                    f"transform(sequence(1, char_length(t) - {n - 1}),"
+                    f" i -> substring(t, i, {n}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bucketed = grams.select(
+        "doc_id", "lang", (portable_hash60(F.col("g")) % buckets).alias("b")
+    )
+    cnts = bucketed.groupBy("lang", "b").agg(F.count("*").alias("cnt"))
+    tots = bucketed.groupBy("lang").agg(F.count("*").alias("n_grams"))
+    langs = base.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    grid = langs.select("lang").crossJoin(
+        df.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    )
+    profile = (
+        grid.join(cnts, ["lang", "b"], "left")
+        .na.fill({"cnt": 0})
+        .join(tots, "lang", "left")
+        .na.fill({"n_grams": 0})
+        .select(
+            F.col("lang").alias("cand"),
+            "b",
+            dec(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("n_grams") + buckets).cast("double")
+                ),
+                12,
+            ).alias("logp"),
+        )
+    )
+    total = langs.agg(F.sum("n_docs").alias("n_all"))
+    priors = langs.crossJoin(F.broadcast(total)).select(
+        F.col("lang").alias("cand"),
+        dec(
+            F.log(F.col("n_docs").cast("double") / F.col("n_all").cast("double")), 12
+        ).alias("logprior"),
+    )
+    contrib = (
+        bucketed.select("doc_id", "b")
+        .join(F.broadcast(profile), "b")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("logp").alias("gram_score"))
+    )
+    spine = base.select("doc_id", "lang").crossJoin(F.broadcast(priors))
+    scored = (
+        spine.join(contrib, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            (
+                F.col("logprior")
+                + F.coalesce(F.col("gram_score"), F.lit(0).cast("decimal(38,12)"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand").alias("pred_lang"),
+            F.round(F.col("score").cast("double"), 6).alias("log_score"),
+            (F.col("cand") == F.col("lang")).alias("is_match"),
+        )
+    )

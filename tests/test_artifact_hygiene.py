@@ -25,7 +25,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = set()
+ALLOW_NEW: set[str] = {
+    # round-12 queries pending the end-of-round full bench session
+    "text_langid",
+    "text_langid_eval",
+    "decontam_semantic",
+    "sim_hnsw_topk",
+    "sim_hnsw_recall",
+}
 
 
 def _latest(pattern: str) -> str | None:

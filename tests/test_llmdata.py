@@ -2239,3 +2239,160 @@ def test_doremi_mix_matches_bruteforce(spark):
         assert abs(got[d].mean_nll - mean) < 1e-12
         assert abs(got[d].new_weight - float(terms[d]) / float(z)) < 1e-12
     assert got["hard"].new_weight > got["easy"].new_weight
+
+
+def test_langid_ngram_separable_profiles_and_prior_fallback(spark):
+    """On a corpus whose languages use DISJOINT trigram inventories the
+    classifier must recover every label (profiles trained on the corpus
+    itself make the likelihood gap decisive), and a document shorter
+    than n=3 chars must fall back to the PRIOR argmax — the majority
+    language — with ties broken by language code ascending."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import langid_ngram
+
+    rows = [
+        # 'aa' language: 4 docs (majority → prior winner for short docs)
+        (1, "aaaaaa aaaaaa", "aa"),
+        (2, "aaaaaa aaaaaa aaaaaa", "aa"),
+        (3, "aaaaaa", "aa"),
+        (4, "xy", "aa"),  # < 3 chars → prior-only
+        # 'bb' language: 3 docs, disjoint grams
+        (5, "bbbbbb bbbbbb", "bb"),
+        (6, "bbbbbb bbbbbb bbbbbb", "bb"),
+        (7, "bbbbbb", "bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in langid_ngram(df).collect()}
+    assert len(got) == 7
+    for did in (1, 2, 3):
+        assert got[did].pred_lang == "aa" and got[did].is_match
+    for did in (5, 6, 7):
+        assert got[did].pred_lang == "bb" and got[did].is_match
+    # short doc: no grams → score = prior only → majority lang 'aa'
+    assert got[4].pred_lang == "aa"
+    # one row per document, scores are finite reals
+    import math
+
+    assert all(math.isfinite(r.log_score) for r in got.values())
+
+
+def test_semantic_decontam_flags_best_match_within_cluster(spark):
+    """With two well-separated clusters (anchor centroids 0 and 1), a
+    train item near a benchmark item in ITS cluster must be flagged with
+    that benchmark id and the exact cosine; a train item whose nearest
+    benchmark lives in the OTHER cluster must NOT be flagged (the
+    documented SemDeDup miss model); and per train item only the BEST
+    benchmark match row is emitted."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        cosine,
+        semantic_decontam,
+    )
+    from pyspark.sql import functions as F
+
+    # cluster A points along +x, cluster B along +y (8-dim)
+    def vec(axis, eps, scale=1.0):
+        v = [0.0] * 8
+        v[axis] = 1.0 * scale
+        v[(axis + 2) % 8] = eps
+        return v
+
+    rows = [
+        (0, vec(0, 0.0)),       # centroid/anchor A (train)
+        (1, vec(1, 0.0)),       # centroid/anchor B (train)
+        (10, vec(0, 0.05)),     # train, cluster A — near bench 100
+        (11, vec(0, 0.9)),      # train, cluster A — far from bench 100
+        (12, vec(1, 0.05)),     # train, cluster B — near bench 101
+        (100, vec(0, 0.02)),    # bench, cluster A
+        (101, vec(1, 0.02)),    # bench, cluster B
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    train = df.filter("vec_id < 100")
+    bench = df.filter("vec_id >= 100")
+    got = {
+        r.vec_id: r
+        for r in semantic_decontam(
+            train, bench, threshold=0.9, n_centroids=2, id_col="vec_id"
+        ).collect()
+    }
+    # 0 and 10 are near bench 100; 1 and 12 near bench 101; 11's cosine
+    # to bench 100 is 1/sqrt(1.81)·... < 0.9 → unflagged
+    assert set(got) == {0, 1, 10, 12}
+    assert got[10].bench_id == 100 and got[12].bench_id == 101
+    # emitted cosine equals the exact grid cosine computed directly
+    direct = (
+        train.filter("vec_id = 10")
+        .crossJoin(
+            bench.filter("vec_id = 100").select(F.col("embedding").alias("b"))
+        )
+        .select(cosine(F.col("embedding"), F.col("b")).alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert got[10].cos_sim == direct
+
+
+def test_hnsw_topk_exact_on_complete_graphs(spark):
+    """With COMPLETE edge sets on BOTH layers (via the index seams),
+    layer_mod=1 (every node in the upper layer) and beams covering the
+    whole corpus, hierarchical search must return exactly
+    brute_force_topk's rows — pinning the descent machinery (upper-layer
+    seed, layer hand-off, expansion, monotone cut, final rank)
+    independent of graph quality, the same seam contract as
+    test_nsw_topk_exact_on_complete_graph."""
+    from pyspark.sql import functions as F
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        hnsw_topk,
+    )
+
+    rows = [
+        (i, [float(((i * 29 + d * 13) % 17) - 8) / 10.0 for d in range(8)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    ids = df.select(F.col("vec_id").alias("src"))
+    complete = ids.crossJoin(
+        df.select(F.col("vec_id").alias("dst"))
+    ).filter("src != dst")
+    exact = sorted(
+        brute_force_topk(df, q, k=4).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    got = sorted(
+        hnsw_topk(
+            df, q, k=4, dim=8, layer_mod=1, n_entry_top=2,
+            beam_top=30, rounds_top=1, beam=30, rounds=1,
+            edges=complete, edges_top=complete,
+        ).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in got] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in exact
+    ]
+    for a, b in zip(got, exact):
+        assert a.cos_sim == b.cos_sim
+
+
+def test_hnsw_topk_raises_on_empty_upper_layer(spark):
+    """A corpus none of whose hashed ids hit 0 mod layer_mod must raise
+    (the nsw dense-id lesson: silent empties are engine bugs)."""
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import portable_hash60
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import hnsw_topk
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5, 0.25]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    # find a modulus with no member among these ids (huge mod: every
+    # hash is nonzero mod it with overwhelming probability)
+    big_mod = 10**15 + 37
+    members = df.filter(
+        portable_hash60(F.col("vec_id").cast("string")) % big_mod == 0
+    ).count()
+    assert members == 0
+    with pytest.raises(ValueError, match="empty upper layer"):
+        hnsw_topk(df, df.filter("vec_id < 2"), k=2, dim=4, layer_mod=big_mod)

@@ -563,3 +563,17 @@ def test_nsw_search_joins_broadcast_never_smj(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 5  # one expansion join per round
+
+
+def test_hnsw_search_joins_broadcast_never_smj(spark):
+    """hnsw_topk's hierarchical search must stay broadcast end to end —
+    upper-layer descent AND layer-0 rounds: both adjacency silvers are
+    pinned, frontier/expansion/query sides broadcast into every join,
+    and no SortMergeJoin appears — the same scale contract
+    test_nsw_search_joins_broadcast_never_smj locks for layer 0."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import sim_hnsw_topk
+
+    plan = _plan(sim_hnsw_topk(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # final round's joins stay visible
