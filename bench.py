@@ -332,11 +332,14 @@ BENCH_QUERIES = [
     "corpus_mix_doremi",
     "dedup_video_keep",
     # round-12 additions
-    "text_langid",
-    "text_langid_eval",
+    "text_langid_ngram",
+    "text_langid_ngram_eval",
     "decontam_semantic",
     "sim_hnsw_topk",
     "sim_hnsw_recall",
+    "stream_dedup_incremental",
+    "sim_ivf_nprobe_sweep",
+    "stream_docs_quality_gate",
 ]
 
 

@@ -118,7 +118,14 @@ def bigram_logppl(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     arr = df.select(F.col(id_col).alias("doc_id"), t.alias("t"))
     toks = arr.select(F.explode("t").alias("tok"))
     uni = toks.groupBy("tok").agg(F.count("*").alias("cu"))
-    vv = toks.agg(F.count_distinct("tok").alias("v"))
+    # |V| = the unigram table's row count — NOT a second count_distinct
+    # pass over the exploded tokens (that re-ran the whole tokenize +
+    # explode + a distinct shuffle; deriving it from `uni` makes the
+    # vocab aggregate the only unigram-side scan)
+    vv = uni.agg(F.count("*").alias("v"))
+    # the bigram occurrence frame feeds BOTH the count aggregate and the
+    # scoring join below — pin it (narrow (doc_id, w1, w2) rows) so the
+    # parquet read + tokenize + in-row transform runs once, not twice
     bg = (
         arr.filter(F.size("t") >= 2)
         .select(
@@ -128,6 +135,7 @@ def bigram_logppl(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             ).alias("p"),
         )
         .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=True)
     )
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     nll = (
@@ -1122,9 +1130,14 @@ def bpe_train(
             break
         a, b, n = best[0].a, best[0].b, int(best[0].n)
         learned.append((rnd, a, b, n))
+        # LAZY checkpoint: the next round's argmax is this frame's first
+        # consumer and materializes it inside its own job — eager=True
+        # here ran a separate materialization job per round, doubling
+        # the scheduling cost of the whole loop (2 jobs/round → 1; the
+        # r11→r12 mover investigation measured the loop scheduling-bound)
         vocab = vocab.withColumn(
             "toks", F.split(_merge_pass_col(F.col("toks"), a, b), " ")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return df.sparkSession.createDataFrame(
         learned, "merge_round int, a string, b string, n_pairs long"
     )

@@ -6603,20 +6603,22 @@ ORDER BY video_id
 """
 
 
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification over the documents table
     (``llmdata.text.langid_ngram``): hashed char-trigram multinomial
     Naive Bayes with per-language profiles trained on the corpus's own
     labels — the langid gate CCNet runs before its perplexity stages
     (Wenzek 2020 §3; fastText shape, Joulin 2016). Emits per document
     the predicted language, its exact-decimal log-score and the
-    label-agreement flag consumed by ``text_langid_eval``."""
+    label-agreement flag consumed by ``text_langid_ngram_eval``. Distinct
+    from ``text_lang_id`` (the stopword/CJK heuristic): this one is the
+    TRAINED classifier."""
     from securities_pricing_data_pipeline_spark.llmdata.text import langid_ngram
 
     return langid_ngram(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-QUERIES["text_langid"] = text_langid
+QUERIES["text_langid_ngram"] = text_langid_ngram
 
 
 def _langid_oracle_sql(n: int = 3, buckets: int = 256) -> str:
@@ -6679,11 +6681,11 @@ ORDER BY doc_id
 """
 
 
-ORACLES["text_langid"] = _langid_oracle_sql()
+ORACLES["text_langid_ngram"] = _langid_oracle_sql()
 
 
-def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Langid audit — the confusion matrix of ``text_langid`` against
+def text_langid_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Langid audit — the confusion matrix of ``text_langid_ngram`` against
     the table's own labels plus overall accuracy, the same
     classifier-vs-truth audit shape as dedup_simhash_eval and the
     recall ladder: per (label, predicted) pair the document count, each
@@ -6692,7 +6694,7 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hovers near the majority-class prior — the audit REPORTING that
     honestly is exactly its job; on a real multilingual corpus the same
     query reads precision per language."""
-    pred = text_langid(spark, sf_dir)
+    pred = text_langid_ngram(spark, sf_dir)
     conf = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
     acc = pred.agg(
         (
@@ -6706,9 +6708,9 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["text_langid_eval"] = text_langid_eval
+QUERIES["text_langid_ngram_eval"] = text_langid_ngram_eval
 
-ORACLES["text_langid_eval"] = f"""
+ORACLES["text_langid_ngram_eval"] = f"""
 WITH pred AS ({_langid_oracle_sql()}),
 acc AS (
   SELECT CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS DOUBLE)
@@ -6998,4 +7000,73 @@ t AS (
 SELECT t.n_queries, CAST(5 AS INT) AS k, CAST(h.n_hits AS BIGINT) AS n_hits,
        CAST(h.n_hits AS DOUBLE) / t.n_true AS recall_at_k
 FROM t, h
+"""
+
+
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TUNING CURVE — recall@5 at nprobe ∈ {1, 2, 4, 8, 16} in one
+    result: the table a retrieval team reads to pick its latency/recall
+    operating point (every IVF deployment runs exactly this sweep before
+    fixing nprobe). nprobe = n_centroids = 16 probes every list, so its
+    recall is 1.0 BY CONSTRUCTION — a built-in exactness anchor that
+    certifies the sweep itself (an anchor below 1.0 means the index or
+    the audit is broken, not the parameter). Truth is pinned once and
+    served to all five audits; each IVF pass is the standard
+    centroid-assignment + nprobe-list scan, so the whole sweep costs
+    ~5× one retrieval, never 5× brute force."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # five audit consumers, one compute
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    parts = []
+    for nprobe in (1, 2, 4, 8, 16):
+        approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        parts.append(
+            hits.crossJoin(F.broadcast(n_true)).select(
+                F.lit(nprobe).alias("nprobe"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.col("n_true")).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("nprobe")
+
+
+QUERIES["sim_ivf_nprobe_sweep"] = sim_ivf_nprobe_sweep
+
+ORACLES["sim_ivf_nprobe_sweep"] = f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({ORACLES["sim_bruteforce_topk"]})),
+t AS (SELECT COUNT(*) AS n_true FROM bf),
+{", ".join(
+    f'''i{np_} AS (
+  SELECT COUNT(*) AS n_hits FROM (
+    SELECT query_id, neighbor_id FROM ({_ivf_topk_oracle_sql(nprobe=np_)})
+    INTERSECT SELECT query_id, neighbor_id FROM bf
+  )
+)''' for np_ in (1, 2, 4, 8, 16)
+)}
+{" UNION ALL ".join(
+    f'''SELECT {np_} AS nprobe, CAST(i{np_}.n_hits AS BIGINT) AS n_hits,
+       CAST(i{np_}.n_hits AS DOUBLE) / t.n_true AS recall_at_k
+FROM i{np_}, t''' for np_ in (1, 2, 4, 8, 16)
+)}
+ORDER BY nprobe
 """

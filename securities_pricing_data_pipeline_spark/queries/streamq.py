@@ -703,3 +703,260 @@ SELECT event_type,
 FROM ph GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME incremental near-dup dedup executed as a genuine
+    multi-batch stream — the composition of the repo's two deepest
+    surfaces (MinHash/LSH dedup + stateful streaming), and the shape a
+    crawl pipeline actually deploys: documents arrive in id-ordered
+    micro-batches (4 files, one per trigger), MinHash signatures are
+    computed MAP-SIDE on the stream (the array_min expression form —
+    no shuffle, no aggregation before the stateful operator), each
+    signature's 16 band slices key an ``applyInPandasWithState``
+    operator whose per-bucket state is ONE long (the smallest id ever
+    seen there), and a document landing in an occupied bucket is
+    flagged against that canonical earlier id.
+
+    Because arrival order equals doc_id order (id-ranged feed files)
+    and the bucket key is the exact band slice, the drained result is
+    EXACTLY the batch closed form the DuckDB oracle computes: doc d is
+    a candidate dup iff some d' < d shares a band, matched to the
+    minimum such d'. Output: every document with its dup flag and
+    first_dup_of (NULL for originals)."""
+    import os
+    import shutil
+    import time
+    import uuid
+    from pathlib import Path
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+    from securities_pricing_data_pipeline_spark.streaming.stateful import (
+        lsh_dedup_stream,
+    )
+
+    tag = f"{_mem_name('lshdedup')}_{uuid.uuid4().hex[:12]}"
+    base = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    feed_dir = base / f"{tag}_feed"
+    tmp_dir = base / f"{tag}_tmp"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(hi) - int(lo) + 1
+    try:
+        feed_dir.mkdir(parents=True)
+        t0 = time.time() - 600
+        for b in range(4):
+            cut_lo = int(lo) + span * b // 4
+            cut_hi = int(lo) + span * (b + 1) // 4
+            part = docs.filter(
+                (F.col("doc_id") >= cut_lo) & (F.col("doc_id") < cut_hi)
+            )
+            part.coalesce(1).write.mode("overwrite").parquet(str(tmp_dir))
+            pf = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
+            dst = feed_dir / f"{b:03d}_quarter.parquet"
+            shutil.move(str(tmp_dir / pf), str(dst))
+            os.utime(dst, (t0 + 100 * b, t0 + 100 * b))  # mtime order = id order
+        schema = spark.read.parquet(str(feed_dir)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed_dir))
+        )
+        sig = minhash_signatures(shingles(stream), id_col="doc_id", portable=True)
+        rpb = 4  # 64 hashes / 16 bands
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("signature", i * rpb + j + 1).cast("string")
+                            for j in range(rpb)
+                        ],
+                    ).alias("bkey"),
+                )
+                for i in range(16)
+            ]
+        )
+        banded = (
+            sig.select(F.col("id").alias("doc_id"), F.explode(band_structs).alias("bb"))
+            .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        )
+        name = _drain(
+            lsh_dedup_stream(banded),
+            "lshdedup",
+            "update",
+            state_partitions=spark.sparkContext.defaultParallelism,
+        )
+        m = spark.table(name).groupBy("doc_id").agg(
+            F.min("matched_id").alias("first_dup_of")
+        )
+        return (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .join(m, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("first_dup_of").isNotNull().alias("is_dup"),
+                "first_dup_of",
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)  # pin before the feed dir is removed
+        )
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+QUERIES["stream_dedup_incremental"] = stream_dedup_incremental
+
+
+def _stream_dedup_oracle_sql(num_hashes: int = 64, bands: int = 16) -> str:
+    """Batch closed form of the ingest-time gate: same shingle → hash →
+    MinHash signature pipeline as _minhash_oracle_sql (imported from
+    llmq so the two stay in lockstep), candidates by band equality with
+    a.doc_id < b.doc_id, min earlier id per later doc, left-joined onto
+    the full document spine."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        _MERSENNE,
+        minhash_params,
+    )
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        _SHINGLES_CTE,
+        _phash_sql,
+    )
+
+    params = minhash_params(num_hashes)
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE}) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.m{i * rpb + j} = b.m{i * rpb + j}" for j in range(rpb)) + ")"
+        for i in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE}, hs AS (
+  SELECT doc_id, {_phash_sql('g')} % {_MERSENNE} AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+), p AS (
+  SELECT b.doc_id AS doc_id, MIN(a.doc_id) AS first_dup_of
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+  GROUP BY 1
+)
+SELECT d.doc_id, (p.first_dup_of IS NOT NULL) AS is_dup, p.first_dup_of
+FROM documents d LEFT JOIN p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+ORACLES["stream_dedup_incremental"] = _stream_dedup_oracle_sql()
+
+
+def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME quality/langid gate executed as a 2-batch stream —
+    the stateless front of the filter funnel running where it actually
+    runs in production (documents are gated AS THEY ARRIVE, not in a
+    nightly batch): the full Gopher rule bundle
+    (``llmdata.text.gopher_rules`` — integer cross-multiplied
+    thresholds, pure narrow projection) and the heuristic language ID
+    (``llmdata.text.lang_id`` — stopword/CJK argmax) both apply
+    MAP-SIDE on the stream with no state store at all (append mode),
+    and the drained per-document decisions aggregate to the
+    per-(language, verdict) admission table a crawl operator watches.
+    Stateless gates are arrival-order independent, so the drained
+    result equals the batch closed form row-for-row."""
+    import os
+    import shutil
+    import time
+    import uuid
+    from pathlib import Path
+
+    from securities_pricing_data_pipeline_spark.llmdata.text import (
+        gopher_rules,
+        lang_id,
+    )
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+
+    tag = f"{_mem_name('qgate')}_{uuid.uuid4().hex[:12]}"
+    base = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    feed_dir = base / f"{tag}_feed"
+    tmp_dir = base / f"{tag}_tmp"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    try:
+        feed_dir.mkdir(parents=True)
+        t0 = time.time() - 600
+        for b, pred in enumerate(
+            [F.col("doc_id") <= mid, F.col("doc_id") > mid]
+        ):
+            docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(str(tmp_dir))
+            pf = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
+            dst = feed_dir / f"{b:03d}_half.parquet"
+            shutil.move(str(tmp_dir / pf), str(dst))
+            os.utime(dst, (t0 + 100 * b, t0 + 100 * b))
+        schema = spark.read.parquet(str(feed_dir)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed_dir))
+        )
+        # both gates are STATELESS map-side projections of the arriving
+        # row — each drains through its own append-mode sink (no state
+        # store anywhere), and the admission table joins the two drained
+        # BATCH tables afterwards (a stream-stream join would have
+        # needed watermark state for no reason)
+        gated = gopher_rules(stream).select("doc_id", "n_words", "gopher_pass")
+        lid = lang_id(stream)
+        name_g = _drain(gated, "qgate", "append")
+        name_l = _drain(lid, "qgate_lid", "append")
+        return (
+            spark.table(name_g)
+            .join(spark.table(name_l), "doc_id")
+            .groupBy("pred_lang", "gopher_pass")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_words").cast("long").alias("total_words"),
+            )
+            .orderBy("pred_lang", "gopher_pass")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+QUERIES["stream_docs_quality_gate"] = stream_docs_quality_gate
+
+
+def _quality_gate_oracle_sql() -> str:
+    """Batch closed form of the ingest gate: the committed Gopher and
+    heuristic-langid oracles (imported from llmq so all three stay in
+    lockstep) joined per document, aggregated to the admission table."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        ORACLES as _LLMQ_ORACLES,
+    )
+
+    gr = _LLMQ_ORACLES["text_gopher_rules"]
+    lid = _LLMQ_ORACLES["text_lang_id"]
+    return f"""
+WITH gr AS (SELECT doc_id, n_words, gopher_pass FROM ({gr})),
+lid AS (SELECT doc_id, pred_lang FROM ({lid}))
+SELECT l.pred_lang, g.gopher_pass,
+       COUNT(*) AS n_docs, CAST(SUM(g.n_words) AS BIGINT) AS total_words
+FROM gr g JOIN lid l USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+ORACLES["stream_docs_quality_gate"] = _quality_gate_oracle_sql()

@@ -236,3 +236,64 @@ def cusum_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup: per-(band, bucket) min-id state
+
+
+LSH_DEDUP_STATE_SCHEMA = "min_id long"
+LSH_DEDUP_OUT_SCHEMA = "doc_id long, matched_id long"
+
+
+def lsh_dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-(band, bucket) incremental near-dup gate: the state is ONE
+    long — the smallest doc id ever seen in this LSH bucket — so a
+    document arriving in a later micro-batch (or later in id order
+    within this batch) that lands in an occupied bucket is flagged
+    against the bucket's canonical (minimum) earlier id. Arrival order
+    within a batch is doc_id ASC (the feed splits by id range, so
+    global arrival order == id order), which makes the stream's output
+    EXACTLY the batch closed form: doc d is flagged iff some d' < d
+    shares a band bucket, matched to min such d' per bucket.
+
+    Bounded state is the point: a real ingest-time dedup keeps one row
+    per occupied bucket (≪ one per document — buckets dedupe), never
+    the document text, never the growing signature list; the candidate
+    flag is the cheap gate and the exact-Jaccard verify stays a batch
+    refinement (dedup_minhash_lsh's WHERE clause)."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    ids = np.sort(rows["doc_id"].to_numpy().astype(np.int64))
+    cur = int(state.get[0]) if state.exists else None
+    out_doc: list[int] = []
+    out_match: list[int] = []
+    for d in ids.tolist():
+        if cur is not None and cur < d:
+            out_doc.append(d)
+            out_match.append(cur)
+        cur = d if cur is None else min(cur, d)
+    state.update((int(cur),))
+    yield pd.DataFrame(
+        {
+            "doc_id": np.asarray(out_doc, dtype=np.int64),
+            "matched_id": np.asarray(out_match, dtype=np.int64),
+        }
+    )
+
+
+def lsh_dedup_stream(banded: DataFrame) -> DataFrame:
+    """banded(band int, bkey string, doc_id long) → (doc_id, matched_id)
+    candidate-dup emissions, one state row (a single long) per occupied
+    (band, bucket). The bucket key is the EXACT concatenated band slice
+    of the MinHash signature — string equality, no second hashing, so a
+    match here is precisely the banded-LSH candidate rule the batch
+    pipeline (and the DuckDB oracle) uses."""
+    return banded.groupBy("band", "bkey").applyInPandasWithState(
+        lsh_dedup_fn,
+        outputStructType=LSH_DEDUP_OUT_SCHEMA,
+        stateStructType=LSH_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

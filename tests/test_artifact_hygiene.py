@@ -27,11 +27,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # docstring). Keep empty at end of round.
 ALLOW_NEW: set[str] = {
     # round-12 queries pending the end-of-round full bench session
-    "text_langid",
-    "text_langid_eval",
+    "text_langid_ngram",
+    "text_langid_ngram_eval",
     "decontam_semantic",
     "sim_hnsw_topk",
     "sim_hnsw_recall",
+    "stream_dedup_incremental",
+    "sim_ivf_nprobe_sweep",
+    "stream_docs_quality_gate",
 }
 
 
@@ -233,3 +236,28 @@ def test_bench_session_canary_recorded():
             f"canary status {canary.get('status')!r} without an 'explained' "
             f"note — a knowingly-slow session must be visibly waived"
         )
+
+
+def test_bench_end_ratio_recorded():
+    """Mid-run degradation gate (VERDICT r11 item 2): the end-of-sweep
+    canary re-probe (``bench.py`` ``end_ratio``) landed in commit
+    0240995 but the committed r11 artifact predates it — from r12 on,
+    every full local artifact must CARRY the field, so the "session
+    stayed healthy through the sweep" claim is recorded evidence, not
+    an inference from rebenched-mover counts."""
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, "BENCH_r*_local.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not paths:
+        pytest.skip("no local bench artifacts")
+    if int(re.search(r"_r(\d+)", os.path.basename(paths[-1])).group(1)) < 12:
+        pytest.skip("latest artifact predates the end-ratio instrumentation")
+    with open(paths[-1]) as fh:
+        doc = json.load(fh)
+    canary = doc.get("canary") or {}
+    assert "end_ratio" in canary, (
+        f"{os.path.basename(paths[-1])} lacks canary.end_ratio — produce "
+        f"full artifacts with bench.py, which re-probes the canary set "
+        f"after the sweep"
+    )

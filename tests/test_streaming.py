@@ -514,3 +514,105 @@ def test_cusum_fn_state_carries_across_batches():
     assert st._v == (0, 0, 4, 0)
     r2 = out2[0].iloc[0]
     assert (r2.n_seen, r2.m_units, r2.ph_units, r2.n_alarms) == (4, 0, 0, 0)
+
+
+def test_lsh_dedup_fn_state_carries_across_batches():
+    """The per-bucket min-id state must carry across micro-batches and
+    flag in-batch AND cross-batch later arrivals (no Spark needed —
+    drive the stateful fn with a fake GroupState): batch 1 brings ids
+    7, 3 into one bucket → 7 flags against 3, state = 3; batch 2 brings
+    ids 9, 1 → 1 flags nothing (it is the new bucket minimum) and 9
+    flags against min(3, 1) = 1 — id order, not arrival order, defines
+    "earlier", so the kernel matches the batch closed form even on a
+    feed that violates the id-ranged batching invariant; state = 1."""
+    import pandas as pd
+
+    from securities_pricing_data_pipeline_spark.streaming.stateful import lsh_dedup_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    st = FakeState()
+
+    def batch(ids):
+        return pd.DataFrame(
+            {"band": [0] * len(ids), "bkey": ["k"] * len(ids), "doc_id": ids}
+        )
+
+    out1 = list(lsh_dedup_fn((0, "k"), iter([batch([7, 3])]), st))[0]
+    assert st._v == (3,)
+    assert list(zip(out1.doc_id, out1.matched_id)) == [(7, 3)]
+
+    out2 = list(lsh_dedup_fn((0, "k"), iter([batch([9, 1])]), st))[0]
+    assert st._v == (1,)
+    assert list(zip(out2.doc_id, out2.matched_id)) == [(9, 1)]
+
+
+def test_stream_dedup_incremental_matches_batch_closed_form(spark):
+    """The drained streaming gate over the real 4-batch feed must equal
+    the batch closed form computed directly with the package's own
+    batch machinery (signature band equality, min earlier id) — the
+    stream/batch twin contract every streaming gate query carries."""
+    from pyspark.sql import functions as F
+
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+    from securities_pricing_data_pipeline_spark.queries.streamq import (
+        stream_dedup_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.is_dup, r.first_dup_of)
+        for r in stream_dedup_incremental(spark, sf).collect()
+    }
+    sig = minhash_signatures(
+        shingles(load(spark, sf, "documents")), id_col="doc_id", portable=True
+    )
+    rpb = 4
+    bexpr = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("signature", i * rpb + j + 1).cast("string")
+                    for j in range(rpb)
+                ],
+            )
+            for i in range(16)
+        ]
+    )
+    b = sig.select(F.col("id").alias("doc_id"), F.posexplode(bexpr))
+    pairs = b.alias("a").join(
+        b.alias("b"),
+        (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.col") == F.col("b.col"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    want_rows = (
+        pairs.groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min("a.doc_id").alias("first_dup_of"))
+        .collect()
+    )
+    want = {r.doc_id: r.first_dup_of for r in want_rows}
+    n_docs = load(spark, sf, "documents").count()
+    assert len(got) == n_docs
+    for did, (is_dup, fdo) in got.items():
+        assert is_dup == (did in want)
+        assert fdo == want.get(did)

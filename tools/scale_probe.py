@@ -867,11 +867,15 @@ def probe_quant_scan(spark) -> list[tuple[str, int, float]]:
 def probe_nsw(spark) -> list[tuple[str, int, float]]:
     """NSW beam search over a 1M-edge graph (62.5k nodes × m=16, dim-16
     hash-derived vectors) — prices the SEARCH half only, the serving
-    shape: the edge index is pregenerated and pinned (a written silver
-    in production), and 100 queries run 4 broadcast-frontier expansion
-    rounds. Per-round cost is |frontier|·m scored rows — independent of
-    node count — so the wall here is rounds × (broadcast exchange +
-    tiny-frame window), not graph size."""
+    shape: the NARROW (src, dst) adjacency and the (id, vec, nrm)
+    corpus-vector frame are pregenerated and pinned (written silvers in
+    production — the r12 shape, after the fat dvec-on-edges variant
+    evicted under driver-session memory pressure), and 100 queries run
+    4 broadcast-frontier expansion rounds. Per-round cost is
+    |frontier|·m candidate rows plus ONE 1×-corpus-bytes vector-fetch
+    scan of the pinned cvec frame (vs 16× when edges denormalized the
+    vectors) — so the wall is rounds × (broadcast exchanges + a small
+    cached scan), linear-in-corpus per round, never corpus×m×dim."""
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
         norm_grid,
         nsw_topk,
@@ -891,8 +895,12 @@ def probe_nsw(spark) -> list[tuple[str, int, float]]:
             (F.col("id") % n_nodes).alias("src"),
             F.pmod(F.xxhash64("id", F.lit(7)), F.lit(n_nodes)).alias("dst"),
         )
-        .select("src", "dst", vec(3, "dst").alias("dvec"))
-        .withColumn("dnrm", norm_grid(F.col("dvec")))
+        .localCheckpoint(eager=True)
+    )
+    cvec = (
+        spark.range(n_nodes)
+        .select(F.col("id").alias("id"), vec(3, "id").alias("vec"))
+        .withColumn("nrm", norm_grid(F.col("vec")))
         .localCheckpoint(eager=True)
     )
     corpus = spark.range(64).select(F.col("id").alias("vec_id"), vec(3, "id").alias("embedding"))
@@ -900,11 +908,40 @@ def probe_nsw(spark) -> list[tuple[str, int, float]]:
         (F.col("id") + 1_000_000).alias("vec_id"), vec(5, "id").alias("embedding")
     )
     out = nsw_topk(
-        corpus, queries, k=5, dim=dim, edges=edges, n_entry=64, beam=16, rounds=4
+        corpus, queries, k=5, dim=dim, edges=edges, cvec=cvec,
+        n_entry=64, beam=16, rounds=4,
     )
     return [(
-        "nsw_1m beam search (1M-edge pinned index, 100 queries, 4 rounds)",
+        "nsw_1m beam search (1M-edge + 62.5k-vector pinned silvers, 100 queries, 4 rounds)",
         n_nodes * m,
+        timed(lambda: force(out)),
+    )]
+
+
+def probe_langid(spark) -> list[tuple[str, int, float]]:
+    """Trained hashed-trigram NB language ID at 100k documents (~20
+    hash-derived words each, 4 synthetic languages) — prices the full
+    train+score pass: one gram-count aggregate to the |langs|×256
+    broadcast profile, then the gram→bucket scoring join fans each gram
+    occurrence out |langs|× into a map-side partial agg, and the argmax
+    window runs on |docs|×|langs| narrow rows. The gram explode is the
+    dominant term and is corpus-linear; the profile stays KB-sized at
+    any corpus (the model, not the data, is the broadcast side)."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import langid_ngram
+
+    n_docs = 100_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 19), w -> "
+            "conv(pmod(xxhash64(id, w, id % 4), 1679615), 10, 36)))"
+        ).alias("text"),
+        F.expr("element_at(array('aa','bb','cc','dd'), cast(id % 4 as int) + 1)").alias("lang"),
+    )
+    out = langid_ngram(docs)
+    return [(
+        "langid_100k train+score (hashed-trigram NB, 4 langs, 256 buckets)",
+        n_docs,
         timed(lambda: force(out)),
     )]
 
@@ -979,7 +1016,7 @@ def main() -> None:
                   probe_kcore, probe_bm25, probe_cc, probe_hits, probe_bigram,
                   probe_substring, probe_mmr, probe_phash, probe_landmark,
                   probe_modularity, probe_ks, probe_dimcov, probe_quant_scan,
-                  probe_nsw, probe_video_phash):
+                  probe_nsw, probe_video_phash, probe_langid):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
