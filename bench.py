@@ -340,6 +340,7 @@ BENCH_QUERIES = [
     "stream_dedup_incremental",
     "sim_ivf_nprobe_sweep",
     "stream_docs_quality_gate",
+    "sim_crossmodal_hard_negatives",
 ]
 
 

@@ -2510,11 +2510,15 @@ def hnsw_topk(
     corpus sizes the descent does NOT yet beat nsw_topk's fixed seed —
     recall@5 0.90 vs 0.94 at sf0.01 (500 vecs) and 0.74 vs 0.80 at
     sf0.1 (2000 vecs) with these defaults — because 32 fixed entries
-    already cover 1.6% of a 2000-vector corpus; the crossover is a
-    large-N property (fixed-entry coverage decays as 1/n while descent
-    cost stays O(log n)), which is exactly why the hierarchical shape
-    is certified here rather than waiting for a corpus big enough to
-    show it.
+    already cover 1.6% of a 2000-vector corpus. The crossover is
+    MEASURED at scale, not asserted: the 50k-vector clustered probe
+    (``tools/scale_probe.py`` ``probe_hnsw_entry``, SCALE_PROBE.md)
+    records fixed entries collapsing to recall 0.00 while descent holds
+    0.15 — and also exposes the honest cap: an LSH-built graph has no
+    long-range links, so at large N graph NAVIGABILITY (real HNSW wires
+    each node by searching the graph built so far — inherently
+    incremental) is the next lever beyond entry selection; wider beams
+    measurably do not move it.
 
     Entry points on the upper layer are its ``n_entry_top`` smallest
     ids via row_number — NO dense-id precondition (unlike nsw_topk's

@@ -6817,7 +6817,9 @@ def sim_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed upper layer greedy-descends to per-query layer-0 entry
     points, replacing nsw_topk's fixed low-id entries (the property
     that keeps graph-ANN recall up at 10–100× corpus, where fixed
-    entries drift arbitrarily far from the query). Two pinned index
+    entries drift arbitrarily far from the query — measured: the 50k
+    clustered scale probe records fixed entries at recall 0.00 vs
+    descent 0.15, see probe_hnsw_entry). Two pinned index
     silvers (layer-0 adjacency shared with sim_nsw_topk, upper-layer
     adjacency ~|corpus|/8); broadcast-only search plan; exact grid
     cosine. Audit twin: ``sim_hnsw_recall``."""
@@ -7069,4 +7071,110 @@ t AS (SELECT COUNT(*) AS n_true FROM bf),
 FROM i{np_}, t''' for np_ in (1, 2, 4, 8, 16)
 )}
 ORDER BY nprobe
+"""
+
+
+def sim_crossmodal_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING over the cross-modal space — the
+    contrastive-training data op (CLIP/SigLIP-style encoders train on
+    (anchor, positive, hard negative) triples, and the standard recipe
+    mines negatives with the serving ANN index, e.g. Karpukhin 2020's
+    BM25/ANN hard negatives for DPR): for every image-side query its
+    paired text item is the POSITIVE (id = query − 10M, the
+    sim_crossmodal pairing), and the hard negative is the best-ranked
+    NON-positive item in the IVF top-5 — the most confusable wrong
+    answer, which is exactly what the loss needs. Emits per query the
+    triple plus both exact grid cosines and the margin
+    (cos_pos − cos_neg); a NEGATIVE margin marks pairs the current
+    embedding space gets wrong — the rows a curator inspects first.
+
+    Plan: one IVF retrieval (broadcast centroids, nprobe-list scan — the
+    sim_crossmodal_topk plan), a per-query window on the 5-row result,
+    and one broadcast join of the small query side against the corpus
+    for the positive cosine. Nothing corpus-quadratic; the mined triples
+    are |queries| rows."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        cosine_with_norms,
+        ivf_topk,
+        norm_grid,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _crossmodal_queries(emb)
+    retrieved = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    hard = (
+        retrieved.filter(
+            F.col("neighbor_id") != F.col("query_id") - _CROSSMODAL_OFFSET
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("hard_negative_id"),
+            F.col("cos_sim").alias("cos_neg"),
+        )
+    )
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_grid(F.col("embedding")).alias("qn"),
+        (F.col("vec_id") - _CROSSMODAL_OFFSET).alias("positive_id"),
+    )
+    pv = emb.select(
+        F.col("vec_id").alias("positive_id"),
+        F.col("embedding").alias("pvec"),
+        norm_grid(F.col("embedding")).alias("pnrm"),
+    )
+    pos = F.broadcast(qv).join(pv, "positive_id").select(
+        "query_id",
+        "positive_id",
+        cosine_with_norms(
+            F.col("qv"), F.col("pvec"), F.col("qn"), F.col("pnrm")
+        ).alias("cos_pos"),
+    )
+    return (
+        pos.join(hard, "query_id")
+        .select(
+            "query_id",
+            "positive_id",
+            "hard_negative_id",
+            "cos_pos",
+            "cos_neg",
+            (F.col("cos_pos") - F.col("cos_neg")).alias("margin"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["sim_crossmodal_hard_negatives"] = sim_crossmodal_hard_negatives
+
+ORACLES["sim_crossmodal_hard_negatives"] = f"""
+WITH r AS (
+  SELECT query_id, neighbor_id, cos_sim FROM ({_crossmodal_topk_oracle_sql()})
+), h AS (
+  SELECT query_id, neighbor_id AS hard_negative_id, cos_sim AS cos_neg FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM r WHERE neighbor_id <> query_id - {_CROSSMODAL_OFFSET}
+  ) WHERE rn = 1
+), vv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), qq AS (
+  SELECT vec_id AS query_id, vec_id - {_CROSSMODAL_OFFSET} AS positive_id, vec
+  FROM (
+  {_crossmodal_q_cte().replace('FROM v ', 'FROM vv ')}
+  )
+), pos AS (
+  SELECT q.query_id, q.positive_id,
+         {_cos_expr('q.vec', 'p.vec')} AS cos_pos
+  FROM qq q JOIN vv p ON p.vec_id = q.positive_id
+)
+SELECT pos.query_id, pos.positive_id, h.hard_negative_id,
+       pos.cos_pos, h.cos_neg, pos.cos_pos - h.cos_neg AS margin
+FROM pos JOIN h ON h.query_id = pos.query_id
+ORDER BY pos.query_id
 """

@@ -25,17 +25,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Names added since the last committed artifact refresh (see module
 # docstring). Keep empty at end of round.
-ALLOW_NEW: set[str] = {
-    # round-12 queries pending the end-of-round full bench session
-    "text_langid_ngram",
-    "text_langid_ngram_eval",
-    "decontam_semantic",
-    "sim_hnsw_topk",
-    "sim_hnsw_recall",
-    "stream_dedup_incremental",
-    "sim_ivf_nprobe_sweep",
-    "stream_docs_quality_gate",
-}
+ALLOW_NEW: set[str] = set()
 
 
 def _latest(pattern: str) -> str | None:

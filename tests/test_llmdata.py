@@ -2396,3 +2396,42 @@ def test_hnsw_topk_raises_on_empty_upper_layer(spark):
     assert members == 0
     with pytest.raises(ValueError, match="empty upper layer"):
         hnsw_topk(df, df.filter("vec_id < 2"), k=2, dim=4, layer_mod=big_mod)
+
+
+def test_ivf_nprobe_sweep_monotone_with_exactness_anchor(spark):
+    """The tuning curve must be non-decreasing in nprobe, and the
+    nprobe = n_centroids row probes every inverted list — a full scan —
+    so its recall is 1.0 BY CONSTRUCTION (the sweep's built-in
+    exactness anchor; an anchor below 1.0 means the index or the audit
+    broke, not the parameter)."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        sim_ivf_nprobe_sweep,
+    )
+
+    rows = sorted(
+        sim_ivf_nprobe_sweep(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8, 16]
+    recalls = [r.recall_at_k for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0
+
+
+def test_crossmodal_hard_negatives_properties(spark):
+    """Mined triples must satisfy the contract: one row per query, the
+    hard negative is never the positive, cos values are exact grid
+    cosines from the retrieval, and margin == cos_pos − cos_neg."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        sim_crossmodal_hard_negatives,
+    )
+
+    rows = sim_crossmodal_hard_negatives(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    assert len({r.query_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.hard_negative_id != r.positive_id
+        assert r.positive_id == r.query_id - 10_000_000
+        assert r.margin == r.cos_pos - r.cos_neg
