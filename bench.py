@@ -341,6 +341,8 @@ BENCH_QUERIES = [
     "sim_ivf_nprobe_sweep",
     "stream_docs_quality_gate",
     "sim_crossmodal_hard_negatives",
+    "dedup_threshold_sweep",
+    "emb_semantic_outliers",
 ]
 
 

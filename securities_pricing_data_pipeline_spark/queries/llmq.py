@@ -7178,3 +7178,140 @@ SELECT pos.query_id, pos.positive_id, h.hard_negative_id,
 FROM pos JOIN h ON h.query_id = pos.query_id
 ORDER BY pos.query_id
 """
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup TUNING CURVE — the near-dup companion of
+    sim_ivf_nprobe_sweep: pair count and affected-document count at
+    est-Jaccard thresholds 0.5 → 0.9 in one result, the table a curator
+    reads to pick the dedup aggressiveness before a corpus-shrink pass
+    (too low deletes paraphrases, too high leaves templates; every
+    production dedup run sweeps this before committing). One pass: the
+    pinned pair silver (threshold 0.5, the loosest row) is filtered
+    upward — est_jaccard values are exact k/64 grid points, so the
+    comparisons are engine-stable — and each threshold contributes a
+    1-row aggregate; nothing re-pairs."""
+    pairs = _lsh_pairs(spark, sf_dir)
+    parts = []
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9):
+        f = pairs.filter(F.col("est_jaccard") >= t)
+        docs = f.select(F.col("id_a").alias("d")).unionByName(
+            f.select(F.col("id_b").alias("d"))
+        )
+        parts.append(
+            f.agg(F.count("*").alias("n_pairs"))
+            .crossJoin(
+                F.broadcast(
+                    docs.agg(F.count_distinct("d").alias("n_docs_affected"))
+                )
+            )
+            .select(
+                F.lit(float(t)).alias("threshold"), "n_pairs", "n_docs_affected"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("threshold")
+
+
+QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
+
+ORACLES["dedup_threshold_sweep"] = f"""
+WITH p AS (SELECT id_a, id_b, est_jaccard FROM ({_minhash_oracle_sql()}))
+{" UNION ALL ".join(
+    f'''SELECT CAST({t} AS DOUBLE) AS threshold,
+       (SELECT COUNT(*) FROM p WHERE est_jaccard >= {t}) AS n_pairs,
+       (SELECT COUNT(DISTINCT d) FROM (
+          SELECT id_a AS d FROM p WHERE est_jaccard >= {t}
+          UNION ALL SELECT id_b FROM p WHERE est_jaccard >= {t}
+        )) AS n_docs_affected'''
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9)
+)}
+ORDER BY threshold
+"""
+
+
+def emb_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic OUTLIER report — the prune-the-noise complement of
+    SemDeDup's prune-the-duplicates (the same paper's other lever:
+    points far from every cluster are OCR garbage, wrong-modality
+    embeds, or adversarial junk — curators drop the tail): every vector
+    takes the shared nearest-centroid assignment, its exact grid cosine
+    TO ITS OWN centroid is its typicality score, and each cluster
+    reports its 3 most-outlying members by (cos ASC, id ASC) — a
+    rank-based cut, deterministic and threshold-free (a float quantile
+    threshold would be engine-fragile; the per-cluster bottom-k is
+    what a triage queue wants anyway). Plan: the two-phase assignment
+    kernel + one broadcast centroid join + a per-cluster window on
+    narrow rows."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        cosine_with_norms,
+        nearest_centroid,
+        norm_grid,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_vec"),
+        norm_grid(F.col("embedding")).alias("cent_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm_grid(F.col("embedding")).alias("norm"),
+    )
+    scored = (
+        nearest_centroid(c, cents)
+        .join(c, "id")
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            "centroid_id",
+            F.col("id").alias("vec_id"),
+            cosine_with_norms(
+                F.col("vec"), F.col("cent_vec"), F.col("norm"), F.col("cent_norm")
+            ).alias("cos_to_centroid"),
+        )
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.asc("cos_to_centroid"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("outlier_rank") <= 3)
+        .orderBy("centroid_id", "outlier_rank")
+    )
+
+
+QUERIES["emb_semantic_outliers"] = emb_semantic_outliers
+
+ORACLES["emb_semantic_outliers"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < 16
+), assigned AS (
+  SELECT id, centroid_id FROM (
+    SELECT t.vec_id AS id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_cos_expr('t.vec', 'c.cvec')} DESC,
+                                       c.centroid_id) AS rn
+    FROM v t, cent c
+  ) WHERE rn = 1
+), scored AS (
+  SELECT a.centroid_id, a.id AS vec_id,
+         {_cos_expr('t.vec', 'c.cvec')} AS cos_to_centroid
+  FROM assigned a
+  JOIN v t ON t.vec_id = a.id
+  JOIN cent c ON c.centroid_id = a.centroid_id
+)
+SELECT centroid_id, vec_id, cos_to_centroid, CAST(outlier_rank AS INT) AS outlier_rank
+FROM (
+  SELECT centroid_id, vec_id, cos_to_centroid,
+         ROW_NUMBER() OVER (PARTITION BY centroid_id
+                            ORDER BY cos_to_centroid ASC, vec_id) AS outlier_rank
+  FROM scored
+) WHERE outlier_rank <= 3
+ORDER BY centroid_id, outlier_rank
+"""

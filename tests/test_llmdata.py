@@ -2435,3 +2435,25 @@ def test_crossmodal_hard_negatives_properties(spark):
         assert r.hard_negative_id != r.positive_id
         assert r.positive_id == r.query_id - 10_000_000
         assert r.margin == r.cos_pos - r.cos_neg
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    """Raising the threshold can only shrink the pair set: n_pairs and
+    n_docs_affected must be non-increasing in threshold, and the 0.5 row
+    must equal the pinned pair silver's full size (the sweep filters the
+    loosest table, it never re-pairs)."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        _lsh_pairs,
+        dedup_threshold_sweep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        dedup_threshold_sweep(spark, sf).collect(), key=lambda r: r.threshold
+    )
+    assert [r.threshold for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    pairs = [r.n_pairs for r in rows]
+    docs = [r.n_docs_affected for r in rows]
+    assert all(a >= b for a, b in zip(pairs, pairs[1:]))
+    assert all(a >= b for a, b in zip(docs, docs[1:]))
+    assert pairs[0] == _lsh_pairs(spark, sf).count()
