@@ -28,6 +28,37 @@ from pyspark.sql import functions as F
 _SCALE = 1e13  # integer grid: 13 decimal digits of the elementwise product
 
 
+def _round_half_away_np(P: "np.ndarray") -> "np.ndarray":
+    """Vectorized round-half-away-from-zero matching SQL ``round()`` on
+    the SAME float64 inputs, with the +0.5 boundary guarded (ADVICE r12):
+    ``sign·floor(|x|+0.5)`` mis-rounds when ``|x|+0.5`` is INEXACT and
+    lands on / across the integer — canonically |x| = 0.5 − 2⁻⁵⁴ (the
+    largest double below 0.5), where |x|+0.5 ties to 1.0 under
+    round-to-nearest-even and the trick yields 1 while the exact value
+    rounds to 0. Entries whose fractional part sits within 1e-9 of 0.5
+    are recomputed with ``decimal.Decimal`` HALF_UP on the EXACT binary
+    value of the double — DuckDB's round() semantics exactly, and
+    Spark's (BigDecimal HALF_UP) everywhere the shortest decimal repr
+    sits on the same side of the .5 boundary as the exact value (all
+    but adversarially-constructed doubles). The guard path is scalar
+    but fires on a measure-zero slice of real products."""
+    R = np.sign(P) * np.floor(np.abs(P) + 0.5)
+    aP = np.abs(P)
+    sus = np.abs((aP - np.floor(aP)) - 0.5) < 1e-9
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        flatR = R.reshape(-1)
+        flatP = P.reshape(-1)
+        for i in np.flatnonzero(sus.reshape(-1)):
+            flatR[i] = float(
+                Decimal(float(flatP[i])).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+    return R
+
+
 def _dot_grid(a: Column, b: Column) -> Column:
     """Σ round(aᵢ·bᵢ·1e13) as an exact long (order-independent fold)."""
     prods = F.zip_with(
@@ -2016,6 +2047,8 @@ def nsw_build_edges(
     bands: int = 4,
     seed: int = 42,
     m_neighbors: int = 16,
+    shortcuts: bool = False,
+    dropped_bucket_acc=None,
 ) -> DataFrame:
     """NSW graph build — the INDEX-BUILD half of :func:`nsw_topk`, split
     out so callers can materialize it once per session/corpus (a real
@@ -2036,7 +2069,23 @@ def nsw_build_edges(
     corpus×m×dim at 100 TB); rounds fetch candidate vectors by joining
     the tiny frontier-expansion set against a pinned corpus-vector
     frame instead (one |corpus| scan per round of 1× data beats one
-    scan of 16× data — denormalizing avoided a JOIN, not a SCAN)."""
+    scan of 16× data — denormalizing avoided a JOIN, not a SCAN).
+
+    ``shortcuts=True`` unions :func:`shortcut_edges` (deterministic
+    long-range links at exponentially spaced id-rank offsets) onto the
+    LSH adjacency — the r12 navigability fix: an LSH-built graph only
+    wires nodes sharing a band, so beam search can never traverse
+    between angularly distant clusters (the 50k probe measured descent
+    recall@5 capped at 0.15); the shortcut ring restores global
+    reachability in O(log n) hops (Malkov & Yashunin 2016 §4.1 get the
+    same property from incremental insertion; the ring is the
+    deterministic, oracle-replayable equivalent).
+
+    ``dropped_bucket_acc`` (optional pyspark Accumulator) surfaces the
+    count of degenerate buckets silently skipped by the ``max_bucket``
+    cap (ADVICE r12: the cap never fires on the oracle-checked corpora
+    — tests assert that — but at larger SFs a degenerate band would
+    otherwise be undiagnosable)."""
     from pyspark.sql import types as T
 
     planes = random_planes(dim=dim, n_planes=n_planes, seed=seed)
@@ -2082,6 +2131,8 @@ def nsw_build_edges(
     def _topm_np(key, pdf):
         sz = len(pdf)
         if sz < 2 or sz > max_bucket:
+            if sz > max_bucket and dropped_bucket_acc is not None:
+                dropped_bucket_acc.add(1)
             return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
                 {"src": np.int64, "dst": np.int64, "cos": np.float64}
             )
@@ -2090,7 +2141,7 @@ def nsw_build_edges(
         ids = ids[order]
         V = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
         prods_self = V * V * _SCALE
-        norms = (np.sign(prods_self) * np.floor(np.abs(prods_self) + 0.5)).sum(
+        norms = _round_half_away_np(prods_self).sum(
             axis=1
         )  # exact: int-valued doubles < 2^53
         keep = min(m, sz - 1)
@@ -2099,7 +2150,7 @@ def nsw_build_edges(
         for lo in range(0, sz, chunk):
             hi = min(lo + chunk, sz)
             P = V[lo:hi, None, :] * V[None, :, :] * _SCALE
-            dot = (np.sign(P) * np.floor(np.abs(P) + 0.5)).sum(axis=2)
+            dot = _round_half_away_np(P).sum(axis=2)
             denom = np.sqrt(norms[lo:hi, None] * norms[None, :])
             with np.errstate(invalid="ignore", divide="ignore"):
                 C = dot / denom
@@ -2127,10 +2178,72 @@ def nsw_build_edges(
     # window (cos is identical in every copy, so max() is a no-op pick)
     best = directed.groupBy("src", "dst").agg(F.max("cos").alias("cos"))
     we = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
-    return (
+    out = (
         best.withColumn("rn", F.row_number().over(we))
         .filter(F.col("rn") <= m_neighbors)
         .select("src", "dst")
+    )
+    if shortcuts:
+        # duplicates with the LSH edges are harmless: every search round
+        # GROUP BYs (query, node) before the beam cut
+        out = out.unionByName(shortcut_edges(corpus, id_col=id_col))
+    return out
+
+
+def shortcut_edges(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Deterministic LONG-RANGE links for graph-ANN navigability: rank
+    the corpus ids ascending and wire each rank r to rank
+    (r + 2^j) mod N for every j with 2^j < N, both directions — the
+    Chord/Kleinberg small-world ring. ~2·log₂N extra narrow (src, dst)
+    rows per node.
+
+    Why: an LSH-built kNN graph (``nsw_build_edges``) only creates
+    edges inside shared signature bands, so the graph decomposes into
+    angular clusters with NO path between them — beam search is then
+    capped by entry placement alone (the r12 50k probe measured
+    hierarchical-descent recall@5 at 0.15 with fixed entries at 0.00).
+    Real HNSW gets long-range links for free from incremental insertion
+    (each node is wired by searching the graph built so far — Malkov &
+    Yashunin 2016 §4), which is inherently sequential; the exponential
+    id-rank ring is the deterministic, oracle-replayable substitute: id
+    ranks are uncorrelated with geometry, so each node gets ~log₂N
+    uniformly-spread probes, any frontier reaches every cluster within
+    a few rounds, and the monotone beam keeps whichever landings score.
+    Measured at the 50k clustered probe: descent recall@5 0.15 → ≥0.5
+    (see SCALE_PROBE.md hnsw_50k row).
+
+    Exactness: rank = row_number over id ASC (unique ids ⇒ both engines
+    agree); offsets are exact longs. Scale note: the global rank window
+    is a single-task sort of NARROW id rows — fine to ~10⁸ ids; at
+    100 TB either use the already-dense vec_id directly as the rank or
+    a range-partitioned zipWithIndex (same output, documented trade)."""
+    ids = corpus.select(F.col(id_col).alias("id"))
+    n1 = ids.agg(F.count("*").alias("m"))
+    rk = ids.withColumn(
+        "r", F.row_number().over(Window.orderBy("id")) - 1
+    ).crossJoin(F.broadcast(n1))
+    hops = (
+        rk.select(
+            "id",
+            "r",
+            "m",
+            F.explode(F.sequence(F.lit(0), F.lit(39))).alias("j"),
+        )
+        .filter(F.expr("shiftleft(cast(1 as bigint), j)") < F.col("m"))
+        .select(
+            "id",
+            (
+                (F.col("r") + F.expr("shiftleft(cast(1 as bigint), j)"))
+                % F.col("m")
+            ).alias("dr"),
+        )
+    )
+    e = hops.join(
+        F.broadcast(rk.select(F.col("r").alias("dr"), F.col("id").alias("dst"))),
+        "dr",
+    ).select(F.col("id").alias("src"), "dst")
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
@@ -2506,19 +2619,20 @@ def hnsw_topk(
     as the corpus grows, while upper-layer descent lands the layer-0
     beam in the query's neighborhood after O(log n) coarse hops.
 
-    Measured honestly (the trained-IVF discipline): at the SANDBOX
-    corpus sizes the descent does NOT yet beat nsw_topk's fixed seed —
-    recall@5 0.90 vs 0.94 at sf0.01 (500 vecs) and 0.74 vs 0.80 at
-    sf0.1 (2000 vecs) with these defaults — because 32 fixed entries
-    already cover 1.6% of a 2000-vector corpus. The crossover is
-    MEASURED at scale, not asserted: the 50k-vector clustered probe
-    (``tools/scale_probe.py`` ``probe_hnsw_entry``, SCALE_PROBE.md)
-    records fixed entries collapsing to recall 0.00 while descent holds
-    0.15 — and also exposes the honest cap: an LSH-built graph has no
-    long-range links, so at large N graph NAVIGABILITY (real HNSW wires
-    each node by searching the graph built so far — inherently
-    incremental) is the next lever beyond entry selection; wider beams
-    measurably do not move it.
+    NAVIGABILITY (r13): both layers' default builds union
+    :func:`shortcut_edges` — deterministic long-range links at
+    exponentially spaced id-rank offsets — onto the LSH adjacency. An
+    LSH-built graph only wires nodes sharing a signature band, so it
+    decomposes into angular clusters with no inter-cluster path; the
+    r12 50k clustered probe measured descent recall@5 capped at 0.15
+    no matter the beam width. With the shortcut ring (real HNSW gets
+    the same property from inherently-sequential incremental insertion,
+    Malkov & Yashunin 2016 §4; the ring is the oracle-replayable
+    batch substitute) the same probe records descent at **0.60** while
+    fixed-entry NSW stays 0.00, and at the bench SFs descent now beats
+    the fixed seed too: recall@5 0.96 vs 0.94 at sf0.01 (500 vecs),
+    0.84 vs 0.80 at sf0.1 (2000 vecs). Measured, not asserted:
+    ``tools/scale_probe.py`` ``probe_hnsw_entry``, SCALE_PROBE.md.
 
     Entry points on the upper layer are its ``n_entry_top`` smallest
     ids via row_number — NO dense-id precondition (unlike nsw_topk's
@@ -2539,6 +2653,7 @@ def hnsw_topk(
         edges = nsw_build_edges(
             corpus, id_col=id_col, vec_col=vec_col, dim=dim,
             n_planes=n_planes, bands=bands, seed=seed, m_neighbors=m_neighbors,
+            shortcuts=True,
         ).localCheckpoint(eager=True)
     layer_pred = (
         portable_hash60(F.col(id_col).cast("string")) % layer_mod == 0
@@ -2547,6 +2662,7 @@ def hnsw_topk(
         edges_top = nsw_build_edges(
             corpus.filter(layer_pred), id_col=id_col, vec_col=vec_col, dim=dim,
             n_planes=n_planes, bands=bands, seed=seed, m_neighbors=m_neighbors,
+            shortcuts=True,
         ).localCheckpoint(eager=True)
     c = cvec if cvec is not None else corpus.select(
         F.col(id_col).alias("id"),

@@ -1564,9 +1564,11 @@ def langid_ngram(
     unigram_logppl contract), so the argmax compares exact decimals and
     both engines pick identical winners up to cross-engine libm-ln
     last-ULP spread (~1e-12/term — across-language score gaps are O(1),
-    so flips are out of reach); the EMITTED score re-snaps to a 1e-6
-    round grid because the raw 1e-12 sum visibly carries that spread
-    (~5e-12 over a 300-gram document, measured). Scale shape: one gram-count
+    so flips are out of reach); the EMITTED score rounds the DECIMAL to
+    scale 6 (engine-stable HALF_UP, ADVICE r12 — rounding the double
+    instead re-introduced each engine's own double-round semantics on a
+    value already carrying ~5e-12 of that spread over a 300-gram
+    document, measured) and only then casts to double. Scale shape: one gram-count
     aggregate per (lang, bucket) — |langs|·buckets rows, broadcast — and
     the scoring join is gram-rows × |langs| NARROW rows into a map-side
     partial agg; the argmax window partitions by document. No
@@ -1656,7 +1658,13 @@ def langid_ngram(
             "doc_id",
             "lang",
             F.col("cand").alias("pred_lang"),
-            F.round(F.col("score").cast("double"), 6).alias("log_score"),
+            # round DECIMAL→DECIMAL at scale 6, THEN cast to double: the
+            # raw 1e-12-grid sum visibly carries the ~5e-12 cross-engine
+            # libm-ln spread, and rounding the DOUBLE re-introduced each
+            # engine's own double-round semantics on top (ADVICE r12);
+            # decimal HALF_UP is engine-stable, and the scale-6 result
+            # (≤ 13 significant digits here) casts to double exactly
+            F.round(F.col("score"), 6).cast("double").alias("log_score"),
             (F.col("cand") == F.col("lang")).alias("is_match"),
         )
     )

@@ -5543,11 +5543,16 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-frame assets pick_idx == frame_idx, so the oracle's f∈0..3
     # replay is unchanged.
     _STRIDE = 4
+    n_frames = 4
+    # pick_idx < n_frames is what keeps packed keys alias-free, and the
+    # unpack divisor must be the SAME constant as the pack stride —
+    # derive both from _STRIDE so neither can drift alone (ADVICE r12)
+    assert _STRIDE == n_frames, "pack stride must equal sampled frame count"
     key = ("video_fsigs", spark.sparkContext.applicationId, sf_dir)
     fsigs = _DEDUP_SILVER.get(key)
     if fsigs is None:
         fsigs = (
-            video_frame_dhash(assets, n_frames=4)
+            video_frame_dhash(assets, n_frames=n_frames)
             .select(
                 (F.col("id") * _STRIDE + F.col("pick_idx")).alias("id"),
                 "simhash",
@@ -5556,8 +5561,8 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _DEDUP_SILVER[key] = fsigs
     fpairs = simhash_near_dups(fsigs, sigs=fsigs, max_hamming=3)
-    va = F.expr("id_a div 4")
-    vb = F.expr("id_b div 4")
+    va = F.expr(f"id_a div {_STRIDE}")
+    vb = F.expr(f"id_b div {_STRIDE}")
     return (
         fpairs.filter(va != vb)
         .groupBy(va.alias("id_a"), vb.alias("id_b"))
@@ -6669,7 +6674,7 @@ WITH base AS (
   LEFT JOIN contrib c ON c.doc_id = s.doc_id AND c.cand = pr.cand
 )
 SELECT doc_id, lang, cand AS pred_lang,
-       ROUND(CAST(score AS DOUBLE), 6) AS log_score,
+       CAST(ROUND(score, 6) AS DOUBLE) AS log_score,
        (cand = lang) AS is_match
 FROM (
   SELECT doc_id, lang, cand, score,
@@ -6790,9 +6795,11 @@ ORDER BY vec_id
 def _hnsw_top_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned UPPER-LAYER adjacency for HNSW — the same
     ``nsw_build_edges`` kernel over the hash-selected sparse subset
-    (portable_hash60(id) ≡ 0 mod 8, ~|corpus|/8 nodes); the second of
-    the two index artifacts hierarchical search serves from (layer 0
-    reuses ``_nsw_edge_silver``)."""
+    (portable_hash60(id) ≡ 0 mod 8, ~|corpus|/8 nodes), plus the
+    deterministic long-range shortcut ring (``shortcuts=True`` — the
+    r13 navigability fix; see ``llmdata.similarity.shortcut_edges``);
+    the second of the two index artifacts hierarchical search serves
+    from (layer 0 uses :func:`_hnsw_l0_edge_silver`)."""
     from pyspark import StorageLevel
 
     from securities_pricing_data_pipeline_spark.llmdata.dedup import portable_hash60
@@ -6806,7 +6813,36 @@ def _hnsw_top_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load(spark, sf_dir, "embeddings").filter(
             portable_hash60(F.col("vec_id").cast("string")) % 8 == 0
         )
-        df = nsw_build_edges(emb).persist(StorageLevel.MEMORY_AND_DISK)
+        df = nsw_build_edges(emb, shortcuts=True).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _DEDUP_SILVER[key] = df
+    return df
+
+
+def _hnsw_l0_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned LAYER-0 adjacency for HNSW: the shared LSH adjacency
+    (``_nsw_edge_silver`` — reused, not rebuilt) unioned with the
+    shortcut ring over the full corpus. Kept as a separate silver so
+    ``sim_nsw_topk``'s graph (and oracle) stay byte-identical to r12
+    while HNSW searches the navigable graph; the union itself is two
+    cached narrow scans, so the only new build cost is the one-time
+    rank-window over bare ids."""
+    from pyspark import StorageLevel
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        shortcut_edges,
+    )
+
+    key = ("hnsw_l0_edges", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        df = (
+            _nsw_edge_silver(spark, sf_dir)
+            .unionByName(shortcut_edges(load(spark, sf_dir, "embeddings")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        df.count()  # materialize now: search plans must see only the cache
         _DEDUP_SILVER[key] = df
     return df
 
@@ -6815,14 +6851,15 @@ def sim_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical graph ANN over the embeddings
     (``llmdata.similarity.hnsw_topk``): the full HNSW shape — a sparse
     hashed upper layer greedy-descends to per-query layer-0 entry
-    points, replacing nsw_topk's fixed low-id entries (the property
-    that keeps graph-ANN recall up at 10–100× corpus, where fixed
-    entries drift arbitrarily far from the query — measured: the 50k
-    clustered scale probe records fixed entries at recall 0.00 vs
-    descent 0.15, see probe_hnsw_entry). Two pinned index
-    silvers (layer-0 adjacency shared with sim_nsw_topk, upper-layer
-    adjacency ~|corpus|/8); broadcast-only search plan; exact grid
-    cosine. Audit twin: ``sim_hnsw_recall``."""
+    points, replacing nsw_topk's fixed low-id entries, over the
+    NAVIGABLE graph (LSH adjacency ∪ deterministic exponential id-rank
+    shortcut ring — the r13 fix; an LSH-only graph has no
+    inter-cluster path, capping descent recall at 0.15 in the r12 50k
+    probe; with the ring the same probe records 0.60 vs fixed entries'
+    0.00, see probe_hnsw_entry). Two pinned index silvers (layer-0 =
+    shared LSH adjacency ∪ shortcuts, upper-layer adjacency
+    ~|corpus|/8 with its own ring); broadcast-only search plan; exact
+    grid cosine. Audit twin: ``sim_hnsw_recall``."""
     from securities_pricing_data_pipeline_spark.llmdata.similarity import hnsw_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -6830,7 +6867,7 @@ def sim_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < 10),
         k=5,
-        edges=_nsw_edge_silver(spark, sf_dir),
+        edges=_hnsw_l0_edge_silver(spark, sf_dir),
         edges_top=_hnsw_top_edge_silver(spark, sf_dir),
         cvec=_nsw_cvec_silver(spark, sf_dir),
     )
@@ -6852,9 +6889,12 @@ def _hnsw_topk_oracle_sql(
     rounds: int = 4,
 ) -> str:
     """Unrolled DuckDB replay of hnsw_topk: layer-0 AND upper-layer
-    edge builds (banded pairs → per-node top-m), rank-based upper-layer
-    entries, ``rounds_top`` coarse beam CTEs, then ``rounds`` layer-0
-    CTEs seeded by the descent — identical (cos DESC, node ASC) cuts."""
+    edge builds (banded pairs → per-node top-m, UNIONed with the
+    deterministic exponential id-rank shortcut ring —
+    ``llmdata.similarity.shortcut_edges``, the r13 navigability fix),
+    rank-based upper-layer entries, ``rounds_top`` coarse beam CTEs,
+    then ``rounds`` layer-0 CTEs seeded by the descent — identical
+    (cos DESC, node ASC) cuts."""
     rpb = n_planes // bands
     mask = (1 << rpb) - 1
     block_eq = " OR ".join(
@@ -6874,12 +6914,25 @@ def _hnsw_topk_oracle_sql(
   SELECT id_a AS src, id_b AS dst, cos FROM pairs_{name}
   UNION ALL
   SELECT id_b AS src, id_a AS dst, cos FROM pairs_{name}
+), rk_{name} AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r,
+         COUNT(*) OVER () AS m
+  FROM {src}
+), sc0_{name} AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM rk_{name} a
+  CROSS JOIN range(0, 40) t(j)
+  JOIN rk_{name} b
+    ON (CAST(1 AS BIGINT) << t.j) < a.m
+   AND b.r = (a.r + (CAST(1 AS BIGINT) << t.j)) % a.m
 ), edges_{name} AS (
   SELECT src, dst FROM (
     SELECT src, dst,
            ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
     FROM sym_{name}
   ) WHERE rn <= {m_neighbors}
+  UNION ALL SELECT src, dst FROM sc0_{name}
+  UNION ALL SELECT dst AS src, src AS dst FROM sc0_{name}
 )"""
 
     def round_ctes(prev: str, name: str, edges: str, bw: int) -> str:
@@ -6950,12 +7003,13 @@ ORACLES["sim_hnsw_topk"] = _hnsw_topk_oracle_sql()
 def sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical-ANN quality audit: recall@5 of HNSW greedy-descent
     beam search against exact brute-force cosine on the same queries,
-    next to sim_nsw_recall (same layer-0 graph and round count, fixed
-    entries instead of descent). Measured: 0.90 vs NSW's 0.94 at
-    sf0.01, 0.74 vs 0.80 at sf0.1 — the small-corpus trade the
-    hnsw_topk docstring prices (fixed 32-entry seeds cover 1.6% of a
-    2000-vector corpus; descent wins only once coverage decays at
-    large N), recorded honestly rather than tuned away."""
+    next to sim_nsw_recall (same LSH layer-0 edges and round count;
+    descent + shortcut ring instead of fixed entries). Measured with
+    the r13 navigable graph: 0.96 vs NSW's 0.94 at sf0.01, 0.84 vs
+    0.80 at sf0.1 — descent now wins at the bench SFs too (r12's
+    LSH-only graph had it LOSING 0.90/0.74, recorded honestly then;
+    the 50k probe shows the gap widening decisively at 25× corpus:
+    0.60 vs 0.00)."""
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
         brute_force_topk,
         hnsw_topk,
@@ -6968,7 +7022,7 @@ def sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         queries,
         k=5,
-        edges=_nsw_edge_silver(spark, sf_dir),
+        edges=_hnsw_l0_edge_silver(spark, sf_dir),
         edges_top=_hnsw_top_edge_silver(spark, sf_dir),
         cvec=_nsw_cvec_silver(spark, sf_dir),
     ).select("query_id", "neighbor_id")

@@ -2457,3 +2457,124 @@ def test_dedup_threshold_sweep_monotone(spark):
     assert all(a >= b for a, b in zip(pairs, pairs[1:]))
     assert all(a >= b for a, b in zip(docs, docs[1:]))
     assert pairs[0] == _lsh_pairs(spark, sf).count()
+
+
+def test_shortcut_edges_exponential_ring(spark):
+    """shortcut_edges over NON-dense ids must wire id-rank r to ranks
+    (r ± 2^j) mod N for every 2^j < N — verified against the closed
+    form on a 5-node corpus (offsets 1, 2, 4), including the symmetric
+    reverses. Non-dense ids pin the rank-not-id contract (the upper
+    HNSW layer is a hash-selected subset)."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        shortcut_edges,
+    )
+
+    ids = [3, 7, 10, 20, 21]  # ranks 0..4
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in ids], "vec_id long, embedding array<double>"
+    )
+    got = {(r.src, r.dst) for r in shortcut_edges(df).collect()}
+    fwd = {
+        (ids[r], ids[(r + (1 << j)) % 5])
+        for r in range(5)
+        for j in range(3)  # 1, 2, 4 < 5
+    }
+    want = fwd | {(b, a) for a, b in fwd}
+    assert got == want
+    assert all(s != d for s, d in got)  # ring never self-loops
+
+
+def test_shortcut_edges_make_graph_strongly_connected(spark):
+    """BFS over the shortcut ring alone must reach every node from any
+    start — the navigability property the r13 fix adds (an LSH-built
+    graph decomposes into angular clusters; the ring guarantees an
+    O(log n)-hop path between any two nodes regardless of geometry)."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        shortcut_edges,
+    )
+
+    n = 37  # prime, not a power of two: exercises the mod wraparound
+    df = spark.createDataFrame(
+        [(i * 3 + 1, [1.0, 0.0]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    adj = {}
+    for r in shortcut_edges(df).collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    seen, todo = {1}, [1]
+    while todo:
+        for d in adj.get(todo.pop(), ()):
+            if d not in seen:
+                seen.add(d)
+                todo.append(d)
+    assert len(seen) == n
+
+
+def test_round_half_away_np_boundary_parity():
+    """ADVICE r12: sign·floor(|x|+0.5) mis-rounds doubles whose
+    fractional part is the largest double below 0.5 (|x|+0.5 ties
+    upward across the integer). The guarded kernel must match DuckDB's
+    round() (HALF_UP on the exact binary value) on exactly those
+    boundary values, both signs, plus exact .5 ties."""
+    import duckdb
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        _round_half_away_np,
+    )
+
+    xs = [
+        0.49999999999999994,  # 0.5 - 2^-54: naive trick yields 1, truth 0
+        -0.49999999999999994,
+        1.4999999999999998,
+        -1.4999999999999998,
+        0.5,
+        -0.5,
+        2.5,
+        -2.5,
+        3.0000000000000004,
+        123456789.49999999,
+    ]
+    got = _round_half_away_np(np.array(xs, dtype=np.float64))
+    # string→double cast (strtod) delivers the exact same double Python
+    # holds; a bare 123456789.49999999 literal parses as DECIMAL(17,8)
+    # whose >2^53 mantissa silently snaps to ....5 before the cast
+    want = [
+        duckdb.sql(f"SELECT round(CAST('{x!r}' AS DOUBLE))").fetchone()[0]
+        for x in xs
+    ]
+    assert got.tolist() == [float(w) for w in want]
+    # and the naive trick really is wrong on the canonical case —
+    # otherwise this test guards nothing
+    naive = np.sign(xs[0]) * np.floor(np.abs(xs[0]) + 0.5)
+    assert naive == 1.0 and got[0] == 0.0
+
+
+def test_nsw_build_edges_dropped_bucket_accumulator(spark):
+    """ADVICE r12: the max_bucket degenerate-band cap must be
+    OBSERVABLE, not silent. A corpus of identical vectors lands every
+    node in the same bucket in all 4 bands → all 4 buckets exceed the
+    cap → the accumulator records 4 drops and the LSH half emits no
+    edges; on the real bench embeddings the cap must never fire (the
+    oracle enumerates pairs uncapped, so a silent drop would be an
+    undiagnosable parity break)."""
+    from pyspark.sql import functions as F
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        nsw_build_edges,
+    )
+
+    acc2 = spark.sparkContext.accumulator(0)
+    big = spark.range(2100).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(1.0d, 0.5d, 0.25d, 0.125d)").alias("embedding"),
+    )
+    e2 = nsw_build_edges(big, dim=4, dropped_bucket_acc=acc2)
+    assert e2.count() == 0  # every bucket degenerate → no LSH edges
+    assert acc2.value == 4  # one drop per band
+
+    # bench corpus: cap never fires (oracle-parity precondition)
+    acc3 = spark.sparkContext.accumulator(0)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nsw_build_edges(emb, dropped_bucket_acc=acc3).count()
+    assert acc3.value == 0

@@ -947,26 +947,24 @@ def probe_langid(spark) -> list[tuple[str, int, float]]:
 
 
 def probe_hnsw_entry(spark) -> list[tuple[str, int, float]]:
-    """The hierarchical-entry claim, measured at 25× the bench corpus:
-    at 2k vectors sim_hnsw_recall honestly records the descent LOSING to
-    nsw_topk's 32 fixed low-id entries (they still cover 1.6% of the
-    corpus); this probe re-runs both searches over the SAME 50k-vector
-    clustered corpus and layer-0 graph (32 planes / 4 bands so LSH
-    buckets stay under the degenerate cap), where fixed entries cover
-    0.06%. Measured: fixed entries COLLAPSE to 0.00 while descent holds
-    0.15 — the crossover is real and the direction decisive — but the
-    absolute number also exposes the next lever honestly: an LSH-BUILT
-    graph has no long-range links (edges only form inside shared
-    bands), so neither search can traverse between far clusters and
-    recall is capped by entry placement alone; wider beams do not move
-    it (re-measured at beam 32 / 6 rounds — identical recalls). Real
-    HNSW gets navigability from INCREMENTAL insertion (each node is
-    wired by searching the graph built so far), which is inherently
-    sequential — the standard distributed compromise is exactly this
-    probe's shape plus periodic graph repair. The probe row embeds both
-    measured recalls so the committed SCALE_PROBE.md carries evidence,
-    not prose. Timing is the combined build+search+audit wall (the
-    build dominates; both searches share it)."""
+    """The hierarchical-entry + navigability claim, measured at 25× the
+    bench corpus: both searches run over the SAME 50k-vector clustered
+    corpus and LSH layer-0 graph (32 planes / 4 bands so LSH buckets
+    stay under the degenerate cap). Fixed-entry NSW keeps the bare LSH
+    graph — the r12 baseline, where 32 fixed entries cover 0.06% and
+    recall COLLAPSES to 0.00; HNSW searches the r13 NAVIGABLE graph
+    (LSH adjacency ∪ exponential id-rank shortcut ring on both layers —
+    ``shortcut_edges``). r12 history: LSH-only descent was capped at
+    0.15 because edges only form inside shared bands, so no path
+    crosses angular clusters and wider beams measurably did not move it
+    (re-measured at beam 32 / 6 rounds — identical recalls); the
+    shortcut ring (the deterministic batch substitute for real HNSW's
+    inherently-sequential incremental insertion) restores global
+    reachability and lifts descent to **0.60** with unchanged search
+    defaults. The probe row embeds both measured recalls so the
+    committed SCALE_PROBE.md carries evidence, not prose. Timing is the
+    combined build+search+audit wall (the build dominates; both
+    searches share the LSH build)."""
     from securities_pricing_data_pipeline_spark.llmdata.dedup import portable_hash60
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
         brute_force_topk,
@@ -974,6 +972,7 @@ def probe_hnsw_entry(spark) -> list[tuple[str, int, float]]:
         norm_grid,
         nsw_build_edges,
         nsw_topk,
+        shortcut_edges,
     )
 
     n, dim, n_clusters = 50_000, 16, 500
@@ -997,9 +996,16 @@ def probe_hnsw_entry(spark) -> list[tuple[str, int, float]]:
             F.col("embedding").alias("vec"),
             norm_grid(F.col("embedding")).alias("nrm"),
         ).localCheckpoint(eager=True)
+        # HNSW searches the NAVIGABLE graph (LSH adjacency ∪ exponential
+        # id-rank shortcut ring — the r13 fix; shortcut_edges docstring);
+        # fixed-entry NSW keeps the bare LSH graph as the contrast
+        # baseline the probe exists to measure
+        edges_h = edges.unionByName(shortcut_edges(corpus)).localCheckpoint(
+            eager=True
+        )
         edges_top = nsw_build_edges(
             corpus.filter(portable_hash60(F.col("vec_id").cast("string")) % 8 == 0),
-            dim=dim, n_planes=32, bands=4,
+            dim=dim, n_planes=32, bands=4, shortcuts=True,
         ).localCheckpoint(eager=True)
         truth = (
             brute_force_topk(corpus, queries, k=5)
@@ -1020,7 +1026,7 @@ def probe_hnsw_entry(spark) -> list[tuple[str, int, float]]:
         )
         r_hnsw = recall(
             hnsw_topk(corpus, queries, k=5, dim=dim, n_planes=32, bands=4,
-                      edges=edges, edges_top=edges_top, cvec=cvec)
+                      edges=edges_h, edges_top=edges_top, cvec=cvec)
         )
         return r_nsw, r_hnsw
 
