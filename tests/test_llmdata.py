@@ -2578,3 +2578,56 @@ def test_nsw_build_edges_dropped_bucket_accumulator(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     nsw_build_edges(emb, dropped_bucket_acc=acc3).count()
     assert acc3.value == 0
+
+
+def test_emb_semantic_outliers_matches_numpy_replay(spark):
+    """Brute-force replay (VERDICT r12 hygiene): recompute the outlier
+    report directly in numpy — grid-exact cosine of every vector to all
+    16 centroids, argmax with (cos DESC, centroid_id ASC) ties, then
+    per-cluster bottom-3 by (cos ASC, vec_id ASC) — and require the
+    query's rows to match exactly, scores included."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        _round_half_away_np,
+    )
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        emb_semantic_outliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    C, cids = V[ids < 16], ids[ids < 16]
+
+    def grid_dot(A, B):  # Σ round(aᵢ·bᵢ·1e13), exact in float64 < 2^53
+        return np.stack(
+            [_round_half_away_np(A * B[j] * 1e13).sum(axis=1) for j in range(len(B))],
+            axis=1,
+        )
+
+    dots = grid_dot(V, C)
+    nv = np.stack([_round_half_away_np(V * V * 1e13).sum(axis=1)] * len(C), axis=1)
+    nc = np.stack([_round_half_away_np(C * C * 1e13).sum(axis=1)] * len(V), axis=0)
+    cos = dots / np.sqrt(nv * nc)
+    # argmax with centroid_id ASC ties: stable argmax over cids-sorted cols
+    best = np.argmax(cos, axis=1)  # np.argmax returns FIRST max = min index
+    want = {}
+    for ci in range(len(C)):
+        members = [
+            (cos[i, ci], int(ids[i]))
+            for i in range(len(ids))
+            if best[i] == ci
+        ]
+        for rank, (s, vid) in enumerate(sorted(members)[:3], start=1):
+            want[(int(cids[ci]), vid)] = (rank, s)
+
+    got = emb_semantic_outliers(spark, sf).collect()
+    assert len(got) == len(want)
+    for r in got:
+        rank, s = want[(r.centroid_id, r.vec_id)]
+        assert r.outlier_rank == rank
+        assert r.cos_to_centroid == s

@@ -616,3 +616,42 @@ def test_stream_dedup_incremental_matches_batch_closed_form(spark):
     for did, (is_dup, fdo) in got.items():
         assert is_dup == (did in want)
         assert fdo == want.get(did)
+
+
+def test_stream_docs_quality_gate_matches_batch_closed_form(spark):
+    """The drained 2-batch admission table must equal the batch closed
+    form computed with the package's own batch gates (gopher_rules ⋈
+    lang_id → per-(language, verdict) counts) — the stream/batch twin
+    contract every streaming gate query carries (VERDICT r12 hygiene;
+    stateless gates are arrival-order independent, so equality is
+    row-for-row exact)."""
+    from pyspark.sql import functions as F
+
+    from securities_pricing_data_pipeline_spark.llmdata.text import (
+        gopher_rules,
+        lang_id,
+    )
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+    from securities_pricing_data_pipeline_spark.queries.streamq import (
+        stream_docs_quality_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        stream_docs_quality_gate(spark, sf).collect(),
+        key=lambda r: (r.pred_lang, r.gopher_pass),
+    )
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    want = sorted(
+        gopher_rules(docs)
+        .select("doc_id", "n_words", "gopher_pass")
+        .join(lang_id(docs), "doc_id")
+        .groupBy("pred_lang", "gopher_pass")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+        .collect(),
+        key=lambda r: (r.pred_lang, r.gopher_pass),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
