@@ -343,6 +343,9 @@ BENCH_QUERIES = [
     "sim_crossmodal_hard_negatives",
     "dedup_threshold_sweep",
     "emb_semantic_outliers",
+    # round-13 additions
+    "text_langid_skewed_eval",
+    "stream_emb_outlier_gate",
 ]
 
 

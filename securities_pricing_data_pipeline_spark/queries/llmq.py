@@ -6626,13 +6626,15 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_langid_ngram"] = text_langid_ngram
 
 
-def _langid_oracle_sql(n: int = 3, buckets: int = 256) -> str:
+def _langid_oracle_sql(n: int = 3, buckets: int = 256, src: str = "documents") -> str:
     """DuckDB replay of langid_ngram: same grams, same md5-based hash
     buckets, same Laplace profiles and 1e-12-grid ln sums, same
-    (score DESC, lang ASC) argmax."""
+    (score DESC, lang ASC) argmax. ``src`` is any table expression with
+    (doc_id, lang, text) — the skewed-eval oracle passes a derived
+    subquery."""
     return f"""
 WITH base AS (
-  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+  SELECT doc_id, lang, lower(trim(text)) AS t FROM {src}
 ), grams AS (
   SELECT doc_id, lang,
          CAST(('0x' || substr(md5(substr(t, CAST(i AS INT) + 1, {n})), 1, 15))
@@ -6717,6 +6719,99 @@ QUERIES["text_langid_ngram_eval"] = text_langid_ngram_eval
 
 ORACLES["text_langid_ngram_eval"] = f"""
 WITH pred AS ({_langid_oracle_sql()}),
+acc AS (
+  SELECT CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS accuracy
+  FROM pred
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs, (SELECT accuracy FROM acc) AS accuracy
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+
+#: deterministic per-language marker vocabulary for the skewed langid
+#: eval: letter pairs that cannot occur in the synthetic corpus text, so
+#: the injected trigram mass is unambiguously language-specific
+_LANGID_SKEW_LANGS = ["da", "fi", "nl", "no", "sv"]
+_LANGID_SKEW_MARKS = {
+    "da": "zq vq xq",
+    "fi": "zs vs xs",
+    "nl": "zw vw xw",
+    "no": "zt vt xt",
+    "sv": "zr vr xr",
+}
+
+
+def _langid_skewed_docs(docs: DataFrame) -> DataFrame:
+    """Language-SKEWED derived view of the documents table (the
+    ``crossmodal_project`` trick applied to text): each doc gets a
+    deterministic label ``lang = LANGS[doc_id % 5]`` and its text gains
+    that language's marker phrase repeated once per ~6 tokens — so the
+    token stream now genuinely DEPENDS on the label, unlike the table's
+    own synthetic ``lang`` column (label-independent text is why
+    ``text_langid_ngram_eval`` honestly reports near-prior accuracy; it
+    can never exercise the classifier's discrimination end-to-end,
+    VERDICT r12 #6). Pure codegen projection — no shuffle, no Python."""
+    idx = ((F.col("doc_id") % 5) + 1).cast("int")
+    lang = F.element_at(F.array(*[F.lit(l) for l in _LANGID_SKEW_LANGS]), idx)
+    mark = F.element_at(
+        F.array(*[F.lit(" " + _LANGID_SKEW_MARKS[l]) for l in _LANGID_SKEW_LANGS]),
+        idx,
+    )
+    reps = F.greatest(
+        F.lit(1), F.expr("size(split(trim(text), '\\\\s+')) div 6")
+    )
+    return docs.select(
+        "doc_id",
+        lang.alias("lang"),
+        F.concat(F.lower(F.trim(F.col("text"))), F.repeat(mark, reps)).alias(
+            "text"
+        ),
+    )
+
+
+def text_langid_skewed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Langid DISCRIMINATION audit (VERDICT r12 #6): the same trained
+    hashed-trigram NB classifier and confusion-matrix shape as
+    ``text_langid_ngram_eval``, but over the language-skewed derived
+    view (``_langid_skewed_docs``) whose token stream depends on the
+    label — so accuracy is a meaningful end-to-end number at SF scale
+    (measured ≥ 0.9; the unit test asserts it) instead of the honest
+    near-prior reading the label-independent corpus forces. Together
+    the two evals bracket the classifier: skewed ≈ its ceiling on
+    separable data, raw ≈ its floor on unseparable data."""
+    from securities_pricing_data_pipeline_spark.llmdata.text import langid_ngram
+
+    pred = langid_ngram(_langid_skewed_docs(load(spark, sf_dir, "documents")))
+    conf = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    acc = pred.agg(
+        (
+            F.sum(F.col("is_match").cast("long")).cast("double") / F.count("*")
+        ).alias("accuracy")
+    )
+    return (
+        conf.crossJoin(F.broadcast(acc))
+        .select("lang", "pred_lang", "n_docs", "accuracy")
+        .orderBy("lang", "pred_lang")
+    )
+
+
+QUERIES["text_langid_skewed_eval"] = text_langid_skewed_eval
+
+_LANGID_SKEW_SRC = (
+    "(SELECT doc_id, (["
+    + ",".join(f"'{l}'" for l in _LANGID_SKEW_LANGS)
+    + "])[CAST(doc_id % 5 AS INT) + 1] AS lang, lower(trim(text)) || repeat((["
+    + ",".join(f"' {_LANGID_SKEW_MARKS[l]}'" for l in _LANGID_SKEW_LANGS)
+    + "])[CAST(doc_id % 5 AS INT) + 1], GREATEST(1, "
+    "len(string_split_regex(trim(text), '\\s+')) // 6)) AS text "
+    "FROM documents)"
+)
+
+ORACLES["text_langid_skewed_eval"] = f"""
+WITH pred AS ({_langid_oracle_sql(src=_LANGID_SKEW_SRC)}),
 acc AS (
   SELECT CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS DOUBLE)
            / COUNT(*) AS accuracy

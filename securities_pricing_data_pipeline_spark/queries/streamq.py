@@ -960,3 +960,182 @@ ORDER BY 1, 2
 
 
 ORACLES["stream_docs_quality_gate"] = _quality_gate_oracle_sql()
+
+
+def stream_emb_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME semantic gate executed as a genuine 3-batch stream —
+    the embedding-space member of the streaming filter funnel, next to
+    the stateless text gate (``stream_docs_quality_gate``) and the
+    stateful LSH dedup (``stream_dedup_incremental``), and the streaming
+    twin of the batch outlier report (``llmq.emb_semantic_outliers``):
+    vectors arrive in id-ranged micro-batches, each is assigned MAP-SIDE
+    to its nearest broadcast centroid (the trained-quantizer deployment
+    shape — 16 centroid vectors collected once and baked into the Arrow
+    kernel; exact grid cosine, ``(cos DESC, centroid_id ASC)`` argmax),
+    and a 4-long-per-centroid ``applyInPandasWithState`` operator keeps
+    running (count, Σ cos-units, min cos-units, flagged<0.12 count).
+
+    Every statistic is an exact-integer fold over the 1e-12 cosine grid
+    (the flag compares UNITS, never doubles), so the drained final
+    snapshot per centroid equals the batch closed form regardless of
+    arrival order — the DuckDB oracle value-checks real streaming
+    execution. Output: per centroid the member count, flagged count, and
+    min/mean typicality — the table an ingest operator watches to see a
+    drifting or garbage-emitting upstream encoder."""
+    import os
+    import shutil
+    import time
+    import uuid
+    from pathlib import Path
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        _round_half_away_np,
+    )
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+    from securities_pricing_data_pipeline_spark.streaming.stateful import (
+        emb_outlier_stats_stream,
+    )
+
+    tag = f"{_mem_name('embgate')}_{uuid.uuid4().hex[:12]}"
+    base = Path(__file__).resolve().parents[2] / "spark-warehouse"
+    feed_dir = base / f"{tag}_feed"
+    tmp_dir = base / f"{tag}_tmp"
+    emb = load(spark, sf_dir, "embeddings")
+    # the trained quantizer: collected ONCE on the driver (k=16 vectors)
+    # and closed over by the Arrow kernel — at scale this is a broadcast
+    # of the k×dim codebook, exactly how IVF assignment deploys
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).collect(), key=lambda r: r.vec_id
+    )
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    cn = _round_half_away_np(C * C * 1e13).sum(axis=1)  # grid self-dots
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    span = int(hi) - int(lo) + 1
+    try:
+        feed_dir.mkdir(parents=True)
+        t0 = time.time() - 600
+        for b in range(3):
+            cut_lo = int(lo) + span * b // 3
+            cut_hi = int(lo) + span * (b + 1) // 3
+            part = emb.filter(
+                (F.col("vec_id") >= cut_lo) & (F.col("vec_id") < cut_hi)
+            )
+            part.coalesce(1).write.mode("overwrite").parquet(str(tmp_dir))
+            pf = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
+            dst = feed_dir / f"{b:03d}_third.parquet"
+            shutil.move(str(tmp_dir / pf), str(dst))
+            os.utime(dst, (t0 + 100 * b, t0 + 100 * b))
+        schema = spark.read.parquet(str(feed_dir)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed_dir))
+        )
+
+        def _assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                nv = _round_half_away_np(V * V * 1e13).sum(axis=1)
+                dots = np.stack(
+                    [
+                        _round_half_away_np(V * C[j] * 1e13).sum(axis=1)
+                        for j in range(len(C))
+                    ],
+                    axis=1,
+                )
+                denom = np.sqrt(nv[:, None] * cn[None, :])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dots / denom
+                cos[~np.isfinite(cos)] = 0.0  # zero-norm convention
+                a = np.argmax(cos, axis=1)  # first max ⇒ min centroid_id
+                best = cos[np.arange(len(V)), a]
+                yield pd.DataFrame(
+                    {
+                        "centroid_id": cids[a],
+                        "cos_units": _round_half_away_np(best * 1e12).astype(
+                            np.int64
+                        ),
+                    }
+                )
+
+        assigned = stream.mapInPandas(_assign, "centroid_id long, cos_units long")
+        name = _drain(emb_outlier_stats_stream(assigned), "embgate", "update")
+        snap = spark.table(name)
+        # n_members grows strictly on every emission, so max-n per key IS
+        # the final drained snapshot
+        w = Window.partitionBy("centroid_id").orderBy(F.desc("n_members"))
+        return (
+            snap.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "centroid_id",
+                "n_members",
+                "n_flagged",
+                (F.col("min_cos_units").cast("double") / F.lit(1e12)).alias(
+                    "min_cos"
+                ),
+                (
+                    F.col("sum_cos_units").cast("double")
+                    / F.col("n_members").cast("double")
+                    / F.lit(1e12)
+                ).alias("mean_cos"),
+            )
+            .orderBy("centroid_id")
+            .localCheckpoint(eager=True)  # pin before the feed dir is removed
+        )
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+QUERIES["stream_emb_outlier_gate"] = stream_emb_outlier_gate
+
+
+def _emb_outlier_gate_oracle_sql() -> str:
+    """Batch closed form of the streaming semantic gate: the SAME
+    nearest-centroid assignment CTEs as the emb_semantic_outliers oracle
+    (exact grid cosine, (cos DESC, centroid_id ASC) argmax), cosines
+    snapped to 1e-12 BIGINT units, grouped to per-centroid stats. The
+    flag threshold compares integer units — imported from the stateful
+    kernel so the two can never drift."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import _cos_expr
+    from securities_pricing_data_pipeline_spark.streaming.stateful import (
+        EMB_OUTLIER_FLAG_UNITS,
+    )
+
+    cos = _cos_expr("t.vec", "c.cvec")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < 16
+), assigned AS (
+  SELECT id, centroid_id, cos FROM (
+    SELECT t.vec_id AS id, c.centroid_id, {cos} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cos} DESC, c.centroid_id) AS rn
+    FROM v t, cent c
+  ) WHERE rn = 1
+), units AS (
+  SELECT centroid_id, CAST(round(cos * 1e12) AS BIGINT) AS u FROM assigned
+)
+SELECT centroid_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN u < {EMB_OUTLIER_FLAG_UNITS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(MIN(u) AS DOUBLE) / 1e12 AS min_cos,
+       CAST(SUM(u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e12 AS mean_cos
+FROM units
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
+ORACLES["stream_emb_outlier_gate"] = _emb_outlier_gate_oracle_sql()

@@ -297,3 +297,67 @@ def lsh_dedup_stream(banded: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic-outlier gate: per-centroid running stats
+
+
+EMB_STATS_STATE_SCHEMA = "n long, sum_units long, min_units long, n_flagged long"
+EMB_STATS_OUT_SCHEMA = (
+    "centroid_id long, n_members long, sum_cos_units long, "
+    "min_cos_units long, n_flagged long"
+)
+
+#: flag threshold in 1e-12 cosine units (cos < 0.12 — the bottom ~5% of
+#: the bench embeddings' cos-to-own-centroid distribution, measured)
+EMB_OUTLIER_FLAG_UNITS = 120_000_000_000
+
+
+def emb_stats_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-centroid running typicality stats — the streaming twin of the
+    batch semantic-outlier report (``queries.llmq.emb_semantic_outliers``):
+    state is FOUR longs per centroid (count, Σ cos-units, min cos-units,
+    flagged-below-threshold count), updated from each micro-batch's
+    arriving (centroid_id, cos_units) rows and emitted as a cumulative
+    snapshot. Every statistic is an exact-integer fold over the 1e-12
+    cosine grid, so the drained final snapshot per key equals the batch
+    closed form REGARDLESS of arrival order — the property that lets the
+    DuckDB oracle value-check a stream. Bounded state is the point: a
+    real ingest gate keeps k rows of 4 longs (k = |centroids|), never
+    the vectors."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    u = rows["cos_units"].to_numpy().astype(np.int64)
+    if state.exists:
+        n, s, mn, fl = (int(x) for x in state.get)
+    else:
+        n, s, mn, fl = 0, 0, None, 0
+    n += len(u)
+    s += int(u.sum())
+    bmn = int(u.min())
+    mn = bmn if mn is None else min(mn, bmn)
+    fl += int((u < EMB_OUTLIER_FLAG_UNITS).sum())
+    state.update((n, s, mn, fl))
+    yield pd.DataFrame(
+        {
+            "centroid_id": np.asarray([int(key[0])], dtype=np.int64),
+            "n_members": np.asarray([n], dtype=np.int64),
+            "sum_cos_units": np.asarray([s], dtype=np.int64),
+            "min_cos_units": np.asarray([mn], dtype=np.int64),
+            "n_flagged": np.asarray([fl], dtype=np.int64),
+        }
+    )
+
+
+def emb_outlier_stats_stream(assigned: DataFrame) -> DataFrame:
+    """assigned(centroid_id long, cos_units long) → cumulative
+    per-centroid stat snapshots, one state row (4 longs) per centroid."""
+    return assigned.groupBy("centroid_id").applyInPandasWithState(
+        emb_stats_fn,
+        outputStructType=EMB_STATS_OUT_SCHEMA,
+        stateStructType=EMB_STATS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

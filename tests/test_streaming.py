@@ -655,3 +655,75 @@ def test_stream_docs_quality_gate_matches_batch_closed_form(spark):
         key=lambda r: (r.pred_lang, r.gopher_pass),
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_stream_emb_outlier_gate_matches_batch_closed_form(spark):
+    """The drained 3-batch per-centroid stat table must equal the batch
+    closed form computed with the package's own batch machinery
+    (nearest_centroid assignment + exact-unit aggregation) — the
+    stream/batch twin contract, with every compared value either an
+    exact integer or a deterministic double chain from integer units."""
+    from pyspark.sql import functions as F
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        cosine_with_norms,
+        nearest_centroid,
+        norm_grid,
+    )
+    from securities_pricing_data_pipeline_spark.queries.streamq import (
+        stream_emb_outlier_gate,
+    )
+    from securities_pricing_data_pipeline_spark.streaming.stateful import (
+        EMB_OUTLIER_FLAG_UNITS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in stream_emb_outlier_gate(spark, sf).collect()]
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_vec"),
+        norm_grid(F.col("embedding")).alias("cent_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm_grid(F.col("embedding")).alias("norm"),
+    )
+    units = (
+        nearest_centroid(c, cents)
+        .join(c, "id")
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            "centroid_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("vec"), F.col("cent_vec"), F.col("norm"), F.col("cent_norm")
+                )
+                * 1e12
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    want = [
+        tuple(r)
+        for r in units.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum((F.col("u") < EMB_OUTLIER_FLAG_UNITS).cast("long")).alias(
+                "n_flagged"
+            ),
+            (F.min("u").cast("double") / F.lit(1e12)).alias("min_cos"),
+            (
+                F.sum("u").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1e12)
+            ).alias("mean_cos"),
+        )
+        .orderBy("centroid_id")
+        .collect()
+    ]
+    assert got == want
+    assert sum(r[1] for r in got) == emb.count()  # every vector assigned
