@@ -346,6 +346,7 @@ BENCH_QUERIES = [
     # round-13 additions
     "text_langid_skewed_eval",
     "stream_emb_outlier_gate",
+    "sample_uncertainty_margin",
 ]
 
 

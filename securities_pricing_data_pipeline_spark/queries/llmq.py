@@ -7464,3 +7464,105 @@ FROM (
 ) WHERE outlier_rank <= 3
 ORDER BY centroid_id, outlier_rank
 """
+
+
+def sample_uncertainty_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVE-LEARNING labeling queue — vote-margin uncertainty sampling
+    (Lewis & Gale 1994; the selection every labeling team runs to spend
+    annotation budget where the model is least sure): the unlabeled pool
+    (vec_id % 7 == 3, disjoint from sim_knn_classify's eval slice) is
+    classified by 5-NN majority vote against the LABELED remainder, and
+    the 20 pool items with the smallest vote margin (top-1 votes minus
+    runner-up votes; ties by vec_id) are emitted as the queue, each with
+    its tentative label, runner-up, and margin.
+
+    Exactness: neighbor ranks ride the shared integer-grid cosine;
+    votes, margins and the queue cut are pure integer comparisons.
+    Plan: the pool broadcasts through ``brute_force_topk_np`` (one
+    corpus scan, BLAS prefilter + exact-grid rescore — linear, never
+    all-pairs), then two bounded hash aggregates and one 20-row window;
+    at 100 TB the kNN step swaps to the IVF index exactly as
+    sim_crossmodal_hard_negatives does."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk_np,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pool = emb.filter(F.col("vec_id") % 7 == 3)
+    train = emb.filter(F.col("vec_id") % 7 != 3)
+    nn = brute_force_topk_np(train, pool, k=5)
+    votes = (
+        nn.join(
+            F.broadcast(
+                train.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nlabel"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nlabel")
+        .agg(F.count("*").alias("v"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("nlabel"))
+    ranked = votes.withColumn("rn", F.row_number().over(wv)).filter(
+        F.col("rn") <= 2
+    )
+    per_q = ranked.groupBy("query_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("nlabel"))).alias("pred_label"),
+        F.max(F.when(F.col("rn") == 2, F.col("nlabel"))).alias("runner_up_label"),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("v")))
+            - F.coalesce(F.max(F.when(F.col("rn") == 2, F.col("v"))), F.lit(0))
+        ).cast("long").alias("margin"),
+    )
+    wq = Window.orderBy(F.asc("margin"), F.asc("query_id"))
+    return (
+        per_q.withColumn("queue_rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("queue_rank") <= 20)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "pred_label",
+            "runner_up_label",
+            "margin",
+            "queue_rank",
+        )
+        .orderBy("queue_rank")
+    )
+
+
+QUERIES["sample_uncertainty_margin"] = sample_uncertainty_margin
+
+ORACLES["sample_uncertainty_margin"] = f"""
+WITH c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), ranked AS (
+  SELECT q.vec_id AS query_id, n.label AS nlabel,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_cos_expr('q.v', 'n.v')} DESC, n.vec_id)
+           AS rank
+  FROM c q JOIN c n ON n.vec_id % 7 <> 3
+  WHERE q.vec_id % 7 = 3
+), cnt AS (
+  SELECT query_id, nlabel, COUNT(*) AS v
+  FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+), top2 AS (
+  SELECT query_id, nlabel, v,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY v DESC, nlabel) AS rn
+  FROM cnt
+), per_q AS (
+  SELECT query_id,
+         MAX(CASE WHEN rn = 1 THEN nlabel END) AS pred_label,
+         MAX(CASE WHEN rn = 2 THEN nlabel END) AS runner_up_label,
+         CAST(MAX(CASE WHEN rn = 1 THEN v END)
+              - COALESCE(MAX(CASE WHEN rn = 2 THEN v END), 0) AS BIGINT) AS margin
+  FROM top2 WHERE rn <= 2 GROUP BY query_id
+)
+SELECT query_id AS vec_id, pred_label, runner_up_label, margin,
+       CAST(queue_rank AS INT) AS queue_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY margin ASC, query_id) AS queue_rank
+  FROM per_q
+) WHERE queue_rank <= 20
+ORDER BY queue_rank
+"""

@@ -2648,3 +2648,62 @@ def test_text_langid_skewed_eval_discriminates(spark):
     diag = sum(r.n_docs for r in rows if r.lang == r.pred_lang)
     off = sum(r.n_docs for r in rows if r.lang != r.pred_lang)
     assert diag > 9 * off
+
+
+def test_sample_uncertainty_margin_queue_properties(spark):
+    """The labeling queue must be sound: margins non-negative and
+    non-decreasing down the queue, tentative label ≠ runner-up, queue
+    drawn only from the unlabeled pool slice, and every margin must
+    equal the replayed top1−top2 vote gap of the item's exact 5-NN
+    against the labeled remainder (numpy replay on the grid cosine)."""
+    import numpy as np
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        _round_half_away_np,
+    )
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        sample_uncertainty_margin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sample_uncertainty_margin(spark, sf).collect()
+    assert rows, "queue must not be empty"
+    margins = [r.margin for r in rows]
+    assert margins == sorted(margins)
+    for r in rows:
+        assert r.margin >= 0
+        assert r.vec_id % 7 == 3
+        if r.runner_up_label is not None:
+            assert r.pred_label != r.runner_up_label
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([e.vec_id for e in emb], dtype=np.int64)
+    V = np.array([e.embedding for e in emb], dtype=np.float64)
+    labels = {int(e.vec_id): e.label for e in emb}
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    pool, train = ids % 7 == 3, ids % 7 != 3
+    for r in rows[:5]:
+        qi = np.flatnonzero(ids == r.vec_id)[0]
+        dots = np.array(
+            [
+                _round_half_away_np(V[qi] * V[j] * 1e13).sum()
+                for j in np.flatnonzero(train)
+            ]
+        )
+        nq = _round_half_away_np(V[qi] * V[qi] * 1e13).sum()
+        nn = np.array(
+            [
+                _round_half_away_np(V[j] * V[j] * 1e13).sum()
+                for j in np.flatnonzero(train)
+            ]
+        )
+        cos = dots / np.sqrt(nq * nn)
+        tids = ids[train]
+        top5 = sorted(zip(-cos, tids))[:5]
+        votes: dict = {}
+        for _, tid in top5:
+            lb = labels[int(tid)]
+            votes[lb] = votes.get(lb, 0) + 1
+        vs = sorted(votes.values(), reverse=True)
+        assert r.margin == vs[0] - (vs[1] if len(vs) > 1 else 0)
