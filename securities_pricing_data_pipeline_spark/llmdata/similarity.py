@@ -42,9 +42,15 @@ def _round_half_away_np(P: "np.ndarray") -> "np.ndarray":
     sits on the same side of the .5 boundary as the exact value (all
     but adversarially-constructed doubles). The guard path is scalar
     but fires on a measure-zero slice of real products."""
-    R = np.sign(P) * np.floor(np.abs(P) + 0.5)
-    aP = np.abs(P)
-    sus = np.abs((aP - np.floor(aP)) - 0.5) < 1e-9
+    d = np.abs(P)
+    d += 0.5
+    fd = np.floor(d)
+    R = np.sign(P) * fd
+    # boundary detection without a second floor/abs pass: |P| had a
+    # fractional part within 1e-9 of 0.5 iff d = |P|+0.5 landed within
+    # 1e-9 of an integer (from either side)
+    d -= fd
+    sus = (d < 1e-9) | (d > 1.0 - 1e-9)
     if sus.any():
         from decimal import ROUND_HALF_UP, Decimal
 

@@ -1042,6 +1042,30 @@ def probe_hnsw_entry(spark) -> list[tuple[str, int, float]]:
     )]
 
 
+def probe_shortcut_ring(spark) -> list[tuple[str, int, float]]:
+    """The navigability ring at 1M ids — prices the ONE scale-suspect
+    step of ``shortcut_edges`` (the global row_number window is a
+    single-task sort of narrow id rows; the docstring documents the
+    dense-id / range-partitioned-rank escape at 100 TB) plus the
+    ~2·log₂N edge materialization (40M narrow rows here). Linear-ish
+    wall at 20× the 50k probe confirms the ring never becomes the
+    build's bottleneck — the LSH candidate scoring stays the dominant
+    term."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        shortcut_edges,
+    )
+
+    n = 1_000_000
+    ids = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(1.0d)").alias("embedding"),
+    )
+    t = time.perf_counter()
+    n_edges = shortcut_edges(ids).count()
+    sec = round(time.perf_counter() - t, 2)
+    return [(f"shortcut_ring_1m build ({n_edges / 1e6:.0f}M edges)", n, sec)]
+
+
 def probe_video_phash(spark) -> list[tuple[str, int, float]]:
     """Video keyframe hashing at 20k synthetic AVIs × 4 lossless P6
     frames (80k container-walk + decode + dHash per frame) — prices the
@@ -1112,7 +1136,8 @@ def main() -> None:
                   probe_kcore, probe_bm25, probe_cc, probe_hits, probe_bigram,
                   probe_substring, probe_mmr, probe_phash, probe_landmark,
                   probe_modularity, probe_ks, probe_dimcov, probe_quant_scan,
-                  probe_nsw, probe_video_phash, probe_langid, probe_hnsw_entry):
+                  probe_nsw, probe_video_phash, probe_langid, probe_hnsw_entry,
+                  probe_shortcut_ring):
         try:
             rows.extend(probe(spark))
             print(f"done: {rows[-1]}", file=sys.stderr)
@@ -1203,13 +1228,20 @@ def main() -> None:
         "corpus-linear and the |langs|×256 profile stays KB-sized at "
         "any corpus — the model broadcasts, never the data. The "
         "hnsw_50k row carries its MEASURED recalls in the label: fixed "
-        "low-id entries collapse to 0.00 at 25× the bench corpus while "
-        "hierarchical descent holds 0.15 — the crossover the "
-        "sim_hnsw_* docstrings claim, plus the honest cap (an "
-        "LSH-built graph has no long-range links, so navigability — "
-        "not beam width, re-measured — is the next lever; real HNSW "
-        "wires nodes incrementally, which is the standard distributed "
-        "compromise left documented rather than faked).",
+        "low-id entries on the bare LSH graph collapse to 0.00 at 25× "
+        "the bench corpus while hierarchical descent over the r13 "
+        "NAVIGABLE graph (LSH ∪ exponential id-rank shortcut ring on "
+        "both layers) holds 0.60 — up from 0.15 on the LSH-only graph "
+        "r12 measured, whose cap (no long-range links; beam width "
+        "re-measured not to move it) the ring removes as the "
+        "deterministic, oracle-replayable substitute for real HNSW's "
+        "inherently-sequential incremental insertion. The "
+        "shortcut_ring_1m row prices the ring build alone at 1M ids "
+        "(~2·log₂N = 40 edges/node): the global id-rank window is a "
+        "single-task sort of NARROW id rows — the one scale-suspect "
+        "step, measured linear-cheap here; at 100 TB use the dense "
+        "vec_id directly or a range-partitioned rank (documented in "
+        "shortcut_edges).",
         "",
     ]
     with open(out_path, "w") as f:
