@@ -2422,6 +2422,90 @@ def nsw_topk(
     )
 
 
+def nsw_build_edges_incremental(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    m_neighbors: int = 16,
+    n_cohorts: int = 4,
+    beam: int = 8,
+    rounds: int = 2,
+    n_entry: int = 32,
+) -> DataFrame:
+    """BATCHED-INSERTION graph build — the 'standard distributed
+    compromise' for real HNSW construction (Malkov & Yashunin 2016 wire
+    each node by searching the graph built so far, which is inherently
+    sequential; the batch substitute inserts id-rank COHORTS: cohort 0
+    gets the LSH build, every later cohort is wired by beam-searching
+    the graph-so-far and symmetrizing its top-``m_neighbors`` results).
+    Implemented so the ring-vs-insertion choice in :func:`shortcut_edges`
+    is settled by MEASUREMENT, not argument — see
+    ``tools/scale_probe.py`` ``probe_hnsw_incremental``: at the 50k
+    clustered probe, pure batched insertion records recall@5 well below
+    the shortcut ring's 0.60 because cohort 0's LSH graph is already
+    cluster-fragmented, so insertion searches land (and wire) inside
+    whatever cluster the fixed entries can reach — fragmentation is
+    INHERITED, which is exactly why production distributed HNSW builds
+    interleave insertion with repair passes. The ring needs neither.
+
+    Same dense-id entry precondition as :func:`nsw_topk` (cohort 0 must
+    contain ids [0, n_entry)); cost is ``n_cohorts − 1`` beam searches
+    of |corpus|/n_cohorts queries each over growing prefixes — every
+    join broadcast, the searched side never exceeds 1× corpus."""
+    ids = corpus.select(F.col(id_col).alias("id"))
+    n = ids.count()
+    ranked = ids.withColumn(
+        "r", F.row_number().over(Window.orderBy("id")) - 1
+    ).localCheckpoint(eager=True)
+    bounds = [n * k // n_cohorts for k in range(n_cohorts + 1)]
+
+    def cohort(k: int) -> DataFrame:
+        return ranked.filter(
+            (F.col("r") >= bounds[k]) & (F.col("r") < bounds[k + 1])
+        ).select("id")
+
+    def sub(idset: DataFrame) -> DataFrame:
+        return corpus.join(
+            F.broadcast(idset.withColumnRenamed("id", id_col)),
+            id_col,
+            "left_semi",
+        )
+
+    edges = nsw_build_edges(
+        sub(cohort(0)), id_col=id_col, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, bands=bands, seed=seed, m_neighbors=m_neighbors,
+    ).localCheckpoint(eager=True)
+    prev_ids = cohort(0)
+    for k in range(1, n_cohorts):
+        prev = sub(prev_ids)
+        cvec = prev.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm_grid(F.col(vec_col)).alias("nrm"),
+        ).localCheckpoint(eager=True)
+        wired = nsw_topk(
+            prev, sub(cohort(k)), k=m_neighbors, id_col=id_col,
+            vec_col=vec_col, dim=dim, n_planes=n_planes, bands=bands,
+            seed=seed, m_neighbors=m_neighbors, beam=beam, rounds=rounds,
+            n_entry=n_entry, edges=edges, cvec=cvec,
+        ).select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        edges = (
+            edges.unionByName(wired)
+            .unionByName(
+                wired.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev_ids = prev_ids.unionByName(cohort(k))
+    return edges
+
+
 def rank_agreement_rbo(
     run_a: DataFrame,
     run_b: DataFrame,

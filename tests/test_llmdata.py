@@ -2707,3 +2707,44 @@ def test_sample_uncertainty_margin_queue_properties(spark):
             votes[lb] = votes.get(lb, 0) + 1
         vs = sorted(votes.values(), reverse=True)
         assert r.margin == vs[0] - (vs[1] if len(vs) > 1 else 0)
+
+
+def test_nsw_build_edges_incremental_wires_every_cohort(spark):
+    """Every node outside cohort 0 must end up with at least one edge
+    (it was wired by searching the graph-so-far), the edge set must be
+    symmetric on the wired pairs, and with generous beam/rounds on an
+    easy corpus the incremental graph must let fixed-entry search
+    recover brute-force top-1 for most queries."""
+    from pyspark.sql import functions as F
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        brute_force_topk,
+        nsw_build_edges_incremental,
+        nsw_topk,
+    )
+
+    rows = [
+        (i, [float(((i * 37 + d * 11) % 23) - 11) / 11.0 for d in range(8)])
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = nsw_build_edges_incremental(
+        df, dim=8, n_cohorts=4, beam=12, rounds=2, n_entry=8, m_neighbors=6
+    )
+    e = [(r.src, r.dst) for r in edges.collect()]
+    eset = set(e)
+    touched = {s for s, _ in e} | {d for _, d in e}
+    assert touched >= set(range(12, 48))  # every inserted node has an edge
+    wired = {(s, d) for s, d in e if s >= 12 or d >= 12}
+    assert all((d, s) in eset for s, d in wired)  # symmetrized
+    q = df.filter("vec_id >= 24")
+    got = nsw_topk(
+        df, q, k=1, dim=8, beam=12, rounds=3, n_entry=8,
+        edges=edges.localCheckpoint(eager=True),
+    ).collect()
+    truth = {
+        r.query_id: r.neighbor_id
+        for r in brute_force_topk(df, q, k=1).collect()
+    }
+    hits = sum(1 for r in got if truth.get(r.query_id) == r.neighbor_id)
+    assert hits >= len(truth) * 0.5
