@@ -347,6 +347,7 @@ BENCH_QUERIES = [
     "text_langid_skewed_eval",
     "stream_emb_outlier_gate",
     "sample_uncertainty_margin",
+    "dedup_lsh_scurve",
 ]
 
 

@@ -7566,3 +7566,95 @@ FROM (
 ) WHERE queue_rank <= 20
 ORDER BY queue_rank
 """
+
+
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (b, r) DESIGN table — the S-curve every dedup team reads
+    before fixing its banding (Leskovec/Rajaraman/Ullman, Mining of
+    Massive Datasets §3.4.2): for the deployed 16-bands × 4-rows MinHash
+    config, the analytic detection probability
+    P(s) = 1 − (1 − s⁴)¹⁶ on a 0.05 similarity grid, joined with the
+    OBSERVED banded-candidate mass per estimated-Jaccard bin (the
+    threshold-0 candidate pass — every pair sharing a band, before any
+    verify filter). Reading: the curve's knee sits at (1/16)^(1/4) ≈ 0.5
+    — exactly the deployed verify threshold — and the empirical mass
+    shows sub-knee pairs are rare in candidates, i.e. banding behaves as
+    the theory predicts on THIS corpus. Companion to
+    ``dedup_threshold_sweep`` (which prices the verify threshold
+    downstream; this table designs the banding upstream).
+
+    Exactness: the analytic curve is a fixed chain of IEEE double ops
+    (squarings only, identical association in both engines); bins
+    compare exact multiples of 5/16 (est·20 = matches·5/16); counts are
+    ints. One banded pairing pass — never all-pairs."""
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    cand = minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.0,
+        portable=True,
+        signatures=_portable_sigs(spark, sf_dir),
+    )
+    binned = (
+        cand.select(
+            F.least(
+                F.floor(F.col("est_jaccard") * 20), F.lit(19).cast("long")
+            ).cast("int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = spark.range(1, 20).select(F.col("id").cast("int").alias("k"))
+    s = F.col("k").cast("double") / F.lit(20.0)
+    t = s * s
+    s4 = t * t
+    x = F.lit(1.0) - s4
+    x2 = x * x
+    x4 = x2 * x2
+    x8 = x4 * x4
+    x16 = x8 * x8
+    return (
+        grid.join(binned, "k", "left")
+        .na.fill({"n": 0})
+        .select(
+            s.alias("s"),
+            (F.lit(1.0) - x16).alias("p_detect"),
+            F.col("n").cast("long").alias("n_candidate_pairs"),
+        )
+        .orderBy("s")
+    )
+
+
+QUERIES["dedup_lsh_scurve"] = dedup_lsh_scurve
+
+
+def _lsh_scurve_oracle_sql() -> str:
+    _s = "(CAST(g.k AS DOUBLE) / 20.0)"
+    _t = f"({_s} * {_s})"
+    _s4 = f"({_t} * {_t})"
+    _x = f"(1.0 - {_s4})"
+    _x2 = f"({_x} * {_x})"
+    _x4 = f"({_x2} * {_x2})"
+    _x8 = f"({_x4} * {_x4})"
+    _x16 = f"({_x8} * {_x8})"
+    return f"""
+WITH cand AS ({_minhash_oracle_sql(threshold=0.0)}),
+b AS (
+  SELECT LEAST(CAST(FLOOR(est_jaccard * 20) AS INT), 19) AS k,
+         COUNT(*) AS n
+  FROM cand GROUP BY 1
+), g AS (
+  SELECT CAST(t.k AS INT) AS k FROM range(1, 20) t(k)
+)
+SELECT {_s} AS s,
+       (1.0 - {_x16}) AS p_detect,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_candidate_pairs
+FROM g LEFT JOIN b ON b.k = g.k
+ORDER BY s
+"""
+
+
+ORACLES["dedup_lsh_scurve"] = _lsh_scurve_oracle_sql()

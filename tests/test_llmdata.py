@@ -2748,3 +2748,36 @@ def test_nsw_build_edges_incremental_wires_every_cohort(spark):
     }
     hits = sum(1 for r in got if truth.get(r.query_id) == r.neighbor_id)
     assert hits >= len(truth) * 0.5
+
+
+def test_dedup_lsh_scurve_theory_and_mass(spark):
+    """The design table must carry the right theory: P(s) strictly
+    increasing in s, the knee value P(0.5) = 1 − (1 − 0.5⁴)¹⁶ exactly,
+    endpoints near 0 and ~0.92, and the empirical candidate mass must
+    total the threshold-0 banded pair count with every est-Jaccard bin
+    at or above the 4-matching-rows floor (a shared band forces
+    est ≥ 4/64, so bins below 0.05 cannot occur — bin k≥1 always)."""
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        _portable_sigs,
+        dedup_lsh_scurve,
+    )
+    from securities_pricing_data_pipeline_spark.llmdata.dedup import (
+        minhash_lsh_pairs,
+    )
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(dedup_lsh_scurve(spark, sf).collect(), key=lambda r: r.s)
+    assert len(rows) == 19
+    ps = [r.p_detect for r in rows]
+    assert all(a < b for a, b in zip(ps, ps[1:]))
+    knee = [r for r in rows if r.s == 0.5][0]
+    assert knee.p_detect == 1.0 - (1.0 - 0.5 * 0.5 * 0.5 * 0.5) ** 16
+    assert ps[0] < 1e-4 and 0.9 < ps[-1] < 1.0
+    total = sum(r.n_candidate_pairs for r in rows)
+    cand = minhash_lsh_pairs(
+        load(spark, sf, "documents"), n=3, threshold=0.0, portable=True,
+        signatures=_portable_sigs(spark, sf),
+    )
+    assert total == cand.count()
+    assert all(r.n_candidate_pairs == 0 for r in rows if r.s < 0.05)
