@@ -2781,3 +2781,67 @@ def test_dedup_lsh_scurve_theory_and_mass(spark):
     )
     assert total == cand.count()
     assert all(r.n_candidate_pairs == 0 for r in rows if r.s < 0.05)
+
+
+def test_shortcut_edges_matches_duckdb_ring_replay(spark):
+    """Cross-engine twin of the ring construction itself: the DuckDB
+    rank-ring SQL embedded in the HNSW oracle must produce exactly the
+    same (src, dst) multiset as shortcut_edges on a sparse id set —
+    isolating ring-replay bugs from the full beam-search oracle."""
+    import duckdb
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        shortcut_edges,
+    )
+
+    ids = [5, 9, 14, 17, 23, 100, 101, 999]
+    df = spark.createDataFrame(
+        [(i, [0.5, 1.0]) for i in ids], "vec_id long, embedding array<double>"
+    )
+    got = sorted((r.src, r.dst) for r in shortcut_edges(df).collect())
+    vals = ", ".join(f"({i})" for i in ids)
+    want = sorted(
+        (int(a), int(b))
+        for a, b in duckdb.sql(f"""
+WITH ids(vec_id) AS (VALUES {vals}),
+rk AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r,
+         COUNT(*) OVER () AS m
+  FROM ids
+), sc0 AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM rk a
+  CROSS JOIN range(0, 40) t(j)
+  JOIN rk b
+    ON (CAST(1 AS BIGINT) << t.j) < a.m
+   AND b.r = (a.r + (CAST(1 AS BIGINT) << t.j)) % a.m
+)
+SELECT src, dst FROM sc0 UNION ALL SELECT dst AS src, src AS dst FROM sc0
+""").fetchall()
+    )
+    assert got == want
+
+
+def test_hnsw_l0_silver_equals_shortcuts_build(spark):
+    """Construction-path equivalence: the layer-0 silver (shared NSW LSH
+    adjacency UNION ring) must produce the same edge SET as building
+    nsw_build_edges(shortcuts=True) directly over the same corpus — the
+    two paths the engine and its unit seams use must never drift."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        nsw_build_edges,
+    )
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        _hnsw_l0_edge_silver,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    silver = {
+        (r.src, r.dst) for r in _hnsw_l0_edge_silver(spark, sf).collect()
+    }
+    direct = {
+        (r.src, r.dst)
+        for r in nsw_build_edges(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), shortcuts=True
+        ).collect()
+    }
+    assert silver == direct
