@@ -2215,8 +2215,9 @@ def shortcut_edges(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
     ranks are uncorrelated with geometry, so each node gets ~log₂N
     uniformly-spread probes, any frontier reaches every cluster within
     a few rounds, and the monotone beam keeps whichever landings score.
-    Measured at the 50k clustered probe: descent recall@5 0.15 → ≥0.5
-    (see SCALE_PROBE.md hnsw_50k row).
+    Measured at the 50k clustered probe: descent recall@5 0.15 → 0.60
+    (see SCALE_PROBE.md hnsw_50k row; the batched-insertion alternative
+    measures 0.46 at 4× the build wall — hnsw_50k_incremental row).
 
     Exactness: rank = row_number over id ASC (unique ids ⇒ both engines
     agree); offsets are exact longs. Scale note: the global rank window
