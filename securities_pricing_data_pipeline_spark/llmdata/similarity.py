@@ -2196,7 +2196,13 @@ def nsw_build_edges(
     return out
 
 
-def shortcut_edges(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def shortcut_edges(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    broadcast_threshold: int = 8_000_000,
+    rank_buckets: int | None = None,
+    force_path: str | None = None,
+) -> DataFrame:
     """Deterministic LONG-RANGE links for graph-ANN navigability: rank
     the corpus ids ascending and wire each rank r to rank
     (r + 2^j) mod N for every j with 2^j < N, both directions — the
@@ -2219,36 +2225,119 @@ def shortcut_edges(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
     (see SCALE_PROBE.md hnsw_50k row; the batched-insertion alternative
     measures 0.46 at 4× the build wall — hnsw_50k_incremental row).
 
-    Exactness: rank = row_number over id ASC (unique ids ⇒ both engines
-    agree); offsets are exact longs. Scale note: the global rank window
-    is a single-task sort of NARROW id rows — fine to ~10⁸ ids; at
-    100 TB either use the already-dense vec_id directly as the rank or
-    a range-partitioned zipWithIndex (same output, documented trade)."""
+    100-TB rank path (r14 — replaces the r13 single-task global
+    ``row_number`` window + unconditional full-rank-table broadcast):
+
+    * **dense** — when ids are integral and CONTIGUOUS (max−min+1 ==
+      count, e.g. the embeddings table's 0..N−1 ``vec_id``), rank is
+      ``id − min`` and the destination id is computed arithmetically:
+      the whole ring is one map-side projection — no window, no
+      shuffle, no join, at ANY corpus size.
+    * **ranked** — otherwise (e.g. the hash-selected upper HNSW
+      layer), a range-partitioned rank: a monotone bucketing of id
+      (min/max-scaled for numeric ids; one bucket for other orderable
+      types) gives per-bucket ``row_number`` sorts that run in
+      PARALLEL, plus a tiny (≤``rank_buckets`` rows, broadcast)
+      cumulative-offset table — the DataFrame form of
+      ``zipWithIndex``. The rank→dst-id mapping joins BROADCAST below
+      ``broadcast_threshold`` ids and falls back to a plain shuffled
+      join on the rank key above it (the broadcast side grows with
+      |corpus| and would hit Spark's broadcast limit long before the
+      window would die — the r13 advice note).
+
+    Both paths are provably identical (unit-tested against each other
+    and against the DuckDB closed-form replay); ``force_path``
+    ("dense" | "ranked") pins one for tests. One 3-scalar (count, min,
+    max) driver-side action chooses the path — the repo-wide 1-row
+    collect budget applies.
+
+    Exactness: rank = position in id ASC order (unique ids ⇒ both
+    engines agree); offsets are exact longs; the 2^j < N hop list is
+    computed driver-side so the plan carries only literal offsets."""
+    from pyspark.sql.types import IntegralType, NumericType
+
+    if force_path not in (None, "dense", "ranked"):
+        raise ValueError(f"shortcut_edges: unknown force_path {force_path!r}")
     ids = corpus.select(F.col(id_col).alias("id"))
-    n1 = ids.agg(F.count("*").alias("m"))
-    rk = ids.withColumn(
-        "r", F.row_number().over(Window.orderBy("id")) - 1
-    ).crossJoin(F.broadcast(n1))
-    hops = (
-        rk.select(
-            "id",
-            "r",
-            "m",
-            F.explode(F.sequence(F.lit(0), F.lit(39))).alias("j"),
-        )
-        .filter(F.expr("shiftleft(cast(1 as bigint), j)") < F.col("m"))
-        .select(
-            "id",
-            (
-                (F.col("r") + F.expr("shiftleft(cast(1 as bigint), j)"))
-                % F.col("m")
-            ).alias("dr"),
-        )
+    id_type = ids.schema[0].dataType
+    numeric = isinstance(id_type, NumericType)
+    stats = ids.agg(
+        F.count("*").alias("m"),
+        *([F.min("id").alias("lo"), F.max("id").alias("hi")] if numeric else []),
+    ).collect()[0]
+    m = stats["m"]
+    empty = ids.select(
+        F.col("id").alias("src"), F.col("id").alias("dst")
+    ).limit(0)
+    if m <= 1:
+        return empty  # a ring needs ≥2 nodes; also guards int(None) below
+    offs = [1 << j for j in range(m.bit_length()) if (1 << j) < m]
+    dense = (
+        isinstance(id_type, IntegralType)
+        and int(stats["hi"]) - int(stats["lo"]) + 1 == m
     )
-    e = hops.join(
-        F.broadcast(rk.select(F.col("r").alias("dr"), F.col("id").alias("dst"))),
-        "dr",
-    ).select(F.col("id").alias("src"), "dst")
+    if force_path == "dense" and not dense:
+        raise ValueError("shortcut_edges: ids are not contiguous-integral")
+    if dense and force_path != "ranked":
+        lo = int(stats["lo"])
+        e = ids.select(
+            F.col("id").alias("src"),
+            F.explode(F.array(*[F.lit(o) for o in offs])).alias("o"),
+        ).select(
+            "src",
+            (
+                F.lit(lo) + (F.col("src") - F.lit(lo) + F.col("o")) % F.lit(m)
+            ).cast(id_type).alias("dst"),
+        )
+    else:
+        if numeric:
+            b_target = rank_buckets or int(
+                corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            n_b = max(1, min(b_target, m))
+            lo_d, hi_d = float(stats["lo"]), float(stats["hi"])
+            span = max(hi_d - lo_d, 1.0)
+            # monotone in id (double cast, affine map, floor) — so
+            # bucket-local rank + bucket offset == the global rank
+            bucket = F.least(
+                F.lit(n_b - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("id").cast("double") - F.lit(lo_d))
+                        / F.lit(span)
+                        * F.lit(n_b)
+                    ).cast("int"),
+                ),
+            )
+        else:
+            bucket = F.lit(0)  # orderable-but-non-numeric ids: one sort task
+        bids = ids.withColumn("b", bucket)
+        w_in = Window.partitionBy("b").orderBy("id")
+        cum = (
+            Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )  # ≤ n_b rows: the single-task window is over the COUNTS table
+        off_tbl = (
+            bids.groupBy("b")
+            .agg(F.count("*").alias("c"))
+            .withColumn("off", F.coalesce(F.sum("c").over(cum), F.lit(0)))
+            .select("b", "off")
+        )
+        rk = (
+            bids.withColumn("lr", F.row_number().over(w_in) - 1)
+            .join(F.broadcast(off_tbl), "b")
+            .select("id", (F.col("lr") + F.col("off")).alias("r"))
+        )
+        hops = rk.select(
+            "id",
+            F.explode(F.array(*[F.lit(o) for o in offs])).alias("o"),
+            "r",
+        ).select("id", ((F.col("r") + F.col("o")) % F.lit(m)).alias("dr"))
+        dst_map = rk.select(F.col("r").alias("dr"), F.col("id").alias("dst"))
+        if m <= broadcast_threshold:
+            dst_map = F.broadcast(dst_map)
+        e = hops.join(dst_map, "dr").select(F.col("id").alias("src"), "dst")
     return e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

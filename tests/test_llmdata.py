@@ -2510,6 +2510,86 @@ def test_shortcut_edges_make_graph_strongly_connected(spark):
     assert len(seen) == n
 
 
+def test_shortcut_edges_dense_path_identical_and_joinless(spark):
+    """r14 100-TB rank path: on contiguous-integral ids the dense path
+    (pure map-side arithmetic) must emit exactly the ranked path's
+    (src, dst) multiset, the default must PICK it, and its plan must
+    contain no Window/Join/Exchange — the whole point of the fast
+    path. Non-zero base (ids 10..41) pins the id−min rank, not id."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        shortcut_edges,
+    )
+
+    df = spark.createDataFrame(
+        [(i + 10, [1.0, 0.0]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    dense = sorted(
+        (r.src, r.dst)
+        for r in shortcut_edges(df, force_path="dense").collect()
+    )
+    ranked = sorted(
+        (r.src, r.dst)
+        for r in shortcut_edges(df, force_path="ranked").collect()
+    )
+    default = sorted((r.src, r.dst) for r in shortcut_edges(df).collect())
+    assert dense == ranked == default
+    assert len(dense) == 2 * 32 * 5  # 2^j < 32 ⇒ j ∈ 0..4, both directions
+    plan = shortcut_edges(df)._jdf.queryExecution().executedPlan().toString()
+    for op in ("Window", "Join", "Exchange"):
+        assert op not in plan, f"dense ring plan must be map-side, saw {op}"
+
+
+def test_shortcut_edges_ranked_buckets_and_shuffle_join_identical(spark):
+    """The range-partitioned rank must equal the single-bucket (legacy
+    global-window) rank for any bucket count, and the above-threshold
+    plain shuffled dst join must equal the broadcast one — the two
+    r14 scale escapes, proven output-identical on sparse skewed ids."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        shortcut_edges,
+    )
+
+    ids = [3, 7, 10, 20, 21, 500, 501, 502, 900, 10_000, 10_001]
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in ids], "vec_id long, embedding array<double>"
+    )
+
+    def ring(**kw):
+        return sorted(
+            (r.src, r.dst)
+            for r in shortcut_edges(df, force_path="ranked", **kw).collect()
+        )
+
+    legacy = ring(rank_buckets=1)
+    assert ring(rank_buckets=4) == legacy
+    assert ring(rank_buckets=64) == legacy  # more buckets than ids
+    assert ring(rank_buckets=4, broadcast_threshold=0) == legacy  # shuffle dst
+    plan = shortcut_edges(
+        df, force_path="ranked", broadcast_threshold=0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_shortcut_edges_guards(spark):
+    """Degenerate inputs: 0- and 1-row corpora return an EMPTY typed
+    frame (a ring needs ≥2 nodes) instead of raising on int(None);
+    force_path='dense' on non-contiguous ids raises."""
+    import pytest as _pytest
+
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+        shortcut_edges,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    for rows in ([], [(7, [1.0])]):
+        out = shortcut_edges(spark.createDataFrame(rows, schema))
+        assert out.columns == ["src", "dst"]
+        assert out.count() == 0
+    sparse = spark.createDataFrame([(1, [1.0]), (9, [1.0])], schema)
+    with _pytest.raises(ValueError, match="contiguous"):
+        shortcut_edges(sparse, force_path="dense")
+
+
 def test_round_half_away_np_boundary_parity():
     """ADVICE r12: sign·floor(|x|+0.5) mis-rounds doubles whose
     fractional part is the largest double below 0.5 (|x|+0.5 ties
