@@ -1298,6 +1298,113 @@ def kmeans_centroids(
     )
 
 
+def _ivf_parts(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    nprobe: int,
+    centroids: DataFrame | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared IVF structure build — ``(centroids, assigned, probes)`` —
+    factored out of :func:`ivf_topk` (r14) so the nprobe TUNING SWEEP can
+    reuse ONE corpus assignment + ONE probe ranking across all its
+    nprobe levels instead of paying the full IVF pipeline per level
+    (guide §2.4: remove repeated shuffles outright; the r14 plan audit
+    showed the 5-level sweep at 120 Exchanges / 10 ArrowEvalPython — 5
+    identical assignments).
+
+    ``probes`` keeps the 1-based probe rank as ``probe_rn`` (ordered
+    cent_cos DESC, centroid_id ASC — the exact ivf_topk probe order);
+    filtering ``probe_rn <= nprobe`` reproduces ivf_topk's probed-list
+    set for that nprobe bit-identically, which is what makes the shared
+    sweep provably equivalent to per-level retrievals.
+
+    Inverted-list assignment: best centroid per corpus vector, via the
+    shared two-phase kernel (numpy float prefilter, exact grid confirm;
+    see nearest_centroid) — one map-side matmul + a narrow-row shuffle,
+    replacing the k·n HOF-cosine expansion the window plan paid. The
+    vectors rejoin the (id, centroid_id) map on id: a hash join of
+    n narrow rows against the corpus scan, never n·k vector rows."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cent_vec"),
+            norm_grid(F.col(vec_col)).alias("cent_norm"),
+        )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_grid(F.col(vec_col)).alias("norm"),
+    )
+    assigned = (
+        nearest_centroid(c, centroids)
+        .join(c, "id")
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+            "centroid_id",
+        )
+    )
+    # probe lists: nprobe best centroids per query
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_grid(F.col(vec_col)).alias("q_norm"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "cent_cos",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("cent_vec"), F.col("q_norm"), F.col("cent_norm")
+            ),
+        )
+        .withColumn("probe_rn", F.row_number().over(w_probe))
+        .filter(F.col("probe_rn") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", "centroid_id", "probe_rn")
+    )
+    return centroids, assigned, probes
+
+
+def ivf_sweep_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe_max: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """ALL scored IVF candidates up to ``nprobe_max`` probed lists, with
+    the probe rank attached: ``(query_id, neighbor_id, cos_sim,
+    probe_rn)``. For any nprobe ≤ nprobe_max, the rows with
+    ``probe_rn <= nprobe`` are EXACTLY the scored candidate set of
+    ``ivf_topk(..., nprobe=nprobe)`` (same assignment, same probe order,
+    same exact grid cosine, same self-exclusion) — the nested-lists
+    property every IVF tuning sweep exploits: one pass at nprobe_max
+    subsumes every smaller operating point. Cost: one corpus assignment
+    + one scoring join, vs one full IVF pipeline PER LEVEL."""
+    _, assigned, probes = _ivf_parts(
+        corpus, queries, id_col, vec_col, n_centroids, nprobe_max, centroids
+    )
+    return (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
+            "probe_rn",
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1333,51 +1440,8 @@ def ivf_topk(
     pairs) two-phase measured slower (2.5s vs 1.7s — Python-stage fixed
     cost exceeds the ~1s HOF saving); flip it past the ~1M-pair
     crossover."""
-    if centroids is None:
-        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("cent_vec"),
-            norm_grid(F.col(vec_col)).alias("cent_norm"),
-        )
-    # inverted-list assignment: best centroid per corpus vector, via the
-    # shared two-phase kernel (numpy float prefilter, exact grid confirm;
-    # see nearest_centroid) — one map-side matmul + a narrow-row shuffle,
-    # replacing the k·n HOF-cosine expansion the window plan paid. The
-    # vectors rejoin the (id, centroid_id) map on id: a hash join of
-    # n narrow rows against the corpus scan, never n·k vector rows.
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm_grid(F.col(vec_col)).alias("norm"),
-    )
-    assigned = (
-        nearest_centroid(c, centroids)
-        .join(c, "id")
-        .select(
-            F.col("id").alias("neighbor_id"),
-            F.col("vec").alias("c_vec"),
-            F.col("norm").alias("c_norm"),
-            "centroid_id",
-        )
-    )
-    # probe lists: nprobe best centroids per query
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_grid(F.col(vec_col)).alias("q_norm"),
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
-    probes = (
-        q.join(F.broadcast(centroids))
-        .withColumn(
-            "cent_cos",
-            cosine_with_norms(
-                F.col("q_vec"), F.col("cent_vec"), F.col("q_norm"), F.col("cent_norm")
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_vec", "q_norm", "centroid_id")
+    centroids, assigned, probes = _ivf_parts(
+        corpus, queries, id_col, vec_col, n_centroids, nprobe, centroids
     )
     if two_phase:
         return _ivf_topk_np(

@@ -5769,11 +5769,33 @@ def _nsw_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("nsw_edges", spark.sparkContext.applicationId, sf_dir)
     df = _DEDUP_SILVER.get(key)
     if df is None:
-        df = nsw_build_edges(load(spark, sf_dir, "embeddings")).persist(
-            StorageLevel.MEMORY_AND_DISK
+        df = _right_size_silver(
+            nsw_build_edges(load(spark, sf_dir, "embeddings")).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         )
         _DEDUP_SILVER[key] = df
     return df
+
+
+def _right_size_silver(df: DataFrame, rows_per_part: int = 250_000) -> DataFrame:
+    """Materialize a persisted silver and RIGHT-SIZE its read parallelism
+    (r14, guide §2.2/§6 — many tiny tasks are pure overhead): a silver
+    built through 32-partition shuffles holds a few thousand narrow rows
+    per partition at bench scale, so every beam round / probe join that
+    rescans it pays ~34 task launches to move a few MB (measured ~300 ms
+    per round on the hnsw search, the single largest per-round cost).
+    One build-time ``count()`` materializes the cache and sizes a
+    ``coalesce`` wrapper to ≥1 partition per ``rows_per_part`` rows; the
+    coalesce is narrow (no shuffle) and the guard is a no-op whenever the
+    silver is already at-or-below the target rows/partition — i.e. at
+    production scale, exactly like ``helpers.spread`` in reverse."""
+    import math
+
+    n = df.count()  # build-time only: materializes the cache
+    cur = df.rdd.getNumPartitions()
+    parts = max(1, min(cur, math.ceil(n / rows_per_part)))
+    return df.coalesce(parts) if parts < cur else df
 
 
 def _nsw_cvec_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5798,6 +5820,7 @@ def _nsw_cvec_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        df = _right_size_silver(df)
         _DEDUP_SILVER[key] = df
     return df
 
@@ -6908,8 +6931,10 @@ def _hnsw_top_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load(spark, sf_dir, "embeddings").filter(
             portable_hash60(F.col("vec_id").cast("string")) % 8 == 0
         )
-        df = nsw_build_edges(emb, shortcuts=True).persist(
-            StorageLevel.MEMORY_AND_DISK
+        df = _right_size_silver(
+            nsw_build_edges(emb, shortcuts=True).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         )
         _DEDUP_SILVER[key] = df
     return df
@@ -6937,7 +6962,8 @@ def _hnsw_l0_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(shortcut_edges(load(spark, sf_dir, "embeddings")))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        df.count()  # materialize now: search plans must see only the cache
+        # materializes now (count inside): search plans must see only the cache
+        df = _right_size_silver(df)
         _DEDUP_SILVER[key] = df
     return df
 
@@ -7162,12 +7188,23 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is 1.0 BY CONSTRUCTION — a built-in exactness anchor that
     certifies the sweep itself (an anchor below 1.0 means the index or
     the audit is broken, not the parameter). Truth is pinned once and
-    served to all five audits; each IVF pass is the standard
-    centroid-assignment + nprobe-list scan, so the whole sweep costs
-    ~5× one retrieval, never 5× brute force."""
+    served to all five audits.
+
+    r14 plan (guide §2.4 — remove repeated work outright): the probed
+    lists are NESTED in nprobe, so ONE scored pass at nprobe=16 with the
+    probe rank attached (``ivf_sweep_scored``) subsumes every level —
+    per level the candidates are exactly the rows with probe_rn ≤
+    nprobe, cut to top-k by the identical (cos DESC, id ASC) window.
+    The r13 shape paid the full IVF pipeline (assignment + probe + list
+    scan) PER LEVEL: 120 Exchanges / 10 ArrowEvalPython / 48 jobs
+    measured; this shape runs one assignment (2 ArrowEvalPython) + one
+    scoring join + one shared window over the level-exploded candidates.
+    Equivalence is structural (nested lists + identical expressions) and
+    oracle-gated: the DuckDB oracle still replays five independent IVF
+    retrievals."""
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
         brute_force_topk,
-        ivf_topk,
+        ivf_sweep_scored,
     )
 
     emb = load(spark, sf_dir, "embeddings")
@@ -7178,27 +7215,54 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # five audit consumers, one compute
     )
     n_true = truth.agg(F.count("*").alias("n_true"))
-    parts = []
-    for nprobe in (1, 2, 4, 8, 16):
-        approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=nprobe).select(
-            "query_id", "neighbor_id"
-        )
-        hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi").agg(
-            F.count("*").alias("n_hits")
-        )
-        parts.append(
-            hits.crossJoin(F.broadcast(n_true)).select(
-                F.lit(nprobe).alias("nprobe"),
-                "n_hits",
-                (F.col("n_hits").cast("double") / F.col("n_true")).alias(
-                    "recall_at_k"
-                ),
+    levels = (1, 2, 4, 8, 16)
+    scored = ivf_sweep_scored(emb, queries, n_centroids=16, nprobe_max=16)
+    # each candidate fans out to every swept level that probes its list
+    # (probe_rn <= nprobe); one window per (nprobe, query) then replays
+    # the per-level top-k cut bit-identically
+    cand = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(lv) for lv in levels]),
+                lambda lv: lv >= F.col("probe_rn"),
             )
+        ).alias("nprobe"),
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    hits = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    # literal level spine: a level with zero hits must still emit its row
+    # (the r13 per-level 1-row aggregates could never be empty)
+    spine = F.broadcast(
+        emb.sparkSession.range(len(levels)).select(
+            F.element_at(
+                F.array(*[F.lit(lv) for lv in levels]), (F.col("id") + 1).cast("int")
+            ).alias("nprobe")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("nprobe")
+    )
+    return (
+        spine.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "nprobe",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_true")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )
 
 
 QUERIES["sim_ivf_nprobe_sweep"] = sim_ivf_nprobe_sweep

@@ -608,6 +608,67 @@ JOIN (SELECT user_id, MAX(session_id) AS max_sid FROM sess GROUP BY 1) m
 }
 
 
+def _write_range_feed(
+    df: DataFrame, key_col: str, feed_dir, tmp_dir, n_batches: int = 4
+) -> None:
+    """Replay-feed builder: split ``df`` into ``n_batches`` KEY-RANGED
+    parquet files under ``feed_dir`` with ascending mtimes (mtime order =
+    range order, the micro-batch arrival contract).
+
+    r14 (guide §2.4): the r13 loop ran one filter + coalesce(1) + write
+    JOB PER FILE (4 sequential source scans); this builds the same split
+    in ONE job — same integer cut boundaries (lo + span·b//n), bucketed
+    with a when-chain and written with partitionBy, so each bucket lands
+    as a single file (repartition on the bucket key puts all of a
+    bucket's rows in one task). Row ORDER within a file is not preserved
+    — every stateful consumer (cusum_fn, lsh_dedup_fn) sorts within the
+    batch, and the oracles are defined on (key, id) total orders, so
+    file-internal order was never load-bearing. Empty buckets still get
+    a file (schema-only write), exactly like the old coalesce(1) path."""
+    import os
+    import shutil
+    import time
+    from pathlib import Path
+
+    feed_dir, tmp_dir = Path(feed_dir), Path(tmp_dir)
+    lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+    cuts = [lo + span * b // n_batches for b in range(n_batches + 1)]
+    col = F.col(key_col)
+    bucket = F.when(col < F.lit(cuts[1]), 0)
+    for b in range(1, n_batches - 1):
+        bucket = bucket.when(col < F.lit(cuts[b + 1]), b)
+    bucket = bucket.otherwise(n_batches - 1)
+    (
+        df.withColumn("__b", bucket)
+        .repartition(n_batches, "__b")
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(str(tmp_dir))
+    )
+    feed_dir.mkdir(parents=True)
+    t0 = time.time() - 600
+    empty = None
+    for b in range(n_batches):
+        dst = feed_dir / f"{b:03d}_range.parquet"
+        part_dir = tmp_dir / f"__b={b}"
+        if part_dir.is_dir():
+            pf = next(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
+            shutil.move(str(part_dir / pf), str(dst))
+        else:
+            # bucket with no rows: write one schema-only file so the
+            # stream still sees n_batches triggers (old-path parity)
+            if empty is None:
+                empty = df.limit(0)
+            empty.coalesce(1).write.mode("overwrite").parquet(str(tmp_dir / "__e"))
+            pf = next(
+                p for p in os.listdir(tmp_dir / "__e") if p.endswith(".parquet")
+            )
+            shutil.move(str(tmp_dir / "__e" / pf), str(dst))
+        os.utime(dst, (t0 + 100 * b, t0 + 100 * b))
+
+
 def stream_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONLINE Page–Hinkley drift detection executed as a genuine
     multi-batch stream (``streaming.stateful.cusum_stream``) — the
@@ -620,9 +681,7 @@ def stream_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form over the whole (ts, event_id)-ordered series, which is
     exactly what the DuckDB oracle computes. Output: final cumulative
     row per event_type."""
-    import os
     import shutil
-    import time
     import uuid
     from pathlib import Path
 
@@ -636,20 +695,8 @@ def stream_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = base / f"{tag}_feed"
     tmp_dir = base / f"{tag}_tmp"
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    span = int(hi) - int(lo) + 1
     try:
-        feed_dir.mkdir(parents=True)
-        t0 = time.time() - 600
-        for b in range(4):
-            cut_lo = int(lo) + span * b // 4
-            cut_hi = int(lo) + span * (b + 1) // 4
-            part = ev.filter((F.col("ts") >= cut_lo) & (F.col("ts") < cut_hi))
-            part.coalesce(1).write.mode("overwrite").parquet(str(tmp_dir))
-            pf = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
-            dst = feed_dir / f"{b:03d}_quarter.parquet"
-            shutil.move(str(tmp_dir / pf), str(dst))
-            os.utime(dst, (t0 + 100 * b, t0 + 100 * b))  # mtime order = ts order
+        _write_range_feed(ev, "ts", feed_dir, tmp_dir)  # mtime order = ts order
         schema = spark.read.parquet(str(feed_dir)).schema
         stream = (
             spark.readStream.schema(schema)
@@ -724,9 +771,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     a candidate dup iff some d' < d shares a band, matched to the
     minimum such d'. Output: every document with its dup flag and
     first_dup_of (NULL for originals)."""
-    import os
     import shutil
-    import time
     import uuid
     from pathlib import Path
 
@@ -744,22 +789,8 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = base / f"{tag}_feed"
     tmp_dir = base / f"{tag}_tmp"
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    span = int(hi) - int(lo) + 1
     try:
-        feed_dir.mkdir(parents=True)
-        t0 = time.time() - 600
-        for b in range(4):
-            cut_lo = int(lo) + span * b // 4
-            cut_hi = int(lo) + span * (b + 1) // 4
-            part = docs.filter(
-                (F.col("doc_id") >= cut_lo) & (F.col("doc_id") < cut_hi)
-            )
-            part.coalesce(1).write.mode("overwrite").parquet(str(tmp_dir))
-            pf = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
-            dst = feed_dir / f"{b:03d}_quarter.parquet"
-            shutil.move(str(tmp_dir / pf), str(dst))
-            os.utime(dst, (t0 + 100 * b, t0 + 100 * b))  # mtime order = id order
+        _write_range_feed(docs, "doc_id", feed_dir, tmp_dir)  # mtime = id order
         schema = spark.read.parquet(str(feed_dir)).schema
         stream = (
             spark.readStream.schema(schema)

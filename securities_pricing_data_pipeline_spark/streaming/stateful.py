@@ -263,24 +263,35 @@ def lsh_dedup_fn(
     per occupied bucket (≪ one per document — buckets dedupe), never
     the document text, never the growing signature list; the candidate
     flag is the cheap gate and the exact-Jaccard verify stays a batch
-    refinement (dedup_minhash_lsh's WHERE clause)."""
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    ids = np.sort(rows["doc_id"].to_numpy().astype(np.int64))
-    cur = int(state.get[0]) if state.exists else None
-    out_doc: list[int] = []
-    out_match: list[int] = []
-    for d in ids.tolist():
-        if cur is not None and cur < d:
-            out_doc.append(d)
-            out_match.append(cur)
-        cur = d if cur is None else min(cur, d)
-    state.update((int(cur),))
-    yield pd.DataFrame(
-        {
-            "doc_id": np.asarray(out_doc, dtype=np.int64),
-            "matched_id": np.asarray(out_match, dtype=np.int64),
-        }
+    refinement (dedup_minhash_lsh's WHERE clause).
+
+    r14 (guide §4.2 — vectorize the per-batch Python work): the group
+    fn runs once per OCCUPIED BUCKET per micro-batch (~16·|batch docs|
+    groups, nearly all singletons), so per-group constant cost IS the
+    operator's cost — measured ~3s/batch at the sf0.1 bench from the
+    row-loop + unconditional empty-DataFrame emission. Same fold,
+    closed form: after sorting, every id beyond the running minimum is
+    matched to that minimum (min(cur, ids[0]) — sorted order makes the
+    loop's evolving ``cur`` a constant), ties are skipped exactly as
+    the loop skipped them (emit iff strictly greater), and groups with
+    nothing to flag yield NO frame instead of an empty one."""
+    chunks = [pdf["doc_id"].to_numpy() for pdf in pdfs]
+    ids = np.sort(
+        (chunks[0] if len(chunks) == 1 else np.concatenate(chunks)).astype(np.int64)
     )
+    cur = int(state.get[0]) if state.exists else None
+    first = int(ids[0])
+    base = first if cur is None else min(cur, first)
+    rest = ids[1:]
+    dups = rest[rest > base]
+    state.update((base,))
+    lead = cur is not None and cur < first
+    if lead or dups.size:
+        out_doc = np.concatenate(([first], dups)) if lead else dups
+        out_match = np.full(out_doc.size, base, dtype=np.int64)
+        if lead:
+            out_match[0] = cur
+        yield pd.DataFrame({"doc_id": out_doc, "matched_id": out_match})
 
 
 def lsh_dedup_stream(banded: DataFrame) -> DataFrame:
