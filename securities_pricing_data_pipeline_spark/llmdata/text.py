@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
@@ -234,13 +234,11 @@ def winnow_fingerprints(
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID.
-
-    CJK detection by Unicode block ratio; otherwise argmax of per-language
-    stopword hit-rate over the profiles above. Entirely built-ins: one
-    array intersection per language.
-    """
+def lang_pred(text_col: str = "text") -> Column:
+    """The :func:`lang_id` prediction as a bare COLUMN expression, so a
+    single-pass pipeline (e.g. the streaming quality gate) can evaluate
+    it alongside other per-row gates without a second scan or a join
+    (r14, guide §2.4)."""
     toks = F.array_distinct(_tokens(text_col))
     cjk_chars = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
     scores = F.array(
@@ -253,10 +251,19 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         ]
     )
     best = F.array_max(scores)  # struct compare: hits first, then lang
-    pred = F.when(cjk_chars * 2 > F.length(F.col(text_col)), F.lit("zh")).otherwise(
+    return F.when(cjk_chars * 2 > F.length(F.col(text_col)), F.lit("zh")).otherwise(
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
     )
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID.
+
+    CJK detection by Unicode block ratio; otherwise argmax of per-language
+    stopword hit-rate over the profiles above. Entirely built-ins: one
+    array intersection per language.
+    """
+    return df.select(F.col(id_col), lang_pred(text_col).alias("pred_lang"))
 
 
 def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -1480,7 +1487,12 @@ def heaps_growth(
     )
 
 
-def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """The Gopher document-quality rule bundle (Rae et al. 2021 §A1.1) —
     the standard pretraining filter stack, emitted as per-document
     booleans plus the combined verdict so a curator can see WHICH rule
@@ -1526,7 +1538,10 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         "ok_bullet_lines": f"10 * {nbullet} <= 9 * {nlines}",
         "ok_ellipsis_lines": f"10 * {nell} <= 3 * {nlines}",
     }
-    cols = [F.col(id_col), F.expr(nw).cast("int").alias("n_words")]
+    # keep_cols: extra input columns carried through the projection, so
+    # single-pass gate pipelines can stack verdicts without a join (r14)
+    cols = [F.col(id_col), *[F.col(c) for c in keep_cols]]
+    cols += [F.expr(nw).cast("int").alias("n_words")]
     cols += [F.expr(e).alias(k) for k, e in flags.items()]
     out = df.select(*cols)
     allok = None

@@ -179,8 +179,17 @@ def triangle_stats(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        # r14 pin (guide §2.4): edges feeds the adjacency aggregate AND
+        # the intersect base; adj is joined twice — unpinned, the degree
+        # joins replayed up to 6x inside one action (see
+        # edge_triangle_support for the measured stage audit)
+        .localCheckpoint(eager=True)
     )
-    adj = edges.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    adj = (
+        edges.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
     nparts = spark.sparkContext.defaultParallelism * 3
     tri = (
         edges.repartition(nparts)
@@ -350,8 +359,21 @@ def edge_triangle_support(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        # r14 pin (guide §2.4): ``oriented`` feeds BOTH the adjacency
+        # aggregate and the enumeration base below; unpinned, each
+        # consumer replays the two degree joins (and their two degree
+        # aggregates each) — the r14 stage audit showed 8 replicated
+        # degree map stages in one graph_edge_jaccard_parts action.
+        # Edge-sized narrow rows, the same cost class as the pinned
+        # input list itself.
+        .localCheckpoint(eager=True)
     )
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        # joined twice below (jsrc/jdst): pin one aggregate, not two
+        .localCheckpoint(eager=True)
+    )
     nparts = spark.sparkContext.defaultParallelism * 3
     # one row per triangle: (a=src, b=dst, w) with w in N+(a) ∩ N+(b)
     tris = (
@@ -575,6 +597,10 @@ def hits(
         raise ValueError("hits() needs iters >= 1 (one mutual-reinforcement round)")
     if not materialized:
         edges = edges.localCheckpoint(eager=True)
+        # r14 note: re-spreading the pinned list to session width for the
+        # decimal contribution passes was tried and measured SLOWER
+        # (6.4s vs 5.2s median at sf0.1 — the extra shuffle+checkpoint
+        # costs more than the added parallelism buys); left as-is.
     h = (
         edges.select(F.col(src).alias("node"))
         .distinct()

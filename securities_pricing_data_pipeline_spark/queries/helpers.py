@@ -60,6 +60,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def right_size_silver(df: DataFrame, rows_per_part: int = 250_000) -> DataFrame:
+    """Materialize a persisted silver and RIGHT-SIZE its read parallelism
+    (r14, guide §2.2/§6 — many tiny tasks are pure overhead): a silver
+    built through session-width shuffles holds a few thousand narrow
+    rows per partition at bench scale, so every consumer stage that
+    rescans it pays ~32-64 task launches to move a few MB (measured
+    ~300 ms per beam round on the hnsw search, ~700 ms per degree pass
+    on the co-purchase graph). One build-time ``count()`` materializes
+    the cache and sizes a ``coalesce`` wrapper to ≥1 partition per
+    ``rows_per_part`` rows; the coalesce is narrow (no shuffle) and the
+    guard is a no-op whenever the silver is already at-or-below the
+    target rows/partition — i.e. at production scale, exactly like
+    :func:`spread` in reverse."""
+    import math
+
+    n = df.count()  # build-time only: materializes the cache
+    cur = df.rdd.getNumPartitions()
+    parts = max(1, min(cur, math.ceil(n / rows_per_part)))
+    return df.coalesce(parts) if parts < cur else df
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Parallelism guard for compute-heavy scans of small parquet inputs.
 

@@ -5778,24 +5778,9 @@ def _nsw_edge_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def _right_size_silver(df: DataFrame, rows_per_part: int = 250_000) -> DataFrame:
-    """Materialize a persisted silver and RIGHT-SIZE its read parallelism
-    (r14, guide §2.2/§6 — many tiny tasks are pure overhead): a silver
-    built through 32-partition shuffles holds a few thousand narrow rows
-    per partition at bench scale, so every beam round / probe join that
-    rescans it pays ~34 task launches to move a few MB (measured ~300 ms
-    per round on the hnsw search, the single largest per-round cost).
-    One build-time ``count()`` materializes the cache and sizes a
-    ``coalesce`` wrapper to ≥1 partition per ``rows_per_part`` rows; the
-    coalesce is narrow (no shuffle) and the guard is a no-op whenever the
-    silver is already at-or-below the target rows/partition — i.e. at
-    production scale, exactly like ``helpers.spread`` in reverse."""
-    import math
-
-    n = df.count()  # build-time only: materializes the cache
-    cur = df.rdd.getNumPartitions()
-    parts = max(1, min(cur, math.ceil(n / rows_per_part)))
-    return df.coalesce(parts) if parts < cur else df
+from securities_pricing_data_pipeline_spark.queries.helpers import (  # noqa: E402
+    right_size_silver as _right_size_silver,
+)
 
 
 def _nsw_cvec_silver(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -708,49 +708,51 @@ def q24_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate 30-term lag chains doubles the window expression count and
     measured 2× slower; the shared-lag shape runs 1.5× faster than even
     the original collect_list formulation. Stage 2 is one more lag
-    window over the requantized macd."""
-    b = bars_silver(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("trade_date")
-    cu = (F.col("close") * 10000).cast("long")
+    window over the requantized macd.
 
-    def lag_frame(src: DataFrame, col: Column, keep: list[str]) -> DataFrame:
+    r14: the SAME expression tree is now assembled as ONE SQL string per
+    output column (``selectExpr``) instead of ~700 py4j Column calls —
+    DataFrame construction alone measured 1.4-1.8 s of driver time at 3
+    jobs total (guide §1.1 empirical loop; ``tests/test_ewma.py::
+    test_q24_sql_form_matches_column_form`` pins the two forms equal
+    row-for-row)."""
+    b = bars_silver(spark, sf_dir)
+    over = "PARTITION BY symbol ORDER BY trade_date"
+
+    def lag_frame(src: DataFrame, col_sql: str, keep: list[str]) -> DataFrame:
         cols = [
-            F.coalesce(F.lag(col, k).over(w) if k else col, F.lit(0).cast("long")).alias(
-                f"_c{k}"
-            )
+            f"COALESCE({f'lag({col_sql}, {k}) OVER ({over})' if k else col_sql}, "
+            f"CAST(0 AS BIGINT)) AS _c{k}"
             for k in range(_EWMA_WIN)
         ]
-        m = F.least(F.row_number().over(w), F.lit(_EWMA_WIN)).alias("_m")
-        return src.select(*keep, m, *cols)
+        m = f"least(row_number() OVER ({over}), {_EWMA_WIN}) AS _m"
+        return src.selectExpr(*keep, m, *cols)
 
-    def dot(weights: list[int], dens: list[int]) -> Column:
-        num = None
-        for k, wt in enumerate(weights):
-            t = F.col(f"_c{k}") * F.lit(wt).cast("long")
-            num = t if num is None else num + t
-        den = F.element_at(F.array(*[F.lit(d).cast("long") for d in dens]), F.col("_m"))
-        return num.cast("double") / den.cast("double")
+    def dot(weights: list[int], dens: list[int]) -> str:
+        num = " + ".join(f"_c{k} * {wt}L" for k, wt in enumerate(weights))
+        arr = ", ".join(f"{d}L" for d in dens)
+        den = f"element_at(array({arr}), _m)"
+        return f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
 
-    stage1 = lag_frame(b, cu, ["symbol", "trade_date"]).select(
+    stage1 = lag_frame(b, "CAST(close * 10000 AS BIGINT)", ["symbol", "trade_date"]).selectExpr(
         "symbol",
         "trade_date",
-        ((dot(_MACD_W12, _MACD_D12) - dot(_MACD_W26, _MACD_D26)) / F.lit(10000.0)).alias(
-            "macd"
-        ),
+        f"({dot(_MACD_W12, _MACD_D12)} - {dot(_MACD_W26, _MACD_D26)}) / 10000.0D AS macd",
     )
-    mu = F.round(F.col("macd") * 10000).cast("long")
-    stage2 = lag_frame(stage1, mu, ["symbol", "trade_date", "macd"]).select(
+    stage2 = lag_frame(
+        stage1, "CAST(round(macd * 10000) AS BIGINT)", ["symbol", "trade_date", "macd"]
+    ).selectExpr(
         "symbol",
         "trade_date",
         "macd",
-        (dot(_MACD_W9, _MACD_D9) / F.lit(10000.0)).alias("signal"),
+        f"{dot(_MACD_W9, _MACD_D9)} / 10000.0D AS signal",
     )
-    return stage2.select(
+    return stage2.selectExpr(
         "symbol",
         "trade_date",
         "macd",
         "signal",
-        (F.col("macd") - F.col("signal")).alias("histogram"),
+        "macd - signal AS histogram",
     )
 
 

@@ -905,15 +905,13 @@ def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(language, verdict) admission table a crawl operator watches.
     Stateless gates are arrival-order independent, so the drained
     result equals the batch closed form row-for-row."""
-    import os
     import shutil
-    import time
     import uuid
     from pathlib import Path
 
     from securities_pricing_data_pipeline_spark.llmdata.text import (
         gopher_rules,
-        lang_id,
+        lang_pred,
     )
     from securities_pricing_data_pipeline_spark.queries.helpers import load
 
@@ -922,19 +920,8 @@ def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_dir = base / f"{tag}_feed"
     tmp_dir = base / f"{tag}_tmp"
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    mid = (int(lo) + int(hi)) // 2
     try:
-        feed_dir.mkdir(parents=True)
-        t0 = time.time() - 600
-        for b, pred in enumerate(
-            [F.col("doc_id") <= mid, F.col("doc_id") > mid]
-        ):
-            docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(str(tmp_dir))
-            pf = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
-            dst = feed_dir / f"{b:03d}_half.parquet"
-            shutil.move(str(tmp_dir / pf), str(dst))
-            os.utime(dst, (t0 + 100 * b, t0 + 100 * b))
+        _write_range_feed(docs, "doc_id", feed_dir, tmp_dir, n_batches=2)
         schema = spark.read.parquet(str(feed_dir)).schema
         stream = (
             spark.readStream.schema(schema)
@@ -942,17 +929,19 @@ def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(str(feed_dir))
         )
         # both gates are STATELESS map-side projections of the arriving
-        # row — each drains through its own append-mode sink (no state
-        # store anywhere), and the admission table joins the two drained
-        # BATCH tables afterwards (a stream-stream join would have
-        # needed watermark state for no reason)
-        gated = gopher_rules(stream).select("doc_id", "n_words", "gopher_pass")
-        lid = lang_id(stream)
+        # row, so they stack in ONE scan-fused projection and drain
+        # through ONE append-mode sink (no state store anywhere). r13 ran
+        # two separate streams (one per gate) and joined the drained
+        # tables — a second full drain bought nothing: the verdicts are
+        # per-row expressions over the same arriving row (r14, guide
+        # §2.4; measured ~2s of the query was the second drain).
+        gated = gopher_rules(
+            stream.withColumn("pred_lang", lang_pred("text")),
+            keep_cols=("pred_lang",),
+        ).select("doc_id", "pred_lang", "n_words", "gopher_pass")
         name_g = _drain(gated, "qgate", "append")
-        name_l = _drain(lid, "qgate_lid", "append")
         return (
             spark.table(name_g)
-            .join(spark.table(name_l), "doc_id")
             .groupBy("pred_lang", "gopher_pass")
             .agg(
                 F.count("*").alias("n_docs"),
@@ -1013,9 +1002,7 @@ def stream_emb_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution. Output: per centroid the member count, flagged count, and
     min/mean typicality — the table an ingest operator watches to see a
     drifting or garbage-emitting upstream encoder."""
-    import os
     import shutil
-    import time
     import uuid
     from pathlib import Path
 
@@ -1045,22 +1032,8 @@ def stream_emb_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
     cn = _round_half_away_np(C * C * 1e13).sum(axis=1)  # grid self-dots
-    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
-    span = int(hi) - int(lo) + 1
     try:
-        feed_dir.mkdir(parents=True)
-        t0 = time.time() - 600
-        for b in range(3):
-            cut_lo = int(lo) + span * b // 3
-            cut_hi = int(lo) + span * (b + 1) // 3
-            part = emb.filter(
-                (F.col("vec_id") >= cut_lo) & (F.col("vec_id") < cut_hi)
-            )
-            part.coalesce(1).write.mode("overwrite").parquet(str(tmp_dir))
-            pf = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
-            dst = feed_dir / f"{b:03d}_third.parquet"
-            shutil.move(str(tmp_dir / pf), str(dst))
-            os.utime(dst, (t0 + 100 * b, t0 + 100 * b))
+        _write_range_feed(emb, "vec_id", feed_dir, tmp_dir, n_batches=3)
         schema = spark.read.parquet(str(feed_dir)).schema
         stream = (
             spark.readStream.schema(schema)

@@ -42,6 +42,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r14 (guide §2.5): AQE coalesces post-shuffle partitions by BYTES
+        # and is blind to compute density — the 30-lag window queries ran
+        # near-single-core after their ~2 MB shuffles coalesced to 1-2
+        # partitions (q24_macd 3.6s → 2.4s at 64 KB, measured). A lower
+        # floor only affects small shuffles (production-size shuffles
+        # never hit the minimum); parameterised so a cluster deployment
+        # can restore the 1 MB default.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata `events.ts` is parquet TIMESTAMP(NANOS): read as long

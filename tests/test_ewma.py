@@ -68,3 +68,78 @@ def test_lag_chain_partition_isolation(spark):
         ).collect()
     }
     assert out == {1: 500.0, 2: 900.0}
+
+
+def test_q24_sql_form_matches_column_form(spark):
+    """r14 pins the selectExpr-built q24_macd (driver-side build cost:
+    ~700 py4j Column calls → a handful of SQL strings) against the
+    original Column-API formulation, replicated here verbatim — the two
+    must agree row-for-row, bit-for-bit."""
+    from securities_pricing_data_pipeline_spark.queries.serving import (
+        _EWMA_WIN,
+        _MACD_D9,
+        _MACD_D12,
+        _MACD_D26,
+        _MACD_W9,
+        _MACD_W12,
+        _MACD_W26,
+        q24_macd,
+    )
+    from securities_pricing_data_pipeline_spark.queries.bars import bars_silver
+
+    sf = "/root/testdata/sf0.001"
+    b = bars_silver(spark, sf)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    cu = (F.col("close") * 10000).cast("long")
+
+    def lag_frame(src, col, keep):
+        cols = [
+            F.coalesce(
+                F.lag(col, k).over(w) if k else col, F.lit(0).cast("long")
+            ).alias(f"_c{k}")
+            for k in range(_EWMA_WIN)
+        ]
+        m = F.least(F.row_number().over(w), F.lit(_EWMA_WIN)).alias("_m")
+        return src.select(*keep, m, *cols)
+
+    def dot(weights, dens):
+        num = None
+        for k, wt in enumerate(weights):
+            t = F.col(f"_c{k}") * F.lit(wt).cast("long")
+            num = t if num is None else num + t
+        den = F.element_at(
+            F.array(*[F.lit(d).cast("long") for d in dens]), F.col("_m")
+        )
+        return num.cast("double") / den.cast("double")
+
+    stage1 = lag_frame(b, cu, ["symbol", "trade_date"]).select(
+        "symbol",
+        "trade_date",
+        (
+            (dot(_MACD_W12, _MACD_D12) - dot(_MACD_W26, _MACD_D26))
+            / F.lit(10000.0)
+        ).alias("macd"),
+    )
+    mu = F.round(F.col("macd") * 10000).cast("long")
+    ref = (
+        lag_frame(stage1, mu, ["symbol", "trade_date", "macd"])
+        .select(
+            "symbol",
+            "trade_date",
+            "macd",
+            (dot(_MACD_W9, _MACD_D9) / F.lit(10000.0)).alias("signal"),
+        )
+        .select(
+            "symbol",
+            "trade_date",
+            "macd",
+            "signal",
+            (F.col("macd") - F.col("signal")).alias("histogram"),
+        )
+    )
+    got = q24_macd(spark, sf)
+    assert got.columns == ref.columns
+    key = lambda r: (r["symbol"], r["trade_date"])  # noqa: E731
+    got_rows = sorted(got.collect(), key=key)
+    ref_rows = sorted(ref.collect(), key=key)
+    assert got_rows == ref_rows
