@@ -1613,11 +1613,27 @@ def langid_ngram(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
-    bucketed = grams.select(
-        "doc_id", "lang", (portable_hash60(F.col("g")) % buckets).alias("b")
+    # r14 pin (guide §2.4): the hashed gram stream used to feed THREE
+    # consumers (profile counts, per-language totals, per-doc scoring) —
+    # each replaying the explode + md5 bucket hash over every character
+    # n-gram (~10M md5s per replay at sf0.1). One compressed aggregate
+    # (doc, lang, bucket, multiplicity) is pinned instead — ~8× smaller
+    # than the raw gram rows — and every consumer folds from it: cnts by
+    # re-aggregation, totals from cnts, and the per-doc score as
+    # Σ k·logp (exact — logp is a decimal-grid value, k an exact long,
+    # and the long-units product/sum below is overflow-safe: |logp| ≤
+    # ln(buckets+max_grams) ≈ 20 → ≤ 2e13 units, × grams/doc ≤ 1e5 →
+    # ≤ 2e18 < 2^63).
+    doc_b = (
+        grams.select(
+            "doc_id", "lang", (portable_hash60(F.col("g")) % buckets).alias("b")
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=True)
     )
-    cnts = bucketed.groupBy("lang", "b").agg(F.count("*").alias("cnt"))
-    tots = bucketed.groupBy("lang").agg(F.count("*").alias("n_grams"))
+    cnts = doc_b.groupBy("lang", "b").agg(F.sum("k").alias("cnt"))
+    tots = cnts.groupBy("lang").agg(F.sum("cnt").alias("n_grams"))
     langs = base.groupBy("lang").agg(F.count("*").alias("n_docs"))
     grid = langs.select("lang").crossJoin(
         df.sparkSession.range(buckets).select(F.col("id").alias("b"))
@@ -1646,11 +1662,33 @@ def langid_ngram(
             F.log(F.col("n_docs").cast("double") / F.col("n_all").cast("double")), 12
         ).alias("logprior"),
     )
+    # Σ over gram OCCURRENCES of logp == Σ over (doc, bucket) cells of
+    # k·logp. Exactness chain: logp is integral in 1e-12 units (the dec()
+    # snap), so units = logp·1e12 → long is exact (the ×1e12 product is
+    # integral, so the intermediate decimal(38,6) holds it exactly);
+    # k·units multiplies as decimal(19,0)² → decimal(38,0) (never
+    # rounds); the sum stays ≤ ~23 digits even for a 1e9-gram document
+    # (|logp| ≤ ~30 ⇒ units ≤ 3e13), so the (26,0) downcast is lossless
+    # and the final /1e12 division lands back on decimal(38,12) — the
+    # same type AND value as the r13 per-occurrence decimal sum.
+    units = (F.col("logp") * F.lit(10**12).cast("decimal(13,0)")).cast("long")
     contrib = (
-        bucketed.select("doc_id", "b")
-        .join(F.broadcast(profile), "b")
+        doc_b.select("doc_id", "b", "k")
+        .join(F.broadcast(profile.withColumn("u", units)), "b")
         .groupBy("doc_id", "cand")
-        .agg(F.sum("logp").alias("gram_score"))
+        .agg(
+            F.sum(
+                F.col("k").cast("decimal(19,0)") * F.col("u").cast("decimal(19,0)")
+            ).alias("su")
+        )
+        .select(
+            "doc_id",
+            "cand",
+            (
+                F.col("su").cast("decimal(26,0)")
+                / F.lit(10**12).cast("decimal(13,0)")
+            ).alias("gram_score"),
+        )
     )
     spine = base.select("doc_id", "lang").crossJoin(F.broadcast(priors))
     scored = (
