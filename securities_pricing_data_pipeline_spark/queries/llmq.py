@@ -1176,7 +1176,9 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    truth = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
     approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
         "query_id", "neighbor_id"
     )
@@ -1228,6 +1230,7 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # two consumers: one exact-L2 pass (r14)
     )
     approx = pq_adc_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5).select(
         "query_id", "neighbor_id"
@@ -3429,7 +3432,9 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    truth = brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
     approx = sq8_topk(emb, q, k=5).select("query_id", "neighbor_id")
     hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
     t = truth.agg(
@@ -3707,7 +3712,9 @@ def sim_bin_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    truth = brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
     approx = binary_hamming_topk(emb, q, k=5).select("query_id", "neighbor_id")
     hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
     t = truth.agg(
@@ -5679,7 +5686,9 @@ def sim_crossmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     q = _crossmodal_queries(emb)
-    truth = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    truth = brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
     truth = truth.localCheckpoint(eager=True)  # 3 consumers below
     approx = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4).select(
         "query_id", "neighbor_id"
@@ -5928,7 +5937,9 @@ def sim_nsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    truth = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
     approx = nsw_topk(
         emb,
         queries,
@@ -7143,7 +7154,9 @@ def sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    truth = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
     approx = hnsw_topk(
         emb,
         queries,

@@ -632,6 +632,13 @@ def _write_range_feed(
 
     feed_dir, tmp_dir = Path(feed_dir), Path(tmp_dir)
     lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
+    if lo is None or hi is None:
+        # ADVICE r13 discipline: an empty input must fail with the
+        # precondition, not an int(None) TypeError three frames deep
+        raise ValueError(
+            f"_write_range_feed: input has no rows (min/max of {key_col!r} "
+            "is NULL) — a replay feed needs a non-empty keyed table"
+        )
     lo, hi = int(lo), int(hi)
     span = hi - lo + 1
     cuts = [lo + span * b // n_batches for b in range(n_batches + 1)]
@@ -703,12 +710,13 @@ def stream_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(str(feed_dir))
         )
-        name = _drain(
-            cusum_stream(stream),
-            "cusum",
-            "update",
-            state_partitions=spark.sparkContext.defaultParallelism,
-        )
+        # r14: state partitions sized to KEY cardinality, not core count —
+        # cusum keys on event_type (a handful of groups), so session-width
+        # state (32) meant ~27 empty state stores paying per-batch commit
+        # overhead (measured 6.0s → 3.7s median at 8). The lsh-dedup
+        # stream keeps session width: its ~20k buckets need the Python
+        # parallelism (the per-query knob _drain documents).
+        name = _drain(cusum_stream(stream), "cusum", "update")
         w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
         return (
             spark.table(name)
@@ -1029,6 +1037,13 @@ def stream_emb_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = sorted(
         emb.filter(F.col("vec_id") < 16).collect(), key=lambda r: r.vec_id
     )
+    if not cent_rows:
+        raise ValueError(
+            "stream_emb_outlier_gate: no centroid vectors — the quantizer "
+            "needs corpus ids in [0, 16) (the nsw_topk dense-id "
+            "precondition style); an empty/offset embeddings table must "
+            "remap ids or raise rather than stream against k=0 centroids"
+        )
     cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
     cn = _round_half_away_np(C * C * 1e13).sum(axis=1)  # grid self-dots

@@ -341,6 +341,23 @@ def emb_stats_fn(
     the vectors."""
     rows = pd.concat(list(pdfs), ignore_index=True)
     u = rows["cos_units"].to_numpy().astype(np.int64)
+    if u.size == 0:
+        # ADVICE r13: NoTimeout means keys are only invoked with rows
+        # today, but a future timeout/upstream filter would hand this fn
+        # an empty batch — emit the current snapshot (the sessionizer's
+        # guard discipline) instead of crashing on u.min()
+        if state.exists:
+            n, s, mn, fl = (int(x) for x in state.get)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": np.asarray([int(key[0])], dtype=np.int64),
+                    "n_members": np.asarray([n], dtype=np.int64),
+                    "sum_cos_units": np.asarray([s], dtype=np.int64),
+                    "min_cos_units": np.asarray([mn], dtype=np.int64),
+                    "n_flagged": np.asarray([fl], dtype=np.int64),
+                }
+            )
+        return
     if state.exists:
         n, s, mn, fl = (int(x) for x in state.get)
     else:

@@ -1102,7 +1102,9 @@ def probe_hnsw_incremental(spark) -> list[tuple[str, int, float]]:
     sec = round(time.perf_counter() - t, 2)
     return [(
         f"hnsw_50k_incremental: batched-insertion build (4 cohorts) "
-        f"recall@5 {r:.2f} vs shortcut-ring descent 0.60 — ring wins; "
+        f"recall@5 {r:.2f} vs shortcut-ring descent 0.60 (r13-measured "
+        f"probe_hnsw_entry value — re-run that row alongside after any "
+        f"kernel change; ADVICE r13) — ring wins; "
         f"insertion inherits cohort-0 fragmentation",
         n,
         sec,
