@@ -75,7 +75,9 @@ def main() -> None:
         "joins, sort-merge joins, Python (Arrow) boundary operators, parquet",
         "scans with non-empty `PushedFilters` / total parquet scans (cached",
         "silver reads show 0/0 — the filter pushed down when the silver was",
-        "built). Codegen is not reported: AQE plans only annotate codegen",
+        "built). Streaming-executed gate queries are excluded BY DESIGN —",
+        "compiling them runs a stream; their shapes are covered by the",
+        "streaming tests. Codegen is not reported: AQE plans only annotate codegen",
         "stages post-execution. Regenerate: `python tools/plan_audit.py`.",
         "",
         "| query | exchanges | bcast | smj | python | pushed/scans |",
