@@ -354,15 +354,42 @@ BENCH_QUERIES = [
 def _latest_local_artifact() -> dict | None:
     """The highest-round committed BENCH_r*_local.json, parsed — the
     baseline the >1.5x single-query mover re-run policy compares against."""
+    arts = _recent_local_artifacts(1)
+    return arts[0] if arts else None
+
+
+def _recent_local_artifacts(n: int) -> list[dict]:
+    """The n highest-round committed BENCH_r*_local.json artifacts,
+    newest first."""
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = glob.glob(os.path.join(here, "BENCH_r*_local.json"))
-    if not paths:
-        return None
-    latest = max(
-        paths, key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1))
+    paths = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*_local.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
     )
-    with open(latest) as fh:
-        return json.load(fh)
+    out = []
+    for p in paths[:n]:
+        with open(p) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def _canary_baseline(sf_val: float | None) -> dict[str, float] | None:
+    """Per-canary-query BEST (min) committed time over the last 3 local
+    artifacts at this sf (VERDICT r14 item 9): gating the session canary
+    against only the LATEST artifact let one degraded-host artifact
+    (r14_local, canary 'slow') silently loosen the next session gate by
+    ~18%. Best-of-last-3 keeps the gate anchored to a healthy session
+    while still tracking genuine generational change."""
+    arts = [a for a in _recent_local_artifacts(3) if a.get("sf") == sf_val]
+    if not arts:
+        return None
+    base: dict[str, float] = {}
+    for art in arts:
+        for n, sec in art.get("queries", {}).items():
+            if n in CANARY_QUERIES and sec > 0:
+                base[n] = min(base.get(n, sec), sec)
+    return base or None
 
 
 # Whole-session hiccup canary (VERDICT r10 item 2): r10's whole-session-slow
@@ -385,12 +412,12 @@ CANARY_ATTEMPTS = 3
 CANARY_WAIT_SEC = 20.0
 
 
-def _run_canary(spark, queries, sf_dir: str, prev: dict | None) -> dict | None:
+def _run_canary(spark, queries, sf_dir: str, prev_q: dict | None) -> dict | None:
     """Returns the canary record for the artifact, or None when there is
-    no committed baseline to compare against (first round at this sf)."""
-    if not prev:
+    no committed baseline to compare against (first round at this sf).
+    ``prev_q`` is the best-of-last-3 per-query baseline (_canary_baseline)."""
+    if not prev_q:
         return None
-    prev_q = prev.get("queries", {})
     names = [n for n in CANARY_QUERIES if prev_q.get(n, 0) > 0 and n in queries]
     if len(names) < 3:
         return None
@@ -459,10 +486,8 @@ def main() -> None:
     # full run at the committed artifact's sf, like the mover policy below.
     sf_token = sf_dir.rstrip("/").split("sf")[-1]
     sf_val = float(sf_token) if sf_token.replace(".", "").isdigit() else None
-    prev_for_canary = _latest_local_artifact() if not only else None
-    if prev_for_canary is not None and prev_for_canary.get("sf") != sf_val:
-        prev_for_canary = None
-    canary = _run_canary(spark, queries, sf_dir, prev_for_canary)
+    canary_base = _canary_baseline(sf_val) if not only else None
+    canary = _run_canary(spark, queries, sf_dir, canary_base)
 
     # Per-query fault isolation (VERDICT r3 item 3): one broken query must
     # never zero out the round's perf signal — record its error and go on.
@@ -515,15 +540,14 @@ def main() -> None:
     # records whether the session stayed healthy; purely observational —
     # the drift/mover gates remain the enforcement, this is the evidence
     # that attributes their findings to session health vs real movement.
-    if canary is not None and prev_for_canary is not None:
-        prev_q = prev_for_canary.get("queries", {})
+    if canary is not None and canary_base is not None:
         names_c = [
-            n for n in CANARY_QUERIES if prev_q.get(n, 0) > 0 and n in queries
+            n for n in CANARY_QUERIES if canary_base.get(n, 0) > 0 and n in queries
         ]
         try:
             end_ratios = [
                 statistics.median(_time_query(spark, queries[n], sf_dir, 3))
-                / prev_q[n]
+                / canary_base[n]
                 for n in names_c
             ]
             canary["end_ratio"] = round(statistics.median(end_ratios), 3)
@@ -554,8 +578,36 @@ def main() -> None:
         out["errors"] = errors
         out["n_errors"] = len(errors)
     print(json.dumps(out))
+    # Per-query visibility fix (VERDICT r14 item 3): the full line above
+    # grew to ~6 KB and overflows the driver's bounded tail capture, so
+    # rounds 13/14 lost their per-query round-over-round comparison
+    # (PERF per_query={}, geomean null). Two redundant channels restore
+    # it without touching the timing methodology or the summary contract:
+    # (a) the complete artifact is written to a file (env-overridable),
+    # (b) the "queries" map is re-emitted as small self-describing JSON
+    # lines (~20 entries, <1 KB each) immediately before the summary, so
+    # a bounded tail retains as many trailing chunks as it can hold.
+    out_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"),
+    )
+    try:
+        with open(out_file, "w") as fh:
+            json.dump(out, fh)
+    except OSError as e:  # noqa: PERF203 — best-effort side channel
+        print(f"bench: could not write {out_file}: {e}", file=sys.stderr)
+    items = sorted(timings.items())
+    chunk_sz = 20
+    n_chunks = (len(items) + chunk_sz - 1) // chunk_sz
+    for ci in range(n_chunks):
+        print(json.dumps({
+            "metric": "per_query_chunk",
+            "i": ci,
+            "n": n_chunks,
+            "queries": dict(items[ci * chunk_sz:(ci + 1) * chunk_sz]),
+        }))
     # Compact summary LAST: the driver keeps only the tail of stdout, and
-    # the per-query line above is ~4 KB — this line is what gets parsed.
+    # the per-query line above is ~6 KB — this line is what gets parsed.
     summary = {
         "metric": "sum_sec_headline_queries",
         "value": total,

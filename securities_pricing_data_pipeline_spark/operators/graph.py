@@ -544,7 +544,17 @@ def personalized_pagerank(
     for i in range(iters):
         if i > 0:
             ranks = ranks.localCheckpoint(eager=True)  # flat lineage per round
-        msgs = ed.join(bcast(ranks), ed[src] == ranks.node).select(
+        # r15 (guide §2.3 — move fewer bytes): PPR mass is EXACTLY zero
+        # outside the seed's i-hop neighborhood (non-seed teleport is 0),
+        # and a zero rank contributes dec(0.0/deg) = 0 exactly — dropping
+        # those rows cannot change any decimal sum, and a node whose
+        # ENTIRE inflow was zeros just leaves recv and re-enters through
+        # coalesce(NULL → 0.0), the same 0.0 the dense sum produced.
+        # Iteration 1 then scores deg(seed) edges instead of |E|; at
+        # 100 TB the early iterations touch only the seed's neighborhood
+        # instead of the whole graph (locality is the point of PPR).
+        nz = ranks.filter(F.col("rank") != 0.0)
+        msgs = ed.join(bcast(nz), ed[src] == nz.node).select(
             F.col(dst).alias("node"),
             dec(F.col("rank") / F.col("deg"), CONTRIB_SCALE).alias("c"),
         )
@@ -553,7 +563,10 @@ def personalized_pagerank(
         # Python's 1.0 - 0.85 is 0.15000000000000002 while the oracle's
         # decimal subtraction is exactly 0.15 — a 2-ulp hash mismatch
         restart = F.expr(f"CAST(1.0 - {damping} AS DOUBLE)")
-        ranks = nodes.join(recv, "node", "left").select(
+        # recv is node-sized (≤ the rank frame the loop already
+        # broadcasts): make the re-attach join's strategy explicit
+        # instead of leaving a LogicalRDD-stats guess to the planner.
+        ranks = nodes.join(bcast(recv), "node", "left").select(
             "node",
             (
                 F.when(F.col("node") == seed, restart).otherwise(F.lit(0.0))

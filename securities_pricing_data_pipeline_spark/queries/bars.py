@@ -89,7 +89,32 @@ def bars_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _SILVER_CACHE.get(key)
     if df is None:
-        df = bars_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        # r15 (guide §2.4 — remove shuffles outright; §6 — layout for the
+        # readers): ~25 serving queries window/group this silver BY SYMBOL,
+        # and each paid its own Exchange hashpartitioning(symbol) per run.
+        # Worse, AQE coalesces that tiny (~2 MB at bench sf) exchange by
+        # BYTES, blind to the 30-lag window expressions above it, so the
+        # compute-dense indicator family ran near-single-core (r14 tried a
+        # session-wide 64k minPartitionSize floor to counter this; the r15
+        # paired A/B showed the floor costs more suite-wide than it buys).
+        # Persisting the silver hash-partitioned by symbol at the session's
+        # configured width removes the consumers' exchange entirely — the
+        # cached InMemoryTableScan reports hashpartitioning(symbol, n), so
+        # EnsureRequirements is satisfied and there is no shuffle left for
+        # AQE to under-parallelize; the sortWithinPartitions lets the
+        # cached plan's outputOrdering absorb the window Sort too. One
+        # build-time exchange buys every symbol-keyed consumer's back.
+        # repartition(n, key) is REPARTITION_BY_NUM — AQE never coalesces
+        # it — and n follows spark.sql.shuffle.partitions (cluster-sized
+        # in production, core count locally): the bucketed-silver layout,
+        # in-session.
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = (
+            bars_df(spark, sf_dir)
+            .repartition(n, "symbol")
+            .sortWithinPartitions("symbol", "trade_date")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         _SILVER_CACHE[key] = df
     return df
 

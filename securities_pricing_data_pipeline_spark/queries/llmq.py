@@ -327,21 +327,74 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy kernel — measured 0.6s vs 1.3s at sf0.1. The numpy kernel
     (bit-identical; brute_force_topk_np) takes over when the query side
     is large — see sim_knn_classify's 200-query eval (160.7s → 1.3s)."""
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, k=5)
+    return _bf_truth10_silver(spark, sf_dir)
+
+
+def _bf_truth10_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared EXACT-truth frame (r15, guide §2.4): brute-force top-5
+    cosine neighbors of the ten audit queries (vec_id < 10). ELEVEN
+    query paths consume this identical frame — sim_bruteforce_topk
+    itself, the seven recall audits (ivf / ivf_trained / sq8 /
+    bin_hamming / nsw / hnsw / matryoshka's full-dim side), the RRF
+    fusion's exact arm, the RBO agreement audit, and the nprobe sweep —
+    and until r15 each recomputed the exact pass per call (r14 pinned it
+    per QUERY, still one exact pass per caller). At 100 TB the exact
+    corpus scan is the dominant cost of every audit; it now runs once
+    per (session, sf), the same ground-truth-artifact policy as
+    ``_jaccard_pairs``. Full output columns so every consumer's select
+    stays unchanged."""
+    key = ("bf_truth10", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+            brute_force_topk as _bf,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        df = _bf(emb, emb.filter(F.col("vec_id") < 10), k=5).localCheckpoint(
+            eager=True
+        )
+        _DEDUP_SILVER[key] = df
+    return df
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, k=5)
+    return _lsh_topk10_silver(spark, sf_dir)
+
+
+def _ivf_topk10_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned IVF retrieval over the ten audit queries (r15): the SAME
+    (k=5, n_centroids=16, nprobe=4) retrieval is the sim_ivf_topk report
+    AND the recall audit's approx side — one list build + scan per
+    (session, sf), like the crossmodal/ivfpq retrieval silvers."""
+    key = ("ivf_topk10", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        emb = load(spark, sf_dir, "embeddings")
+        df = ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
+        ).localCheckpoint(eager=True)
+        _DEDUP_SILVER[key] = df
+    return df
+
+
+def _lsh_topk10_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned LSH retrieval over the ten audit queries (r15): consumed
+    identically by sim_lsh_topk, the RRF fusion's second arm, and the
+    RBO agreement audit — one hyperplane-bucket scan per (session, sf)."""
+    key = ("lsh_topk10", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        emb = load(spark, sf_dir, "embeddings")
+        df = lsh_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5
+        ).localCheckpoint(eager=True)
+        _DEDUP_SILVER[key] = df
+    return df
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    return _ivf_topk10_silver(spark, sf_dir)
 
 
 def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,10 +534,8 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _DEDUP_SILVER.get(key)
     if cached is not None:
         return cached
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
-    bf = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id", "rank")
-    ls = lsh_topk(emb, q, k=5).select("query_id", "neighbor_id", "rank")
+    bf = _bf_truth10_silver(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    ls = _lsh_topk10_silver(spark, sf_dir).select("query_id", "neighbor_id", "rank")
     u = bf.unionByName(ls)
     units = F.round(F.lit(1e12) / (F.lit(60.0) + F.col("rank"))).cast("long")
     scored = u.groupBy("query_id", "neighbor_id").agg(
@@ -1176,12 +1227,12 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, queries, k=5).select(
+    truth = _bf_truth10_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
-    approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
+    )  # shared session truth silver (r15): one exact pass per session
+    approx = _ivf_topk10_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
+    )  # shared with sim_ivf_topk (r15): one list build + scan per session
     hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
     t = truth.agg(
         F.count_distinct("query_id").alias("n_queries"), F.count("*").alias("n_true")
@@ -3425,16 +3476,13 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes at corpus scale (the PQ family's sim_pq_adc_recall, for the
     scalar quantizer). Counts are ints; the one ratio is an int÷int
     double division — engine-stable."""
-    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
-        brute_force_topk,
-        sq8_topk,
-    )
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import sq8_topk
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, q, k=5).select(
+    truth = _bf_truth10_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
+    )  # shared session truth silver (r15): one exact pass per session
     approx = sq8_topk(emb, q, k=5).select("query_id", "neighbor_id")
     hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
     t = truth.agg(
@@ -3707,14 +3755,13 @@ def sim_bin_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest index that clears a recall bar."""
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
         binary_hamming_topk,
-        brute_force_topk,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, q, k=5).select(
+    truth = _bf_truth10_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
+    )  # shared session truth silver (r15): one exact pass per session
     approx = binary_hamming_topk(emb, q, k=5).select("query_id", "neighbor_id")
     hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
     t = truth.agg(
@@ -3807,7 +3854,15 @@ def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every approximate dedup family ships with its measured quality,
     not just MinHash). Counts are ints; the two ratios are single
     int÷int double divisions — engine-stable."""
-    cand = dedup_simhash(spark, sf_dir).select("id_a", "id_b")
+    # r15 (guide §2.4, VERDICT r14 item 8): the candidate pair frame
+    # feeds TWO consumers (the hit semi-join and the n_candidates
+    # total) — unpinned, the banded simhash pairing above the signature
+    # silver replayed per consumer. One localCheckpoint = one pairing.
+    cand = (
+        dedup_simhash(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     truth = _jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     hit = cand.join(truth, ["id_a", "id_b"], "left_semi")
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
@@ -4682,19 +4737,42 @@ ORDER BY doc_id, cut_start
 """
 
 
+def _ivfpq_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned IVF-PQ retrieval frame (r15, VERDICT r14 item 5):
+    ``sim_ivfpq_topk`` and ``sim_ivfpq_ndcg`` run the IDENTICAL
+    retrieval (every-50th queries, k=5, dim=20, n_sub=4, n_codes=16,
+    n_centroids=16, nprobe=4) and each rebuilt the coarse assignment +
+    PQ codebook + code assignment + ADC scan per call — the two most
+    expensive untouched queries of r14 (8.6 s / 10.0 s local). Same
+    session-scoped index-artifact policy as the crossmodal/trained-IVF
+    silvers; full output columns so both consumers read one frame. Twin
+    test ``tests/test_llmdata.py::test_ivfpq_silver_matches_fresh_retrieval``
+    pins it row-for-row to a fresh retrieval."""
+    key = ("ivfpq_topk", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        from securities_pricing_data_pipeline_spark.llmdata.similarity import (
+            ivfpq_topk,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        df = ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), k=5,
+            dim=20, n_sub=4, n_codes=16, n_centroids=16, nprobe=4,
+        ).localCheckpoint(eager=True)
+        _DEDUP_SILVER[key] = df
+    return df
+
+
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-5 for every 50th vector as query — the composed
     serving index (coarse probe → ADC code scan,
     ``llmdata.similarity.ivfpq_topk``) next to its two single-stage
     parents ``sim_ivf_topk`` (probe + exact rerank) and
-    ``sim_pq_adc_topk`` (whole-corpus code scan)."""
-    from securities_pricing_data_pipeline_spark.llmdata.similarity import ivfpq_topk
-
-    emb = load(spark, sf_dir, "embeddings")
-    return ivfpq_topk(
-        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5,
-        dim=20, n_sub=4, n_codes=16, n_centroids=16, nprobe=4,
-    )
+    ``sim_pq_adc_topk`` (whole-corpus code scan). The retrieval frame is
+    the shared session silver (``_ivfpq_silver``) the nDCG audit also
+    reads."""
+    return _ivfpq_silver(spark, sf_dir)
 
 
 QUERIES["sim_ivfpq_topk"] = sim_ivfpq_topk
@@ -4817,15 +4895,12 @@ def sim_ivfpq_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     'rerank survivors on raw vectors' advice should be gated on."""
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
         brute_force_topk,
-        ivfpq_topk,
     )
     from securities_pricing_data_pipeline_spark.queries.helpers import dec
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    approx = ivfpq_topk(
-        emb, queries, k=5, dim=20, n_sub=4, n_codes=16, n_centroids=16, nprobe=4
-    )
+    approx = _ivfpq_silver(spark, sf_dir)
     truth = brute_force_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id", F.col("rank").alias("truth_rank")
     )
@@ -5091,10 +5166,9 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    full = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+    full = _bf_truth10_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
-    full = full.localCheckpoint(eager=True)  # 3 consumers, one per dim
+    )  # shared session truth silver (r15): 3 consumers here, one per dim
     out = None
     for d in (8, 16, 64):
         tr = emb.select(
@@ -5567,18 +5641,28 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         _DEDUP_SILVER[key] = fsigs
-    fpairs = simhash_near_dups(fsigs, sigs=fsigs, max_hamming=3)
-    va = F.expr(f"id_a div {_STRIDE}")
-    vb = F.expr(f"id_b div {_STRIDE}")
-    return (
-        fpairs.filter(va != vb)
-        .groupBy(va.alias("id_a"), vb.alias("id_b"))
-        .agg(
-            F.min("hamming").cast("int").alias("min_hamming"),
-            F.count("*").alias("n_frame_matches"),
+    # r15 (guide §2.4): the keyframe PAIRING feeds two query paths —
+    # this report and dedup_video_keep's clustering input — and ran per
+    # call; now one banded pairing per (session, sf), the same shared
+    # ground-truth-artifact policy as _lsh_pairs/_jaccard_pairs.
+    pkey = ("video_pairs", spark.sparkContext.applicationId, sf_dir)
+    pairs = _DEDUP_SILVER.get(pkey)
+    if pairs is None:
+        fpairs = simhash_near_dups(fsigs, sigs=fsigs, max_hamming=3)
+        va = F.expr(f"id_a div {_STRIDE}")
+        vb = F.expr(f"id_b div {_STRIDE}")
+        pairs = (
+            fpairs.filter(va != vb)
+            .groupBy(va.alias("id_a"), vb.alias("id_b"))
+            .agg(
+                F.min("hamming").cast("int").alias("min_hamming"),
+                F.count("*").alias("n_frame_matches"),
+            )
+            .orderBy("id_a", "id_b")
+            .localCheckpoint(eager=True)
         )
-        .orderBy("id_a", "id_b")
-    )
+        _DEDUP_SILVER[pkey] = pairs
+    return pairs
 
 
 QUERIES["dedup_video_phash"] = dedup_video_phash
@@ -5602,6 +5686,31 @@ def _crossmodal_queries(emb: DataFrame) -> DataFrame:
     )
 
 
+def _crossmodal_ivf_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned cross-modal IVF retrieval frame (r15, VERDICT r14 item 6):
+    the three crossmodal queries run the IDENTICAL retrieval — ivf_topk
+    over the every-50th projected query set at (k=5, n_centroids=16,
+    nprobe=4) — and each rebuilt the ~27-job projection+probe+scan
+    pipeline per call. Same session-scoped index-artifact policy as the
+    trained-IVF centroid silver above: built once per (session, sf) with
+    the FULL output columns (query_id, neighbor_id, cos_sim, rank), so
+    the topk report, the recall audit's approx side, and the
+    hard-negative miner all read one frame. Twin test
+    ``tests/test_llmdata.py::test_crossmodal_ivf_silver_matches_fresh_retrieval``
+    pins the silver row-for-row to a fresh retrieval."""
+    key = ("crossmodal_ivf", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        from securities_pricing_data_pipeline_spark.llmdata.similarity import ivf_topk
+
+        emb = load(spark, sf_dir, "embeddings")
+        df = ivf_topk(
+            emb, _crossmodal_queries(emb), k=5, n_centroids=16, nprobe=4
+        ).localCheckpoint(eager=True)
+        _DEDUP_SILVER[key] = df
+    return df
+
+
 def sim_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLIP-shaped cross-modal retrieval: image-side queries (the
     deterministic second-encoder projection of every 50th embedding,
@@ -5612,13 +5721,8 @@ def sim_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired text item is findable (and usually found — the audit twin
     ``sim_crossmodal_recall`` measures it). Same plan contract as
     sim_ivf_topk: centroids broadcast, one corpus scan, cost ∝ probed
-    lists."""
-    from securities_pricing_data_pipeline_spark.llmdata.similarity import ivf_topk
-
-    emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, _crossmodal_queries(emb), k=5, n_centroids=16, nprobe=4
-    )
+    lists; the retrieval frame itself is the shared session silver."""
+    return _crossmodal_ivf_silver(spark, sf_dir)
 
 
 QUERIES["sim_crossmodal_topk"] = sim_crossmodal_topk
@@ -5681,16 +5785,15 @@ def sim_crossmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable."""
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
         brute_force_topk,
-        ivf_topk,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     q = _crossmodal_queries(emb)
     truth = brute_force_topk(emb, q, k=5).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
-    truth = truth.localCheckpoint(eager=True)  # 3 consumers below
-    approx = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4).select(
+    ).localCheckpoint(eager=True)  # multiple consumers below: one compute (r14;
+    # ADVICE r14 dropped a redundant second back-to-back checkpoint here)
+    approx = _crossmodal_ivf_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
     hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
@@ -5930,16 +6033,13 @@ def sim_nsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute-force cosine on the same queries — the paradigm-level
     recall ladder entry next to sim_ivf_recall_eval, sim_sq8_recall and
     sim_bin_hamming_recall. Counts are ints; one int÷int division."""
-    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
-        brute_force_topk,
-        nsw_topk,
-    )
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import nsw_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, queries, k=5).select(
+    truth = _bf_truth10_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
+    )  # shared session truth silver (r15): one exact pass per session
     approx = nsw_topk(
         emb,
         queries,
@@ -6215,13 +6315,24 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.98 vs 1.00 at sf0.1): the raw seeds ARE corpus vectors, and one
     L2 Lloyd step moves them off the cosine-probed manifold. Exactly
     the decision the audit exists to inform."""
-    from securities_pricing_data_pipeline_spark.llmdata.similarity import ivf_topk
+    return _ivf_trained_topk10_silver(spark, sf_dir)
 
-    emb = load(spark, sf_dir, "embeddings")
-    cent = _ivf_trained_cent_silver(spark, sf_dir)
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4, centroids=cent
-    )
+
+def _ivf_trained_topk10_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned TRAINED-centroid IVF retrieval over the ten audit queries
+    (r15): the sim_ivf_trained_topk report and the trained arm of
+    sim_ivf_trained_recall run the identical retrieval — one trained
+    list build + scan per (session, sf)."""
+    key = ("ivf_trained_topk10", spark.sparkContext.applicationId, sf_dir)
+    df = _DEDUP_SILVER.get(key)
+    if df is None:
+        emb = load(spark, sf_dir, "embeddings")
+        cent = _ivf_trained_cent_silver(spark, sf_dir)
+        df = ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4, centroids=cent
+        ).localCheckpoint(eager=True)
+        _DEDUP_SILVER[key] = df
+    return df
 
 
 QUERIES["sim_ivf_trained_topk"] = sim_ivf_trained_topk
@@ -6294,23 +6405,15 @@ def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the deterministic-seed IVF, both against exact brute-force truth
     on the same queries — the before/after number that justifies paying
     a Lloyd pass at index-build time. Counts int; two int÷int ratios."""
-    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
-        brute_force_topk,
-        ivf_topk,
-    )
-
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, queries, k=5).select(
+    truth = _bf_truth10_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)
-    cent = _ivf_trained_cent_silver(spark, sf_dir)
-    trained = ivf_topk(emb, queries, k=5, nprobe=4, centroids=cent).select(
+    )  # shared session truth silver (r15)
+    trained = _ivf_trained_topk10_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
-    plain = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
+    )  # shared with sim_ivf_trained_topk (r15)
+    plain = _ivf_topk10_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
+    )  # shared with sim_ivf_topk (r15)
     t = truth.agg(
         F.count_distinct("query_id").alias("n_queries"), F.count("*").alias("n_true")
     )
@@ -6433,15 +6536,14 @@ def sim_rank_agreement_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sim_lsh's recall twin counts set hits; RBO weights the head). Per
     query plus the mean, normalized to 1.0 for identical rankings."""
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
-        brute_force_topk,
-        lsh_topk,
         rank_agreement_rbo,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
     return rank_agreement_rbo(
-        brute_force_topk(emb, q, k=5), lsh_topk(emb, q, k=5), k=5, p=0.9
+        _bf_truth10_silver(spark, sf_dir),
+        _lsh_topk10_silver(spark, sf_dir),
+        k=5,
+        p=0.9,
     )
 
 
@@ -6603,14 +6705,11 @@ def dedup_video_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    # pin before clustering: connected_components re-joins the pair
-    # frame every min-label round, and an unpinned frame would re-run
-    # the pigeonhole pairing per round (5.3s → 1.5s at sf0.1)
-    pairs = (
-        dedup_video_phash(spark, sf_dir)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # connected_components re-joins the pair frame every min-label
+    # round; the pair frame is the session video-pair silver (r15) —
+    # already eagerly materialized, so each round reads the pinned RDD
+    # (the r12 per-call localCheckpoint here became a redundant copy)
+    pairs = dedup_video_phash(spark, sf_dir).select("id_a", "id_b")
     vertices = load(spark, sf_dir, "documents").select("doc_id")
     cc = connected_components(pairs, vertices, id_col="doc_id")
     return cc.select(
@@ -7147,16 +7246,13 @@ def sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-only graph had it LOSING 0.90/0.74, recorded honestly then;
     the 50k probe shows the gap widening decisively at 25× corpus:
     0.60 vs 0.00)."""
-    from securities_pricing_data_pipeline_spark.llmdata.similarity import (
-        brute_force_topk,
-        hnsw_topk,
-    )
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import hnsw_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    truth = brute_force_topk(emb, queries, k=5).select(
+    truth = _bf_truth10_silver(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)  # two consumers (semi-join + totals): one compute (r14)
+    )  # shared session truth silver (r15): one exact pass per session
     approx = hnsw_topk(
         emb,
         queries,
@@ -7221,17 +7317,14 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-gated: the DuckDB oracle still replays five independent IVF
     retrievals."""
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
-        brute_force_topk,
         ivf_sweep_scored,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    truth = (
-        brute_force_topk(emb, queries, k=5)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # five audit consumers, one compute
-    )
+    truth = _bf_truth10_silver(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )  # shared session truth silver (r15): five audit consumers here
     n_true = truth.agg(F.count("*").alias("n_true"))
     levels = (1, 2, 4, 8, 16)
     scored = ivf_sweep_scored(emb, queries, n_centroids=16, nprobe_max=16)
@@ -7326,13 +7419,12 @@ def sim_crossmodal_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame
     are |queries| rows."""
     from securities_pricing_data_pipeline_spark.llmdata.similarity import (
         cosine_with_norms,
-        ivf_topk,
         norm_grid,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     q = _crossmodal_queries(emb)
-    retrieved = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+    retrieved = _crossmodal_ivf_silver(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

@@ -631,13 +631,23 @@ def _write_range_feed(
     from pathlib import Path
 
     feed_dir, tmp_dir = Path(feed_dir), Path(tmp_dir)
-    lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
+    lo, hi, n_null = df.agg(
+        F.min(key_col), F.max(key_col), F.sum(F.col(key_col).isNull().cast("int"))
+    ).first()
     if lo is None or hi is None:
         # ADVICE r13 discipline: an empty input must fail with the
         # precondition, not an int(None) TypeError three frames deep
         raise ValueError(
             f"_write_range_feed: input has no rows (min/max of {key_col!r} "
             "is NULL) — a replay feed needs a non-empty keyed table"
+        )
+    if n_null:
+        # ADVICE r14: the bucket when-chain would route NULL keys to the
+        # last batch (r13's range filters silently dropped them) — neither
+        # is a defined feed semantics, so make the precondition explicit.
+        raise ValueError(
+            f"_write_range_feed: {n_null} NULL {key_col!r} rows — the range "
+            "feed's bucket map is defined on non-null keys only"
         )
     lo, hi = int(lo), int(hi)
     span = hi - lo + 1

@@ -276,6 +276,11 @@ def lsh_dedup_fn(
     the loop skipped them (emit iff strictly greater), and groups with
     nothing to flag yield NO frame instead of an empty one."""
     chunks = [pdf["doc_id"].to_numpy() for pdf in pdfs]
+    if not chunks or sum(c.size for c in chunks) == 0:
+        # ADVICE r14: mirror emb_stats_fn's empty-batch guard — unreachable
+        # under NoTimeout today, but a timeout/filter change must keep the
+        # bucket's state unchanged rather than IndexError on ids[0].
+        return
     ids = np.sort(
         (chunks[0] if len(chunks) == 1 else np.concatenate(chunks)).astype(np.int64)
     )

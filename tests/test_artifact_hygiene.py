@@ -187,6 +187,26 @@ def test_bench_single_query_movers_are_rebenched_or_explained():
     )
 
 
+def test_canary_baseline_is_best_of_last_three(monkeypatch):
+    """Canary-gate hygiene (VERDICT r14 item 9): r14's 'slow'-status
+    local artifact (produced on a ~1.18x degraded host) became the sole
+    canary baseline for the NEXT driver run, silently loosening its
+    session gate by the same factor. The canary must gate against the
+    per-query BEST of the last 3 committed local artifacts at the sf,
+    so one degraded-host artifact cannot relax the gate."""
+    import bench
+
+    arts = [
+        {"sf": 0.1, "queries": {"q1_market_totals": 2.0, "dedup_exact": 1.0}},
+        {"sf": 0.1, "queries": {"q1_market_totals": 1.0, "dedup_exact": 3.0}},
+        {"sf": 0.01, "queries": {"q1_market_totals": 0.1}},  # other sf: ignored
+    ]
+    monkeypatch.setattr(bench, "_recent_local_artifacts", lambda n: arts[:n])
+    base = bench._canary_baseline(0.1)
+    assert base == {"q1_market_totals": 1.0, "dedup_exact": 1.0}
+    assert bench._canary_baseline(0.5) is None
+
+
 def test_oracle_and_queries_expose_identical_name_sets():
     import __spark_entry__ as entry
 

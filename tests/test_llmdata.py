@@ -2925,3 +2925,44 @@ def test_hnsw_l0_silver_equals_shortcuts_build(spark):
         ).collect()
     }
     assert silver == direct
+
+
+def test_crossmodal_ivf_silver_matches_fresh_retrieval(spark):
+    """r15 shared-retrieval silver twin: the pinned cross-modal IVF frame
+    must equal a FRESH ivf_topk run row-for-row (same params), so the
+    three consumers (topk report, recall audit, hard-negative miner)
+    provably read exactly what they each computed before the sharing."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import ivf_topk
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+    from securities_pricing_data_pipeline_spark.queries.llmq import (
+        _crossmodal_ivf_silver,
+        _crossmodal_queries,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    silver = sorted(map(tuple, _crossmodal_ivf_silver(spark, sf).collect()))
+    emb = load(spark, sf, "embeddings")
+    fresh = sorted(
+        map(tuple, ivf_topk(emb, _crossmodal_queries(emb), k=5,
+                            n_centroids=16, nprobe=4).collect())
+    )
+    assert silver == fresh and len(silver) > 0
+
+
+def test_ivfpq_silver_matches_fresh_retrieval(spark):
+    """r15 shared-retrieval silver twin for the IVF-PQ pair: the pinned
+    frame equals a fresh ivfpq_topk run row-for-row."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import ivfpq_topk
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
+    from securities_pricing_data_pipeline_spark.queries.llmq import _ivfpq_silver
+
+    sf = "/root/testdata/sf0.001"
+    silver = sorted(map(tuple, _ivfpq_silver(spark, sf).collect()))
+    emb = load(spark, sf, "embeddings")
+    fresh = sorted(
+        map(tuple, ivfpq_topk(
+            emb, emb.filter("vec_id % 50 = 0"), k=5,
+            dim=20, n_sub=4, n_codes=16, n_centroids=16, nprobe=4,
+        ).collect())
+    )
+    assert silver == fresh and len(silver) > 0

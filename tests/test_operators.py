@@ -794,6 +794,33 @@ def test_personalized_pagerank_hand_checked(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_personalized_pagerank_zero_rank_pruning_keeps_dense_result(spark):
+    """r15 locality pruning twin: the msgs join drops rank == 0.0 rows
+    (they contribute exact decimal zero). On a graph with a component
+    UNREACHABLE from the seed, every unreached node must still appear
+    with rank exactly 0.0 (positive zero, via the coalesce path) and
+    the reached component must match the hand-checkable dense values —
+    i.e. pruning is invisible in the output."""
+    import pytest
+
+    from securities_pricing_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # component A: path 0-1; component B: pair 10-11 (never reached)
+    und = [(0, 1), (10, 11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in personalized_pagerank(edges, seed=0, iters=3).collect()}
+    assert set(got) == {0, 1, 10, 11}
+    assert got[10] == 0.0 and got[11] == 0.0
+    # dense hand-walk on 0-1 seeded at 0 (deg 1 each):
+    # r1 = (0.15, 0.85); r2 = (0.8725, 0.1275); r3 = (0.258375, 0.741625)
+    assert got[0] == pytest.approx(0.258375, abs=1e-9)
+    assert got[1] == pytest.approx(0.741625, abs=1e-9)
+
+
 def test_transit_sweep_matches_brute_force(spark, tmp_path):
     """Sweep-line open-interval census equals the brute-force per-date
     overlap count on a small synthetic lineitem."""

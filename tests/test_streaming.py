@@ -560,6 +560,14 @@ def test_lsh_dedup_fn_state_carries_across_batches():
     assert st._v == (1,)
     assert list(zip(out2.doc_id, out2.matched_id)) == [(9, 1)]
 
+    # ADVICE r14 empty-batch guard (mirrors emb_stats_fn's): an empty
+    # iterator or a zero-row frame must emit nothing and leave state
+    # untouched rather than IndexError on ids[0] — unreachable under
+    # NoTimeout today, but a timeout/filter change must not crash.
+    assert list(lsh_dedup_fn((0, "k"), iter([]), st)) == []
+    assert list(lsh_dedup_fn((0, "k"), iter([batch([])]), st)) == []
+    assert st._v == (1,)
+
 
 def test_stream_dedup_incremental_matches_batch_closed_form(spark):
     """The drained streaming gate over the real 4-batch feed must equal
