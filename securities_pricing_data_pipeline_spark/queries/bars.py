@@ -115,6 +115,13 @@ def bars_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortWithinPartitions("symbol", "trade_date")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # materialize at build (the _copurchase_edges precedent): until
+        # the cache is materialized the AQE-wrapped cached plan reports
+        # no output partitioning, so the FIRST consumer would plan (and
+        # execute) a defensive symbol exchange; after this count() every
+        # consumer — including the first — sees hashpartitioning(symbol,
+        # n) + the sort order and plans no exchange and no sort.
+        df.count()
         _SILVER_CACHE[key] = df
     return df
 

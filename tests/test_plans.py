@@ -82,8 +82,13 @@ def test_flagship_global_rank_after_reduction(spark):
     agg_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
     assert single_m is not None and agg_ids
     assert min(agg_ids) < int(single_m.group(1))
-    # and the plan has no more than 3 shuffles total
-    assert plan.count(") Exchange") <= 3
+    # r15 layout: the silver is cached hash-partitioned by symbol, so the
+    # CONSUMER side (tree section above the InMemoryRelation; the cached
+    # build's initial+final AQE echo below it doesn't execute per query)
+    # must contain exactly ONE exchange — the SinglePartition global rank;
+    # the per-symbol aggregate reuses the silver's partitioning.
+    consumer = plan[: plan.index("InMemoryRelation")]
+    assert len(re.findall(r"Exchange \(\d+\)", consumer)) == 1
 
 
 def test_range_join_is_equi_join_not_nested_loop(spark):
@@ -188,15 +193,19 @@ def test_q4b_enrichment_dim_broadcasts(spark):
 def test_q12_drawdown_reuses_symbol_partitioning(spark):
     # the running-peak window and the per-symbol max both key on symbol:
     # the aggregate must reuse the window's exchange, not add a second one
+    import re
+
     from securities_pricing_data_pipeline_spark.queries import bars
     from securities_pricing_data_pipeline_spark.queries.serving import q12_max_drawdown
 
     bars._SILVER_CACHE.clear()
     spark.catalog.clearCache()
     plan = _plan(q12_max_drawdown(spark, SF))
-    # one exchange for the silver groupBy, one for the symbol window; the
-    # drawdown aggregate rides the window's partitioning
-    assert plan.count(") Exchange") <= 2
+    # r15 layout: the running-peak window AND the per-symbol aggregate
+    # both reuse the symbol-partitioned cached silver — the consumer side
+    # (above the InMemoryRelation) plans ZERO exchanges.
+    consumer = plan[: plan.index("InMemoryRelation")]
+    assert len(re.findall(r"Exchange \(\d+\)", consumer)) == 0, consumer
 
 
 def test_q14_pairs_bounded_and_no_cartesian(spark):
@@ -248,9 +257,12 @@ def test_q15_rsi_single_symbol_shuffle(spark):
     bars._SILVER_CACHE.clear()
     spark.catalog.clearCache()
     plan = _plan(q15_rsi(spark, SF))
-    # exactly 2 shuffles: the silver-bars aggregate and ONE symbol window
-    # partitioning shared by lag + both rolling sums
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+    # r15 layout: lag + both rolling sums all ride the symbol-partitioned
+    # cached silver — ZERO consumer-side exchanges (the silver build's
+    # aggregate + repartition live below the InMemoryRelation, once per
+    # session); the symbol hashpartitioning exists in the build lineage.
+    consumer = plan[: plan.index("InMemoryRelation")]
+    assert len(re.findall(r"Exchange \(\d+\)", consumer)) == 0, consumer
     assert len(re.findall(r"hashpartitioning\(symbol", plan)) >= 1
 
 
@@ -326,9 +338,14 @@ def test_scd2_windows_share_symbol_shuffle(spark):
     from securities_pricing_data_pipeline_spark.queries.serving import scd2_price_bands
 
     bars._SILVER_CACHE.clear()
+    spark.catalog.clearCache()
     plan = _plan(scd2_price_bands(spark, SF))
-    n_sym_exchanges = len(re.findall(r"hashpartitioning\(symbol#\d+, \d+\)", plan))
-    assert n_sym_exchanges == 1
+    # r15 layout: BOTH windows ride the symbol-partitioned cached silver —
+    # zero consumer-side symbol exchanges (the one consumer exchange left
+    # is the final output orderBy's range partitioning).
+    consumer = plan[: plan.index("InMemoryRelation")]
+    assert len(re.findall(r"hashpartitioning\(symbol#\d+, \d+\)", consumer)) == 0
+    assert len(re.findall(r"Exchange \(\d+\)", consumer)) <= 1
 
 
 def test_pq_codes_two_narrow_exchanges_no_pairs(spark):
@@ -452,12 +469,23 @@ def test_ivfpq_small_side_joins_broadcast(spark):
     """IVF-PQ's probe lists and ADC tables are query-set-sized and must
     BROADCAST into the code scan; the one legitimate shuffle join is the
     corpus-sized codes⋈coarse list build. Lock in: no cartesian blowup,
-    and at most ONE sort-merge join in the plan (the list build)."""
-    from securities_pricing_data_pipeline_spark.queries.llmq import sim_ivfpq_topk
+    and at most ONE sort-merge join in the plan (the list build).
+
+    r15: the sim_ivfpq_topk QUERY now reads the pinned session silver
+    (a LogicalRDD — no joins in its plan), so this locks the KERNEL's
+    plan, which is what the silver build executes."""
+    from securities_pricing_data_pipeline_spark.llmdata.similarity import ivfpq_topk
+    from securities_pricing_data_pipeline_spark.queries.helpers import load
 
     import re
 
-    plan = _plan(sim_ivfpq_topk(spark, SF))
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF, "embeddings")
+    plan = _plan(ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5,
+        dim=20, n_sub=4, n_codes=16, n_centroids=16, nprobe=4,
+    ))
     assert "CartesianProduct" not in plan
     # formatted mode prints each operator twice (tree + numbered detail):
     # count the detail headers, expect exactly the one list-build SMJ
